@@ -9,14 +9,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
 
+  private def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
+    operators.Relational.all ++ operators.AlpacaQueries.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.all.map { case (n, (fn, _)) => n -> fn }.toMap
+    registry.map { case (n, (fn, _)) => n -> fn }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.all.collect {
-      case (n, (_, sql)) if sql.nonEmpty => n -> sql
-    }.toMap
+    registry.collect { case (n, (_, sql)) if sql.nonEmpty => n -> sql }.toMap
 }

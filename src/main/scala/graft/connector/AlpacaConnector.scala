@@ -1,0 +1,278 @@
+package graft.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.slf4j.LoggerFactory
+
+import graft.core._
+
+/** Static description of one Alpaca source: schema, accepted options,
+  * endpoint path, response data key, record parser, partition-interval
+  * policy (SURVEY §2.1 S1-S9). Concrete defs live in Sources.scala. */
+trait AlpacaSourceDef extends Serializable {
+  def shortName: String
+  def schema: StructType
+  def apiParams: Seq[ApiParam]
+  def pathElements: Seq[String]
+  def dataKey: String
+  def parser: RecordParser
+
+  /** Source-specific option validation on top of the base matrix. */
+  def extraValidate(params: Map[String, String]): Unit = ()
+
+  /** Partition interval in µs; default 1 day (`common.py:360-362`),
+    * bars sources override with volume-aware sizing (`bars.py:189-197`). */
+  def partitionIntervalMicros(startUs: Long, endUs: Long, limit: Int,
+      params: Map[String, String]): Long = AlpacaPartitioning.DayMicros
+
+  /** Column usable for time-range predicate pushdown, if any. */
+  def timeColumn: Option[String] = Some("time")
+}
+
+/** Everything a scan needs, shipped driver → executors. */
+case class AlpacaScanConfig(
+    endpoint: String,
+    apiKeyId: String,
+    apiKeySecret: String,
+    rateLimitDelaySec: Double,
+    params: Map[String, String],
+    symbols: Seq[String],
+    startMicros: Long,
+    endMicros: Long,
+    limit: Int)
+
+/** Partition = one symbol × one time interval (`common.py:53-59`). */
+case class SymbolTimeRangePartition(symbol: String, startMicros: Long, endMicros: Long)
+  extends InputPartition
+
+/** Driver-side partition planning (SURVEY §2.2 P1-P3). */
+object AlpacaPartitioning {
+  val DayMicros: Long = 24L * 3600L * 1000000L
+  val PagesPerPartition = 5 // `bars.py:29`
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** `[start,end]` × symbols cross-product; single interval when the
+    * range fits (`common.py:364-382`). Bounds clamp exactly to `end`. */
+  def plan(symbols: Seq[String], startUs: Long, endUs: Long,
+      intervalUs: Long): Seq[SymbolTimeRangePartition] = {
+    val range = endUs - startUs
+    val numIntervals = if (intervalUs <= 0) 1L else ceilDiv(range, intervalUs)
+    if (numIntervals < 2)
+      symbols.map(SymbolTimeRangePartition(_, startUs, endUs))
+    else {
+      val bounds = (0L until numIntervals).map { i =>
+        (startUs + i * intervalUs, math.min(startUs + (i + 1) * intervalUs, endUs))
+      }
+      for (sym <- symbols; (s, e) <- bounds)
+        yield SymbolTimeRangePartition(sym, s, e)
+    }
+  }
+
+  /** Bars' volume-aware interval: expected rows per partition capped at
+    * limit × PAGES_PER_PARTITION (`bars.py:189-197`) — the reference's
+    * cost-model-lite, replicated exactly (µs arithmetic; interval =
+    * range/numIntervals rounded half-even like Python td division). */
+  def barsIntervalMicros(startUs: Long, endUs: Long, timeframeUs: Long,
+      limit: Int): Long = {
+    val range = (endUs - startUs).toDouble
+    val expectedRows = range / timeframeUs.toDouble
+    val numIntervals = math.max(1L,
+      math.ceil(expectedRows / (limit.toDouble * PagesPerPartition)).toLong)
+    Math.rint(range / numIntervals).toLong
+  }
+}
+
+/** Generic DSv2 provider: format registration + load-time validation.
+  * The reference's Python DataSource/DataSourceReader pair maps to
+  * TableProvider → Table → ScanBuilder → Scan/Batch → PartitionReader
+  * with no Python-worker boundary (SURVEY §3.1). */
+abstract class AlpacaTableProvider(sourceDef: AlpacaSourceDef)
+  extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = sourceDef.shortName
+
+  /** Validation surfaces at load() time on the driver, mirroring the
+    * reference's `__init__`-time errors (`common.py:214-216`). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = options.asScala.toMap
+    AlpacaOptions.endpointConfig(opts)
+    val params = AlpacaOptions.validateParams(opts, sourceDef.apiParams)
+    sourceDef.extraValidate(params)
+    sourceDef.schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AlpacaTable(sourceDef)
+}
+
+class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
+  override def name(): String = sourceDef.shortName
+  override def schema(): StructType = sourceDef.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asScala.toMap
+    val endpointCfg = AlpacaOptions.endpointConfig(opts)
+    val params = AlpacaOptions.validateParams(opts, sourceDef.apiParams)
+    sourceDef.extraValidate(params)
+    val startUs = AlpacaOptions.parseIsoMicros(params.getOrElse("start", ""))
+      .getOrElse(throw new IllegalArgumentException("Invalid 'start' option"))
+    val endUs = AlpacaOptions.parseIsoMicros(params.getOrElse("end", ""))
+      .getOrElse(throw new IllegalArgumentException("Invalid 'end' option"))
+    val cfg = AlpacaScanConfig(
+      endpoint = endpointCfg.endpoint,
+      apiKeyId = endpointCfg.apiKeyId,
+      apiKeySecret = endpointCfg.apiKeySecret,
+      rateLimitDelaySec = endpointCfg.rateLimitDelaySec,
+      params = params,
+      symbols = AlpacaOptions.parseSymbols(params.getOrElse("symbols", "")),
+      startMicros = startUs,
+      endMicros = endUs,
+      limit = params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit))
+    new AlpacaScanBuilder(sourceDef, cfg)
+  }
+}
+
+/** ScanBuilder with predicate-pushdown narrowing — an upgrade over the
+  * reference (SURVEY §2.6): `WHERE symbol = …` prunes the symbol set,
+  * `WHERE time >= …` narrows the planned [start,end] range, so whole
+  * partitions (= API requests) are never planned. All filters are also
+  * returned as residuals, so Spark re-evaluates them exactly — the
+  * narrowing only has to be conservative, never precise. */
+class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var cfg = cfg0
+  private var pushed: Array[Filter] = Array.empty
+
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case s: String => AlpacaOptions.parseIsoMicros(s)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val timeCol = sourceDef.timeColumn
+    val accepted = filters.filter {
+      case EqualTo("symbol", v: String) =>
+        cfg = cfg.copy(symbols = cfg.symbols.filter(_ == v)); true
+      case In("symbol", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        cfg = cfg.copy(symbols = cfg.symbols.filter(set.contains)); true
+      case GreaterThan(c, v) if timeCol.contains(c) =>
+        tsMicros(v).exists { us => cfg = cfg.copy(startMicros = math.max(cfg.startMicros, us)); true }
+      case GreaterThanOrEqual(c, v) if timeCol.contains(c) =>
+        tsMicros(v).exists { us => cfg = cfg.copy(startMicros = math.max(cfg.startMicros, us)); true }
+      case LessThan(c, v) if timeCol.contains(c) =>
+        tsMicros(v).exists { us => cfg = cfg.copy(endMicros = math.min(cfg.endMicros, us)); true }
+      case LessThanOrEqual(c, v) if timeCol.contains(c) =>
+        tsMicros(v).exists { us => cfg = cfg.copy(endMicros = math.min(cfg.endMicros, us)); true }
+      case _ => false
+    }
+    pushed = accepted
+    filters // everything stays a residual: Spark re-applies exact semantics
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new AlpacaScan(sourceDef, cfg)
+}
+
+class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = sourceDef.schema
+  override def description(): String =
+    s"AlpacaScan(${sourceDef.shortName}, symbols=${cfg.symbols.mkString(",")})"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)
+      return Array.empty
+    val intervalUs = sourceDef.partitionIntervalMicros(
+      cfg.startMicros, cfg.endMicros, cfg.limit, cfg.params)
+    AlpacaPartitioning.plan(cfg.symbols, cfg.startMicros, cfg.endMicros, intervalUs)
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AlpacaReaderFactory(cfg, sourceDef.pathElements, sourceDef.dataKey,
+      sourceDef.parser)
+}
+
+class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
+    dataKey: String, parser: RecordParser) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new AlpacaPartitionReader(cfg, pathElements, dataKey, parser,
+      partition.asInstanceOf[SymbolTimeRangePartition])
+}
+
+/** Executor-side reader: paginated HTTP fetch → JSON parse → rows,
+  * fully pipelined (page at a time, SURVEY §2.3-2.4). Malformed
+  * records are warned and skipped (E4); HTTP failures after retries
+  * fail the Spark task (task retry covers the rest). */
+class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
+    dataKey: String, parser: RecordParser, partition: SymbolTimeRangePartition)
+  extends PartitionReader[InternalRow] {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  /** Per-partition parameter binding (P4, `common.py:384-397`):
+    * passthrough options with symbol/start/end/limit overridden. */
+  private def partitionParams: Seq[(String, String)] = {
+    val overridden = cfg.params ++ Map(
+      "symbols" -> partition.symbol,
+      "start" -> AlpacaOptions.microsToIso(partition.startMicros),
+      "end" -> AlpacaOptions.microsToIso(partition.endMicros),
+      "limit" -> cfg.limit.toString)
+    overridden.toSeq.sortBy(_._1)
+  }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val client = new AlpacaHttpClient(
+      cfg.endpoint,
+      Map(
+        "Content-Type" -> "application/json",
+        "APCA-API-KEY-ID" -> cfg.apiKeyId,
+        "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
+      pathElements)
+    client.fetchAllPages(partitionParams, cfg.rateLimitDelaySec)
+      .flatMap(parsePage)
+  }
+
+  private def parsePage(page: JsonNode): Iterator[InternalRow] = {
+    val data = page.get(dataKey)
+    if (data == null || data.isNull || !data.isObject) Iterator.empty
+    else data.properties().iterator().asScala.flatMap { entry =>
+      val sym = entry.getKey
+      entry.getValue.elements().asScala.flatMap { rec =>
+        try Some(parser.parse(sym, rec))
+        catch {
+          case e: IllegalArgumentException =>
+            log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
+            None
+        }
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

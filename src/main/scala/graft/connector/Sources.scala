@@ -1,0 +1,157 @@
+package graft.connector
+
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
+
+/** Shared bars family (SURVEY §2.1 S9): schema + timeframe/sort
+  * validation + volume-aware partition sizing, specialized by stocks
+  * and options below (reference: `bars.py:76-225`). */
+trait BarsSourceDef extends AlpacaSourceDef {
+  override def schema: StructType = Schemas.bars
+  override def dataKey: String = "bars"
+  override def parser: RecordParser = BarParser
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("timeframe", required = true),
+    ApiParam("sort", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    Timeframe.validate(params.getOrElse("timeframe",
+      throw new IllegalArgumentException("Missing required options: timeframe")))
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+  }
+
+  override def partitionIntervalMicros(startUs: Long, endUs: Long, limit: Int,
+      params: Map[String, String]): Long =
+    AlpacaPartitioning.barsIntervalMicros(startUs, endUs,
+      Timeframe.parseMicros(params("timeframe")), limit)
+}
+
+/** Stock OHLCV bars — format "Alpaca_Stocks_Bars"
+  * (reference: `stocks/bars.py:23-89`). */
+object StockBarsDef extends BarsSourceDef {
+  override val shortName = "Alpaca_Stocks_Bars"
+  override val pathElements = Seq("stocks", "bars")
+
+  private val ValidAdjustments = Set("raw", "split", "dividend", "all")
+  private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
+
+  override def apiParams: Seq[ApiParam] = super.apiParams ++ Seq(
+    ApiParam("adjustment", required = false),
+    ApiParam("feed", required = false),
+    ApiParam("currency", required = false),
+    ApiParam("asof", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    params.get("adjustment").map(_.toLowerCase).foreach { a =>
+      if (a.nonEmpty && !ValidAdjustments.contains(a))
+        throw new IllegalArgumentException(s"Invalid 'adjustment' value: '$a'")
+    }
+    params.get("feed").map(_.toLowerCase).foreach { f =>
+      if (f.nonEmpty && !ValidFeeds.contains(f))
+        throw new IllegalArgumentException(s"Invalid 'feed' value: '$f'")
+    }
+    params.get("asof").foreach { a =>
+      if (a.nonEmpty && !a.matches("^\\d{4}-\\d{2}-\\d{2}$"))
+        throw new IllegalArgumentException(s"Invalid 'asof' format: '$a'")
+    }
+    super.extraValidate(params)
+  }
+}
+
+/** Option-contract OHLCV bars (OCC symbols) — format
+  * "Alpaca_Options_Bars" (reference: `options/bars.py:17-48`). */
+object OptionBarsDef extends BarsSourceDef {
+  override val shortName = "Alpaca_Options_Bars"
+  override val pathElements = Seq("options", "bars")
+}
+
+/** Tick-by-tick stock trades — format "Alpaca_Stocks_Trades"
+  * (reference: `stocks/trades.py:25-141`). */
+object StockTradesDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Stocks_Trades"
+  override val pathElements = Seq("stocks", "trades")
+  override val dataKey = "trades"
+  override def schema: StructType = Schemas.trades
+  override def parser: RecordParser = TradeParser
+
+  private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false),
+    ApiParam("feed", required = false),
+    ApiParam("currency", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+    params.get("feed").map(_.toLowerCase).foreach { f =>
+      if (f.nonEmpty && !ValidFeeds.contains(f))
+        throw new IllegalArgumentException(s"Invalid 'feed' value: '$f'")
+    }
+  }
+}
+
+/** Dividends/splits/mergers/spinoffs — format
+  * "Alpaca_Corporate_Actions" (reference:
+  * `corp_actions/corporate_actions.py:38-175`). */
+object CorporateActionsDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Corporate_Actions"
+  override val pathElements = Seq("stocks", "corporate_actions")
+  override val dataKey = "corporate_actions"
+  override def schema: StructType = Schemas.corporateActions
+  override def parser: RecordParser = CorporateActionParser
+  // Time filtering is option-driven (`types`/`date_type`), not by a
+  // single time column — no predicate-pushdown time narrowing here.
+  override def timeColumn: Option[String] = None
+
+  private val ValidTypes =
+    Set("dividend", "split", "merger", "spinoff", "stock_dividend", "all")
+  private val ValidDateTypes = Set("ex_date", "record_date", "payable_date")
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false),
+    ApiParam("types", required = false),
+    ApiParam("date_type", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+    params.get("types").foreach { ts =>
+      val invalid = ts.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+        .filterNot(ValidTypes.contains)
+      if (invalid.nonEmpty)
+        throw new IllegalArgumentException(s"Invalid 'types' values: ${invalid.mkString(",")}")
+    }
+    params.get("date_type").foreach { d =>
+      if (!ValidDateTypes.contains(d))
+        throw new IllegalArgumentException(s"Invalid 'date_type' value: '$d'")
+    }
+  }
+}
+
+// DataSourceRegister entry points (META-INF/services), one per source.
+class StockBarsDataSource extends AlpacaTableProvider(StockBarsDef)
+class OptionBarsDataSource extends AlpacaTableProvider(OptionBarsDef)
+class StockTradesDataSource extends AlpacaTableProvider(StockTradesDef)
+class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)

@@ -1,0 +1,148 @@
+package graft.core
+
+import java.time.{Instant, LocalDate, LocalDateTime, OffsetDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/** One accepted API option (reference: `common.py:45-50`). */
+case class ApiParam(name: String, required: Boolean)
+
+/** Endpoint/auth configuration (reference: `common.py:35-43`). */
+case class EndpointConfig(
+    apiKeyId: String,
+    apiKeySecret: String,
+    endpoint: String,
+    rateLimitDelaySec: Double)
+
+object AlpacaOptions {
+  /** reference: `common.py:23-24` */
+  val DefaultEndpoint = "https://data.alpaca.markets/v2"
+  val DefaultLimit = 10000
+  val ConfigOptionNames: Seq[String] =
+    Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay")
+
+  /** Builds the endpoint config, requiring both API keys
+    * (reference: `common.py:218-232`). Keys are matched
+    * case-insensitively (Spark lowercases DSv2 option keys). */
+  def endpointConfig(options: Map[String, String]): EndpointConfig = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    def req(name: String): String = lower.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"$name not provided"))
+    EndpointConfig(
+      req("APCA-API-KEY-ID"),
+      req("APCA-API-SECRET-KEY"),
+      lower.getOrElse("endpoint", DefaultEndpoint),
+      lower.get("rate_limit_delay").map(_.toDouble).getOrElse(0.0))
+  }
+
+  /** Required-option check + unknown-option warning + symbols/start/end
+    * validation (reference: `common.py:234-288`). Returns only the
+    * param-related options, keyed by their canonical param name. */
+  def validateParams(
+      options: Map[String, String],
+      apiParams: Seq[ApiParam]): Map[String, String] = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    def get(name: String): Option[String] = lower.get(name.toLowerCase)
+
+    val missing = apiParams.filter(_.required)
+      .map(_.name).filter(n => get(n).forall(_.isEmpty))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(s"Missing required options: ${missing.mkString(", ")}")
+
+    val expected = (apiParams.map(_.name) ++ ConfigOptionNames).map(_.toLowerCase).toSet ++
+      Set("paths", "path") // Spark-internal keys that may ride along
+    val unexpected = lower.keys.filterNot(expected.contains)
+    if (unexpected.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"Unexpected options: ${unexpected.mkString(", ")}")
+
+    get("symbols").foreach { s =>
+      if (parseSymbols(s).isEmpty)
+        throw new IllegalArgumentException(s"Symbols must be a non-empty list: '$s'")
+    }
+    // start/end are de-facto required: the reference unconditionally
+    // ISO-parses both (common.py:269-285), so absence fails there too.
+    val startRaw = get("start").getOrElse("")
+    val endRaw = get("end").getOrElse("")
+    val startT = parseIsoMicros(startRaw).getOrElse(throw new IllegalArgumentException(
+      s"Invalid 'start' option: '$startRaw' is not a valid ISO format datetime"))
+    val endT = parseIsoMicros(endRaw).getOrElse(throw new IllegalArgumentException(
+      s"Invalid 'end' option: '$endRaw' is not a valid ISO format datetime"))
+    if (startT > endT) throw new IllegalArgumentException(s"start time is after end time")
+
+    apiParams.flatMap(p => get(p.name).map(p.name -> _)).toMap
+  }
+
+  /** Parses the `symbols` option. The reference accepts Python-literal
+    * list strings via ast.literal_eval (`common.py:252-267`); we accept
+    * that syntax plus JSON arrays and plain CSV (documented deviation,
+    * SURVEY §7.5.3). */
+  def parseSymbols(raw: String): Seq[String] =
+    raw.trim.stripPrefix("[").stripPrefix("(").stripSuffix("]").stripSuffix(")")
+      .split(",")
+      .map(_.trim.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+      .toSeq
+
+  /** ISO-8601 → epoch micros (UTC), mirroring Python's
+    * `datetime.fromisoformat` acceptance (offset, Z, naive datetime,
+    * date-only) with Arrow's µs truncation. Naive values are treated
+    * as UTC, matching `pa.timestamp("us", tz="UTC")` semantics. */
+  def parseIsoMicros(s: String): Option[Long] = {
+    val t = s.trim
+    def toMicros(i: Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    try Some(toMicros(OffsetDateTime.parse(t).toInstant))
+    catch { case _: Exception =>
+      try Some(toMicros(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC)))
+      catch { case _: Exception =>
+        try Some(toMicros(LocalDate.parse(t).atStartOfDay.toInstant(ZoneOffset.UTC)))
+        catch { case _: Exception => None }
+      }
+    }
+  }
+
+  private val isoFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").withZone(ZoneOffset.UTC)
+
+  /** Epoch micros → ISO-8601 UTC string for API query params. */
+  def microsToIso(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val nanos = Math.floorMod(micros, 1000000L) * 1000L
+    isoFmt.format(Instant.ofEpochSecond(secs, nanos))
+  }
+}
+
+/** Bar timeframe grammar + trading-calendar approximations
+  * (reference: `bars.py:38-73,100-113,161-187`). The 5-day week /
+  * 20-day month approximations are load-bearing for partition sizing
+  * and are replicated exactly (SURVEY §2.5 V4). */
+object Timeframe {
+  private val Micros = 1000000L
+  private val MinuteUs = 60L * Micros
+  private val HourUs = 60L * MinuteUs
+  private val DayUs = 24L * HourUs
+
+  private val pattern = "^(\\d+)([A-Za-z]+)$".r
+
+  /** Parses e.g. "1Day", "5Min", "2Hours", "1W" → duration in µs. */
+  def parseMicros(tf: String): Long = tf match {
+    case pattern(num, rawUnit) =>
+      val n = num.toLong
+      val unit = {
+        val u = rawUnit.toLowerCase
+        if (u.endsWith("s") && u.length > 1) u.dropRight(1) else u
+      }
+      val unitUs = unit match {
+        case "min" | "minute" | "t" => MinuteUs
+        case "h" | "hour" => HourUs
+        case "d" | "day" => DayUs
+        case "w" | "week" => 5L * DayUs // trading week ≈ 5 days
+        case "m" | "month" => 20L * DayUs // trading month ≈ 20 days
+        case other => throw new IllegalArgumentException(s"Unknown time unit: $other")
+      }
+      Math.multiplyExact(n, unitUs)
+    case _ => throw new IllegalArgumentException(s"Invalid timeframe format: $tf")
+  }
+
+  def validate(tf: String): Unit = parseMicros(tf)
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.AlpacaOptions
+import graft.stub.{AlpacaFixtures, AlpacaStubServer}
+
+/**
+ * Correctness-gate entries for the DSv2 Alpaca connector (SURVEY §2.1–
+ * §2.4): each query reads through the full connector path — option
+ * validation, partition planning, HTTP pagination, JSON parsing —
+ * against the in-process stub, and its oracle is a DuckDB VALUES table
+ * generated from the same pure fixture functions the stub serves. Any
+ * drift in partition math (gaps/overlaps), pagination, or parsing
+ * breaks the hash match.
+ *
+ * Timestamps are projected as formatted strings; doubles sit on a 0.25
+ * grid so literals round-trip bit-exactly (see AlpacaFixtures).
+ */
+object AlpacaQueries {
+
+  private val Hour = AlpacaFixtures.HourUs
+  private val Day = AlpacaFixtures.DayUs
+
+  private def us(iso: String): Long = AlpacaOptions.parseIsoMicros(iso).get
+
+  private def fmtTs(usVal: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(usVal / 1000000L))
+
+  private def fmtD(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString + ".0" else d.toString
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private def baseOptions(sym: String*): Map[String, String] = Map(
+    "endpoint" -> AlpacaStubServer.endpoint,
+    "APCA-API-KEY-ID" -> "test-key",
+    "APCA-API-SECRET-KEY" -> "test-secret",
+    "symbols" -> sym.mkString("['", "','", "']"))
+
+  // ------------------------------------------------------------- bars
+  private val barsStart = "2021-01-04T00:00:00Z"
+  private val barsEnd = "2021-01-06T00:00:00Z"
+  private val barsSymbols = Seq("AAPL", "MSFT")
+
+  private def barsDf(spark: SparkSession, extra: Map[String, String],
+      format: String = "Alpaca_Stocks_Bars", symbols: Seq[String] = barsSymbols,
+      timeframe: String = "1Hour"): DataFrame =
+    spark.read.format(format)
+      .options(baseOptions(symbols: _*) ++ Map(
+        "timeframe" -> timeframe, "start" -> barsStart, "end" -> barsEnd) ++ extra)
+      .load()
+
+  private def barsProjection(df: DataFrame): DataFrame =
+    df.select(col("symbol"),
+      date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+      col("open"), col("high"), col("low"), col("close"),
+      col("volume"), col("trade_count"), col("vwap"))
+      .orderBy(col("symbol"), col("bar_time"))
+
+  private def barsValuesSql(symbols: Seq[String], startUs: Long, endUs: Long,
+      tfUs: Long): String = {
+    val rows = symbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, startUs, endUs, tfUs)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, ${sqlStr(fmtTs(b.timeUs))}, ${fmtD(b.open)}, " +
+        s"${fmtD(b.high)}, ${fmtD(b.low)}, ${fmtD(b.close)}, ${b.volume}, " +
+        s"${b.tradeCount}, ${fmtD(b.vwap)})"
+    }
+    s"""SELECT symbol, bar_time, CAST(open AS DOUBLE) AS open,
+       |  CAST(high AS DOUBLE) AS high, CAST(low AS DOUBLE) AS low,
+       |  CAST(close AS DOUBLE) AS close, CAST(volume AS BIGINT) AS volume,
+       |  CAST(trade_count AS BIGINT) AS trade_count, CAST(vwap AS DOUBLE) AS vwap
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, open, high, low, close, volume, trade_count, vwap)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
+  /** Full scan through the connector: 2 symbols × 48 hourly bars. */
+  def barsScan(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark, Map.empty))
+
+  def barsScanSql: String =
+    barsValuesSql(barsSymbols, us(barsStart), us(barsEnd), Hour)
+
+  /** Same scan with symbol + time predicates: exercises
+    * SupportsPushDownFilters partition pruning (fewer planned API
+    * calls) with identical results. */
+  def barsPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val lo = "2021-01-04 06:00:00"
+    val hi = "2021-01-05 18:00:00"
+    barsProjection(barsDf(spark, Map.empty)
+      .filter(col("symbol") === "AAPL" &&
+        col("time") >= lit(lo).cast("timestamp") &&
+        col("time") < lit(hi).cast("timestamp")))
+  }
+
+  def barsPushdownSql: String =
+    barsValuesSql(Seq("AAPL"), us("2021-01-04T06:00:00Z"), us("2021-01-05T18:00:00Z"), Hour)
+
+  /** Small page size (limit=7) forces multi-page pagination AND the
+    * bars volume-aware partition split; results must be identical. */
+  def barsPaginated(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark, Map("limit" -> "7")))
+
+  def barsPaginatedSql: String = barsScanSql
+
+  /** Option-contract bars via the shared bars family (OCC symbol). */
+  private val occSymbol = "AAPL210115C00150000"
+  def optionBarsScan(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark, Map.empty, format = "Alpaca_Options_Bars",
+      symbols = Seq(occSymbol)))
+
+  def optionBarsScanSql: String =
+    barsValuesSql(Seq(occSymbol), us(barsStart), us(barsEnd), Hour)
+
+  // ----------------------------------------------------------- trades
+  private val tradesStart = "2021-01-04T00:00:00Z"
+  private val tradesEnd = "2021-01-05T00:00:00Z"
+  private val tradesSymbols = Seq("AAPL", "MSFT")
+
+  /** Trades scan incl. the conditions array→CSV flatten (E2). */
+  def tradesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("trade_time"),
+        col("exchange"), col("price"), col("size"), col("conditions"),
+        col("id"), col("tape"))
+      .orderBy(col("symbol"), col("trade_time"))
+
+  def tradesScanSql: String = {
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${sqlStr(fmtTs(t.timeUs))}, ${sqlStr(t.exchange)}, " +
+        s"${fmtD(t.price)}, ${t.size}, ${sqlStr(t.conditions.mkString(","))}, " +
+        s"${t.id}, ${sqlStr(t.tape)})"
+    }
+    s"""SELECT symbol, trade_time, exchange, CAST(price AS DOUBLE) AS price,
+       |  CAST(size AS BIGINT) AS size, conditions, CAST(id AS BIGINT) AS id, tape
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, trade_time, exchange, price, size, conditions, id, tape)
+       |ORDER BY symbol, trade_time""".stripMargin
+  }
+
+  // ----------------------------------------- corporate actions
+  private val caStart = "2021-01-01T00:00:00Z"
+  private val caEnd = "2021-03-01T00:00:00Z"
+  private val caSymbols = Seq("AAPL", "MSFT")
+
+  /** Corporate-actions scan incl. nullable dates + defaults (E3). */
+  def corpActionsScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Corporate_Actions")
+      .options(baseOptions(caSymbols: _*) ++ Map(
+        "start" -> caStart, "end" -> caEnd, "types" -> "dividend,split"))
+      .load()
+      .select(col("symbol"),
+        date_format(col("ex_date"), "yyyy-MM-dd").as("ex_d"),
+        date_format(col("record_date"), "yyyy-MM-dd").as("record_d"),
+        date_format(col("payable_date"), "yyyy-MM-dd").as("payable_d"),
+        col("type"), col("amount"), col("ratio"),
+        col("new_symbol"), col("old_symbol"))
+      .orderBy(col("symbol"), col("ex_d"))
+
+  def corpActionsScanSql: String = {
+    val rows = caSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.corpActions(s, us(caStart), us(caEnd))
+    }.map { c =>
+      def d(o: Option[Long]): String = o.map(u => sqlStr(fmtTs(u).take(10))).getOrElse("NULL")
+      s"(${sqlStr(c.symbol)}, ${d(c.exDateUs)}, ${d(c.recordDateUs)}, " +
+        s"${d(c.payableDateUs)}, ${sqlStr(c.tpe)}, ${fmtD(c.amount)}, " +
+        s"${fmtD(c.ratio)}, ${sqlStr(c.newSymbol)}, ${sqlStr(c.oldSymbol)})"
+    }
+    s"""SELECT symbol, ex_d, record_d, payable_d, type,
+       |  CAST(amount AS DOUBLE) AS amount, CAST(ratio AS DOUBLE) AS ratio,
+       |  new_symbol, old_symbol
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, ex_d, record_d, payable_d, type, amount, ratio, new_symbol, old_symbol)
+       |ORDER BY symbol, ex_d""".stripMargin
+  }
+
+  /** Malformed-record tolerance (E4): the stub injects one bad record;
+    * the scan must return exactly the well-formed rows. */
+  def barsMalformedSkip(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark, Map.empty, symbols = Seq("MALFORMED"),
+      timeframe = "1Day"))
+
+  def barsMalformedSkipSql: String =
+    barsValuesSql(Seq("MALFORMED"), us(barsStart), us(barsEnd), Day)
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
+    "alpaca_bars_pushdown" -> ((barsPushdown _, barsPushdownSql)),
+    "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
+    "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
+    "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
+    "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
+    "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
+}

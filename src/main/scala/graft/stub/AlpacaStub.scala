@@ -1,0 +1,219 @@
+package graft.stub
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.{AlpacaOptions, Timeframe}
+
+/**
+ * Deterministic Alpaca-API fixture data, shared by the in-process HTTP
+ * stub and the DuckDB VALUES-oracle generator so both sides compute the
+ * identical rows from the same pure functions. All numeric values sit
+ * on a 0.25 grid (exact in binary floating point) so literals round-trip
+ * bit-exactly through JSON, Spark and DuckDB.
+ *
+ * Response envelope mirrors the reference's fixtures
+ * (`tests/fixtures/mock_responses.py`):
+ * `{ "<data_key>": { "<SYMBOL>": [record…] }, "next_page_token": … }`.
+ * Records are emitted for timestamps in the half-open [start, end), so
+ * the connector's contiguous partitions tile without duplication.
+ */
+object AlpacaFixtures {
+  case class Bar(symbol: String, timeUs: Long, open: Double, high: Double,
+      low: Double, close: Double, volume: Long, tradeCount: Long, vwap: Double)
+  case class Trade(symbol: String, timeUs: Long, exchange: String, price: Double,
+      size: Long, conditions: Seq[String], id: Long, tape: String)
+  case class CorpAction(symbol: String, exDateUs: Option[Long],
+      recordDateUs: Option[Long], payableDateUs: Option[Long], tpe: String,
+      amount: Double, ratio: Double, newSymbol: String, oldSymbol: String)
+
+  private val Micros = 1000000L
+  val HourUs: Long = 3600L * Micros
+  val DayUs: Long = 24L * HourUs
+
+  private def symBase(symbol: String): Double =
+    100.0 + (math.abs(symbol.hashCode) % 64) * 0.25
+
+  /** Bars on the timeframe grid within [startUs, endUs). */
+  def bars(symbol: String, startUs: Long, endUs: Long, tfUs: Long): Seq[Bar] = {
+    val first = ((startUs + tfUs - 1) / tfUs) * tfUs
+    Iterator.iterate(first)(_ + tfUs).takeWhile(_ < endUs).map { t =>
+      val i = t / tfUs
+      val base = symBase(symbol) + (i % 16) * 0.25
+      Bar(symbol, t,
+        open = base, high = base + 1.5, low = base - 0.75, close = base + 0.5,
+        volume = 1000L + (i % 100) * 10L,
+        tradeCount = 50L + (i % 20),
+        vwap = base + 0.25)
+    }.toSeq
+  }
+
+  /** Trades every 10 minutes within [startUs, endUs). */
+  def trades(symbol: String, startUs: Long, endUs: Long): Seq[Trade] = {
+    val step = 600L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    val conds = Seq(Seq.empty[String], Seq("@"), Seq("@", "I"), Seq("F", "T"))
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      Trade(symbol, t,
+        exchange = ("VNQ" (((i % 3)).toInt)).toString,
+        price = symBase(symbol) + (i % 32) * 0.25,
+        size = 100L + (i % 50) * 10L,
+        conditions = conds((i % 4).toInt),
+        id = 10000L + i,
+        tape = ("ABC" (((i % 3)).toInt)).toString)
+    }.toSeq
+  }
+
+  /** One corporate action per 5 days within [startUs, endUs); every
+    * third has no payable_date and every fourth is a split. */
+  def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
+    val step = 5L * DayUs
+    val first = ((startUs + step - 1) / step) * step
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      val isSplit = i % 4 == 0
+      CorpAction(symbol,
+        exDateUs = Some(t),
+        recordDateUs = Some(t + DayUs),
+        payableDateUs = if (i % 3 == 0) None else Some(t + 3 * DayUs),
+        tpe = if (isSplit) "split" else "dividend",
+        amount = if (isSplit) 0.0 else 0.25 + (i % 8) * 0.25,
+        ratio = if (isSplit) 2.0 + (i % 4) else 0.0,
+        newSymbol = if (isSplit) symbol else "",
+        oldSymbol = symbol)
+    }.toSeq
+  }
+}
+
+/**
+ * In-process HTTP stub for the four Alpaca endpoints, backed by
+ * AlpacaFixtures, with real pagination (`limit` + `page_token`) and a
+ * fault path (`/stocks/bars` with symbol "FLAKY" fails twice with 503
+ * then succeeds — exercises the retry loop). Single shared instance;
+ * executors in local mode reach it over loopback.
+ */
+object AlpacaStubServer {
+  import AlpacaFixtures._
+
+  @volatile private var server: HttpServer = _
+  @volatile private var port: Int = -1
+  private val flakyHits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def endpoint: String = synchronized {
+    if (server == null) start()
+    s"http://127.0.0.1:$port/v2"
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private def q(params: Map[String, String], key: String): String =
+    params.getOrElse(key, "")
+
+  private def parseQuery(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split("&").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def fmtD(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString + ".0" else d.toString
+
+  /** Paginates `records` (already JSON strings grouped by symbol order)
+    * and renders the envelope. */
+  private def envelope(dataKey: String, symbol: String, records: Seq[String],
+      limit: Int, pageToken: String): String = {
+    val offset = if (pageToken.isEmpty) 0 else pageToken.toInt
+    val page = records.slice(offset, offset + limit)
+    val nextTok =
+      if (offset + limit < records.size) jsonStr((offset + limit).toString)
+      else "null"
+    val body =
+      if (page.isEmpty) s"""{"$dataKey": {}, "next_page_token": null}"""
+      else s"""{"$dataKey": {${jsonStr(symbol)}: [${page.mkString(",")}]}, "next_page_token": $nextTok}"""
+    body
+  }
+
+  private def handle(ex: HttpExchange, render: Map[String, String] => (Int, String)): Unit = {
+    val (code, body) = render(parseQuery(ex))
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def isoToUs(s: String): Long =
+    AlpacaOptions.parseIsoMicros(s).getOrElse(0L)
+
+  private def barJson(b: Bar): String =
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(b.timeUs))}, "o": ${fmtD(b.open)}, "h": ${fmtD(b.high)}, "l": ${fmtD(b.low)}, "c": ${fmtD(b.close)}, "v": ${b.volume}, "n": ${b.tradeCount}, "vw": ${fmtD(b.vwap)}}"""
+
+  private def tradeJson(t: Trade): String =
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(t.timeUs))}, "x": ${jsonStr(t.exchange)}, "p": ${fmtD(t.price)}, "s": ${t.size}, "c": [${t.conditions.map(jsonStr).mkString(",")}], "i": ${t.id}, "z": ${jsonStr(t.tape)}}"""
+
+  private def caJson(c: CorpAction): String = {
+    val ex = c.exDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
+    val rd = c.recordDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
+    val pd = c.payableDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
+    s"""{"ex_date": $ex, "record_date": $rd, "payable_date": $pd, "type": ${jsonStr(c.tpe)}, "amount": ${fmtD(c.amount)}, "ratio": ${fmtD(c.ratio)}, "new_symbol": ${jsonStr(c.newSymbol)}, "old_symbol": ${jsonStr(c.oldSymbol)}}"""
+  }
+
+  private def barsHandler(params: Map[String, String]): (Int, String) = {
+    val symbol = q(params, "symbols")
+    if (symbol == "FLAKY") {
+      val hits = flakyHits.merge(q(params, "start"), 1, (a, b) => a + b)
+      if (hits <= 2) return (503, """{"message": "service unavailable"}""")
+    }
+    val tfUs = Timeframe.parseMicros(params.getOrElse("timeframe", "1Hour"))
+    val recs =
+      if (symbol == "MALFORMED")
+        // first record lacks h/l/c/v/n/vw → parser must warn + skip it
+        s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(isoToUs(q(params, "start"))))}, "o": 1.0}""" +:
+          bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson)
+      else
+        bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson)
+    (200, envelope("bars", symbol,
+      recs,
+      params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token")))
+  }
+
+  private def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v2/stocks/bars",
+      (ex: HttpExchange) => handle(ex, barsHandler))
+    server.createContext("/v2/options/bars",
+      (ex: HttpExchange) => handle(ex, barsHandler))
+    server.createContext("/v2/stocks/trades", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("trades", symbol,
+        trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))).map(tradeJson),
+        params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token")))
+    }))
+    server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("corporate_actions", symbol,
+        corpActions(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))).map(caJson),
+        params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token")))
+    }))
+    // Daemon threads: the stub must never keep the JVM alive after
+    // main() returns (Verify/Bench exit cleanly without stop()).
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => {
+        val t = new Thread(r, "alpaca-stub")
+        t.setDaemon(true)
+        t
+      }))
+    server.start()
+    port = server.getAddress.getPort
+  }
+}

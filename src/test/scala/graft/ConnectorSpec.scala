@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stub.AlpacaStubServer
+
+/** End-to-end DSv2 scans against the in-process HTTP stub (SURVEY §5
+  * rebuild plan): format registration, option validation at load(),
+  * partition planning, pagination, retry, malformed-skip. */
+class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = TestSpark.spark
+
+  override def afterAll(): Unit = AlpacaStubServer.stop()
+
+  private def barsReader(extra: (String, String)*) =
+    spark.read.format("Alpaca_Stocks_Bars").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['AAPL','MSFT']",
+      "timeframe" -> "1Hour",
+      "start" -> "2021-01-04T00:00:00Z",
+      "end" -> "2021-01-06T00:00:00Z") ++ extra.toMap)
+
+  test("bars scan: full schema, 48 hourly bars × 2 symbols") {
+    val df = barsReader().load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("symbol", "time", "open", "high", "low", "close", "volume", "trade_count", "vwap"))
+    val rows = df.collect()
+    assert(rows.length == 96)
+    assert(df.filter(col("symbol") === "AAPL").count() == 48)
+    assert(df.agg(min(col("time")).cast("string")).head.getString(0)
+      == "2021-01-04 00:00:00")
+  }
+
+  test("pagination (limit=7) returns identical data") {
+    val full = barsReader().load().orderBy("symbol", "time").collect()
+    val paged = barsReader("limit" -> "7").load().orderBy("symbol", "time").collect()
+    assert(full.toSeq == paged.toSeq)
+  }
+
+  test("filter pushdown prunes planned partitions (fewer API calls)") {
+    // 2-day range with limit=7 → bars dynamic sizing gives 2 intervals
+    // × 2 symbols = 4 partitions; symbol pushdown halves that.
+    val unfiltered = barsReader("limit" -> "7").load()
+    val filtered = barsReader("limit" -> "7").load()
+      .filter(col("symbol") === "AAPL")
+    assert(unfiltered.rdd.getNumPartitions == 4)
+    assert(filtered.rdd.getNumPartitions == 2)
+    assert(filtered.count() == 48)
+    // time-range pushdown narrows intervals: restrict to 6 hours
+    val timeFiltered = barsReader().load()
+      .filter(col("time") >= lit("2021-01-04 06:00:00").cast("timestamp") &&
+        col("time") < lit("2021-01-04 12:00:00").cast("timestamp"))
+    assert(timeFiltered.count() == 12) // 6 hourly bars × 2 symbols
+  }
+
+  test("retry: 503 twice then success still yields data (FLAKY symbol)") {
+    val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['FLAKY']", "timeframe" -> "1Hour",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T06:00:00Z")).load()
+    assert(df.count() == 6)
+  }
+
+  test("malformed record is skipped, not fatal") {
+    val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['MALFORMED']", "timeframe" -> "1Day",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-06T00:00:00Z")).load()
+    assert(df.count() == 2) // bad first record dropped, 2 daily bars kept
+  }
+
+  test("trades scan: conditions array flattened to CSV string") {
+    val df = spark.read.format("Alpaca_Stocks_Trades").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['AAPL']",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T12:00:00Z")).load()
+    val conds = df.select("conditions").distinct().collect().map(_.getString(0)).toSet
+    assert(conds == Set("", "@", "@,I", "F,T"))
+  }
+
+  test("corporate actions: nullable dates and defaults") {
+    val df = spark.read.format("Alpaca_Corporate_Actions").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['AAPL']",
+      "start" -> "2021-01-01T00:00:00Z", "end" -> "2021-03-01T00:00:00Z")).load()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.isNullAt(3))) // some payable_date is null
+    assert(df.filter(col("type") === "split").count() > 0)
+  }
+
+  test("validation fails at load() time on the driver") {
+    intercept[IllegalArgumentException] {
+      barsReader().option("timeframe", "NotATimeframe").load()
+    }
+    intercept[IllegalArgumentException] {
+      barsReader().option("adjustment", "bogus").load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("Alpaca_Stocks_Bars")
+        .option("symbols", "['AAPL']").load() // no API keys
+    }
+  }
+
+  test("empty response (unknown path range) yields empty DataFrame") {
+    val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['AAPL']", "timeframe" -> "1Hour",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T00:00:00Z")).load()
+    assert(df.count() == 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{AlpacaOptions, ApiParam, Timeframe}
+
+/** Option-validation matrix (SURVEY §2.5 V1-V8). */
+class OptionsSpec extends AnyFunSuite {
+
+  private val barsParams = Seq(
+    ApiParam("symbols", true), ApiParam("start", false), ApiParam("end", false),
+    ApiParam("limit", false), ApiParam("timeframe", true), ApiParam("sort", false))
+
+  private val good = Map(
+    "symbols" -> "['AAPL','MSFT']",
+    "start" -> "2021-01-01T00:00:00Z",
+    "end" -> "2021-01-02T00:00:00Z",
+    "timeframe" -> "1Day")
+
+  test("V1: missing required option fails") {
+    val e = intercept[IllegalArgumentException] {
+      AlpacaOptions.validateParams(good - "symbols", barsParams)
+    }
+    assert(e.getMessage.contains("symbols"))
+  }
+
+  test("V2: symbols accepts python-literal, JSON and CSV forms") {
+    assert(AlpacaOptions.parseSymbols("['AAPL', 'MSFT']") == Seq("AAPL", "MSFT"))
+    assert(AlpacaOptions.parseSymbols("""["AAPL","MSFT"]""") == Seq("AAPL", "MSFT"))
+    assert(AlpacaOptions.parseSymbols("AAPL,MSFT") == Seq("AAPL", "MSFT"))
+    assert(AlpacaOptions.parseSymbols("('AAPL',)") == Seq("AAPL"))
+    assert(AlpacaOptions.parseSymbols("[]").isEmpty)
+    intercept[IllegalArgumentException] {
+      AlpacaOptions.validateParams(good + ("symbols" -> "[]"), barsParams)
+    }
+  }
+
+  test("V3: invalid ISO datetimes and start>end fail") {
+    intercept[IllegalArgumentException] {
+      AlpacaOptions.validateParams(good + ("start" -> "not-a-date"), barsParams)
+    }
+    intercept[IllegalArgumentException] {
+      AlpacaOptions.validateParams(
+        good + ("start" -> "2022-01-01") + ("end" -> "2021-01-01"), barsParams)
+    }
+    // absent start is a failure too (the reference parses "" and throws)
+    intercept[IllegalArgumentException] {
+      AlpacaOptions.validateParams(good - "start", barsParams)
+    }
+  }
+
+  test("ISO parse: offsets, Z, naive, date-only, sub-µs truncation") {
+    val us = AlpacaOptions.parseIsoMicros _
+    assert(us("2021-01-01T00:00:00Z") == us("2021-01-01T00:00:00+00:00"))
+    assert(us("2021-01-01T01:00:00+01:00") == us("2021-01-01T00:00:00Z"))
+    assert(us("2021-01-01T00:00:00") == us("2021-01-01Z").orElse(us("2021-01-01")))
+    assert(us("2021-01-01T00:00:00.123456789Z").get ==
+      us("2021-01-01T00:00:00.123456Z").get) // ns truncated to µs
+    assert(us("garbage").isEmpty)
+  }
+
+  test("V4: timeframe grammar with unit aliases and trading-calendar approximations") {
+    val M = 60L * 1000000L
+    assert(Timeframe.parseMicros("5Min") == 5 * M)
+    assert(Timeframe.parseMicros("15min") == 15 * M)
+    assert(Timeframe.parseMicros("2T") == 2 * M)
+    assert(Timeframe.parseMicros("3Hours") == 3 * 60 * M)
+    assert(Timeframe.parseMicros("1Day") == 24 * 60 * M)
+    assert(Timeframe.parseMicros("1Week") == 5 * 24 * 60 * M) // 5 trading days
+    assert(Timeframe.parseMicros("2Month") == 2 * 20 * 24 * 60 * M) // 20 trading days
+    intercept[IllegalArgumentException](Timeframe.parseMicros("Day"))
+    intercept[IllegalArgumentException](Timeframe.parseMicros("1Fortnight"))
+  }
+
+  test("V8: endpoint config requires API keys; defaults applied") {
+    val cfg = AlpacaOptions.endpointConfig(Map(
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s"))
+    assert(cfg.endpoint == "https://data.alpaca.markets/v2")
+    assert(cfg.rateLimitDelaySec == 0.0)
+    intercept[IllegalArgumentException] {
+      AlpacaOptions.endpointConfig(Map("APCA-API-KEY-ID" -> "k"))
+    }
+  }
+}
