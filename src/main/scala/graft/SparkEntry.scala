@@ -10,7 +10,7 @@ object SparkEntry {
     operators.Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
 
   private def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
-    operators.Relational.all ++ operators.AlpacaQueries.all
+    operators.Relational.all ++ operators.AlpacaQueries.all ++ operators.Dedup.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

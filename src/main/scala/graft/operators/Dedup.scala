@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for a large-scale training-data pipeline,
+ * over the `documents` table. Every operator is expressed with
+ * codegen'd built-ins only (no UDFs) and — unusually for
+ * MinHash/SimHash — carries a full DuckDB oracle: all hashing is
+ * md5-based (identical lowercase hex in both engines), so signatures,
+ * LSH bands and Hamming distances are bit-identical cross-engine.
+ *
+ * Scale design (100 TB):
+ *  - shingling is a per-row projection + explode (no shuffle);
+ *  - signatures are 16 partial-aggregable `min()`s — the shuffle
+ *    carries one 16-string row per document, never the text;
+ *  - candidate pairs come from an equi-join on (band_id, band_hash) —
+ *    the classic LSH bucket join, never a cartesian product;
+ *  - exact-Jaccard joins on the shingle value with per-bucket pair
+ *    expansion bounded by bucket size (salt/AQE-skew handles hot
+ *    shingles; stopword-shingle filtering would cap it further).
+ */
+object Dedup {
+  import Tables.t
+
+  private val NumPerms = 16 // MinHash permutations
+  private val NumBands = 4 //  → 4 rows per band (b=4, r=4)
+  private val SimhashBits = 32
+
+  // ---------------------------------------------------------- shingles
+  /** Distinct 3-word shingles per document (guarding size >= 3).
+    * Spark arrays are 0-based; the DuckDB twin uses 1-based offsets. */
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .as("shingle"))
+
+  private val shingleCte =
+    """words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM words, UNNEST(RANGE(1, LEN(w)-1)) AS r(i)
+      |  WHERE LEN(w) >= 3)""".stripMargin
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup: hash-groupBy on the full text. Only the 16-byte
+    * digest (plus group aggregates) crosses the shuffle — at 100 TB
+    * the text column itself never moves. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("text_hash"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  /** Normalized near-exact dedup: collapse on a 40-char prefix
+    * fingerprint — demonstrates dup-collapse on this corpus (full-text
+    * exact groups are all singletons here). */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(substring(col("text"), 1, 40)).as("prefix_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("prefix_hash"))
+
+  val dedupNormalizedSql: String =
+    """SELECT md5(SUBSTR(text, 1, 40)) AS prefix_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY prefix_hash""".stripMargin
+
+  // ---------------------------------------------------------- minhash
+  /** MinHash signature columns s1..s16: lexicographic min of
+    * md5(k + '|' + shingle) stands in for the k-th permutation. */
+  private def sigDf(spark: SparkSession, dir: String): DataFrame = {
+    val sigCols = (1 to NumPerms).map { k =>
+      min(md5(concat_ws("|", lit(k.toString), col("shingle")))).as(s"s$k")
+    }
+    shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private val sigCte: String = {
+    val sigs = (1 to NumPerms)
+      .map(k => s"MIN(md5('$k|' || shingle)) AS s$k").mkString(", ")
+    s"sigs AS (SELECT doc_id, $sigs FROM shingles GROUP BY doc_id)"
+  }
+
+  /** LSH bands: 4 bands of 4 signature rows, hashed to one bucket key. */
+  private def bandDf(sigs: DataFrame): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat((1 to 4).map(r => col(s"s${4 * b + r}")): _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bh").as("bh"))
+  }
+
+  private val bandCte: String = {
+    val parts = (0 until NumBands).map { b =>
+      val cc = (1 to 4).map(r => s"s${4 * b + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_id, md5($cc) AS bh FROM sigs"
+    }
+    s"bands AS (${parts.mkString(" UNION ALL ")})"
+  }
+
+  private val pairCte =
+    """cand_pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandDf(sigDf(spark, dir))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup candidates with estimated Jaccard =
+    * (matching signature components)/16. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = sigDf(spark, dir)
+    val eq = (1 to NumPerms)
+      .map(k => when(col(s"sa.s$k") === col(s"sb.s$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidatePairs(spark, dir)
+      .join(sigDf(spark, dir).as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigDf(spark, dir).as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (eq.cast("double") / lit(16.0)).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashLshSql: String = {
+    val eq = (1 to NumPerms)
+      .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |$bandCte,
+       |$pairCte
+       |SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM cand_pairs
+       |JOIN sigs sa ON doc_a = sa.doc_id
+       |JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------ ngram jaccard
+  /** Exact 3-gram Jaccard for pairs sharing ≥1 shingle: |∩| via a
+    * shingle equi-join, |∪| = |A|+|B|−|∩|; keep J ≥ 0.2. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter_cnt").cast("double") /
+          (col("ca.cnt") + col("cb.cnt") - col("inter_cnt"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shingleCte,
+       |counts AS (SELECT doc_id, COUNT(*) AS cnt FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |  FROM shingles x JOIN shingles y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter_cnt AS DOUBLE) / (ca.cnt + cb.cnt - inter_cnt) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE CAST(inter_cnt AS DOUBLE) / (ca.cnt + cb.cnt - inter_cnt) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------- simhash
+  /** Per-word bit j of a 32-bit hash derived from md5 hex nibbles:
+    * nibble = strpos('0123456789abcdef', hex_char) - 1, then extract
+    * bit (3 - j%4) of it. Pure arithmetic — identical in both engines. */
+  private def sparkBit(h: Column, j: Int): Column = {
+    val nibble = instr(lit("0123456789abcdef"),
+      substring(h, 1 + j / 4, 1)) - 1
+    floor(nibble / math.pow(2, 3 - j % 4)).cast("int") % 2
+  }
+
+  private def sqlBit(h: String, j: Int): String = {
+    val p = math.pow(2, 3 - j % 4).toInt
+    s"(CAST(FLOOR((STRPOS('0123456789abcdef', SUBSTR($h, ${1 + j / 4}, 1)) - 1) / $p) AS INT) % 2)"
+  }
+
+  /** SimHash: sign-aggregated bit votes over the document's distinct
+    * 3-gram shingles → one 32-bit fingerprint per doc. Shingle-level
+    * (not word-level) voting keeps fingerprints discriminative on
+    * small vocabularies, so the downstream band join stays selective.
+    * 32 partial-aggregable integer sums; shuffle carries one row per
+    * document. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("shingle"))
+    val voteCols = (0 until SimhashBits)
+      .map(j => sum(sparkBit(h, j) * 2 - 1).as(s"v$j"))
+    val votes = shingleDf(spark, dir)
+      .groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val simhash = (0 until SimhashBits)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), simhash.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val simhashCtes: String = {
+    val votes = (0 until SimhashBits)
+      .map(j => s"SUM(${sqlBit("md5(shingle)", j)} * 2 - 1) AS v$j").mkString(",\n    ")
+    val value = (0 until SimhashBits)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""$shingleCte,
+       |votes AS (
+       |  SELECT doc_id, $votes
+       |  FROM shingles GROUP BY doc_id),
+       |simhashes AS (
+       |  SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM votes)""".stripMargin
+  }
+
+  val dedupSimhashSql: String =
+    s"WITH $simhashCtes\nSELECT doc_id, simhash FROM simhashes ORDER BY doc_id"
+
+  /** SimHash near-dup pairs: block on any shared byte of the
+    * fingerprint (4 LSH bands), then exact Hamming distance ≤ 6.
+    * The band equi-join keeps candidate generation linear-ish in
+    * corpus size (no cartesian); Hamming is one codegen'd
+    * bit_count(xor). */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = dedupSimhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"),
+          (expr(s"simhash div ${1L << (8 * b)}") % 256L).as("byte_val"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id").as("band_id"), col("band.byte_val").as("byte_val"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.byte_val") === col("b.byte_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhashPairsSql: String = {
+    val bandParts = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band_id, (simhash // ${1L << (8 * b)}) % 256 AS byte_val FROM simhashes"
+    }
+    s"""WITH $simhashCtes,
+       |sbands AS (${bandParts.mkString(" UNION ALL ")})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sbands a JOIN sbands b
+       |  ON a.band_id = b.band_id AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+       |WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "dedup_exact" -> ((dedupExact _, dedupExactSql)),
+    "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
+    "dedup_minhash_lsh" -> ((dedupMinhashLsh _, dedupMinhashLshSql)),
+    "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),
+    "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
+    "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)))
+}
