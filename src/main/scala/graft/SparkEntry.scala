@@ -10,7 +10,9 @@ object SparkEntry {
     operators.Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
 
   private def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
-    operators.Relational.all ++ operators.AlpacaQueries.all ++ operators.Dedup.all
+    operators.Relational.all ++ operators.AlpacaQueries.all ++
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.TextOps.all ++ operators.Multimodal.all ++ operators.Streaming.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -31,7 +31,7 @@ object Dedup {
   // ---------------------------------------------------------- shingles
   /** Distinct 3-word shingles per document (guarding size >= 3).
     * Spark arrays are 0-based; the DuckDB twin uses 1-based offsets. */
-  private def shingleDf(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleDf(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -39,7 +39,7 @@ object Dedup {
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
         .as("shingle"))
 
-  private val shingleCte =
+  private[operators] val shingleCte =
     """words AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
       |shingles AS (
       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal record: opaque binary payload + typed metadata.
+  * (Images/audio/video at 100 TB ride as exactly this shape: bytes +
+  * a metadata struct; Spark never interprets the bytes.) */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], width: Int,
+    height: Int, channels: Int)
+
+/** Deterministic stand-in for decoded media features. */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
+    chunk_means: Array[Double])
+
+/**
+ * Multimodal-column plumbing over synthesized binary payloads (the
+ * container ships no image/audio codecs — decode is a clearly-marked
+ * deterministic STUB; the Spark-side plumbing — schema, binary
+ * columns, per-partition batch processing, feature arrays — is real
+ * and tested).
+ *
+ * Scale design: payloads stay in the executor partition end-to-end
+ * (mapPartitions = the Scala analogue of mapInPandas batch iteration);
+ * nothing is collected to the driver; features are narrow rows so any
+ * downstream shuffle moves features, not media bytes.
+ */
+object Multimodal {
+  import Tables.t
+
+  /** Typed media records: text bytes as payload + synthetic metadata. */
+  def mediaRecords(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      (lit(32) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(32) + (col("doc_id") * 7) % 64).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** Metadata extraction (no decode): byte length, leading byte,
+    * digest, pixel geometry — all pure projections with a full oracle. */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaRecords(spark, dir).select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("bigint").as("n_bytes"),
+      ascii(col("payload").cast("string")).as("first_byte"),
+      md5(col("payload").cast("string")).as("payload_md5"),
+      col("width"), col("height"), col("channels"),
+      (col("width").cast("bigint") * col("height") * col("channels"))
+        .as("n_values"))
+      .orderBy(col("doc_id"))
+
+  val mmMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(STRLEN(text) AS BIGINT) AS n_bytes,
+      |  ASCII(SUBSTR(text, 1, 1)) AS first_byte,
+      |  md5(text) AS payload_md5,
+      |  CAST(32 + doc_id % 64 AS INT) AS width,
+      |  CAST(32 + (doc_id * 7) % 64 AS INT) AS height,
+      |  3 AS channels,
+      |  CAST(32 + doc_id % 64 AS BIGINT) * (32 + (doc_id * 7) % 64) * 3 AS n_values
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /**
+   * STUB decode: where a real pipeline would JPEG-decode / resample
+   * audio / frame-sample video inside the partition iterator, this
+   * computes deterministic per-chunk byte means over the payload. The
+   * batch shape (record iterator in, feature iterator out, zero
+   * driver involvement) is the real contract.
+   *
+   * Declared rows-only for the oracle gate (byte-level arithmetic is
+   * not portably SQL-expressible); golden values are asserted in
+   * MultimodalSpec.
+   */
+  def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaRecords(spark, dir).as[MediaRecord]
+    ds.mapPartitions { records =>
+      records.map { r =>
+        val bytes = r.payload
+        val n = bytes.length
+        val mean =
+          if (n == 0) 0.0 else bytes.map(_.toInt & 0xff).sum.toDouble / n
+        val chunkMeans = (0 until 4).map { c =>
+          val lo = c * n / 4
+          val hi = (c + 1) * n / 4
+          if (hi <= lo) 0.0
+          else bytes.slice(lo, hi).map(_.toInt & 0xff).sum.toDouble / (hi - lo)
+        }.toArray
+        MediaFeatures(r.doc_id, n.toLong, mean, chunkMeans)
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+        round(expr("aggregate(chunk_means, 0.0D, (acc, x) -> acc + x)") / 4, 6)
+          .as("mean_of_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "mm_meta" -> ((mmMeta _, mmMetaSql)),
+    "mm_decode_stub" -> ((mmDecodeStub _, ""))) // rows-only: stub decode
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (64-dim float vectors).
+ *
+ * Oracle strategy: cosine is computed as an explicit left-associated
+ * 64-term sum of per-element double products in BOTH engines —
+ * identical IEEE operation order ⇒ bit-exact doubles, no tolerance
+ * needed. The SQL twins are generated from the same loop.
+ *
+ * Scale design (100 TB):
+ *  - brute-force top-k: the query set is broadcast; the corpus is
+ *    scanned once with no shuffle until the per-query top-k reduction
+ *    (rows after scoring: |corpus|×|queries|, cut to k×|queries| by
+ *    the window; at larger query sets switch to per-partition partial
+ *    top-k before the global one);
+ *  - ANN: sign-of-block-sum random-projection buckets (4-bit LSH)
+ *    turn scoring into a bucket equi-join — the corpus never meets
+ *    queries outside its bucket. Buckets are computed in the scan
+ *    projection (no extra pass).
+ */
+object Similarity {
+  import Tables.t
+
+  private val Dim = 64
+  private val NumQueries = 10
+  private val TopK = 5
+  private val AnnTopK = 3
+  private val NearDupThreshold = 0.35
+
+  // --------------------------------------------------- column builders
+  private def elemD(arr: String, i: Int): Column =
+    element_at(col(arr), i).cast("double")
+
+  private def dotCol(a: String, b: String): Column =
+    (1 to Dim).map(i => elemD(a, i) * elemD(b, i)).reduce(_ + _)
+
+  private def normCol(a: String): Column =
+    sqrt((1 to Dim).map(i => elemD(a, i) * elemD(a, i)).reduce(_ + _))
+
+  // ------------------------------------------------------ sql builders
+  private def elemSql(arr: String, i: Int): String =
+    s"CAST($arr[$i] AS DOUBLE)"
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"${elemSql(a, i)} * ${elemSql(b, i)}").mkString(" + ")
+
+  private def normSql(a: String): String =
+    s"SQRT(${(1 to Dim).map(i => s"${elemSql(a, i)} * ${elemSql(a, i)}").mkString(" + ")})"
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (${normSql(a)} * ${normSql(b)})"
+
+  // ------------------------------------------------- brute-force top-k
+  /** Exact cosine top-5 neighbors for each of the first 10 vectors.
+    * Query side is broadcast; scoring is one codegen'd projection. */
+  def simCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb.select(col("vec_id"), col("embedding").as("e"))
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotCol("e", "qe") / (normCol("e") * normCol("qe"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  val simCosineTopKSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, vec_id, ${cosineSql("e", "qe")} AS cosine
+       |  FROM c, q WHERE vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= $TopK
+       |ORDER BY query_id, vec_id""".stripMargin
+
+  // ------------------------------------------------------- LSH buckets
+  /** 4-bit bucket: sign of each 16-dim block sum (a fixed random
+    * projection). Same left-assoc float→double sums on both sides. */
+  private def bucketCol(arr: String): Column =
+    (0 until 4).map { p =>
+      val blockSum = (16 * p + 1 to 16 * p + 16).map(i => elemD(arr, i)).reduce(_ + _)
+      when(blockSum > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def bucketSql(arr: String): String =
+    (0 until 4).map { p =>
+      val blockSum = (16 * p + 1 to 16 * p + 16).map(i => elemSql(arr, i)).mkString(" + ")
+      s"CASE WHEN ($blockSum) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** ANN: cosine top-3 per query restricted to the query's LSH bucket —
+    * the scale path (bucket equi-join instead of full scoring). */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("embedding").as("e"),
+      bucketCol("embedding").as("bucket"))
+    val queries = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        bucketCol("embedding").as("qbucket"))
+    val scored = corpus
+      .join(broadcast(queries), col("bucket") === col("qbucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotCol("e", "qe") / (normCol("e") * normCol("qe"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  val simAnnLshSql: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding AS e, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe,
+       |    ${bucketSql("embedding")} AS qbucket
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id, ${cosineSql("e", "qe")} AS cosine
+       |  FROM c JOIN q ON bucket = qbucket AND vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= $AnnTopK
+       |ORDER BY query_id, vec_id""".stripMargin
+
+  // ------------------------------------------- embedding near-dup pairs
+  /** Embedding-cosine near-dup candidates: pairs in the same LSH
+    * bucket with cosine ≥ 0.35 (this corpus's random vectors top out
+    * at ~0.51). Bucket join keeps pair generation sub-quadratic. */
+  def simEmbNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"))
+    emb.as("a")
+      .join(emb.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotCol("a.embedding", "b.embedding") /
+          (normCol("a.embedding") * normCol("b.embedding"))).as("cosine"))
+      .filter(col("cosine") >= NearDupThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val simEmbNearDupSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
+    "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
+    "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)))
+}

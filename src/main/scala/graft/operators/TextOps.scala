@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline, over the
+ * `documents` table. All pure per-row projections + one aggregation-
+ * free pass — at 100 TB these pipeline into the scan with zero
+ * shuffles (WholeStageCodegen all the way); only the final ORDER BY
+ * (oracle determinism, not part of the operator) sorts.
+ *
+ * Every operator carries a full DuckDB oracle: arithmetic only on
+ * lengths/counts plus double division — deterministic cross-engine.
+ */
+object TextOps {
+  import Tables.t
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "is")
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+
+  // ----------------------------------------------------------- langid
+  /** Language-ID heuristic: ratio of English stopword tokens among all
+    * tokens; ≥ 0.06 → 'en', else 'unk'. (On this synthetic corpus the
+    * lang label is independent of the text — the mechanism, not label
+    * recovery, is what's exercised.) */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    docs(spark, dir).select(
+      col("doc_id"),
+      col("lang"),
+      size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).as("n_stop"),
+      size(w).as("n_words"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("predicted_lang",
+        when(col("stop_ratio") >= 0.06, lit("en")).otherwise(lit("unk")))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangidSql: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, lang,
+       |  LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ($inList))) AS n_stop,
+       |  LEN(STRING_SPLIT(text, ' ')) AS n_words,
+       |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ($inList))) AS DOUBLE)
+       |    / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio,
+       |  CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ($inList))) AS DOUBLE)
+       |    / LEN(STRING_SPLIT(text, ' ')) >= 0.06 THEN 'en' ELSE 'unk' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- quality
+  /** Quality scoring: length, word count, mean word length, digit and
+    * uppercase ratios, stopword ratio → one linear score. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val len = length(col("text")).cast("double")
+    val nWords = size(w).cast("double")
+    val nStop = size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("double")
+    val digitRatio =
+      (len - length(regexp_replace(col("text"), "[0-9]", ""))) / len
+    val meanWordLen = (len - (nWords - 1)) / nWords
+    val stopRatio = nStop / nWords
+    val score = stopRatio * 2.0 + meanWordLen * 0.1 - digitRatio * 1.0
+    docs(spark, dir).select(
+      col("doc_id"),
+      len.cast("bigint").as("n_chars_actual"),
+      nWords.cast("bigint").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      stopRatio.as("stop_ratio"),
+      digitRatio.as("digit_ratio"),
+      score.as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val nWords = "CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)"
+    val nStop = s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ($inList))) AS DOUBLE)"
+    val digitRatio = s"($len - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / $len"
+    val meanWordLen = s"($len - ($nWords - 1)) / $nWords"
+    val stopRatio = s"$nStop / $nWords"
+    s"""SELECT doc_id,
+       |  CAST($len AS BIGINT) AS n_chars_actual,
+       |  CAST($nWords AS BIGINT) AS n_words,
+       |  $meanWordLen AS mean_word_len,
+       |  $stopRatio AS stop_ratio,
+       |  $digitRatio AS digit_ratio,
+       |  $stopRatio * 2.0 + $meanWordLen * 0.1 - $digitRatio * 1.0 AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens, alpha tokens via regex, and a
+    * BPE-ish greedy ≤4-char chunking (regex quantifier greediness is
+    * identical across engines). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_bpe_chunks"),
+      length(regexp_replace(col("text"), "[^a-z]", "")).as("n_alpha_chars"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  LEN(STRING_SPLIT(text, ' ')) AS n_ws_tokens,
+      |  LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS n_alpha_tokens,
+      |  LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS n_bpe_chunks,
+      |  LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS n_alpha_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ fingerprint
+  /** Document fingerprinting (winnowing-lite): min and max md5 over
+    * the doc's 3-gram shingles + the shingle count — a compact,
+    * order-independent content fingerprint. Partial-aggregable
+    * min/max ⇒ shuffle carries one row per doc. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.shingleDf(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fp_min"),
+        max(md5(col("shingle"))).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  val textFingerprintSql: String =
+    s"""WITH ${Dedup.shingleCte}
+       |SELECT doc_id, MIN(md5(shingle)) AS fp_min, MAX(md5(shingle)) AS fp_max,
+       |  COUNT(*) AS n_shingles
+       |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "text_langid" -> ((textLangid _, textLangidSql)),
+    "text_quality" -> ((textQuality _, textQualitySql)),
+    "text_tokens" -> ((textTokens _, textTokensSql)),
+    "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)))
+}
