@@ -91,14 +91,18 @@ object Dedup {
     s"sigs AS (SELECT doc_id, $sigs FROM shingles GROUP BY doc_id)"
   }
 
-  /** LSH bands: 4 bands of 4 signature rows, hashed to one bucket key. */
+  /** LSH bands: 4 bands of 4 signature rows, hashed to one bucket key.
+    * Signature columns ride along so downstream consumers never join
+    * back to the signature table. */
   private def bandDf(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat((1 to 4).map(r => col(s"s${4 * b + r}")): _*)).as("bh"))
     }
-    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.bh").as("bh"))
+    val sigCols = (1 to NumPerms).map(k => col(s"s$k"))
+    sigs.select(col("doc_id") +: sigCols :+ explode(array(bands: _*)).as("band"): _*)
+      .select(Seq(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.bh").as("bh")) ++ sigCols: _*)
   }
 
   private val bandCte: String = {
@@ -126,17 +130,24 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidates with estimated Jaccard =
-    * (matching signature components)/16. */
+    * (matching signature components)/16.
+    *
+    * Plan shape: signatures ride along through the band explode, so
+    * the pair join computes est_jaccard directly from both sides —
+    * no join back to the signature table (one band equi-join total;
+    * the two branch aggregations dedupe via exchange reuse). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = sigDf(spark, dir)
+    val bandsWithSigs = bandDf(sigDf(spark, dir))
     val eq = (1 to NumPerms)
-      .map(k => when(col(s"sa.s$k") === col(s"sb.s$k"), 1).otherwise(0))
+      .map(k => when(col(s"a.s$k") === col(s"b.s$k"), 1).otherwise(0))
       .reduce(_ + _)
-    candidatePairs(spark, dir)
-      .join(sigDf(spark, dir).as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigDf(spark, dir).as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
+    bandsWithSigs.as("a")
+      .join(bandsWithSigs.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (eq.cast("double") / lit(16.0)).as("est_jaccard"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

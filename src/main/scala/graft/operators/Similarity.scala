@@ -60,13 +60,17 @@ object Similarity {
     * Query side is broadcast; scoring is one codegen'd projection. */
   def simCosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
+    // norms are computed once per vector in the scan projection, not
+    // once per (vector, query) pair — same doubles, |Q|× less work
     val queries = emb.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = emb.select(col("vec_id"), col("embedding").as("e"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        normCol("embedding").as("qnorm"))
+    val scored = emb
+      .select(col("vec_id"), col("embedding").as("e"), normCol("embedding").as("enorm"))
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotCol("e", "qe") / (normCol("e") * normCol("qe"))).as("cosine"))
+        (dotCol("e", "qe") / (col("enorm") * col("qnorm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -110,15 +114,15 @@ object Similarity {
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val corpus = emb.select(col("vec_id"), col("embedding").as("e"),
-      bucketCol("embedding").as("bucket"))
+      bucketCol("embedding").as("bucket"), normCol("embedding").as("enorm"))
     val queries = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        bucketCol("embedding").as("qbucket"))
+        bucketCol("embedding").as("qbucket"), normCol("embedding").as("qnorm"))
     val scored = corpus
       .join(broadcast(queries), col("bucket") === col("qbucket") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotCol("e", "qe") / (normCol("e") * normCol("qe"))).as("cosine"))
+        (dotCol("e", "qe") / (col("enorm") * col("qnorm"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -151,13 +155,14 @@ object Similarity {
     * at ~0.51). Bucket join keeps pair generation sub-quadratic. */
   def simEmbNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"))
+      .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"),
+        normCol("embedding").as("vnorm"))
     emb.as("a")
       .join(emb.as("b"), col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dotCol("a.embedding", "b.embedding") /
-          (normCol("a.embedding") * normCol("b.embedding"))).as("cosine"))
+          (col("a.vnorm") * col("b.vnorm"))).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
