@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     operators.Relational.all ++ operators.AlpacaQueries.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.TextOps.all ++ operators.Multimodal.all ++ operators.Streaming.all
+      operators.TextOps.all ++ operators.Multimodal.all ++ operators.Streaming.all ++
+      operators.AsofJoin.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -49,7 +49,8 @@ case class AlpacaScanConfig(
     symbols: Seq[String],
     startMicros: Long,
     endMicros: Long,
-    limit: Int)
+    limit: Int,
+    streamStepMicros: Long = AlpacaPartitioning.DayMicros)
 
 /** Partition = one symbol × one time interval (`common.py:53-59`). */
 case class SymbolTimeRangePartition(symbol: String, startMicros: Long, endMicros: Long)
@@ -109,6 +110,10 @@ abstract class AlpacaTableProvider(sourceDef: AlpacaSourceDef)
     AlpacaOptions.endpointConfig(opts)
     val params = AlpacaOptions.validateParams(opts, sourceDef.apiParams)
     sourceDef.extraValidate(params)
+    // scan building is deferred for streaming reads — surface a bad
+    // stream_step here so it still fails at load() on the driver
+    opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
+      .foreach(Timeframe.validate)
     sourceDef.schema
   }
 
@@ -121,7 +126,7 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
   override def name(): String = sourceDef.shortName
   override def schema(): StructType = sourceDef.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = options.asScala.toMap
     val endpointCfg = AlpacaOptions.endpointConfig(opts)
@@ -140,7 +145,9 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       symbols = AlpacaOptions.parseSymbols(params.getOrElse("symbols", "")),
       startMicros = startUs,
       endMicros = endUs,
-      limit = params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit))
+      limit = params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit),
+      streamStepMicros = opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
+        .map(Timeframe.parseMicros).getOrElse(AlpacaPartitioning.DayMicros))
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -199,6 +206,12 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig)
   override def description(): String =
     s"AlpacaScan(${sourceDef.shortName}, symbols=${cfg.symbols.mkString(",")})"
   override def toBatch: Batch = this
+
+  /** Streaming upgrade over the reference (SURVEY §2.11): replay the
+    * configured range in `stream_step` micro-batches. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AlpacaMicroBatchStream(sourceDef, cfg, cfg.streamStepMicros)
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)

@@ -18,7 +18,8 @@ object AlpacaOptions {
   val DefaultEndpoint = "https://data.alpaca.markets/v2"
   val DefaultLimit = 10000
   val ConfigOptionNames: Seq[String] =
-    Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay")
+    Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay",
+      "stream_step") // streaming micro-batch step, not an API param
 
   /** Builds the endpoint config, requiring both API keys
     * (reference: `common.py:218-232`). Keys are matched

@@ -351,6 +351,29 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q13
+  /** CUBE grouping sets: all 4 combinations of (r_name, c_mktsegment)
+    * in one pass (Catalyst expands + partially aggregates each set). */
+  def q13Cube(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = broadcast(t(spark, dir, "nation"))
+    val r = broadcast(t(spark, dir, "region"))
+    c.join(n, $"c_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .cube($"r_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("total_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+  }
+
+  val q13Sql: String =
+    """SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
   /** name → (builder, oracle) for SparkEntry wiring. */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q1_agg" -> ((q1Agg _, q1Sql)),
@@ -364,7 +387,8 @@ object Relational {
     "q9_set_ops" -> ((q9SetOps _, q9Sql)),
     "q10_rollup" -> ((q10Rollup _, q10Sql)),
     "q11_scalar" -> ((q11Scalar _, q11Sql)),
-    "q12_event_bars" -> ((q12EventBars _, q12Sql)))
+    "q12_event_bars" -> ((q12EventBars _, q12Sql)),
+    "q13_cube" -> ((q13Cube _, q13Sql)))
 
   // Column syntax sugar without a SparkSession-bound implicits import.
   private implicit class Sym(val sc: StringContext) {
