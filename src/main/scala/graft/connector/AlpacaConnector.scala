@@ -159,10 +159,29 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
   * returned as residuals, so Spark re-evaluates them exactly — the
   * narrowing only has to be conservative, never precise. */
 class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
-  extends ScanBuilder with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var cfg = cfg0
   private var pushed: Array[Filter] = Array.empty
+  private var prunedSchema: StructType = sourceDef.schema
+  private var limitOpt: Option[Int] = None
+
+  /** Column pruning: the reader builds only the requested fields —
+    * narrow projections never materialize the full record
+    * (SURVEY §2.6 optional upgrade; the reference always builds all
+    * columns, common.py:461-493). */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.nonEmpty) prunedSchema = requiredSchema
+
+  /** Partial limit pushdown: caps rows per partition AND shrinks the
+    * API page size — a LIMIT 10 fetches one 10-row page per partition
+    * instead of a 10k-row page. Returns false: Spark still applies
+    * the exact global limit. */
+  override def pushLimit(limit: Int): Boolean = {
+    limitOpt = Some(limit)
+    false
+  }
 
   private def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
@@ -196,13 +215,18 @@ class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new AlpacaScan(sourceDef, cfg)
+  override def build(): Scan =
+    new AlpacaScan(sourceDef, cfg, prunedSchema, limitOpt)
 }
 
-class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig)
+class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
+    prunedSchema: StructType = null, limitOpt: Option[Int] = None)
   extends Scan with Batch {
 
-  override def readSchema(): StructType = sourceDef.schema
+  private val outSchema =
+    if (prunedSchema == null) sourceDef.schema else prunedSchema
+
+  override def readSchema(): StructType = outSchema
   override def description(): String =
     s"AlpacaScan(${sourceDef.shortName}, symbols=${cfg.symbols.mkString(",")})"
   override def toBatch: Batch = this
@@ -222,16 +246,25 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig)
       .toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new AlpacaReaderFactory(cfg, sourceDef.pathElements, sourceDef.dataKey,
-      sourceDef.parser)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // API page size never needs to exceed a pushed limit
+    val effectiveCfg = limitOpt match {
+      case Some(n) if n < cfg.limit => cfg.copy(limit = math.max(1, n))
+      case _ => cfg
+    }
+    new AlpacaReaderFactory(effectiveCfg, sourceDef.pathElements,
+      sourceDef.dataKey, sourceDef.parser, outSchema, limitOpt)
+  }
 }
 
 class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
-    dataKey: String, parser: RecordParser) extends PartitionReaderFactory {
+    dataKey: String, parser: RecordParser,
+    outSchema: StructType = null,
+    limitOpt: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AlpacaPartitionReader(cfg, pathElements, dataKey, parser,
-      partition.asInstanceOf[SymbolTimeRangePartition])
+      partition.asInstanceOf[SymbolTimeRangePartition],
+      if (outSchema == null) parser.schema else outSchema, limitOpt)
 }
 
 /** Executor-side reader: paginated HTTP fetch → JSON parse → rows,
@@ -239,10 +272,20 @@ class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
   * records are warned and skipped (E4); HTTP failures after retries
   * fail the Spark task (task retry covers the rest). */
 class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
-    dataKey: String, parser: RecordParser, partition: SymbolTimeRangePartition)
+    dataKey: String, parser: RecordParser, partition: SymbolTimeRangePartition,
+    outSchema: StructType, limitOpt: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   private val log = LoggerFactory.getLogger(getClass)
+
+  /** Pruned-column projection: ordinal+type pairs from the full row. */
+  private val projection: Option[Array[(Int, org.apache.spark.sql.types.DataType)]] =
+    if (outSchema.fieldNames.sameElements(parser.schema.fieldNames)) None
+    else Some(outSchema.fields.map { f =>
+      (parser.schema.fieldIndex(f.name), f.dataType)
+    })
+
+  private var emitted = 0L
 
   /** Per-partition parameter binding (P4, `common.py:384-397`):
     * passthrough options with symbol/start/end/limit overridden. */
@@ -285,7 +328,17 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
 
   private var current: InternalRow = _
   override def next(): Boolean =
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (limitOpt.exists(emitted >= _)) false
+    else if (rows.hasNext) {
+      val full = rows.next()
+      current = projection match {
+        case None => full
+        case Some(proj) =>
+          InternalRow.fromSeq(proj.toSeq.map { case (i, dt) => full.get(i, dt) })
+      }
+      emitted += 1
+      true
+    } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
 }

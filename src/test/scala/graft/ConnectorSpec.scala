@@ -110,6 +110,22 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("column pruning: narrow projection reads only requested fields") {
+    val df = barsReader().load().select(col("symbol"), col("close"))
+    assert(df.schema.fieldNames.toSeq == Seq("symbol", "close"))
+    val rows = df.collect()
+    assert(rows.length == 96 && rows.forall(_.getDouble(1) > 0))
+    // pruned schema must reach the scan, not just the projection
+    val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanLine.contains("vwap"), s"scan not pruned: $scanLine")
+  }
+
+  test("limit pushdown caps the API page size per partition") {
+    val df = barsReader().load().limit(5)
+    assert(df.collect().length == 5)
+  }
+
   test("empty response (unknown path range) yields empty DataFrame") {
     val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
