@@ -1,0 +1,68 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.AlpacaHttpClient
+
+/** Unit layer for the pure HTTP core (the Spark-free seam of SURVEY
+  * §3.3), mirroring the reference's unit tests for URL building and
+  * pagination token plumbing (`tests/unit/test_common.py`). */
+class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var endpoint: String = _
+  @volatile private var requests = Vector.empty[String]
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v2/pages", { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      synchronized { requests :+= q }
+      val token = "(?:^|&)page_token=([^&]*)".r.findFirstMatchIn(q).map(_.group(1))
+      val body = token match {
+        case None => """{"n": 1, "next_page_token": "t2"}"""
+        case Some("t2") => """{"n": 2, "next_page_token": "t3"}"""
+        case Some("t3") => """{"n": 3, "next_page_token": null}"""
+        case other => s"""{"error": "unexpected token $other"}"""
+      }
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    endpoint = s"http://127.0.0.1:${server.getAddress.getPort}/v2"
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  test("URL building: param encoding, path join, skipped nulls") {
+    val c = new AlpacaHttpClient("https://x.example/v2", Map.empty, Seq("stocks", "bars"))
+    val url = c.buildUrl(Seq(
+      "symbols" -> "AAPL,MSFT",
+      "start" -> "2021-01-01T00:00:00+00:00",
+      "skip" -> null,
+      "spacey" -> "a b"))
+    assert(url == "https://x.example/v2/stocks/bars?" +
+      "symbols=AAPL%2CMSFT&start=2021-01-01T00%3A00%3A00%2B00%3A00&spacey=a%20b")
+  }
+
+  test("pagination: token sequence walked lazily until null") {
+    val c = new AlpacaHttpClient(endpoint, Map.empty, Seq("pages"))
+    val it = c.fetchAllPages(Seq("q" -> "1"))
+    val before = requests.size
+    assert(it.hasNext) // iterator is lazy: nothing fetched yet at creation
+    val pages = it.map(_.get("n").asInt()).toList
+    assert(pages == List(1, 2, 3))
+    assert(requests.size - before == 3)
+    // tokens echoed back in order
+    val tokens = requests.drop(before).map(q =>
+      "(?:^|&)page_token=([^&]*)".r.findFirstMatchIn(q).map(_.group(1)))
+    assert(tokens == Vector(None, Some("t2"), Some("t3")))
+  }
+}
