@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream operators a training-data/events pipeline needs beyond
+ * plain windowed aggregation: gap-based sessionization and JSON
+ * property extraction. Both single-shuffle (one hash partition on
+ * user_id / event_type) and fully codegen'd.
+ */
+object Events {
+
+  /** events with exact epoch-micros (ns parquet → floor µs). */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
+  }
+
+  private val GapUs: Long = 30L * 60L * 1000000L // 30-minute session gap
+
+  /** Sessionization (gaps-and-islands): a >30-min silence starts a new
+    * session; one window shuffle on user_id, linear within user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    eventsUs(spark, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
+       |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+       |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > $GapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts_us,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS duration_us
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** JSON property extraction (the props column is a JSON string):
+    * per-event-type aggregates over `$$.k`. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q14_sessionize" -> ((sessionize _, sessionizeSql)),
+    "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)))
+}
