@@ -194,7 +194,60 @@ object AlpacaQueries {
   def barsMalformedSkipSql: String =
     barsValuesSql(Seq("MALFORMED"), us(barsStart), us(barsEnd), Day)
 
+  // -------------------------------- bars ⋈ trades (USAGE.md flagship)
+  /** The reference docs' flagship multi-source analysis
+    * (USAGE.md:247-280): bars equi+interval-joined to trades, per-bar
+    * trade stats — both sides read through the connector, join and
+    * aggregation delegated to Catalyst. */
+  def barsTradesJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bars = barsDf(spark, Map("start" -> tradesStart, "end" -> tradesEnd))
+      .select(col("symbol"), col("time").as("bar_time"), col("close"))
+    val trades = spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(col("symbol").as("t_symbol"), col("time").as("t_time"),
+        col("price"), col("size"))
+    bars.join(trades,
+        col("symbol") === col("t_symbol") &&
+          col("t_time") >= col("bar_time") &&
+          col("t_time") < col("bar_time") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("symbol"),
+        date_format(col("bar_time"), "yyyy-MM-dd HH:mm:ss").as("bar_hour"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("size")).as("sum_size"),
+        sum((col("price").cast("decimal(18,2)") * col("size")))
+          .cast("double").as("notional"))
+      .orderBy(col("symbol"), col("bar_hour"))
+  }
+
+  def barsTradesJoinSql: String = {
+    // same join+agg computed from the shared fixture functions
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      val bars = AlpacaFixtures.bars(s, us(tradesStart), us(tradesEnd), Hour)
+      val trades = AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+      bars.flatMap { b =>
+        val in = trades.filter(t => t.timeUs >= b.timeUs && t.timeUs < b.timeUs + Hour)
+        if (in.isEmpty) None
+        else {
+          // decimal(18,2) price × integer size summed exactly, as double
+          val notionalCents = in.map(t => math.round(t.price * 100) * t.size).sum
+          Some((s, fmtTs(b.timeUs), in.size, in.map(_.size).sum,
+            notionalCents / 100.0))
+        }
+      }
+    }.map { case (sym, hr, n, sz, notional) =>
+      s"(${sqlStr(sym)}, ${sqlStr(hr)}, $n, $sz, ${fmtD(notional)})"
+    }
+    s"""SELECT symbol, bar_hour, CAST(n_trades AS BIGINT) AS n_trades,
+       |  CAST(sum_size AS BIGINT) AS sum_size, CAST(notional AS DOUBLE) AS notional
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_hour, n_trades, sum_size, notional)
+       |ORDER BY symbol, bar_hour""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "alpaca_bars_trades_join" -> ((barsTradesJoin _, barsTradesJoinSql)),
     "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
     "alpaca_bars_pushdown" -> ((barsPushdown _, barsPushdownSql)),
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
