@@ -374,6 +374,30 @@ object Relational {
       |GROUP BY CUBE(r_name, c_mktsegment)
       |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q16
+  /** Sketch aggregation: HLL approx-distinct next to the exact count.
+    * Sketches differ across engines, so the cross-engine contract is
+    * (exact value, within-5%-flag): each engine's own sketch must land
+    * within tolerance of the shared exact count — sound because HLL
+    * insertion is order-independent (deterministic per engine). */
+  def q16ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+        // rsd 0.01 ⇒ typical sketch error ~1%, comfortably inside the
+        // 5% contract flag (at rsd=0.05 the flag itself would be ~1σ)
+        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+      .select($"l_returnflag", $"exact_parts",
+        when(abs($"approx_parts" - $"exact_parts") <=
+          $"exact_parts" * 0.05, 1L).otherwise(0L).as("approx_within_5pct"))
+      .orderBy($"l_returnflag")
+
+  val q16Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  CASE WHEN ABS(APPROX_COUNT_DISTINCT(l_partkey) - COUNT(DISTINCT l_partkey))
+      |         <= COUNT(DISTINCT l_partkey) * 0.05 THEN 1 ELSE 0 END AS approx_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** name → (builder, oracle) for SparkEntry wiring. */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q1_agg" -> ((q1Agg _, q1Sql)),
@@ -388,7 +412,8 @@ object Relational {
     "q10_rollup" -> ((q10Rollup _, q10Sql)),
     "q11_scalar" -> ((q11Scalar _, q11Sql)),
     "q12_event_bars" -> ((q12EventBars _, q12Sql)),
-    "q13_cube" -> ((q13Cube _, q13Sql)))
+    "q13_cube" -> ((q13Cube _, q13Sql)),
+    "q16_approx_distinct" -> ((q16ApproxDistinct _, q16Sql)))
 
   // Column syntax sugar without a SparkSession-bound implicits import.
   private implicit class Sym(val sc: StringContext) {
