@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational-surface gates: pivot and correlated
+  * subquery (decorrelated by Catalyst into a join — the plan shape a
+  * 100 TB run needs; the DuckDB oracle keeps the correlated form). */
+object Relational2 {
+  import Tables.t
+
+  /** Pivot: per-user-decile event-type value sums as columns. Explicit
+    * pivot values keep the schema static (no extra distinct pass). */
+  def q17Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_decile", (col("user_id") % 10).cast("bigint"))
+      .groupBy(col("user_decile"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .orderBy(col("user_decile"))
+
+  val q17Sql: String =
+    """SELECT user_id % 10 AS user_decile,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+      |FROM events
+      |GROUP BY 1 ORDER BY user_decile""".stripMargin
+
+  /** Correlated aggregate subquery (TPC-H Q17 shape): lineitems below
+    * half their part's average quantity. Expressed as an aggregate +
+    * self-join — exactly what Catalyst decorrelates the subquery into;
+    * the oracle keeps the correlated-subquery form to prove the
+    * rewrite is semantics-preserving. */
+  def q18Correlated(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("small_revenue"))
+  }
+
+  val q18Sql: String =
+    """SELECT COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+      |FROM lineitem l1
+      |WHERE l_quantity < 0.5 * (
+      |  SELECT SUM(l_quantity) / COUNT(*) FROM lineitem l2
+      |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q17_pivot" -> ((q17Pivot _, q17Sql)),
+    "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)))
+}
