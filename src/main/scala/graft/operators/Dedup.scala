@@ -136,7 +136,11 @@ object Dedup {
     * the pair join computes est_jaccard directly from both sides —
     * no join back to the signature table (one band equi-join total;
     * the two branch aggregations dedupe via exchange reuse). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsCore(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unordered candidate pairs + est_jaccard (reused by pipelines). */
+  private[operators] def minhashPairsCore(spark: SparkSession, dir: String): DataFrame = {
     val bandsWithSigs = bandDf(sigDf(spark, dir))
     val eq = (1 to NumPerms)
       .map(k => when(col(s"a.s$k") === col(s"b.s$k"), 1).otherwise(0))
@@ -148,7 +152,21 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (eq.cast("double") / lit(16.0)).as("est_jaccard"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** CTE bundle ending in est-jaccard pairs (for composed oracles). */
+  private[operators] val minhashPairsCtes: String = {
+    val eq = (1 to NumPerms)
+      .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""$shingleCte,
+       |$sigCte,
+       |$bandCte,
+       |$pairCte,
+       |est_pairs AS (
+       |  SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM cand_pairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id)""".stripMargin
   }
 
   val dedupMinhashLshSql: String = {

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end corpus-curation pipeline — the composed 100 TB use case:
+ * score every document (quality), near-dedup with MinHash+LSH (drop
+ * the higher doc_id of each candidate pair with est-Jaccard ≥ 0.5),
+ * keep documents above the quality bar, and report corpus stats per
+ * predicted language.
+ *
+ * Every stage is one of this engine's gate operators, so the whole
+ * pipeline inherits their scale shapes: projection-only scoring,
+ * band-join dedup, one anti-join on the (tiny) drop list, and a final
+ * partial aggregation. The DuckDB oracle composes the same CTEs —
+ * the hash match certifies the full pipeline, not just its pieces.
+ * Double stats are min/max (order-independent); sums are integral.
+ */
+object Pipeline {
+
+  private val QualityBar = 0.55
+  private val DedupThreshold = 0.5
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityCore(spark, dir)
+    val dropped = Dedup.minhashPairsCore(spark, dir)
+      .filter(col("est_jaccard") >= DedupThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val predicted = when(col("stop_ratio") >= 0.06, lit("en"))
+      .otherwise(lit("unk")).as("predicted_lang")
+    quality
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= QualityBar)
+      .select(col("doc_id"), col("n_chars_actual"), col("quality_score"),
+        predicted)
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars_actual")).as("sum_chars"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  val curateSql: String =
+    s"""WITH ${Dedup.minhashPairsCtes},
+       |dropped AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM est_pairs
+       |  WHERE est_jaccard >= $DedupThreshold),
+       |quality AS (${TextOps.qualitySelectSql}),
+       |curated AS (
+       |  SELECT doc_id, n_chars_actual, quality_score,
+       |    CASE WHEN stop_ratio >= 0.06 THEN 'en' ELSE 'unk' END AS predicted_lang
+       |  FROM quality
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |    AND quality_score >= $QualityBar)
+       |SELECT predicted_lang, COUNT(*) AS n_docs, SUM(n_chars_actual) AS sum_chars,
+       |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+       |FROM curated
+       |GROUP BY predicted_lang
+       |ORDER BY predicted_lang""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "pipeline_curate" -> ((curate _, curateSql)))
+}

@@ -55,7 +55,10 @@ object TextOps {
   // ---------------------------------------------------------- quality
   /** Quality scoring: length, word count, mean word length, digit and
     * uppercase ratios, stopword ratio → one linear score. */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    textQualityUnordered(spark, dir).orderBy(col("doc_id"))
+
+  private def textQualityUnordered(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
     val len = length(col("text")).cast("double")
@@ -74,8 +77,11 @@ object TextOps {
       stopRatio.as("stop_ratio"),
       digitRatio.as("digit_ratio"),
       score.as("quality_score"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Unordered quality rows (reused by pipelines). */
+  private[operators] def qualityCore(spark: SparkSession, dir: String): DataFrame =
+    textQualityUnordered(spark, dir)
 
   val textQualitySql: String = {
     val inList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -94,6 +100,10 @@ object TextOps {
        |  $stopRatio * 2.0 + $meanWordLen * 0.1 - $digitRatio * 1.0 AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** Quality SELECT without the ORDER BY, usable as a CTE body. */
+  private[operators] val qualitySelectSql: String =
+    textQualitySql.stripSuffix(" ORDER BY doc_id").replace("FROM documents ORDER BY doc_id", "FROM documents")
 
   // ----------------------------------------------------------- tokens
   /** Token counting: whitespace tokens, alpha tokens via regex, and a
