@@ -1,0 +1,99 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{BarParser, CorporateActionParser, TradeParser}
+
+/** Golden-tuple parser tests mirroring the reference's fixture corpus
+  * (`tests/fixtures/mock_responses.py`, parsers `bars.py:199-225`,
+  * `stocks/trades.py:113-140`, `corporate_actions.py:138-175`):
+  * exact parsed values for the documented records, including the
+  * 64-bit large-value cases (`tests/unit/test_schema_large_values.py`). */
+class ParserGoldenSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private def js(s: String) = mapper.readTree(s)
+
+  private val T0 = 1609493400000000L // 2021-01-01T09:30:00Z in µs
+
+  test("bar record golden tuple (MOCK_BARS_RESPONSE first record)") {
+    val row = BarParser.parse("AAPL", js(
+      """{"t": "2021-01-01T09:30:00Z", "o": 130.0, "h": 132.0, "l": 129.0,
+        |"c": 131.5, "v": 1000000, "n": 5000, "vw": 131.0}""".stripMargin))
+    assert(row.getUTF8String(0).toString == "AAPL")
+    assert(row.getLong(1) == T0)
+    assert(row.getDouble(2) == 130.0 && row.getDouble(3) == 132.0)
+    assert(row.getDouble(4) == 129.0 && row.getDouble(5) == 131.5)
+    assert(row.getLong(6) == 1000000L && row.getLong(7) == 5000L)
+    assert(row.getDouble(8) == 131.0)
+  }
+
+  test("bar 64-bit large values survive (volume/count > INT32 max)") {
+    val row = BarParser.parse("TSLA", js(
+      """{"t": "2021-01-01T09:30:00Z", "o": 1.0, "h": 1.0, "l": 1.0,
+        |"c": 1.0, "v": 3000000000, "n": 2147483648, "vw": 16777217.0}""".stripMargin))
+    assert(row.getLong(6) == 3000000000L)
+    assert(row.getLong(7) == 2147483648L)
+    assert(row.getDouble(8) == 16777217.0) // 2^24+1: exact in float64
+  }
+
+  test("bar malformed record (missing h/l/c/v/n/vw) throws for skip-and-log") {
+    intercept[IllegalArgumentException] {
+      BarParser.parse("AAPL", js("""{"t": "2021-01-01T09:30:00Z", "o": 130.0}"""))
+    }
+  }
+
+  test("trade golden tuples incl. conditions join (MOCK_TRADES_RESPONSE)") {
+    val r1 = TradeParser.parse("AAPL", js(
+      """{"t": "2021-01-01T09:30:00Z", "x": "V", "p": 131.0, "s": 100,
+        |"c": [], "i": 12345, "z": "C"}""".stripMargin))
+    assert(r1.getUTF8String(0).toString == "AAPL")
+    assert(r1.getLong(1) == T0)
+    assert(r1.getUTF8String(2).toString == "V")
+    assert(r1.getDouble(3) == 131.0 && r1.getLong(4) == 100L)
+    assert(r1.getUTF8String(5).toString == "") // empty conditions list
+    assert(r1.getLong(6) == 12345L && r1.getUTF8String(7).toString == "C")
+
+    val r2 = TradeParser.parse("AAPL", js(
+      """{"t": "2021-01-01T09:30:01Z", "x": "V", "p": 131.5, "s": 200,
+        |"c": ["@", "I"], "i": 12346, "z": "C"}""".stripMargin))
+    assert(r2.getUTF8String(5).toString == "@,I") // ",".join(c)
+
+    // absent "c" key defaults to "" (record.get("c", []))
+    val r3 = TradeParser.parse("AAPL", js(
+      """{"t": "2021-01-01T09:30:02Z", "x": "V", "p": 1.0, "s": 1,
+        |"i": 1, "z": "C"}""".stripMargin))
+    assert(r3.getUTF8String(5).toString == "")
+  }
+
+  test("corporate action golden tuples: dividend, split, None dates, defaults") {
+    val div = CorporateActionParser.parse("AAPL", js(
+      """{"ex_date": "2021-02-05T00:00:00Z", "record_date": "2021-02-08T00:00:00Z",
+        |"payable_date": "2021-02-11T00:00:00Z", "type": "dividend",
+        |"amount": 0.205, "ratio": 1.0, "new_symbol": "", "old_symbol": "AAPL"}""".stripMargin))
+    assert(div.getUTF8String(4).toString == "dividend")
+    assert(div.getDouble(5) == 0.205 && div.getDouble(6) == 1.0)
+    assert(!div.isNullAt(1) && !div.isNullAt(2) && !div.isNullAt(3))
+
+    val split = CorporateActionParser.parse("AAPL", js(
+      """{"ex_date": "2021-08-30T00:00:00Z", "type": "split",
+        |"amount": 0.0, "ratio": 4.0, "new_symbol": "AAPL", "old_symbol": "AAPL"}""".stripMargin))
+    assert(split.isNullAt(2) && split.isNullAt(3)) // absent dates → null
+    assert(split.getDouble(6) == 4.0)
+
+    // all-defaults record: type "", amount 0.0, ratio 0.0 (the CODE's
+    // default — not the 1.0 the reference's schema comment claims)
+    val bare = CorporateActionParser.parse("X", js("""{}"""))
+    assert(bare.getUTF8String(4).toString == "")
+    assert(bare.getDouble(5) == 0.0 && bare.getDouble(6) == 0.0)
+    assert(bare.getUTF8String(7).toString == "" && bare.getUTF8String(8).toString == "")
+  }
+
+  test("timestamps with offsets and sub-µs precision normalize to UTC µs") {
+    val row = BarParser.parse("AAPL", js(
+      """{"t": "2021-01-01T10:30:00.123456789+01:00", "o": 1.0, "h": 1.0,
+        |"l": 1.0, "c": 1.0, "v": 1, "n": 1, "vw": 1.0}""".stripMargin))
+    assert(row.getLong(1) == T0 + 123456L) // offset folded, ns truncated
+  }
+}
