@@ -119,16 +119,6 @@ object Dedup {
       |  FROM bands a JOIN bands b
       |    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
-  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandDf(sigDf(spark, dir))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
-
   /** MinHash+LSH near-dup candidates with estimated Jaccard =
     * (matching signature components)/16.
     *
@@ -139,14 +129,22 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairsCore(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** Unordered candidate pairs + est_jaccard (reused by pipelines). */
+  /** Unordered candidate pairs + est_jaccard (reused by pipelines).
+    *
+    * The self-join is pinned to sort-merge (`hint("merge")`): both
+    * sides are the SAME subplan shuffled on the same keys, so the
+    * planner emits one exchange + a ReusedExchange. Left to cost
+    * estimation (as in round 1's composed pipeline), Spark broadcast
+    * one side — bands-with-signatures grows linearly with the corpus,
+    * so that broadcast is a 100 TB scale-killer AND recomputed the
+    * whole shingle→signature pipeline twice (112 s vs 5 s at sf0.1). */
   private[operators] def minhashPairsCore(spark: SparkSession, dir: String): DataFrame = {
     val bandsWithSigs = bandDf(sigDf(spark, dir))
     val eq = (1 to NumPerms)
       .map(k => when(col(s"a.s$k") === col(s"b.s$k"), 1).otherwise(0))
       .reduce(_ + _)
     bandsWithSigs.as("a")
-      .join(bandsWithSigs.as("b"),
+      .join(bandsWithSigs.as("b").hint("merge"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -49,7 +49,7 @@ object Events {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)),
        |sessions AS (
        |  SELECT user_id, ts_us,
-       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_id
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
        |  FROM flagged)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS duration_us
@@ -71,7 +71,7 @@ object Events {
 
   val jsonExtractSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -54,7 +54,7 @@ object Pipeline {
        |  FROM quality
        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
        |    AND quality_score >= $QualityBar)
-       |SELECT predicted_lang, COUNT(*) AS n_docs, SUM(n_chars_actual) AS sum_chars,
+       |SELECT predicted_lang, COUNT(*) AS n_docs, CAST(SUM(n_chars_actual) AS BIGINT) AS sum_chars,
        |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
        |FROM curated
        |GROUP BY predicted_lang

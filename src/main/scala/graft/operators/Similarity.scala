@@ -33,16 +33,23 @@ object Similarity {
   private val NearDupThreshold = 0.35
 
   // --------------------------------------------------- column builders
-  private def elemD(arr: String, i: Int): Column =
-    element_at(col(arr), i).cast("double")
-
+  // Higher-order functions, not Dim-term unrolled chains: the unrolled
+  // form generated enormous Janino methods (compile-dominated at 64
+  // dims, fatal at 768/1536). aggregate() folds left from 0.0 — the
+  // identical IEEE order to the unrolled left-associated sum (0.0 + t1
+  // is bit-equal to t1) — so the DuckDB twins, which stay explicit
+  // term chains, remain bit-exact at constant codegen size.
   private def dotCol(a: String, b: String): Column =
-    (1 to Dim).map(i => elemD(a, i) * elemD(b, i)).reduce(_ + _)
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
   private def normCol(a: String): Column =
-    sqrt((1 to Dim).map(i => elemD(a, i) * elemD(a, i)).reduce(_ + _))
+    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), " +
+      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
 
   // ------------------------------------------------------ sql builders
+  // (explicit term chains — the oracle runs once in DuckDB at tiny SF;
+  // unrolled SQL text costs nothing there and guarantees bit parity)
   private def elemSql(arr: String, i: Int): String =
     s"CAST($arr[$i] AS DOUBLE)"
 
@@ -99,7 +106,8 @@ object Similarity {
     * projection). Same left-assoc float→double sums on both sides. */
   private def bucketCol(arr: String): Column =
     (0 until 4).map { p =>
-      val blockSum = (16 * p + 1 to 16 * p + 16).map(i => elemD(arr, i)).reduce(_ + _)
+      val blockSum = expr(s"aggregate(slice($arr, ${16 * p + 1}, 16), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))")
       when(blockSum > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
