@@ -206,7 +206,10 @@ class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
       case LessThan(c, v) if timeCol.contains(c) =>
         tsMicros(v).exists { us => cfg = cfg.copy(endMicros = math.min(cfg.endMicros, us)); true }
       case LessThanOrEqual(c, v) if timeCol.contains(c) =>
-        tsMicros(v).exists { us => cfg = cfg.copy(endMicros = math.min(cfg.endMicros, us)); true }
+        // fetches are half-open [start,end): narrow to the NEXT micro so
+        // a record exactly at the bound (which satisfies time <= v) is
+        // still fetched; the residual filter restores exactness.
+        tsMicros(v).exists { us => cfg = cfg.copy(endMicros = math.min(cfg.endMicros, us + 1)); true }
       case _ => false
     }
     pushed = accepted

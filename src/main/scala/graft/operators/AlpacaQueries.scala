@@ -62,10 +62,13 @@ object AlpacaQueries {
       .orderBy(col("symbol"), col("bar_time"))
 
   private def barsValuesSql(symbols: Seq[String], startUs: Long, endUs: Long,
-      tfUs: Long): String = {
-    val rows = symbols.sorted.flatMap { s =>
+      tfUs: Long): String =
+    barsValuesSqlFromRows(symbols.sorted.flatMap { s =>
       AlpacaFixtures.bars(s, startUs, endUs, tfUs)
-    }.map { b =>
+    })
+
+  private def barsValuesSqlFromRows(barRows: Seq[AlpacaFixtures.Bar]): String = {
+    val rows = barRows.map { b =>
       s"(${sqlStr(b.symbol)}, ${sqlStr(fmtTs(b.timeUs))}, ${fmtD(b.open)}, " +
         s"${fmtD(b.high)}, ${fmtD(b.low)}, ${fmtD(b.close)}, ${b.volume}, " +
         s"${b.tradeCount}, ${fmtD(b.vwap)})"
@@ -100,6 +103,37 @@ object AlpacaQueries {
 
   def barsPushdownSql: String =
     barsValuesSql(Seq("AAPL"), us("2021-01-04T06:00:00Z"), us("2021-01-05T18:00:00Z"), Hour)
+
+  /** `time <= bound` pushdown with the bound exactly ON the hourly
+    * grid: fetches are half-open [start,end), so narrowing the planned
+    * end to the literal (instead of the next micro) would silently
+    * drop the boundary bar — the round-1 advisor finding. */
+  def barsPushdownLe(spark: SparkSession, dir: String): DataFrame = {
+    val lo = "2021-01-04 06:00:00"
+    val hi = "2021-01-05 18:00:00" // exactly on the hourly grid
+    barsProjection(barsDf(spark, Map.empty)
+      .filter(col("symbol") === "AAPL" &&
+        col("time") >= lit(lo).cast("timestamp") &&
+        col("time") <= lit(hi).cast("timestamp")))
+  }
+
+  def barsPushdownLeSql: String =
+    barsValuesSql(Seq("AAPL"), us("2021-01-04T06:00:00Z"),
+      us("2021-01-05T18:00:00Z") + 1, Hour)
+
+  /** `sort=desc` passthrough proven end-to-end
+    * (`stocks/trades.py:54-57`): a pushed LIMIT over a single
+    * partition returns whichever rows the SERVER serves first, so only
+    * a desc-honoring fetch+parse path yields the three LATEST bars. */
+  def barsSortedDesc(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark,
+      Map("sort" -> "desc", "start" -> tradesStart, "end" -> tradesEnd),
+      symbols = Seq("AAPL")).limit(3))
+
+  def barsSortedDescSql: String =
+    barsValuesSqlFromRows(
+      AlpacaFixtures.bars("AAPL", us(tradesStart), us(tradesEnd), Hour)
+        .reverse.take(3))
 
   /** Small page size (limit=7) forces multi-page pagination AND the
     * bars volume-aware partition split; results must be identical. */
@@ -250,6 +284,8 @@ object AlpacaQueries {
     "alpaca_bars_trades_join" -> ((barsTradesJoin _, barsTradesJoinSql)),
     "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
     "alpaca_bars_pushdown" -> ((barsPushdown _, barsPushdownSql)),
+    "alpaca_bars_pushdown_le" -> ((barsPushdownLe _, barsPushdownLeSql)),
+    "alpaca_bars_sorted" -> ((barsSortedDesc _, barsSortedDescSql)),
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),

@@ -129,9 +129,12 @@ object AlpacaStubServer {
     if (d == d.toLong.toDouble) d.toLong.toString + ".0" else d.toString
 
   /** Paginates `records` (already JSON strings grouped by symbol order)
-    * and renders the envelope. */
-  private def envelope(dataKey: String, symbol: String, records: Seq[String],
-      limit: Int, pageToken: String): String = {
+    * and renders the envelope. Honors `sort=desc` (the real API's
+    * server-side ordering, `stocks/trades.py:54-57`) by reversing the
+    * naturally-ascending fixture records before pagination. */
+  private def envelope(dataKey: String, symbol: String, records0: Seq[String],
+      limit: Int, pageToken: String, sort: String = "asc"): String = {
+    val records = if (sort == "desc") records0.reverse else records0
     val offset = if (pageToken.isEmpty) 0 else pageToken.toInt
     val page = records.slice(offset, offset + limit)
     val nextTok =
@@ -184,7 +187,8 @@ object AlpacaStubServer {
         bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson)
     (200, envelope("bars", symbol,
       recs,
-      params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token")))
+      params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token"),
+      params.getOrElse("sort", "asc")))
   }
 
   private def start(): Unit = {
@@ -197,7 +201,8 @@ object AlpacaStubServer {
       val symbol = q(params, "symbols")
       (200, envelope("trades", symbol,
         trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))).map(tradeJson),
-        params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token")))
+        params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token"),
+        params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")

@@ -57,6 +57,25 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(timeFiltered.count() == 12) // 6 hourly bars × 2 symbols
   }
 
+  test("time <= pushdown keeps the bar exactly at the bound (half-open fetch)") {
+    // bound exactly on the hourly grid; narrowing end to the literal
+    // (not the next micro) would silently lose this row
+    val df = barsReader().load()
+      .filter(col("symbol") === "AAPL" &&
+        col("time") <= lit("2021-01-04 06:00:00").cast("timestamp"))
+    val times = df.select(date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(_.getString(0)).sorted
+    assert(times.length == 7 && times.last == "2021-01-04 06:00:00")
+  }
+
+  test("sort=desc is honored by the fetch: pushed limit returns latest rows") {
+    val df = barsReader("sort" -> "desc", "end" -> "2021-01-05T00:00:00Z")
+      .load().filter(col("symbol") === "AAPL").limit(3)
+    val times = df.select(date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(_.getString(0)).toSet
+    assert(times == Set("2021-01-04 23:00:00", "2021-01-04 22:00:00", "2021-01-04 21:00:00"))
+  }
+
   test("retry: 503 twice then success still yields data (FLAKY symbol)") {
     val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
