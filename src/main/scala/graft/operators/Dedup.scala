@@ -218,6 +218,65 @@ object Dedup {
        |WHERE CAST(inter_cnt AS DOUBLE) / (ca.cnt + cb.cnt - inter_cnt) >= 0.2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------- ngram jaccard with a DF cap
+  private val DfCapFraction = 0.05
+
+  /** n-gram Jaccard over document-frequency-capped shingles: shingles
+    * occurring in more than 5% of documents are dropped before pair
+    * generation. They carry no dedup signal (near-universal phrases)
+    * and are exactly the hot keys whose join buckets blow up at
+    * 100 TB — capping DF bounds every equi-join bucket at
+    * `DfCapFraction × |docs|` BY CONSTRUCTION, which no salting
+    * scheme can guarantee. The DF pass is a window count on the same
+    * shuffle key the pair join uses, so both sides of the self-join
+    * reuse one exchange. */
+  def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = t(spark, dir, "documents")
+      .groupBy().agg(count(lit(1)).as("n_docs"))
+    val byShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    val kept = shingleDf(spark, dir)
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * DfCapFraction)
+      .select(col("doc_id"), col("shingle"))
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val inter = kept.as("x")
+      .join(kept.as("y").hint("merge"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter_cnt").cast("double") /
+          (col("ca.cnt") + col("cb.cnt") - col("inter_cnt"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramJaccardCappedSql: String =
+    s"""WITH $shingleCte,
+       |sdf AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+       |kept AS (
+       |  SELECT s.doc_id, s.shingle FROM shingles s
+       |  JOIN sdf ON s.shingle = sdf.shingle
+       |  WHERE sdf.df <= (SELECT COUNT(*) FROM documents) * $DfCapFraction),
+       |counts AS (SELECT doc_id, COUNT(*) AS cnt FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |  FROM kept x JOIN kept y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter_cnt AS DOUBLE) / (ca.cnt + cb.cnt - inter_cnt) AS jaccard
+       |FROM inter
+       |JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE CAST(inter_cnt AS DOUBLE) / (ca.cnt + cb.cnt - inter_cnt) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------- simhash
   /** Per-word bit j of a 32-bit hash derived from md5 hex nibbles:
     * nibble = strpos('0123456789abcdef', hex_char) - 1, then extract
@@ -315,6 +374,7 @@ object Dedup {
     "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
     "dedup_minhash_lsh" -> ((dedupMinhashLsh _, dedupMinhashLshSql)),
     "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),
+    "dedup_ngram_jaccard_capped" -> ((dedupNgramJaccardCapped _, dedupNgramJaccardCappedSql)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
     "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)))
 }

@@ -68,9 +68,11 @@ object Multimodal {
    * batch shape (record iterator in, feature iterator out, zero
    * driver involvement) is the real contract.
    *
-   * Declared rows-only for the oracle gate (byte-level arithmetic is
-   * not portably SQL-expressible); golden values are asserted in
-   * MultimodalSpec.
+   * Fully oracled: the corpus is ASCII (verified: strlen == length on
+   * every SF), so per-byte arithmetic equals DuckDB per-code-point
+   * arithmetic, and every sum/mean below is an exact integer sum
+   * followed by one double division — bit-identical cross-engine.
+   * Golden values are additionally asserted in MultimodalSpec.
    */
   def mmDecodeStub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -91,12 +93,37 @@ object Multimodal {
       }
     }.toDF()
       .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
-        round(expr("aggregate(chunk_means, 0.0D, (acc, x) -> acc + x)") / 4, 6)
+        (expr("aggregate(chunk_means, 0.0D, (acc, x) -> acc + x)") / 4)
           .as("mean_of_chunks"))
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB twin of the stub-decode arithmetic: code points stand in
+    * for bytes (ASCII corpus), list_slice bounds mirror the Spark
+    * chunking (lo = c*n/4 exclusive, hi = (c+1)*n/4 inclusive,
+    * 1-based), and the chunk-mean sum keeps the left-associated
+    * order of the Spark-side aggregate(). */
+  val mmDecodeStubSql: String = {
+    val chunkMeans = (0 until 4).map { c =>
+      val lo = s"($c * n) // 4"
+      val hi = s"(${c + 1} * n) // 4"
+      s"CAST(list_aggregate(list_slice(cps, $lo + 1, $hi), 'sum') AS DOUBLE) / ($hi - $lo) AS m$c"
+    }.mkString(",\n      |    ").stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, strlen(text) AS n,
+       |    list_transform(range(1, strlen(text) + 1), i -> ascii(substr(text, i, 1))) AS cps
+       |  FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, n,
+       |    CAST(list_aggregate(cps, 'sum') AS DOUBLE) / n AS mean_byte,
+       |    $chunkMeans
+       |  FROM b)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, mean_byte,
+       |  (((m0 + m1) + m2) + m3) / 4 AS mean_of_chunks
+       |FROM chunks ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
-    "mm_decode_stub" -> ((mmDecodeStub _, ""))) // rows-only: stub decode
+    "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)))
 }
