@@ -9,9 +9,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.slf4j.LoggerFactory
 
 import graft.core._
@@ -64,7 +66,16 @@ object AlpacaPartitioning {
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
   /** `[start,end]` × symbols cross-product; single interval when the
-    * range fits (`common.py:364-382`). Bounds clamp exactly to `end`. */
+    * range fits (`common.py:364-382`). Bounds clamp exactly to `end`.
+    *
+    * Boundary semantics: interior tiles share boundary instants
+    * ([a,b] then [b,c]). Against a HALF-OPEN server (this repo's
+    * declared fetch contract, honored by the stub) tiles never
+    * double-fetch. The REAL Alpaca API treats start/end as inclusive,
+    * so a record exactly at an interior boundary would be fetched by
+    * both tiles — the reference has the identical double-fetch
+    * behavior (`common.py:364-382`); deduplicate downstream (e.g.
+    * dropDuplicates on (symbol, time)) when targeting the live API. */
   def plan(symbols: Seq[String], startUs: Long, endUs: Long,
       intervalUs: Long): Seq[SymbolTimeRangePartition] = {
     val range = endUs - startUs
@@ -235,10 +246,13 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
   override def toBatch: Batch = this
 
   /** Streaming upgrade over the reference (SURVEY §2.11): replay the
-    * configured range in `stream_step` micro-batches. */
+    * configured range in `stream_step` micro-batches. The scan's
+    * pruned schema and pushed limit are threaded through so streaming
+    * rows are shaped exactly like readSchema() declares. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AlpacaMicroBatchStream(sourceDef, cfg, cfg.streamStepMicros)
+    new AlpacaMicroBatchStream(sourceDef, cfg, cfg.streamStepMicros,
+      outSchema, limitOpt)
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)
@@ -263,32 +277,38 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
 class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
     dataKey: String, parser: RecordParser,
     outSchema: StructType = null,
-    limitOpt: Option[Int] = None) extends PartitionReaderFactory {
+    limitOpt: Option[Int] = None,
+    columnar: Boolean = true) extends PartitionReaderFactory {
+
+  private def schemaOut: StructType =
+    if (outSchema == null) parser.schema else outSchema
+
+  /** Columnar hand-off (the reference's headline feature: one Arrow
+    * RecordBatch per API page, `common.py:461-493`, README.md:15):
+    * one ColumnarBatch per page, consumed by Spark's codegen'd
+    * ColumnarToRow. Batch reads only — the micro-batch stream stays
+    * row-based (stateful streaming plans don't consume columnar). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AlpacaPartitionReader(cfg, pathElements, dataKey, parser,
-      partition.asInstanceOf[SymbolTimeRangePartition],
-      if (outSchema == null) parser.schema else outSchema, limitOpt)
+      partition.asInstanceOf[SymbolTimeRangePartition], schemaOut, limitOpt)
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new AlpacaColumnarPartitionReader(cfg, pathElements, dataKey, parser,
+      partition.asInstanceOf[SymbolTimeRangePartition], schemaOut, limitOpt)
 }
 
-/** Executor-side reader: paginated HTTP fetch → JSON parse → rows,
-  * fully pipelined (page at a time, SURVEY §2.3-2.4). Malformed
-  * records are warned and skipped (E4); HTTP failures after retries
-  * fail the Spark task (task retry covers the rest). */
-class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
-    dataKey: String, parser: RecordParser, partition: SymbolTimeRangePartition,
-    outSchema: StructType, limitOpt: Option[Int] = None)
-  extends PartitionReader[InternalRow] {
+/** Shared executor-side page source: paginated HTTP fetch → JSON parse
+  * → per-page InternalRow iterators, fully pipelined (page at a time,
+  * SURVEY §2.3-2.4). Malformed records are warned and skipped (E4);
+  * HTTP failures after retries fail the Spark task (task retry covers
+  * the rest). */
+private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
+    pathElements: Seq[String], dataKey: String, parser: RecordParser,
+    partition: SymbolTimeRangePartition) {
 
   private val log = LoggerFactory.getLogger(getClass)
-
-  /** Pruned-column projection: ordinal+type pairs from the full row. */
-  private val projection: Option[Array[(Int, org.apache.spark.sql.types.DataType)]] =
-    if (outSchema.fieldNames.sameElements(parser.schema.fieldNames)) None
-    else Some(outSchema.fields.map { f =>
-      (parser.schema.fieldIndex(f.name), f.dataType)
-    })
-
-  private var emitted = 0L
 
   /** Per-partition parameter binding (P4, `common.py:384-397`):
     * passthrough options with symbol/start/end/limit overridden. */
@@ -301,7 +321,9 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
     overridden.toSeq.sortBy(_._1)
   }
 
-  private lazy val rows: Iterator[InternalRow] = {
+  /** One inner iterator per API page (page-lazy: the next HTTP request
+    * only happens when the previous page's rows are consumed). */
+  lazy val pages: Iterator[Iterator[InternalRow]] = {
     val client = new AlpacaHttpClient(
       cfg.endpoint,
       Map(
@@ -309,8 +331,7 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
         "APCA-API-KEY-ID" -> cfg.apiKeyId,
         "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
       pathElements)
-    client.fetchAllPages(partitionParams, cfg.rateLimitDelaySec)
-      .flatMap(parsePage)
+    client.fetchAllPages(partitionParams, cfg.rateLimitDelaySec).map(parsePage)
   }
 
   private def parsePage(page: JsonNode): Iterator[InternalRow] = {
@@ -328,6 +349,27 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
       }
     }
   }
+}
+
+/** Row-at-a-time reader (micro-batch streaming path; batch reads go
+  * through the columnar reader below). */
+class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
+    dataKey: String, parser: RecordParser, partition: SymbolTimeRangePartition,
+    outSchema: StructType, limitOpt: Option[Int] = None)
+  extends PartitionReader[InternalRow] {
+
+  /** Pruned-column projection: ordinal+type pairs from the full row. */
+  private val projection: Option[Array[(Int, org.apache.spark.sql.types.DataType)]] =
+    if (outSchema.fieldNames.sameElements(parser.schema.fieldNames)) None
+    else Some(outSchema.fields.map { f =>
+      (parser.schema.fieldIndex(f.name), f.dataType)
+    })
+
+  private var emitted = 0L
+
+  private lazy val rows: Iterator[InternalRow] =
+    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition)
+      .pages.flatten
 
   private var current: InternalRow = _
   override def next(): Boolean =
@@ -344,4 +386,75 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
     } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Columnar reader: one ColumnarBatch per API page — the Spark-native
+  * analogue of the reference's one-PyArrow-RecordBatch-per-page
+  * (`common.py:461-493`). Downstream operators consume the vectors
+  * through whole-stage-codegen'd ColumnarToRow, skipping per-row
+  * iterator overhead on scan-heavy queries. */
+class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
+    pathElements: Seq[String], dataKey: String, parser: RecordParser,
+    partition: SymbolTimeRangePartition, outSchema: StructType,
+    limitOpt: Option[Int] = None)
+  extends PartitionReader[ColumnarBatch] {
+
+  /** Output-field ordinal in the parser's full row + its type. */
+  private val ordinals: Array[(Int, org.apache.spark.sql.types.DataType)] =
+    outSchema.fields.map(f => (parser.schema.fieldIndex(f.name), f.dataType))
+
+  private lazy val pages: Iterator[Iterator[InternalRow]] =
+    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition).pages
+
+  private var emitted = 0L
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    close() // release the previous page's vectors
+    if (limitOpt.exists(emitted >= _)) return false
+    while (pages.hasNext) {
+      var rows = pages.next().toArray
+      limitOpt.foreach { lim =>
+        if (rows.length > lim - emitted) rows = rows.take((lim - emitted).toInt)
+      }
+      if (rows.nonEmpty) {
+        batch = fillBatch(rows)
+        emitted += rows.length
+        return true
+      }
+    }
+    false
+  }
+
+  private def fillBatch(rows: Array[InternalRow]): ColumnarBatch = {
+    import org.apache.spark.sql.types._
+    val vecs = OnHeapColumnVector.allocateColumns(rows.length, outSchema)
+    var c = 0
+    while (c < ordinals.length) {
+      val (ord, dt) = ordinals(c)
+      val vec = vecs(c)
+      var i = 0
+      while (i < rows.length) {
+        val row = rows(i)
+        if (row.isNullAt(ord)) vec.putNull(i)
+        else dt match {
+          case StringType =>
+            val b = row.getUTF8String(ord).getBytes
+            vec.putByteArray(i, b, 0, b.length)
+          case TimestampType | LongType => vec.putLong(i, row.getLong(ord))
+          case DoubleType => vec.putDouble(i, row.getDouble(ord))
+          case IntegerType => vec.putInt(i, row.getInt(ord))
+          case other =>
+            throw new UnsupportedOperationException(s"columnar type $other")
+        }
+        i += 1
+      }
+      c += 1
+    }
+    new ColumnarBatch(vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], rows.length)
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit =
+    if (batch != null) { batch.close(); batch = null }
 }

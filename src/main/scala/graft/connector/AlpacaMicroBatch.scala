@@ -27,7 +27,9 @@ case class TimeOffset(micros: Long) extends Offset {
 class AlpacaMicroBatchStream(
     sourceDef: AlpacaSourceDef,
     cfg: AlpacaScanConfig,
-    stepMicros: Long) extends MicroBatchStream {
+    stepMicros: Long,
+    outSchema: org.apache.spark.sql.types.StructType = null,
+    limitOpt: Option[Int] = None) extends MicroBatchStream {
 
   private var currentEnd: Long = cfg.startMicros
 
@@ -51,9 +53,12 @@ class AlpacaMicroBatchStream(
     else cfg.symbols.map(SymbolTimeRangePartition(_, s, e)).toArray[InputPartition]
   }
 
+  /** Row-based (columnar = false): stateful streaming plans consume
+    * rows. The scan's pruned schema and pushed limit are honored so
+    * emitted rows always match the scan's declared readSchema(). */
   override def createReaderFactory(): PartitionReaderFactory =
     new AlpacaReaderFactory(cfg, sourceDef.pathElements, sourceDef.dataKey,
-      sourceDef.parser)
+      sourceDef.parser, outSchema, limitOpt, columnar = false)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -145,6 +145,16 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.collect().length == 5)
   }
 
+  test("batch scans read columnar: one ColumnarBatch per API page") {
+    val df = barsReader().load()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"expected columnar scan:\n$plan")
+    assert(df.count() == 96) // identical data through the columnar path
+    // pruned projection also flows through the vectors
+    val pruned = barsReader().load().select(col("symbol"), col("close"))
+    assert(pruned.collect().forall(_.getDouble(1) > 0))
+  }
+
   test("empty response (unknown path range) yields empty DataFrame") {
     val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
