@@ -232,7 +232,14 @@ object AlpacaQueries {
   /** The reference docs' flagship multi-source analysis
     * (USAGE.md:247-280): bars equi+interval-joined to trades, per-bar
     * trade stats — both sides read through the connector, join and
-    * aggregation delegated to Catalyst. */
+    * aggregation delegated to Catalyst.
+    *
+    * Skew design: bars sit on the hourly grid, so "trade inside the
+    * bar's hour" IS an equi-join on (symbol, date_trunc(hour, time)).
+    * The hour bucket joins the shuffle key, so a hot symbol (think
+    * SPY at 100 TB: one symbol = a whole executor's worth of trades
+    * under a symbol-only key) spreads across 24×days tasks; the range
+    * predicates remain as residuals for semantic robustness. */
   def barsTradesJoin(spark: SparkSession, dir: String): DataFrame = {
     val bars = barsDf(spark, Map("start" -> tradesStart, "end" -> tradesEnd))
       .select(col("symbol"), col("time").as("bar_time"), col("close"))
@@ -244,6 +251,7 @@ object AlpacaQueries {
         col("price"), col("size"))
     bars.join(trades,
         col("symbol") === col("t_symbol") &&
+          date_trunc("hour", col("t_time")) === col("bar_time") &&
           col("t_time") >= col("bar_time") &&
           col("t_time") < col("bar_time") + expr("INTERVAL 1 HOUR"))
       .groupBy(col("symbol"),

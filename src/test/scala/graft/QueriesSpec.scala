@@ -29,9 +29,17 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracle SQL declared for every query except known rows-only ops") {
-    val rowsOnly = Set("mm_decode_stub")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("oracle SQL declared for every query (no rows-only ops remain)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("bars⋈trades flagship shuffles on (symbol, hour-bucket), not symbol alone") {
+    val df = operators.AlpacaQueries.barsTradesJoin(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val keys = "(?:SortMergeJoin|ShuffledHashJoin) \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(keys.split(",").length >= 2,
+      s"compound shuffle key expected, got [$keys] in:\n$plan")
   }
 }
