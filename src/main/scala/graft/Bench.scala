@@ -16,6 +16,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed generic JVM/codegen warmup (~2 s): without it the first
+    // measured query absorbs ~10 s of classloading + Janino compilation
+    // regardless of which query runs first. Deliberately NOT a dry run
+    // of the real queries (a full double-run accumulates driver/GC
+    // state and produced outliers — see SCALE.md bench notes).
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(1000).selectExpr("id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v")
+      warm.groupBy(col("k")).agg(sum(col("v")), approx_count_distinct(col("id")))
+        .join(broadcast(warm.limit(10).withColumnRenamed("k", "k2")), col("k") === col("k2"))
+        .write.format("noop").mode("overwrite").save()
+      spark.range(100).selectExpr("sequence(0, 9) AS a")
+        .selectExpr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS s")
+        .write.format("noop").mode("overwrite").save()
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -157,6 +157,87 @@ object Similarity {
        |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= $AnnTopK
        |ORDER BY query_id, vec_id""".stripMargin
 
+  // ---------------------------------------------------------- IVF ANN
+  private val IvfK = 8 // centroids ("trained" = first K corpus vectors)
+  private val IvfTopK = 3
+
+  /** IVF-style ANN — the second scale path beside LSH: partition the
+    * corpus into K inverted lists by nearest centroid, then search
+    * only the query's own cell (nprobe = 1).
+    *
+    * Scale design: centroid assignment is a broadcast of K constant
+    * vectors + a partial-aggregable max(struct(score, cent_id)) —
+    * map-side combine, no window sort; the search is a cell equi-join
+    * exactly like the LSH bucket join. At 100 TB, K grows to √N and
+    * the centroids come from a sampled k-means, but the plan shape —
+    * broadcast-assign, partial-agg argmax, cell equi-join — is
+    * unchanged. Ties (a vector scoring equal against two centroids)
+    * break to the larger cent_id in BOTH engines. */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
+        normCol("embedding").as("cnorm"))
+    val cscores = emb
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        (dotCol("embedding", "cvec") / (col("vnorm") * col("cnorm"))).as("cscore"),
+        col("cent_id"))
+    val cells = cscores.groupBy(col("vec_id"))
+      .agg(max(struct(col("cscore"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"))
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
+      .join(cells, "vec_id")
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("vnorm").as("qnorm"), col("cell").as("qcell"))
+    val scored = corpus
+      .join(broadcast(queries), col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dotCol("embedding", "qe") / (col("vnorm") * col("qnorm"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  /** DuckDB twin: argmax expressed as max-score + max(cent_id) among
+    * the max-scorers (identical tie semantics to Spark's
+    * max(struct(cscore, cent_id))); scores are bit-exact so the
+    * float-equality join is safe. */
+  val simAnnIvfSql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $IvfK),
+       |cscores AS (
+       |  SELECT e.vec_id, cent_id, ${cosineSql("e.embedding", "cvec")} AS cscore
+       |  FROM embeddings e, cent),
+       |best AS (SELECT vec_id, MAX(cscore) AS ms FROM cscores GROUP BY vec_id),
+       |cells AS (
+       |  SELECT s.vec_id, MAX(s.cent_id) AS cell
+       |  FROM cscores s JOIN best b ON s.vec_id = b.vec_id AND s.cscore = b.ms
+       |  GROUP BY s.vec_id),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, c.cell FROM embeddings e
+       |  JOIN cells c ON e.vec_id = c.vec_id),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
+       |  FROM corpus WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, c.vec_id, ${cosineSql("c.embedding", "qe")} AS cosine
+       |  FROM corpus c JOIN q ON c.cell = q.qcell AND c.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= $IvfTopK
+       |ORDER BY query_id, vec_id""".stripMargin
+
   // ------------------------------------------- embedding near-dup pairs
   /** Embedding-cosine near-dup candidates: pairs in the same LSH
     * bucket with cosine ≥ 0.35 (this corpus's random vectors top out
@@ -188,5 +269,6 @@ object Similarity {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
+    "sim_ann_ivf" -> ((simAnnIvf _, simAnnIvfSql)),
     "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)))
 }

@@ -1,7 +1,15 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Open-session state for one user (streaming sessionization). */
+case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** A closed session emitted downstream. */
+case class SessionOut(user_id: Long, start_ms: Long, n_events: Long,
+    duration_ms: Long)
 
 /**
  * Structured Streaming surface (SURVEY §2.11 names this the natural
@@ -67,6 +75,62 @@ object Streaming {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
+
+  /**
+   * Streaming sessionization with CUSTOM state — the
+   * `flatMapGroupsWithState` pattern (SURVEY §2.11): per-user sessions
+   * close after a `gapMinutes` event-time silence, enforced by a
+   * watermark + EventTimeTimeout. The incremental twin of the batch
+   * `Events.sessionize` gate.
+   *
+   * Scale design: state is ONE (start, last, count) triple per active
+   * user — bounded by concurrent-user cardinality, independent of
+   * event volume; closed sessions leave state immediately (timeout →
+   * remove). Input is shuffled once on user_id, the same key the
+   * batch variant windows on.
+   *
+   * Input columns: user_id LONG, ts TIMESTAMP. Emits closed sessions
+   * only (append mode).
+   */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: the session is closed
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startMs, s.n, s.lastMs - s.startMs))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var open = state.getOption
+            times.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.startMs, s.n, s.lastMs - s.startMs)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)))

@@ -21,6 +21,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 1000L)
   }
 
+  test("flatMapGroupsWithState sessionization: gap closes sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = operators.Streaming.sessionizeStream(
+      input.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_test").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // user 1: two events 5 min apart; user 2: one event
+      input.addData((1L, ts(10, 0)), (1L, ts(10, 5)), (2L, ts(10, 0)))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").count() == 0) // nothing closed yet
+      // watermark jumps past 10:05+30m → both sessions time out
+      input.addData((3L, ts(11, 30)))
+      q.processAllAvailable()
+      input.addData((3L, ts(12, 30))) // extra trigger fires the timeouts
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, 2L, 5L * 60 * 1000)), s"user1 session wrong: $rows")
+      assert(rows.contains((2L, 1L, 0L)), s"user2 session wrong: $rows")
+      // user 1's in-gap second event merged (no single-event split session)
+      assert(!rows.exists(r => r._1 == 1L && r._2 == 1L))
+    } finally q.stop()
+  }
+
   test("append mode + watermark: late rows beyond the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
