@@ -76,18 +76,26 @@ object Dedup {
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY prefix_hash""".stripMargin
 
   // ---------------------------------------------------------- minhash
-  /** MinHash signature columns s1..s16: lexicographic min of
-    * md5(k + '|' + shingle) stands in for the k-th permutation. */
+  /** MinHash signature columns s1..s16: numeric min of the first 60
+    * bits (15 hex chars) of md5(k + '|' + shingle) stands in for the
+    * k-th permutation — same ordering as the lexicographic hex min
+    * (ties beyond 60 bits are irrelevant), but the aggregation buffer
+    * is a primitive LONG, so the 16 min()s plan as HashAggregate
+    * instead of SortAggregate (r1 sorted every shingle row twice per
+    * signature pass). Spark `conv(hex,16,10)` and DuckDB
+    * `('0x'||hex)::BIGINT` parse identically. */
   private def sigDf(spark: SparkSession, dir: String): DataFrame = {
     val sigCols = (1 to NumPerms).map { k =>
-      min(md5(concat_ws("|", lit(k.toString), col("shingle")))).as(s"s$k")
+      min(conv(substring(md5(concat_ws("|", lit(k.toString), col("shingle"))), 1, 15),
+        16, 10).cast("bigint")).as(s"s$k")
     }
     shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   private val sigCte: String = {
     val sigs = (1 to NumPerms)
-      .map(k => s"MIN(md5('$k|' || shingle)) AS s$k").mkString(", ")
+      .map(k => s"MIN(('0x' || SUBSTR(md5('$k|' || shingle), 1, 15))::BIGINT) AS s$k")
+      .mkString(", ")
     s"sigs AS (SELECT doc_id, $sigs FROM shingles GROUP BY doc_id)"
   }
 
@@ -97,7 +105,7 @@ object Dedup {
   private def bandDf(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
-        md5(concat((1 to 4).map(r => col(s"s${4 * b + r}")): _*)).as("bh"))
+        md5(concat_ws("|", (1 to 4).map(r => col(s"s${4 * b + r}").cast("string")): _*)).as("bh"))
     }
     val sigCols = (1 to NumPerms).map(k => col(s"s$k"))
     sigs.select(col("doc_id") +: sigCols :+ explode(array(bands: _*)).as("band"): _*)
@@ -107,7 +115,7 @@ object Dedup {
 
   private val bandCte: String = {
     val parts = (0 until NumBands).map { b =>
-      val cc = (1 to 4).map(r => s"s${4 * b + r}").mkString(" || ")
+      val cc = (1 to 4).map(r => s"s${4 * b + r}::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_id, md5($cc) AS bh FROM sigs"
     }
     s"bands AS (${parts.mkString(" UNION ALL ")})"
