@@ -40,7 +40,10 @@ object Bench {
     // Optional comma-separated filter for targeted local runs
     // (unset for the driver's full sweep).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.toSeq
+    // Sorted execution order: Map iteration order reshuffles whenever a
+    // query is added, which silently moves first-use JIT attribution
+    // between queries across rounds. Alphabetical = stable comparisons.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
