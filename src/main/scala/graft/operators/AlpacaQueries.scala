@@ -288,6 +288,48 @@ object AlpacaQueries {
        |ORDER BY symbol, bar_hour""".stripMargin
   }
 
+  // ------------------------------------- scan-throughput gate (r2)
+  /** Scan-heavy connector gate: one full YEAR of 10-minute trades × 2
+    * symbols (~105k records, 730 planned symbol×day partitions, one
+    * page each) flows through HTTP fetch → JSON parse → per-page
+    * ColumnarBatch → partial monthly aggregation. The other alpaca_*
+    * gates verify semantics on ≤300 rows; this one makes connector
+    * THROUGHPUT a measured, regression-guarded number in BENCH. The
+    * oracle stays compact (24 monthly rows computed from the shared
+    * fixture functions). */
+  private val yearStart = "2021-01-01T00:00:00Z"
+  private val yearEnd = "2022-01-01T00:00:00Z"
+
+  def tradesThroughput(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> yearStart, "end" -> yearEnd))
+      .load()
+      .groupBy(col("symbol"), date_format(col("time"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("size")).as("sum_size"),
+        sum(col("price").cast("decimal(18,2)") * col("size"))
+          .cast("double").as("notional"))
+      .orderBy(col("symbol"), col("month"))
+
+  def tradesThroughputSql: String = {
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(yearStart), us(yearEnd))
+        .groupBy(t => (t.symbol, fmtTs(t.timeUs).take(7)))
+        .toSeq.sortBy(_._1)
+        .map { case ((sym, month), ts) =>
+          val notionalCents = ts.map(t => math.round(t.price * 100) * t.size).sum
+          s"(${sqlStr(sym)}, ${sqlStr(month)}, ${ts.size}, ${ts.map(_.size).sum}, " +
+            s"${fmtD(notionalCents / 100.0)})"
+        }
+    }
+    s"""SELECT symbol, month, CAST(n_trades AS BIGINT) AS n_trades,
+       |  CAST(sum_size AS BIGINT) AS sum_size, CAST(notional AS DOUBLE) AS notional
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, month, n_trades, sum_size, notional)
+       |ORDER BY symbol, month""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_bars_trades_join" -> ((barsTradesJoin _, barsTradesJoinSql)),
     "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
@@ -297,6 +339,7 @@ object AlpacaQueries {
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
+    "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }
