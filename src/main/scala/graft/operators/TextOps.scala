@@ -127,21 +127,27 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------ fingerprint
-  /** Document fingerprinting (winnowing-lite): min and max md5 over
-    * the doc's 3-gram shingles + the shingle count — a compact,
-    * order-independent content fingerprint. Partial-aggregable
-    * min/max ⇒ shuffle carries one row per doc. */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+  /** Document fingerprinting (winnowing-lite): min and max 60-bit
+    * shingle hashes + the shingle count — a compact, order-independent
+    * content fingerprint. Numeric (first 15 hex chars of md5, same
+    * ordering as the lexicographic hex min/max) so the aggregation
+    * buffer is a primitive LONG ⇒ HashAggregate, not SortAggregate —
+    * at 100 TB this is the difference between hashing and SORTING
+    * every shingle row. Shuffle carries one row per doc. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("bigint")
     Dedup.shingleDf(spark, dir)
       .groupBy(col("doc_id"))
-      .agg(min(md5(col("shingle"))).as("fp_min"),
-        max(md5(col("shingle"))).as("fp_max"),
+      .agg(min(h).as("fp_min"), max(h).as("fp_max"),
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
+  }
 
   val textFingerprintSql: String =
     s"""WITH ${Dedup.shingleCte}
-       |SELECT doc_id, MIN(md5(shingle)) AS fp_min, MAX(md5(shingle)) AS fp_max,
+       |SELECT doc_id,
+       |  MIN(('0x' || SUBSTR(md5(shingle), 1, 15))::BIGINT) AS fp_min,
+       |  MAX(('0x' || SUBSTR(md5(shingle), 1, 15))::BIGINT) AS fp_max,
        |  COUNT(*) AS n_shingles
        |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
