@@ -195,8 +195,11 @@ object Dedup {
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleDf(spark, dir)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    // merge-pinned like every pair self-join here: the shingle set
+    // grows with the corpus (never broadcastable at scale) and the
+    // symmetric shuffle lets both sides reuse one exchange.
     val inter = sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle") &&
+      .join(sh.as("y").hint("merge"), col("x.shingle") === col("y.shingle") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_cnt"))
