@@ -74,6 +74,19 @@ object OptionBarsDef extends BarsSourceDef {
   override val pathElements = Seq("options", "bars")
 }
 
+/** Crypto OHLCV bars — format "Alpaca_Crypto_Bars". The reference
+  * ships only an EMPTY crypto module (`crypto/__init__.py:1` — the
+  * declared-but-unbuilt source); this completes it against the
+  * public Alpaca crypto endpoint shape (`/v1beta3/crypto/us/bars`,
+  * slash symbols like BTC/USD — URL-encoded by the shared HTTP core,
+  * same bar record schema, no stock-only adjustment/feed/asof
+  * options). Everything else — volume-aware partitioning, pagination,
+  * retry, columnar batches — is inherited from the bars family. */
+object CryptoBarsDef extends BarsSourceDef {
+  override val shortName = "Alpaca_Crypto_Bars"
+  override val pathElements = Seq("crypto", "us", "bars")
+}
+
 /** Tick-by-tick stock trades — format "Alpaca_Stocks_Trades"
   * (reference: `stocks/trades.py:25-141`). */
 object StockTradesDef extends AlpacaSourceDef {
@@ -153,5 +166,6 @@ object CorporateActionsDef extends AlpacaSourceDef {
 // DataSourceRegister entry points (META-INF/services), one per source.
 class StockBarsDataSource extends AlpacaTableProvider(StockBarsDef)
 class OptionBarsDataSource extends AlpacaTableProvider(OptionBarsDef)
+class CryptoBarsDataSource extends AlpacaTableProvider(CryptoBarsDef)
 class StockTradesDataSource extends AlpacaTableProvider(StockTradesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)

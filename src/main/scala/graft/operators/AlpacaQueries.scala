@@ -151,6 +151,17 @@ object AlpacaQueries {
   def optionBarsScanSql: String =
     barsValuesSql(Seq(occSymbol), us(barsStart), us(barsEnd), Hour)
 
+  /** Crypto bars through the completed S7 source: slash symbols
+    * (BTC/USD) exercise URL-encoding end-to-end; everything else is
+    * the shared bars family. */
+  private val cryptoSymbols = Seq("BTC/USD", "ETH/USD")
+  def cryptoBarsScan(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark, Map.empty, format = "Alpaca_Crypto_Bars",
+      symbols = cryptoSymbols))
+
+  def cryptoBarsScanSql: String =
+    barsValuesSql(cryptoSymbols, us(barsStart), us(barsEnd), Hour)
+
   // ----------------------------------------------------------- trades
   private val tradesStart = "2021-01-04T00:00:00Z"
   private val tradesEnd = "2021-01-05T00:00:00Z"
@@ -338,6 +349,7 @@ object AlpacaQueries {
     "alpaca_bars_sorted" -> ((barsSortedDesc _, barsSortedDescSql)),
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
+    "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),

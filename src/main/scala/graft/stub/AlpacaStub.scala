@@ -197,6 +197,8 @@ object AlpacaStubServer {
       (ex: HttpExchange) => handle(ex, barsHandler))
     server.createContext("/v2/options/bars",
       (ex: HttpExchange) => handle(ex, barsHandler))
+    server.createContext("/v2/crypto/us/bars",
+      (ex: HttpExchange) => handle(ex, barsHandler))
     server.createContext("/v2/stocks/trades", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("trades", symbol,
