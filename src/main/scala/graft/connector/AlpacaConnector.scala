@@ -29,6 +29,17 @@ trait AlpacaSourceDef extends Serializable {
   def dataKey: String
   def parser: RecordParser
 
+  /** API version path segment. The configured endpoint is normalized
+    * to its version-less base (AlpacaOptions.stripApiVersion) and each
+    * source prepends its own version: stocks/options data lives under
+    * `/v2/...` (`common.py:23-24`) while crypto lives under
+    * `/v1beta3/crypto/us/bars` — one shared endpoint option cannot
+    * carry both. */
+  def apiVersion: String = "v2"
+
+  /** Path as the HTTP client sees it: version segment + endpoint path. */
+  final def versionedPath: Seq[String] = apiVersion +: pathElements
+
   /** Source-specific option validation on top of the base matrix. */
   def extraValidate(params: Map[String, String]): Unit = ()
 
@@ -148,7 +159,7 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
     val endUs = AlpacaOptions.parseIsoMicros(params.getOrElse("end", ""))
       .getOrElse(throw new IllegalArgumentException("Invalid 'end' option"))
     val cfg = AlpacaScanConfig(
-      endpoint = endpointCfg.endpoint,
+      endpoint = AlpacaOptions.stripApiVersion(endpointCfg.endpoint),
       apiKeyId = endpointCfg.apiKeyId,
       apiKeySecret = endpointCfg.apiKeySecret,
       rateLimitDelaySec = endpointCfg.rateLimitDelaySec,
@@ -269,7 +280,7 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
       case Some(n) if n < cfg.limit => cfg.copy(limit = math.max(1, n))
       case _ => cfg
     }
-    new AlpacaReaderFactory(effectiveCfg, sourceDef.pathElements,
+    new AlpacaReaderFactory(effectiveCfg, sourceDef.versionedPath,
       sourceDef.dataKey, sourceDef.parser, outSchema, limitOpt)
   }
 }

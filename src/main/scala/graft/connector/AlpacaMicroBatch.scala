@@ -57,7 +57,7 @@ class AlpacaMicroBatchStream(
     * rows. The scan's pruned schema and pushed limit are honored so
     * emitted rows always match the scan's declared readSchema(). */
   override def createReaderFactory(): PartitionReaderFactory =
-    new AlpacaReaderFactory(cfg, sourceDef.pathElements, sourceDef.dataKey,
+    new AlpacaReaderFactory(cfg, sourceDef.versionedPath, sourceDef.dataKey,
       sourceDef.parser, outSchema, limitOpt, columnar = false)
 
   override def commit(end: Offset): Unit = ()

@@ -85,6 +85,7 @@ object OptionBarsDef extends BarsSourceDef {
 object CryptoBarsDef extends BarsSourceDef {
   override val shortName = "Alpaca_Crypto_Bars"
   override val pathElements = Seq("crypto", "us", "bars")
+  override val apiVersion = "v1beta3"
 }
 
 /** Tick-by-tick stock trades — format "Alpaca_Stocks_Trades"

@@ -16,6 +16,18 @@ case class EndpointConfig(
 object AlpacaOptions {
   /** reference: `common.py:23-24` */
   val DefaultEndpoint = "https://data.alpaca.markets/v2"
+
+  /** Normalizes an endpoint to its version-less base by stripping one
+    * trailing API-version segment (`/v2`, `/v1beta3`, ...). The default
+    * endpoint keeps the reference's `/v2` suffix for option-contract
+    * parity, but each source supplies its own version segment
+    * (crypto is `/v1beta3` while stocks/options are `/v2`), so the
+    * version is re-attached per source at URL-build time. Endpoints
+    * with no version suffix (e.g. a proxy base URL) pass through. */
+  def stripApiVersion(endpoint: String): String = {
+    val trimmed = endpoint.stripSuffix("/")
+    trimmed.replaceAll("/v\\d+[a-z0-9]*$", "")
+  }
   val DefaultLimit = 10000
   val ConfigOptionNames: Seq[String] =
     Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay",

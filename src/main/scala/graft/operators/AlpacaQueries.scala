@@ -329,7 +329,13 @@ object AlpacaQueries {
         .groupBy(t => (t.symbol, fmtTs(t.timeUs).take(7)))
         .toSeq.sortBy(_._1)
         .map { case ((sym, month), ts) =>
-          val notionalCents = ts.map(t => math.round(t.price * 100) * t.size).sum
+          // Mirror Spark's double→decimal(18,2) cast exactly: it
+          // rounds the double's SHORTEST decimal representation
+          // HALF_UP, which math.round(price*100) diverges from for
+          // prices like 123.455 (binary 123.45499…).
+          val notionalCents = ts.map(t => BigDecimal.valueOf(t.price)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(100)).toLongExact * t.size).sum
           s"(${sqlStr(sym)}, ${sqlStr(month)}, ${ts.size}, ${ts.map(_.size).sum}, " +
             s"${fmtD(notionalCents / 100.0)})"
         }

@@ -113,10 +113,37 @@ object Streaming {
             val times = rows.map(_._2.getTime).toArray.sorted
             var closed = List.empty[SessionOut]
             var open = state.getOption
-            times.foreach { t =>
+            // Out-of-order events within the watermark can precede the
+            // carried-over session. Those still within `gapMs` of its
+            // start merge backward (start moves earlier); anything
+            // older belongs to a separate EARLIER session, sessionized
+            // on its own and closed immediately — the open session
+            // already occupies the timeline after it. (The batch twin
+            // sees the whole timeline at once; immediate-close is the
+            // streaming approximation for that earlier-session tail.)
+            val (early, rest) = open match {
+              case Some(s) => times.partition(_ < s.startMs - gapMs)
+              case None => (Array.empty[Long], times)
+            }
+            var earlyOpen: Option[SessionState] = None
+            early.foreach { t =>
+              earlyOpen = earlyOpen match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  Some(s.copy(lastMs = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.startMs, s.n, s.lastMs - s.startMs)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            earlyOpen.foreach { s =>
+              closed ::= SessionOut(user, s.startMs, s.n, s.lastMs - s.startMs)
+            }
+            rest.foreach { t =>
               open = open match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                  Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.startMs, s.n, s.lastMs - s.startMs)
                   Some(SessionState(t, t, 1))

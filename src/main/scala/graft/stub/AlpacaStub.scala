@@ -197,7 +197,7 @@ object AlpacaStubServer {
       (ex: HttpExchange) => handle(ex, barsHandler))
     server.createContext("/v2/options/bars",
       (ex: HttpExchange) => handle(ex, barsHandler))
-    server.createContext("/v2/crypto/us/bars",
+    server.createContext("/v1beta3/crypto/us/bars",
       (ex: HttpExchange) => handle(ex, barsHandler))
     server.createContext("/v2/stocks/trades", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")

@@ -81,4 +81,18 @@ class OptionsSpec extends AnyFunSuite {
       AlpacaOptions.endpointConfig(Map("APCA-API-KEY-ID" -> "k"))
     }
   }
+
+  test("per-source API version: endpoint base strips one version segment") {
+    import graft.connector.{CryptoBarsDef, StockBarsDef}
+    assert(AlpacaOptions.stripApiVersion("https://data.alpaca.markets/v2") ==
+      "https://data.alpaca.markets")
+    assert(AlpacaOptions.stripApiVersion("https://data.alpaca.markets/v1beta3/") ==
+      "https://data.alpaca.markets")
+    // no version suffix (proxy base) passes through untouched
+    assert(AlpacaOptions.stripApiVersion("http://proxy.internal:8080/alpaca") ==
+      "http://proxy.internal:8080/alpaca")
+    // stocks stay under /v2, crypto under /v1beta3 (Alpaca crypto API)
+    assert(StockBarsDef.versionedPath == Seq("v2", "stocks", "bars"))
+    assert(CryptoBarsDef.versionedPath == Seq("v1beta3", "crypto", "us", "bars"))
+  }
 }

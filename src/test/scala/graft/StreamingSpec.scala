@@ -49,6 +49,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization merges cross-batch out-of-order events backward (start = min)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = operators.Streaming.sessionizeStream(
+      input.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_ooo_test").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      input.addData((7L, ts(11, 0)))
+      q.processAllAvailable() // watermark → 10:30
+      // late-but-within-watermark event PRECEDING the open session:
+      // must merge backward (start = 10:31), not be silently absorbed
+      input.addData((7L, ts(10, 31)))
+      q.processAllAvailable()
+      input.addData((8L, ts(13, 0))) // watermark jump closes user 7
+      q.processAllAvailable()
+      input.addData((8L, ts(14, 30))) // extra trigger fires the timeout
+      q.processAllAvailable()
+      val r7 = spark.table("sess_ooo_test")
+        .collect().filter(_.getLong(0) == 7L)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val startMs = ts(10, 31).getTime
+      assert(r7.toSeq == Seq((startMs, 2L, 29L * 60 * 1000)),
+        s"user7 should be one session [10:31, 11:00] n=2: ${r7.toSeq}")
+    } finally q.stop()
+  }
+
   test("append mode + watermark: late rows beyond the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
