@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in one JVM on a 128 GiB box:
+  // at 8g, Spark's 4.6 GiB unified region left ~145 MB of execution
+  // memory per task slot and bench timings swung 3-4x run-to-run from
+  // GC/spill pressure (q16: 5 s / 8 s / 19 s for the identical plan).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

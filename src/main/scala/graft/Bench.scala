@@ -46,6 +46,11 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
+      // Untimed GC between queries: without it, garbage promoted by
+      // earlier queries gets collected DURING later ones, charging
+      // one query's timing with another's cleanup (the main source of
+      // run-to-run variance in the 50-query sweep).
+      System.gc()
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
