@@ -76,27 +76,36 @@ object Dedup {
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY prefix_hash""".stripMargin
 
   // ---------------------------------------------------------- minhash
-  /** MinHash signature columns s1..s16: numeric min of the first 60
-    * bits (15 hex chars) of md5(k + '|' + shingle) stands in for the
-    * k-th permutation — same ordering as the lexicographic hex min
-    * (ties beyond 60 bits are irrelevant), but the aggregation buffer
-    * is a primitive LONG, so the 16 min()s plan as HashAggregate
-    * instead of SortAggregate (r1 sorted every shingle row twice per
-    * signature pass). Spark `conv(hex,16,10)` and DuckDB
-    * `('0x'||hex)::BIGINT` parse identically. */
+  /** MinHash signature columns s1..s16 via the Kirsch–Mitzenmacher
+    * construction: ONE md5 per shingle, split into two disjoint 56-bit
+    * halves h1/h2 (14 hex chars each), with the k-th permutation
+    * g_k = h1 + k·h2. Versus hashing 16× per shingle (r1/r2), this
+    * cuts the dominant signature-stage cost 16× — at sf0.1 that is
+    * ~16M md5 calls down to ~1M — while both engines compute bit-
+    * identical values (Spark `conv(hex,16,10)`, DuckDB
+    * `('0x'||hex)::BIGINT`, then exact BIGINT arithmetic; max value
+    * 17·2^56 < 2^63, so no overflow on either side). Aggregation
+    * buffers stay primitive LONGs → the 16 min()s plan as
+    * HashAggregate. */
   private def sigDf(spark: SparkSession, dir: String): DataFrame = {
+    val h1 = conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("bigint")
+    val h2 = conv(substring(md5(col("shingle")), 17, 14), 16, 10).cast("bigint")
     val sigCols = (1 to NumPerms).map { k =>
-      min(conv(substring(md5(concat_ws("|", lit(k.toString), col("shingle"))), 1, 15),
-        16, 10).cast("bigint")).as(s"s$k")
+      min(h1 + lit(k.toLong) * h2).as(s"s$k")
     }
     shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   private val sigCte: String = {
     val sigs = (1 to NumPerms)
-      .map(k => s"MIN(('0x' || SUBSTR(md5('$k|' || shingle), 1, 15))::BIGINT) AS s$k")
+      .map(k => s"MIN(h1 + $k*h2) AS s$k")
       .mkString(", ")
-    s"sigs AS (SELECT doc_id, $sigs FROM shingles GROUP BY doc_id)"
+    s"""hashed AS (
+       |  SELECT doc_id,
+       |    ('0x' || SUBSTR(md5(shingle), 1, 14))::BIGINT AS h1,
+       |    ('0x' || SUBSTR(md5(shingle), 17, 14))::BIGINT AS h2
+       |  FROM shingles),
+       |sigs AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id)""".stripMargin
   }
 
   /** LSH bands: 4 bands of 4 signature rows, hashed to one bucket key.

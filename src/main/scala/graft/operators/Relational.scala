@@ -380,17 +380,29 @@ object Relational {
     * (exact value, within-5%-flag): each engine's own sketch must land
     * within tolerance of the shared exact count — sound because HLL
     * insertion is order-independent (deterministic per engine). */
-  def q16ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_partkey").as("exact_parts"),
-        // rsd 0.01 ⇒ typical sketch error ~1%, comfortably inside the
-        // 5% contract flag (at rsd=0.05 the flag itself would be ~1σ)
-        approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+  def q16ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    // The exact distinct and the sketch are SEPARATE aggregations
+    // joined on the (tiny) group key. Asking for both in one agg
+    // plans the distinct-rewrite Expand, whose partial aggregation
+    // keys on (l_returnflag, l_partkey, gid) — and every one of
+    // those ~|distinct pairs| hash-map entries carries the ~21 KB
+    // HLL buffer (rsd 0.01 ⇒ p=14): gigabytes of aggregation state
+    // for a 3-row result, measured as intermittent 20 s+ spill/GC
+    // stalls. Split, the sketch buffer exists for 3 groups total and
+    // each aggregation is a clean two-phase partial agg.
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    // rsd 0.01 ⇒ typical sketch error ~1%, comfortably inside the
+    // 5% contract flag (at rsd=0.05 the flag itself would be ~1σ)
+    val approx = li.groupBy($"l_returnflag".as("rf"))
+      .agg(approx_count_distinct($"l_partkey", 0.01).as("approx_parts"))
+    exact.join(broadcast(approx), $"l_returnflag" === $"rf")
       .select($"l_returnflag", $"exact_parts",
         when(abs($"approx_parts" - $"exact_parts") <=
           $"exact_parts" * 0.05, 1L).otherwise(0L).as("approx_within_5pct"))
       .orderBy($"l_returnflag")
+  }
 
   val q16Sql: String =
     """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
