@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.stub.AlpacaFixtures
+
+/**
+ * Time-series analytics over connector data — the queries a market-data
+ * user of the reference actually runs on bars once they are in Spark
+ * (the reference's own USAGE.md closes with exactly this kind of SQL
+ * over the loaded views; reference: `USAGE.md:245-280`): daily VWAP,
+ * moving averages, close-to-close returns. Each gate reads through the
+ * full DSv2 connector path against the stub and carries a fixture-
+ * computed DuckDB VALUES oracle.
+ *
+ * Double-exactness: fixture prices sit on a 0.25 grid, so every
+ * product/sum here is an exactly-representable multiple of 2^-2 —
+ * order-independent with NO rounding — and divisions are single IEEE
+ * ops on identical operands in both engines. Returns/averages are
+ * therefore bit-exact without tolerances.
+ *
+ * Scale design: VWAP/returns are partial aggregations / single-pass
+ * windows partitioned by symbol — at 100 TB the shuffle carries one
+ * row per (symbol, day) or per bar, never page payloads; the window
+ * sort is per-symbol and the connector has already planned
+ * symbol × interval partitions, so symbol-partitioned windows read
+ * almost-sorted runs.
+ */
+object AlpacaAnalytics {
+  import AlpacaQueries.{baseOptions, fmtD, fmtTs, sqlStr, us}
+
+  private val Hour = AlpacaFixtures.HourUs
+  private val Day = AlpacaFixtures.DayUs
+
+  private val symbols = Seq("AAPL", "MSFT")
+
+  /** Full-precision double literal for DuckDB: a bare 17-significant-
+    * digit decimal literal is typed DECIMAL and ROUNDED before any
+    * cast, so returns (arbitrary quotients, unlike the 0.25-grid
+    * prices) must go through an exact strtod string→DOUBLE parse. */
+  private def fmtDExact(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+
+  private def barsDf(spark: SparkSession, timeframe: String,
+      start: String, end: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(symbols: _*) ++ Map(
+        "timeframe" -> timeframe, "start" -> start, "end" -> end))
+      .load()
+
+  // ------------------------------------------------------- daily VWAP
+  private val vwapStart = "2021-01-04T00:00:00Z"
+  private val vwapEnd = "2021-01-11T00:00:00Z"
+
+  /** Volume-weighted average price per (symbol, day) from hourly bars:
+    * sum(vwap·volume)/sum(volume) — one partial-aggregable shuffle of
+    * (symbol, day) groups. */
+  def vwapDaily(spark: SparkSession, dir: String): DataFrame =
+    barsDf(spark, "1Hour", vwapStart, vwapEnd)
+      .groupBy(col("symbol"), date_format(col("time"), "yyyy-MM-dd").as("day"))
+      .agg((sum(col("vwap") * col("volume")) / sum(col("volume"))).as("daily_vwap"),
+        sum(col("volume")).as("total_volume"),
+        count(lit(1)).as("n_bars"))
+      .orderBy(col("symbol"), col("day"))
+
+  def vwapDailySql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(vwapStart), us(vwapEnd), Hour)
+        .groupBy(b => fmtTs(b.timeUs).take(10)).toSeq.sortBy(_._1)
+        .map { case (day, bs) =>
+          val vSum = bs.map(_.volume).sum
+          val pvSum = bs.map(b => b.vwap * b.volume).sum // exact: 0.25-grid × int
+          s"(${sqlStr(s)}, ${sqlStr(day)}, ${fmtD(pvSum / vSum)}, $vSum, ${bs.size})"
+        }
+    }
+    s"""SELECT symbol, day, CAST(daily_vwap AS DOUBLE) AS daily_vwap,
+       |  CAST(total_volume AS BIGINT) AS total_volume, CAST(n_bars AS BIGINT) AS n_bars
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, day, daily_vwap, total_volume, n_bars)
+       |ORDER BY symbol, day""".stripMargin
+  }
+
+  // --------------------------------------------------- 8-bar SMA flag
+  private val smaStart = "2021-01-04T00:00:00Z"
+  private val smaEnd = "2021-01-06T00:00:00Z"
+  private val SmaN = 8
+
+  /** Trailing 8-bar simple moving average of close + above/below flag:
+    * the classic crossover input. One window pass per symbol. */
+  def smaCrossover(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+      .rowsBetween(-(SmaN - 1), 0)
+    barsDf(spark, "1Hour", smaStart, smaEnd)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("close"), avg(col("close")).over(w).as("sma"))
+      .withColumn("above_sma", when(col("close") > col("sma"), 1L).otherwise(0L))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def smaCrossoverSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(smaStart), us(smaEnd), Hour)
+      bs.zipWithIndex.map { case (b, i) =>
+        val win = bs.slice(math.max(0, i - (SmaN - 1)), i + 1)
+        val sma = win.map(_.close).sum / win.size // exact sum, one IEEE divide
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(b.timeUs))}, ${fmtD(b.close)}, " +
+          s"${fmtD(sma)}, ${if (b.close > sma) 1 else 0})"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(close AS DOUBLE) AS close,
+       |  CAST(sma AS DOUBLE) AS sma, CAST(above_sma AS BIGINT) AS above_sma
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, close, sma, above_sma)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
+  // ------------------------------------------------ daily returns
+  private val retStart = "2021-01-04T00:00:00Z"
+  private val retEnd = "2021-02-03T00:00:00Z"
+
+  private def dailyCloses(s: String): Seq[(String, Double)] =
+    AlpacaFixtures.bars(s, us(retStart), us(retEnd), Day)
+      .map(b => (fmtTs(b.timeUs).take(10), b.close))
+
+  /** Close-to-close daily returns via lag(): first day NULL. */
+  def dailyReturns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    barsDf(spark, "1Day", retStart, retEnd)
+      .select(col("symbol"), date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("close"),
+        ((col("close") - lag(col("close"), 1).over(w)) /
+          lag(col("close"), 1).over(w)).as("ret"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def dailyReturnsSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val closes = dailyCloses(s)
+      closes.zipWithIndex.map { case ((day, c), i) =>
+        val ret = if (i == 0) "CAST(NULL AS DOUBLE)"
+        else fmtDExact((c - closes(i - 1)._2) / closes(i - 1)._2)
+        s"(${sqlStr(s)}, ${sqlStr(day)}, ${fmtD(c)}, $ret)"
+      }
+    }
+    s"""SELECT symbol, day, CAST(close AS DOUBLE) AS close, CAST(ret AS DOUBLE) AS ret
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(symbol, day, close, ret)
+       |ORDER BY symbol, day""".stripMargin
+  }
+
+  /** Per-symbol return summary. Only order-independent aggregates
+    * (counts, min, max) — a SUM of returns would be IEEE
+    * order-dependent across partitions and can never hash-match a
+    * serial oracle. */
+  def returnSummary(spark: SparkSession, dir: String): DataFrame =
+    dailyReturns(spark, dir)
+      .filter(col("ret").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ret") > 0, 1L).otherwise(0L)).as("up_days"),
+        max(col("ret")).as("max_ret"),
+        min(col("ret")).as("min_ret"))
+      .orderBy(col("symbol"))
+
+  def returnSummarySql: String = {
+    val rows = symbols.sorted.map { s =>
+      val closes = dailyCloses(s)
+      val rets = closes.sliding(2).collect {
+        case Seq((_, p), (_, c)) => (c - p) / p
+      }.toSeq
+      s"(${sqlStr(s)}, ${rets.size}, ${rets.count(_ > 0)}, " +
+        s"${fmtDExact(rets.max)}, ${fmtDExact(rets.min)})"
+    }
+    s"""SELECT symbol, CAST(n_days AS BIGINT) AS n_days,
+       |  CAST(up_days AS BIGINT) AS up_days, CAST(max_ret AS DOUBLE) AS max_ret,
+       |  CAST(min_ret AS DOUBLE) AS min_ret
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, n_days, up_days, max_ret, min_ret)
+       |ORDER BY symbol""".stripMargin
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
+    "alpaca_sma_crossover" -> ((smaCrossover _, smaCrossoverSql)),
+    "alpaca_daily_returns" -> ((dailyReturns _, dailyReturnsSql)),
+    "alpaca_return_summary" -> ((returnSummary _, returnSummarySql)))
+}

@@ -23,19 +23,19 @@ object AlpacaQueries {
   private val Hour = AlpacaFixtures.HourUs
   private val Day = AlpacaFixtures.DayUs
 
-  private def us(iso: String): Long = AlpacaOptions.parseIsoMicros(iso).get
+  private[operators] def us(iso: String): Long = AlpacaOptions.parseIsoMicros(iso).get
 
-  private def fmtTs(usVal: Long): String =
+  private[operators] def fmtTs(usVal: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
       .withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.ofEpochSecond(usVal / 1000000L))
 
-  private def fmtD(d: Double): String =
+  private[operators] def fmtD(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString + ".0" else d.toString
 
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  private[operators] def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  private def baseOptions(sym: String*): Map[String, String] = Map(
+  private[operators] def baseOptions(sym: String*): Map[String, String] = Map(
     "endpoint" -> AlpacaStubServer.endpoint,
     "APCA-API-KEY-ID" -> "test-key",
     "APCA-API-SECRET-KEY" -> "test-secret",
