@@ -184,6 +184,70 @@ object Dedup {
        |  JOIN sigs sb ON doc_b = sb.doc_id)""".stripMargin
   }
 
+  // ------------------------------------------------ dedup clusters
+  private val ClusterThreshold = 0.5
+  private val MaxCcIters = 20
+
+  /** Connected-components cluster assignment over the near-dup pair
+    * graph — the step a real dedup pipeline needs between "candidate
+    * pairs" and "keep one per group": pairwise drop-the-higher-id
+    * (as in pipeline_curate) under-merges transitive chains A~B~C.
+    * Every clustered doc maps to its component's minimum doc_id.
+    *
+    * Algorithm: HashMin label propagation (the standard large-graph
+    * CC — iterate label := min(label, neighbors' labels) to fixpoint).
+    * Each iteration is one shuffle join + partial-aggregable min;
+    * iteration count is the component diameter (tiny for dup
+    * clusters). Driver only checks an isEmpty() convergence flag —
+    * no data is collected. Edges and per-iteration labels are
+    * localCheckpoint()ed: the lineage would otherwise re-derive the
+    * whole MinHash pipeline every iteration (on a cluster, swap for
+    * reliable checkpointing). Throws if MaxCcIters hits without a
+    * fixpoint rather than returning silently-wrong labels. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairsCore(spark, dir)
+      .filter(col("est_jaccard") >= ClusterThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < MaxCcIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      done = next.withColumnRenamed("label", "new_label")
+        .join(labels, "node")
+        .filter(col("new_label") =!= col("label")).isEmpty
+      labels = next
+      iter += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"dedupClusters did not converge in $MaxCcIters iterations")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: transitive closure via a recursive CTE (fine at
+    * oracle scale), then min over reachable nodes — the same fixpoint
+    * HashMin converges to. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |pe AS (SELECT doc_a, doc_b FROM est_pairs WHERE est_jaccard >= $ClusterThreshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+       |          UNION ALL SELECT doc_b, doc_a FROM pe),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val dedupMinhashLshSql: String = {
     val eq = (1 to NumPerms)
       .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
@@ -396,5 +460,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),
     "dedup_ngram_jaccard_capped" -> ((dedupNgramJaccardCapped _, dedupNgramJaccardCappedSql)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
-    "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)))
+    "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)),
+    "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)))
 }

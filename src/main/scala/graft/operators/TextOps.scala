@@ -151,9 +151,60 @@ object TextOps {
        |  COUNT(*) AS n_shingles
        |FROM shingles GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- tf-idf
+  private val TfidfTopK = 3
+
+  /** Top-3 characteristic terms per document by tf·(N/df) — the
+    * linear-idf variant, chosen over log-idf deliberately: ln() is a
+    * libm call whose last-bit rounding differs across engines, while
+    * (tf·N)/df is one exact integer product and one IEEE division —
+    * bit-identical, same ranking monotonicity in df.
+    *
+    * Scale shape: token explode is a projection; tf is a partial agg
+    * on (doc_id, term); df re-aggregates tf's output on term (the
+    * term dictionary, sublinear in corpus size); the tf⋈df equi-join
+    * shuffles on term; the per-doc top-k window gets WindowGroupLimit
+    * (map-side top-k before the doc_id shuffle). */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).groupBy().agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val textTfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t.term, COUNT(*) AS tf
+       |  FROM documents, UNNEST(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS t(term)
+       |  GROUP BY doc_id, t.term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tf.term, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / df AS score
+       |  FROM tf JOIN df USING (term), n),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score FROM ranked
+       |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
     "text_tokens" -> ((textTokens _, textTokensSql)),
-    "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)))
+    "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)),
+    "text_tfidf" -> ((textTfidf _, textTfidfSql)))
 }
