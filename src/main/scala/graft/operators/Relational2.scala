@@ -53,7 +53,41 @@ object Relational2 {
       |  SELECT SUM(l_quantity) / COUNT(*) FROM lineitem l2
       |  WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
 
+  /** Exact interpolated quantiles + a sketch-accuracy contract, the
+    * percentile companion to q16's HLL gate. Exact `percentile` in
+    * Spark and `quantile_cont` in DuckDB share the linear-interpolation
+    * definition (pos = q·(n−1), lower + frac·(higher−lower)) over
+    * integer quantities, so the doubles are bit-exact. The approx
+    * side (`approx_percentile`, accuracy 10k) must land within 2% of
+    * the exact median — each engine checks its OWN sketch against the
+    * shared exact value, as in q16.
+    *
+    * Scale: exact percentile needs the full sorted group (fine per
+    * returnflag here); the sketch is the 100 TB path — fixed-size
+    * mergeable KLL-style buffers, partial-aggregable. */
+  def q19Quantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_median"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
+        when(abs(col("approx_median") - col("median_qty")) <=
+          col("median_qty") * 0.02, 1L).otherwise(0L).as("approx_within_2pct"))
+      .orderBy(col("l_returnflag"))
+
+  val q19Sql: String =
+    """SELECT l_returnflag,
+      |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+      |  QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+      |  CASE WHEN ABS(APPROX_QUANTILE(l_quantity, 0.5) - QUANTILE_CONT(l_quantity, 0.5))
+      |         <= QUANTILE_CONT(l_quantity, 0.5) * 0.02 THEN 1 ELSE 0 END
+      |    AS approx_within_2pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
-    "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)))
+    "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
+    "q19_quantiles" -> ((q19Quantiles _, q19Sql)))
 }

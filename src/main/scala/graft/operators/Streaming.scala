@@ -159,6 +159,48 @@ object Streaming {
       }
   }
 
+  // ------------------------------------------------- streaming dedup
+  /** Streaming exact-dedup: the documents table replayed as a file
+    * stream → `dropDuplicates` on a 40-char-prefix fingerprint →
+    * per-language distinct-document counts. The gate output counts
+    * distinct (lang, prefix_hash) keys, which is independent of WHICH
+    * duplicate dropDuplicates keeps (micro-batch arrival order is
+    * nondeterministic) — so a plain batch COUNT(DISTINCT) oracle
+    * matches exactly.
+    *
+    * Scale notes: in production this runs append-mode with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` so the
+    * dedup-key state ages out; state carries one 16-byte digest per
+    * live key, never the text. Complete-mode here is gate
+    * scaffolding, as in streamEventBars. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docsStream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val agg = docsStream
+      .select(col("lang"), md5(substring(col("text"), 1, 40)).as("prefix_hash"))
+      .dropDuplicates("lang", "prefix_hash")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_distinct_docs"))
+    val qname = s"stream_dedup_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+      .select(col("lang"), col("n_distinct_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT lang, COUNT(DISTINCT md5(SUBSTR(text, 1, 40))) AS n_distinct_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)))
+    "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
+    "stream_dedup" -> ((streamDedup _, streamDedupSql)))
 }
