@@ -160,20 +160,22 @@ object TextOps {
     * (tf·N)/df is one exact integer product and one IEEE division —
     * bit-identical, same ranking monotonicity in df.
     *
-    * Scale shape: token explode is a projection; tf is a partial agg
-    * on (doc_id, term); df re-aggregates tf's output on term (the
-    * term dictionary, sublinear in corpus size); the tf⋈df equi-join
-    * shuffles on term; the per-doc top-k window gets WindowGroupLimit
-    * (map-side top-k before the doc_id shuffle). */
+    * Scale shape: ONE token explode (a projection) → partial-agg tf
+    * on (doc_id, term) → df as a window count over tf's own term
+    * partition (expressing df as a separate groupBy(term) made
+    * Catalyst prune the count column from the shared subplan, so the
+    * explode ran TWICE with no exchange reuse — audited r3) → the
+    * per-doc top-k window gets WindowGroupLimit (map-side top-k
+    * before the doc_id shuffle). */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val tf = docs(spark, dir)
       .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = docs(spark, dir).groupBy().agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(wdf))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
@@ -188,12 +190,14 @@ object TextOps {
        |  SELECT doc_id, t.term, COUNT(*) AS tf
        |  FROM documents, UNNEST(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS t(term)
        |  GROUP BY doc_id, t.term),
-       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |tfdf AS (
+       |  SELECT doc_id, term, tf, COUNT(*) OVER (PARTITION BY term) AS df
+       |  FROM tf),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |scored AS (
-       |  SELECT doc_id, tf.term, tf, df,
+       |  SELECT doc_id, term, tf, df,
        |    CAST(tf * n_docs AS DOUBLE) / df AS score
-       |  FROM tf JOIN df USING (term), n),
+       |  FROM tfdf, n),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (
        |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
