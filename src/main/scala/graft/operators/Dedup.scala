@@ -109,17 +109,20 @@ object Dedup {
   }
 
   /** LSH bands: 4 bands of 4 signature rows, hashed to one bucket key.
-    * Signature columns ride along so downstream consumers never join
-    * back to the signature table. */
+    * The 16 signature values ride along PACKED as one array<bigint>
+    * column (r3): downstream never joins back to the signature table,
+    * the band self-join sorts 4 columns instead of 19, and the
+    * eq-count over two arrays is a constant-size HOF instead of a
+    * 16-term generated chain. */
   private def bandDf(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws("|", (1 to 4).map(r => col(s"s${4 * b + r}").cast("string")): _*)).as("bh"))
     }
-    val sigCols = (1 to NumPerms).map(k => col(s"s$k"))
-    sigs.select(col("doc_id") +: sigCols :+ explode(array(bands: _*)).as("band"): _*)
-      .select(Seq(col("doc_id"), col("band.band_id").as("band_id"),
-        col("band.bh").as("bh")) ++ sigCols: _*)
+    val sigArr = array((1 to NumPerms).map(k => col(s"s$k")): _*).as("sigs")
+    sigs.select(col("doc_id"), sigArr, explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.bh").as("bh"), col("sigs"))
   }
 
   private val bandCte: String = {
@@ -157,9 +160,11 @@ object Dedup {
     * whole shingle→signature pipeline twice (112 s vs 5 s at sf0.1). */
   private[operators] def minhashPairsCore(spark: SparkSession, dir: String): DataFrame = {
     val bandsWithSigs = bandDf(sigDf(spark, dir))
-    val eq = (1 to NumPerms)
-      .map(k => when(col(s"a.s$k") === col(s"b.s$k"), 1).otherwise(0))
-      .reduce(_ + _)
+    // matching-component count as a fold over the packed arrays:
+    // constant-size codegen, and the integer adds keep the exact
+    // 0..16 count the unrolled chain produced
+    val eq = expr(
+      "aggregate(zip_with(a.sigs, b.sigs, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
     bandsWithSigs.as("a")
       .join(bandsWithSigs.as("b").hint("merge"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
