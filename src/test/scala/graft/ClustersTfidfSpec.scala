@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural properties of the round-3 operators (their VALUES are
+  * certified by the DuckDB oracle gates; these assert the graph/rank
+  * invariants a hash can't explain when it breaks). */
+class ClustersTfidfSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_clusters: labels are a fixpoint closed under the pair graph") {
+    val labels = operators.Dedup.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // representative never exceeds the member id (HashMin invariant)
+    assert(labels.forall { case (node, rep) => rep <= node })
+    // every rep is itself labeled with itself (component minimum)
+    assert(labels.values.toSet.forall(rep => labels(rep) == rep))
+    // closure: both endpoints of every threshold edge share one label
+    val pairs = operators.Dedup.dedupMinhashLsh(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) spans two clusters")
+    }
+  }
+
+  test("text_tfidf: dense ranks 1..k per doc, score = tf*N/df, df sane") {
+    val nDocs = operators.Tables.t(spark, dir, "documents").count()
+    val rows = operators.TextOps.textTfidf(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+    }
+    rows.foreach { r =>
+      val (tf, df, score) = (r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(df >= 1 && df <= nDocs)
+      assert(score == tf.toDouble * nDocs / df)
+    }
+  }
+
+  test("alpaca_sma_crossover: sma equals close where the window is flat") {
+    val rows = operators.AlpacaAnalytics.smaCrossover(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every sma lies within the [min, max] of closes for its symbol
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val closes = rs.map(_.getDouble(2))
+      val (lo, hi) = (closes.min, closes.max)
+      rs.foreach(r => assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi))
+    }
+  }
+}
