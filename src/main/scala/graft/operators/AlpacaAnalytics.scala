@@ -180,7 +180,60 @@ object AlpacaAnalytics {
        |ORDER BY symbol""".stripMargin
   }
 
+  // ------------------------------------------- split-adjusted bars
+  /** Split-adjusted daily closes — the canonical two-source market-data
+    * computation: every split whose ex-date FOLLOWS a bar scales that
+    * bar's close down by its ratio (back-adjustment, so the series is
+    * continuous through splits). Both sides read through the
+    * connector; the (tiny) split calendar is broadcast; the
+    * adjustment factor is a fold over the bar's sort_array'd ratio
+    * list — deterministic order, so the doubles are reproducible on
+    * any partitioning (a plain product aggregate would not exist, and
+    * exp(sum(ln)) would not be bit-exact).
+    *
+    * Scale: broadcast join (splits per symbol ≪ bars), partial-agg
+    * collect_list over ≤ |splits per symbol| elements, zero extra
+    * shuffles beyond the bar groupBy. */
+  def adjustedBars(spark: SparkSession, dir: String): DataFrame = {
+    val bars = barsDf(spark, "1Day", retStart, retEnd)
+      .select(col("symbol"), col("time"), col("close"))
+    val splits = spark.read.format("Alpaca_Corporate_Actions")
+      .options(baseOptions(symbols: _*) ++ Map(
+        "start" -> retStart, "end" -> retEnd, "types" -> "split"))
+      .load()
+      .filter(col("type") === "split")
+      .select(col("symbol").as("s_sym"), col("ex_date"), col("ratio"))
+    bars.join(broadcast(splits),
+        col("symbol") === col("s_sym") && col("ex_date") > col("time"), "left")
+      .groupBy(col("symbol"), col("time"), col("close"))
+      .agg(sort_array(collect_list(col("ratio"))).as("rs"))
+      .select(col("symbol"), date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("close"),
+        expr("aggregate(rs, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)").as("adj_factor"))
+      .withColumn("adj_close", col("close") / col("adj_factor"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def adjustedBarsSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val splits = AlpacaFixtures.corpActions(s, us(retStart), us(retEnd))
+        .filter(_.tpe == "split")
+      AlpacaFixtures.bars(s, us(retStart), us(retEnd), Day).map { b =>
+        val rs = splits.filter(_.exDateUs.exists(_ > b.timeUs)).map(_.ratio).sorted
+        val factor = rs.foldLeft(1.0)(_ * _)
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(b.timeUs).take(10))}, ${fmtD(b.close)}, " +
+          s"${fmtD(factor)}, ${fmtDExact(b.close / factor)})"
+      }
+    }
+    s"""SELECT symbol, day, CAST(close AS DOUBLE) AS close,
+       |  CAST(adj_factor AS DOUBLE) AS adj_factor, CAST(adj_close AS DOUBLE) AS adj_close
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, day, close, adj_factor, adj_close)
+       |ORDER BY symbol, day""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
     "alpaca_sma_crossover" -> ((smaCrossover _, smaCrossoverSql)),
     "alpaca_daily_returns" -> ((dailyReturns _, dailyReturnsSql)),
