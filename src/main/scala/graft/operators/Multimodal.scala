@@ -123,7 +123,58 @@ object Multimodal {
        |FROM chunks ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------------------------------------- frame sample
+  private val FrameBytes = 256
+  private val FrameStride = 4
+
+  /** Frame sampling — the video-shaped multimodal operator: each
+    * payload is cut into 256-byte "frames" and every 4th frame is
+    * extracted with per-frame features (digest + byte mean). A real
+    * pipeline swaps the slice for a container-format keyframe decode;
+    * the shape — one record in, a VARIABLE number of feature rows out,
+    * inside the partition iterator (flatMap), bytes never leaving the
+    * executor — is the real contract and survives 100 TB unchanged.
+    * Fully oracled via the ASCII corpus (frame digest = md5 of the
+    * same substring in DuckDB; mean = exact integer sum / length). */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaRecords(spark, dir).as[MediaRecord]
+    ds.mapPartitions { records =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      records.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by FrameStride).iterator.map { f =>
+          val lo = f * FrameBytes
+          val hi = math.min(n, lo + FrameBytes)
+          val frame = r.payload.slice(lo, hi)
+          digest.reset()
+          val hex = digest.digest(frame).map("%02x".format(_)).mkString
+          val mean = frame.map(_.toInt & 0xff).sum.toDouble / (hi - lo)
+          (r.doc_id, f, hex, mean)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "frame_md5", "frame_mean")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mmFrameSampleSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, strlen(text) AS n,
+       |    (strlen(text) + ${FrameBytes - 1}) // $FrameBytes AS n_frames
+       |  FROM documents),
+       |frames AS (
+       |  SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       |    substr(text, f * $FrameBytes + 1, $FrameBytes) AS frame,
+       |    LEAST(n, (f + 1) * $FrameBytes) - f * $FrameBytes AS flen
+       |  FROM b, UNNEST(RANGE(0, n_frames, $FrameStride)) AS r(f))
+       |SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+       |  CAST(list_aggregate(list_transform(range(1, flen + 1),
+       |    i -> ascii(substr(frame, i, 1))), 'sum') AS DOUBLE) / flen AS frame_mean
+       |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
-    "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)))
+    "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
+    "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)))
 }
