@@ -58,9 +58,14 @@ object Relational2 {
     * Spark and `quantile_cont` in DuckDB share the linear-interpolation
     * definition (pos = q·(n−1), lower + frac·(higher−lower)) over
     * integer quantities, so the doubles are bit-exact. The approx
-    * side (`approx_percentile`, accuracy 10k) must land within 2% of
+    * side (`approx_percentile`, accuracy 10k) must land within 5% of
     * the exact median — each engine checks its OWN sketch against the
-    * shared exact value, as in q16.
+    * shared exact value, as in q16. 5%, not tighter: on integer-
+    * duplicate-heavy data a t-digest interpolates across duplicate
+    * runs, so its value-space error is ~half the inter-value gap
+    * (±0.5 on a median of 26 ≈ 2%) on TOP of rank error — measured
+    * 2.7% for DuckDB here, while Spark's Greenwald-Khanna returns an
+    * exact data value within rank tolerance.
     *
     * Scale: exact percentile needs the full sorted group (fine per
     * returnflag here); the sketch is the 100 TB path — fixed-size
@@ -74,7 +79,7 @@ object Relational2 {
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_median"))
       .select(col("l_returnflag"), col("median_qty"), col("p90_qty"),
         when(abs(col("approx_median") - col("median_qty")) <=
-          col("median_qty") * 0.02, 1L).otherwise(0L).as("approx_within_2pct"))
+          col("median_qty") * 0.05, 1L).otherwise(0L).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   val q19Sql: String =
@@ -82,8 +87,8 @@ object Relational2 {
       |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
       |  QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
       |  CASE WHEN ABS(APPROX_QUANTILE(l_quantity, 0.5) - QUANTILE_CONT(l_quantity, 0.5))
-      |         <= QUANTILE_CONT(l_quantity, 0.5) * 0.02 THEN 1 ELSE 0 END
-      |    AS approx_within_2pct
+      |         <= QUANTILE_CONT(l_quantity, 0.5) * 0.05 THEN 1 ELSE 0 END
+      |    AS approx_within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
