@@ -166,13 +166,17 @@ object Similarity {
     * only the query's own cell (nprobe = 1).
     *
     * Scale design: centroid assignment is a broadcast of K constant
-    * vectors + a partial-aggregable max(struct(score, cent_id)) —
-    * map-side combine, no window sort; the search is a cell equi-join
-    * exactly like the LSH bucket join. At 100 TB, K grows to √N and
-    * the centroids come from a sampled k-means, but the plan shape —
-    * broadcast-assign, partial-agg argmax, cell equi-join — is
-    * unchanged. Ties (a vector scoring equal against two centroids)
-    * break to the larger cent_id in BOTH engines. */
+    * vectors + a hash-aggregable argmax — max(score) per vector, then
+    * an equality join-back taking max(cent_id) among the max-scorers
+    * (scores are deterministic doubles, so the float-equality join is
+    * safe; max(struct(...)) would express this in one pass but its
+    * struct buffer planned SortAggregate, sorting K·|corpus| rows —
+    * audited r3). The search is a cell equi-join exactly like the LSH
+    * bucket join. At 100 TB, K grows to √N and the centroids come
+    * from a sampled k-means, but the plan shape — broadcast-assign,
+    * partial-agg argmax, cell equi-join — is unchanged. Ties (a
+    * vector scoring equal against two centroids) break to the larger
+    * cent_id in BOTH engines. */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < IvfK)
@@ -184,9 +188,12 @@ object Similarity {
       .select(col("vec_id"),
         (dotCol("embedding", "cvec") / (col("vnorm") * col("cnorm"))).as("cscore"),
         col("cent_id"))
-    val cells = cscores.groupBy(col("vec_id"))
-      .agg(max(struct(col("cscore"), col("cent_id"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cell"))
+    val best = cscores.groupBy(col("vec_id").as("b_vec"))
+      .agg(max(col("cscore")).as("ms"))
+    val cells = cscores
+      .join(best, col("vec_id") === col("b_vec") && col("cscore") === col("ms"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cent_id")).as("cell"))
     val corpus = emb
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
       .join(cells, "vec_id")

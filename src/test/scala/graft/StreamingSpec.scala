@@ -78,6 +78,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: dup inside the watermark emits once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val deduped = input.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ddww_test").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData(("a", ts(0)), ("b", ts(1)))
+      q.processAllAvailable()
+      input.addData(("a", ts(2))) // duplicate of 'a' within the watermark
+      q.processAllAvailable()
+      val rows = spark.table("ddww_test").collect().map(_.getString(0))
+      assert(rows.sorted.toSeq == Seq("a", "b"), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("append mode + watermark: late rows beyond the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
