@@ -431,8 +431,13 @@ object Dedup {
       }: _*)).as("band"))
       .select(col("doc_id"), col("simhash"),
         col("band.band_id").as("band_id"), col("band.byte_val").as("byte_val"))
+    // merge-pinned like every pair self-join here (plan-shape rule):
+    // left to cost estimation Spark broadcast one side — a relation
+    // that grows linearly with the corpus — AND recomputed the whole
+    // shingle→simhash pipeline on it instead of reusing one exchange
+    // (audited r3, same failure mode as r1's minhash pipeline).
     bands.as("a")
-      .join(bands.as("b"),
+      .join(bands.as("b").hint("merge"),
         col("a.band_id") === col("b.band_id") &&
           col("a.byte_val") === col("b.byte_val") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -253,8 +253,12 @@ object Similarity {
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), bucketCol("embedding").as("bucket"),
         normCol("embedding").as("vnorm"))
+    // merge-pinned like every pair self-join (plan-shape rule): cost
+    // estimation broadcast the corpus-with-buckets side — linear
+    // growth, fatal at 100 TB — instead of one shuffled exchange
+    // reused by both sides (audited r3).
     emb.as("a")
-      .join(emb.as("b"), col("a.bucket") === col("b.bucket") &&
+      .join(emb.as("b").hint("merge"), col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         (dotCol("a.embedding", "b.embedding") /
