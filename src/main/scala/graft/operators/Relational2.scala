@@ -91,8 +91,43 @@ object Relational2 {
       |    AS approx_within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Cohort retention — the canonical product-analytics matrix: users
+    * cohorted by first-activity day, counted per (cohort, day offset).
+    *
+    * Scale shape: distinct (user, day) first (partial agg — the raw
+    * event volume collapses before anything else), per-user min-day
+    * via a second partial agg on user_id, one equi-join back on
+    * user_id (AQE broadcast/shuffle by size), final partial agg on
+    * the tiny (cohort, offset) key space. All counts — deterministic
+    * integers. */
+  def q20Retention(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = userDays.groupBy(col("user_id").as("c_user"))
+      .agg(min(col("day")).as("cohort_day"))
+    userDays.join(cohorts, col("user_id") === col("c_user"))
+      .select(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  val q20Sql: String =
+    """WITH user_days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY user_id)
+      |SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort,
+      |  DATEDIFF('day', c.cohort_day, u.day) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM user_days u JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
-    "q19_quantiles" -> ((q19Quantiles _, q19Sql)))
+    "q19_quantiles" -> ((q19Quantiles _, q19Sql)),
+    "q20_retention" -> ((q20Retention _, q20Sql)))
 }
