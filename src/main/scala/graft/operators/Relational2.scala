@@ -125,9 +125,33 @@ object Relational2 {
       |FROM user_days u JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
 
+  /** Two-stage salted aggregation over a 5-hot-key distribution — the
+    * skew technique AS a verified gate, not just a spec: stage 1
+    * aggregates on (event_type, user_id % 16) so no single reducer
+    * owns a whole hot key; stage 2 merges the 16 salt shards. DECIMAL
+    * partials are order-independent, so the result is bit-identical
+    * to the unsalted single-stage oracle — which is exactly the claim
+    * salting makes at 100 TB (same answer, bounded per-task key
+    * volume). */
+  def q21SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), (col("user_id") % 16).as("salt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("v"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val q21Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
     "q19_quantiles" -> ((q19Quantiles _, q19Sql)),
-    "q20_retention" -> ((q20Retention _, q20Sql)))
+    "q20_retention" -> ((q20Retention _, q20Sql)),
+    "q21_salted_agg" -> ((q21SaltedAgg _, q21Sql)))
 }

@@ -78,6 +78,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within 5m") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imp = MemoryStream[(Long, java.sql.Timestamp)]
+    val clk = MemoryStream[(Long, java.sql.Timestamp)]
+    val impDf = imp.toDF().toDF("ad_id", "imp_ts").withWatermark("imp_ts", "10 minutes")
+    val clkDf = clk.toDF().toDF("c_ad_id", "click_ts").withWatermark("click_ts", "10 minutes")
+    // the canonical ad-attribution shape: equi key + event-time range;
+    // watermarks bound both join state buffers
+    val joined = impDf.join(clkDf,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + org.apache.spark.sql.functions.expr("interval 5 minutes"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj_test").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      imp.addData((1L, ts(0)), (2L, ts(0)))
+      q.processAllAvailable()
+      clk.addData((1L, ts(3)), (2L, ts(30))) // ad 1 within 5m; ad 2 outside
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test").collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(1L), s"only ad 1 should attribute: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: dup inside the watermark emits once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
