@@ -173,8 +173,56 @@ object Multimodal {
        |    i -> ascii(substr(frame, i, 1))), 'sum') AS DOUBLE) / flen AS frame_mean
        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --------------------------------------------------- resize/resample
+  private val ResizeBuckets = 16
+
+  /** Resize/resample — the remaining multimodal seam: every payload is
+    * resampled to a FIXED-length 16-bucket signal (bucket k = mean
+    * byte over [k·n/16, (k+1)·n/16)), the 1-D analogue of image
+    * resize / audio resample: variable-size media in, fixed-size
+    * representation out, computed inside the partition iterator. A
+    * real pipeline swaps the bucket mean for bilinear/sinc kernels
+    * over decoded samples; the contract — fixed output arity
+    * per record, bytes never leaving the executor — is identical.
+    * Oracled like the decode stub (ASCII corpus ⇒ exact integer sums,
+    * one IEEE division per bucket). */
+  def mmResizeStub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaRecords(spark, dir).as[MediaRecord]
+    ds.mapPartitions { records =>
+      records.flatMap { r =>
+        val n = r.payload.length
+        (0 until ResizeBuckets).iterator.map { k =>
+          val lo = k * n / ResizeBuckets
+          val hi = (k + 1) * n / ResizeBuckets
+          val mean =
+            if (hi <= lo) 0.0
+            else r.payload.slice(lo, hi).map(_.toInt & 0xff).sum.toDouble / (hi - lo)
+          (r.doc_id, k, mean)
+        }
+      }
+    }.toDF("doc_id", "bucket", "bucket_mean")
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  val mmResizeStubSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, strlen(text) AS n,
+       |    list_transform(range(1, strlen(text) + 1), i -> ascii(substr(text, i, 1))) AS cps
+       |  FROM documents)
+       |SELECT doc_id, CAST(k AS INT) AS bucket,
+       |  CASE WHEN ((k + 1) * n) // $ResizeBuckets <= (k * n) // $ResizeBuckets THEN 0.0
+       |       ELSE CAST(list_aggregate(list_slice(cps,
+       |              (k * n) // $ResizeBuckets + 1, ((k + 1) * n) // $ResizeBuckets),
+       |              'sum') AS DOUBLE)
+       |            / (((k + 1) * n) // $ResizeBuckets - (k * n) // $ResizeBuckets)
+       |  END AS bucket_mean
+       |FROM b, UNNEST(RANGE(0, $ResizeBuckets)) AS r(k)
+       |ORDER BY doc_id, bucket""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
     "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
-    "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)))
+    "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),
+    "mm_resize_stub" -> ((mmResizeStub _, mmResizeStubSql)))
 }
