@@ -215,8 +215,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // seed = identity labels with the FIRST HashMin step fused in:
+    // label₀(v) = min(v, min direct neighbor) — one aggregation
+    // replaces the distinct-nodes pass plus a whole join iteration
+    // (edges are symmetric, so grouping by src covers every node)
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label"))
+      .localCheckpoint()
     var iter = 0
     var done = false
     while (!done && iter < MaxCcIters) {
