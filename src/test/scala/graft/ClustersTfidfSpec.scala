@@ -46,6 +46,24 @@ class ClustersTfidfSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash est_jaccard tracks exact ngram jaccard on candidate pairs") {
+    // statistical contract of the Kirsch–Mitzenmacher signatures:
+    // per-pair estimates carry 16-permutation noise (sd ≈ 0.12), but
+    // the MEAN estimate over candidate pairs must sit close to the
+    // mean exact 3-gram Jaccard of the same pairs (deterministic on
+    // the fixed corpus, so no flake)
+    val exact = operators.Dedup.dedupNgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = operators.Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val both = est.collect { case (k, e) if exact.contains(k) => (e, exact(k)) }
+    assert(both.length >= 20, s"expected shared candidate pairs, got ${both.length}")
+    val meanEst = both.map(_._1).sum / both.length
+    val meanExact = both.map(_._2).sum / both.length
+    assert(math.abs(meanEst - meanExact) < 0.1,
+      f"mean est $meanEst%.3f vs mean exact $meanExact%.3f drifted")
+  }
+
   test("alpaca_sma_crossover: sma equals close where the window is flat") {
     val rows = operators.AlpacaAnalytics.smaCrossover(spark, dir).collect()
     assert(rows.nonEmpty)
