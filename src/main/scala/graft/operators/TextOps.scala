@@ -205,10 +205,38 @@ object TextOps {
        |SELECT doc_id, rank, term, tf, df, score FROM ranked
        |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ----------------------------------------------------------- redact
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  private val NumPat = "[0-9]{6,}"
+
+  /** PII-style scrubbing — the standard corpus-cleaning projection:
+    * redact email-shaped tokens and long digit runs, report match
+    * counts plus the digest of the cleaned text (so dedup can run on
+    * post-redaction content). Pure per-row projection, zero shuffles;
+    * both patterns stay inside RE2 ∩ Java-regex semantics so the
+    * engines agree byte-for-byte. */
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$EmailPat', 0)")).as("n_email"),
+      size(expr(s"regexp_extract_all(text, '$NumPat', 0)")).as("n_num"),
+      md5(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        NumPat, "<NUM>")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  val textRedactSql: String =
+    s"""SELECT doc_id,
+       |  LEN(REGEXP_EXTRACT_ALL(text, '$EmailPat')) AS n_email,
+       |  LEN(REGEXP_EXTRACT_ALL(text, '$NumPat')) AS n_num,
+       |  md5(REGEXP_REPLACE(REGEXP_REPLACE(text, '$EmailPat', '<EMAIL>', 'g'),
+       |      '$NumPat', '<NUM>', 'g')) AS clean_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
     "text_tokens" -> ((textTokens _, textTokensSql)),
     "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)),
-    "text_tfidf" -> ((textTfidf _, textTfidfSql)))
+    "text_tfidf" -> ((textTfidf _, textTfidfSql)),
+    "text_redact" -> ((textRedact _, textRedactSql)))
 }
