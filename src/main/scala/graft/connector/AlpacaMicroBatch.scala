@@ -1,7 +1,7 @@
 package graft.connector
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 
 import graft.core.RecordParser
 
@@ -23,28 +23,35 @@ case class TimeOffset(micros: Long) extends Offset {
  * tiling), so no bar is ever emitted twice across micro-batches. In a
  * live deployment `end` would be replaced by wall-clock now() per
  * trigger; here it is bounded by the option for determinism.
+ *
+ * The stream is STATELESS: it implements `SupportsAdmissionControl`
+ * so each trigger's high-water mark is `restored start + step`,
+ * derived from the offset Spark passes in. (An earlier internal
+ * `currentEnd` var regressed on checkpoint restart — Spark may call
+ * latestOffset() before deserializeOffset() — and re-planned
+ * already-committed slices: 36 duplicate bars in the restart spec.)
  */
 class AlpacaMicroBatchStream(
     sourceDef: AlpacaSourceDef,
     cfg: AlpacaScanConfig,
     stepMicros: Long,
     outSchema: org.apache.spark.sql.types.StructType = null,
-    limitOpt: Option[Int] = None) extends MicroBatchStream {
-
-  private var currentEnd: Long = cfg.startMicros
+    limitOpt: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = TimeOffset(cfg.startMicros)
 
-  override def latestOffset(): Offset = synchronized {
-    currentEnd = math.min(cfg.endMicros, Math.addExact(currentEnd, stepMicros))
-    TimeOffset(currentEnd)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TimeOffset].micros
+    TimeOffset(math.min(cfg.endMicros, Math.addExact(s, stepMicros)))
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    val us = json.trim.toLong
-    synchronized { currentEnd = math.max(currentEnd, us) }
-    TimeOffset(us)
-  }
+  override def deserializeOffset(json: String): Offset =
+    TimeOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TimeOffset].micros
