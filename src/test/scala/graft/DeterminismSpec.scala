@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Results must not depend on the physical partitioning — the
+  * assumption every oracle hash rests on. Each float-heavy gate runs
+  * under two different shuffle-partition settings; any
+  * order-dependent double arithmetic (raw double sums, fold order
+  * tied to partition layout) would produce different bits. */
+class DeterminismSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val gates = Seq("alpaca_vwap_daily", "alpaca_adjusted_bars",
+    "pipeline_curate", "sim_cosine_topk", "text_tfidf")
+
+  private def runWith(partitions: Int, name: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    try SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  gates.foreach { name =>
+    test(s"$name: identical rows at 3 vs 13 shuffle partitions") {
+      val a = runWith(3, name)
+      val b = runWith(13, name)
+      assert(a.nonEmpty && a == b,
+        s"$name differs across partitionings (${a.length} vs ${b.length} rows)")
+    }
+  }
+}
