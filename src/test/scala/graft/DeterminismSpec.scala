@@ -30,4 +30,16 @@ class DeterminismSpec extends AnyFunSuite {
         s"$name differs across partitionings (${a.length} vs ${b.length} rows)")
     }
   }
+
+  // AQE rewrites exchanges/joins at runtime; results must not notice.
+  Seq("pipeline_curate", "dedup_minhash_lsh", "q3_join_agg").foreach { name =>
+    test(s"$name: identical rows with AQE disabled") {
+      val on = SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val off =
+        try SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(on.nonEmpty && on == off, s"$name differs with AQE off")
+    }
+  }
 }
