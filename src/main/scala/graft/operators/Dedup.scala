@@ -205,33 +205,46 @@ object Dedup {
     * iteration count is the component diameter (tiny for dup
     * clusters). Driver only checks an isEmpty() convergence flag —
     * no data is collected. Edges and per-iteration labels are
-    * localCheckpoint()ed: the lineage would otherwise re-derive the
-    * whole MinHash pipeline every iteration (on a cluster, swap for
-    * reliable checkpointing). Throws if MaxCcIters hits without a
-    * fixpoint rather than returning silently-wrong labels. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    * checkpointed: the lineage would otherwise re-derive the whole
+    * MinHash pipeline every iteration. Throws if MaxCcIters hits
+    * without a fixpoint rather than returning silently-wrong
+    * labels. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersCore(spark, dir)
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+
+  /** Unordered (node, label) fixpoint — reused by composed pipelines. */
+  private[operators] def clustersCore(spark: SparkSession, dir: String): DataFrame = {
+    // reliable (HDFS/S3) checkpoints when the cluster has
+    // setCheckpointDir configured — survives executor loss;
+    // executor-local otherwise (this gate). An adversarially-chained
+    // corpus (diameter > MaxCcIters) would switch to
+    // large-star/small-star contraction (O(log n) rounds), same
+    // join-per-round shape.
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val pairs = minhashPairsCore(spark, dir)
       .filter(col("est_jaccard") >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint()
+    val edges = ckpt(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst"))
     // seed = identity labels with the FIRST HashMin step fused in:
     // label₀(v) = min(v, min direct neighbor) — one aggregation
     // replaces the distinct-nodes pass plus a whole join iteration
     // (edges are symmetric, so grouping by src covers every node)
-    var labels = edges.groupBy(col("src").as("node"))
+    var labels = ckpt(edges.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("label"))
-      .localCheckpoint()
+      .select(col("node"), least(col("node"), col("mn")).as("label")))
     var iter = 0
     var done = false
     while (!done && iter < MaxCcIters) {
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+      val next = ckpt(labels.join(nbrMin, col("node") === col("src"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
       done = next.withColumnRenamed("label", "new_label")
         .join(labels, "node")
         .filter(col("new_label") =!= col("label")).isEmpty
@@ -240,24 +253,30 @@ object Dedup {
     }
     if (!done) throw new IllegalStateException(
       s"dedupClusters did not converge in $MaxCcIters iterations")
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_rep"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** DuckDB twin: transitive closure via a recursive CTE (fine at
     * oracle scale), then min over reachable nodes — the same fixpoint
     * HashMin converges to. */
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashPairsCtes,
+  /** Recursive-CTE bundle ending in per-node labels (composable). */
+  private[operators] val clusterCtes: String =
+    s"""$minhashPairsCtes,
        |pe AS (SELECT doc_a, doc_b FROM est_pairs WHERE est_jaccard >= $ClusterThreshold),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pe
        |          UNION ALL SELECT doc_b, doc_a FROM pe),
        |reach(src, dst) AS (
        |  SELECT src, dst FROM edges
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
-       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS node, LEAST(src, MIN(dst)) AS label
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT node AS doc_id, label AS cluster_rep
+       |FROM labels ORDER BY doc_id""".stripMargin
 
   val dedupMinhashLshSql: String = {
     val eq = (1 to NumPerms)

@@ -60,6 +60,49 @@ object Pipeline {
        |GROUP BY predicted_lang
        |ORDER BY predicted_lang""".stripMargin
 
+  /** Curation with EXACT dedup semantics: drop every non-representative
+    * member of each connected near-dup component (pairwise
+    * drop-doc_b, above, under-merges transitive chains A~B~C — B
+    * drops but C survives if (A,C) never became a candidate pair).
+    * Same quality/langid stages; the drop list comes from the
+    * `dedup_clusters` fixpoint instead of raw pairs. */
+  def curateCc(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityCore(spark, dir)
+    val dropped = Dedup.clustersCore(spark, dir)
+      .filter(col("label") =!= col("node"))
+      .select(col("node").as("doc_id"))
+    val predicted = when(col("stop_ratio") >= 0.06, lit("en"))
+      .otherwise(lit("unk")).as("predicted_lang")
+    quality
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= QualityBar)
+      .select(col("doc_id"), col("n_chars_actual"), col("quality_score"),
+        predicted)
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars_actual")).as("sum_chars"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  val curateCcSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |dropped AS (SELECT node AS doc_id FROM labels WHERE label <> node),
+       |quality AS (${TextOps.qualitySelectSql}),
+       |curated AS (
+       |  SELECT doc_id, n_chars_actual, quality_score,
+       |    CASE WHEN stop_ratio >= 0.06 THEN 'en' ELSE 'unk' END AS predicted_lang
+       |  FROM quality
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |    AND quality_score >= $QualityBar)
+       |SELECT predicted_lang, COUNT(*) AS n_docs, CAST(SUM(n_chars_actual) AS BIGINT) AS sum_chars,
+       |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+       |FROM curated
+       |GROUP BY predicted_lang
+       |ORDER BY predicted_lang""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "pipeline_curate" -> ((curate _, curateSql)))
+    "pipeline_curate" -> ((curate _, curateSql)),
+    "pipeline_curate_cc" -> ((curateCc _, curateCcSql)))
 }
