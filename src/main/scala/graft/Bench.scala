@@ -45,19 +45,27 @@ object Bench {
     // between queries across rounds. Alphabetical = stable comparisons.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_RUNS=N reports the best of N runs per query (warm
+    // steady-state, for local optimization work); the driver's default
+    // of 1 measures the cold one-shot including codegen.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1)
     val results = selected.map { case (name, fn) =>
       // Untimed GC between queries: without it, garbage promoted by
       // earlier queries gets collected DURING later ones, charging
       // one query's timing with another's cleanup (the main source of
       // run-to-run variance in the 50-query sweep).
       System.gc()
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val attempts = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val best = attempts.minBy { case (t, err) => (err.isDefined, t) }
+      (name, best._1, best._2)
     }
     val qs = results.collect { case (k, v, None) => s"\"${esc(k)}\":$v" }
       .mkString("{", ",", "}")
