@@ -61,6 +61,46 @@ object AsofJoin {
       |  ON c.user_id = s.user_id AND c.click_us >= s.signup_us
       |ORDER BY c.event_id""".stripMargin
 
+  /** Forward as-of: each 'click' matched to the same user's NEXT
+    * at-or-after 'purchase' (conversion attribution). Same
+    * tag-union + one window pass shape, with a FOLLOWING frame and
+    * first(ignoreNulls); right rows sort after left at equal ts so
+    * a same-instant purchase counts as the next one — matching
+    * DuckDB's `ASOF LEFT JOIN ... ON c.ts <= p.ts` direction. */
+  def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        col("event_id"), lit(null).cast("bigint").as("p_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+        lit(null).cast("bigint").as("event_id"), col("ts_us").as("p_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_us", first(col("p_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
+        col("purchase_us"),
+        (col("purchase_us") - col("ts_us")).as("us_until_purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, EPOCH_US(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, EPOCH_US(ts) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.click_us, p.purchase_us,
+      |  p.purchase_us - c.click_us AS us_until_purchase
+      |FROM clicks c ASOF LEFT JOIN purchases p
+      |  ON c.user_id = p.user_id AND c.click_us <= p.purchase_us
+      |ORDER BY c.event_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "asof_join" -> ((asofJoin _, asofJoinSql)))
+    "asof_join" -> ((asofJoin _, asofJoinSql)),
+    "asof_join_forward" -> ((asofJoinForward _, asofJoinForwardSql)))
 }
