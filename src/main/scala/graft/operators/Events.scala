@@ -76,7 +76,45 @@ object Events {
       |  MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Spark's NATIVE session_window next to q14's manual
+    * gaps-and-islands — same sessions, different operator. Boundary
+    * semantics differ by design: session_window's window is the
+    * half-open [first, last+gap), so an event EXACTLY gap after the
+    * last starts a new session (the manual q14 `diff > gap` merges
+    * it); the oracle islands with `>= gap` to match. Session-window
+    * aggregation is partial-aggregable with session merge — the
+    * streaming-native shape (the same expression works under
+    * `groupBy(session_window(...))` on a stream). */
+  def q22SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .select(col("user_id"), col("start_us"), col("n_events"), col("duration_us"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  val q22Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
+       |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+       |           OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w >= $GapUs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id)),
+       |sessions AS (
+       |  SELECT user_id, ts_us,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events,
+       |  MAX(ts_us) - MIN(ts_us) AS duration_us
+       |FROM sessions
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, start_us""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
-    "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)))
+    "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
+    "q22_session_window" -> ((q22SessionWindow _, q22Sql)))
 }
