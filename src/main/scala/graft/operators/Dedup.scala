@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
  *
  * Scale design (100 TB):
  *  - shingling is a per-row projection + explode (no shuffle);
- *  - signatures are 16 partial-aggregable `min()`s — the shuffle
- *    carries one 16-string row per document, never the text;
+ *  - signatures are 16 partial-aggregable LONG `min()`s (one md5 per
+ *    shingle, Kirsch–Mitzenmacher permutations) — the shuffle carries
+ *    one 16-long row per document, never the text;
  *  - candidate pairs come from an equi-join on (band_id, band_hash) —
- *    the classic LSH bucket join, never a cartesian product;
+ *    the classic LSH bucket join, never a cartesian product — with
+ *    every pair self-join pinned to sort-merge (one reused exchange,
+ *    no broadcast of linearly-growing sides);
  *  - exact-Jaccard joins on the shingle value with per-bucket pair
- *    expansion bounded by bucket size (salt/AQE-skew handles hot
- *    shingles; stopword-shingle filtering would cap it further).
+ *    expansion bounded by bucket size (the DF-capped variant bounds
+ *    it by construction; salt/AQE-skew backstop the uncapped one);
+ *  - pairs → clusters is an iterative HashMin fixpoint, checkpointed
+ *    per round.
  */
 object Dedup {
   import Tables.t

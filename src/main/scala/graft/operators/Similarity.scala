@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /**
  * Similarity search over the `embeddings` table (64-dim float vectors).
  *
- * Oracle strategy: cosine is computed as an explicit left-associated
- * 64-term sum of per-element double products in BOTH engines —
- * identical IEEE operation order ⇒ bit-exact doubles, no tolerance
- * needed. The SQL twins are generated from the same loop.
+ * Oracle strategy: cosine is a left-associated sum of per-element
+ * double products with IDENTICAL IEEE operation order in both
+ * engines ⇒ bit-exact doubles, no tolerance needed. The Spark side
+ * folds via `aggregate(zip_with(...))` (constant-size codegen at any
+ * dimension); the DuckDB twins stay explicit 64-term chains — same
+ * order, same bits (0.0 + t1 is bit-equal to t1).
  *
  * Scale design (100 TB):
  *  - brute-force top-k: the query set is broadcast; the corpus is
