@@ -148,10 +148,39 @@ object Relational2 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Ranking-window family not covered by q5 (which does lag/lead/
+    * running sums): ntile, percent_rank, cume_dist over a unique
+    * total order. percent_rank = (rank−1)/(n−1) and cume_dist =
+    * rank_from_end/n are single IEEE divisions of identical integers
+    * in both engines — bit-exact. Restricted to one order key space
+    * (orderkey, linenumber — unique), so every rank is deterministic. */
+  def q23WindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q23Sql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM lineitem WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
     "q19_quantiles" -> ((q19Quantiles _, q19Sql)),
     "q20_retention" -> ((q20Retention _, q20Sql)),
-    "q21_salted_agg" -> ((q21SaltedAgg _, q21Sql)))
+    "q21_salted_agg" -> ((q21SaltedAgg _, q21Sql)),
+    "q23_window_ranks" -> ((q23WindowRanks _, q23Sql)))
 }
