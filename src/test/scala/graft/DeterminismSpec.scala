@@ -13,7 +13,8 @@ class DeterminismSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val gates = Seq("alpaca_vwap_daily", "alpaca_adjusted_bars",
-    "pipeline_curate", "sim_cosine_topk", "text_tfidf")
+    "pipeline_curate", "sim_cosine_topk", "text_tfidf",
+    "dedup_clusters", "asof_join_forward", "q20_retention")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
