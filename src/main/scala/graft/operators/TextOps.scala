@@ -232,11 +232,39 @@ object TextOps {
        |      '$NumPat', '<NUM>', 'g')) AS clean_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- hash split/sample
+  /** Deterministic train/val/test split (80/10/10) by CONTENT hash —
+    * the reproducible-sampling mechanism a training pipeline needs:
+    * assignment is a pure function of the text (stable across runs,
+    * partitionings, engines and re-ingestions; `rand()`-based
+    * sampling is none of those). The 16-bit md5 prefix mod 100 has
+    * negligible bias (65536 % 100 = 36 of 65536 values); per-row
+    * projection + one partial agg. */
+  def textHashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+    docs(spark, dir)
+      .select(col("lang"),
+        when(h < 80, lit("train")).when(h < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val textHashSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+      |       WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
     "text_tokens" -> ((textTokens _, textTokensSql)),
     "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)),
     "text_tfidf" -> ((textTfidf _, textTfidfSql)),
-    "text_redact" -> ((textRedact _, textRedactSql)))
+    "text_redact" -> ((textRedact _, textRedactSql)),
+    "text_hash_split" -> ((textHashSplit _, textHashSplitSql)))
 }
