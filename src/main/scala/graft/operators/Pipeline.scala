@@ -102,7 +102,49 @@ object Pipeline {
        |GROUP BY predicted_lang
        |ORDER BY predicted_lang""".stripMargin
 
+  /** Train/test CONTAMINATION check — the audit every training
+    * pipeline needs after splitting: near-duplicate pairs whose
+    * members landed in DIFFERENT splits of the deterministic hash
+    * split (a test doc with a train-side near-dup inflates eval).
+    * Composes the MinHash candidate pairs with the hash-split
+    * assignment: two equi-joins of the (tiny relative to the corpus)
+    * pair list against the per-doc split projection — size-adaptive
+    * joins, the pair list never grows past the LSH candidate set. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+    val splits = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(h < 80, lit("train")).when(h < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    Dedup.minhashPairsCore(spark, dir)
+      .filter(col("est_jaccard") >= DedupThreshold)
+      .join(splits.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("split", "split_a"), col("doc_a") === col("a_id"))
+      .join(splits.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("split", "split_b"), col("doc_b") === col("b_id"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH ${Dedup.minhashPairsCtes},
+       |splits AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT doc_a, doc_b, sa.split AS split_a, sb.split AS split_b, est_jaccard
+       |FROM est_pairs
+       |JOIN splits sa ON doc_a = sa.doc_id
+       |JOIN splits sb ON doc_b = sb.doc_id
+       |WHERE est_jaccard >= $DedupThreshold AND sa.split <> sb.split
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "pipeline_curate" -> ((curate _, curateSql)),
-    "pipeline_curate_cc" -> ((curateCc _, curateCcSql)))
+    "pipeline_curate_cc" -> ((curateCc _, curateCcSql)),
+    "pipeline_contamination" -> ((contamination _, contaminationSql)))
 }
