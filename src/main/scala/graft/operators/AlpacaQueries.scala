@@ -283,8 +283,13 @@ object AlpacaQueries {
         val in = trades.filter(t => t.timeUs >= b.timeUs && t.timeUs < b.timeUs + Hour)
         if (in.isEmpty) None
         else {
-          // decimal(18,2) price × integer size summed exactly, as double
-          val notionalCents = in.map(t => math.round(t.price * 100) * t.size).sum
+          // decimal(18,2) price × integer size summed exactly, as double.
+          // Mirror Spark's double→decimal(18,2) cast (shortest decimal
+          // repr, HALF_UP) — math.round(price*100) diverges for prices
+          // like 123.455 whose binary value is 123.45499….
+          val notionalCents = in.map(t => BigDecimal.valueOf(t.price)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(100)).toLongExact * t.size).sum
           Some((s, fmtTs(b.timeUs), in.size, in.map(_.size).sum,
             notionalCents / 100.0))
         }
