@@ -259,6 +259,60 @@ object TextOps {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------- chunk-level dedup
+  private val ChunkWords = 3
+  private val ChunkDfMax = 5 // chunks seen >= this many times are boilerplate
+
+  /** Cross-corpus boilerplate removal (C4 / RefinedWeb line-dedup):
+    * split every document into fixed CHUNK-word segments, count each
+    * distinct segment's corpus frequency, DROP segments that occur in
+    * >= ChunkDfMax places, and reassemble the surviving text in
+    * original order (md5 digest of the cleaned text is emitted so the
+    * downstream dedup stages can run on post-cleaning content). The
+    * synthetic corpus has no newlines, so the "line" unit is a 3-word
+    * chunk — the plan shape is identical for real newline-split lines.
+    *
+    * Scale shape: ONE chunk explode (projection) → df as a window
+    * count over the chunk partition (same single-explode trick as
+    * text_tfidf — a separate groupBy(chunk)+join-back loses exchange
+    * reuse and recomputes the explode) → per-doc reassembly is one
+    * doc_id shuffle whose state is bounded by document size. Hot
+    * boilerplate chunks skew the chunk partition; at 100 TB pre-filter
+    * them with a two-level partial agg (see SCALE.md). */
+  def textChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunksExpr = expr(
+      s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / $ChunkWords.0d) as int) - 1),
+         |  i -> array_join(slice(split(text, ' '), i * $ChunkWords + 1, $ChunkWords), ' '))""".stripMargin)
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(chunksExpr).as(Seq("pos", "chunk")))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))
+    chunks.withColumn("df", count(lit(1)).over(wdf))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("df") < ChunkDfMax, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(struct(col("pos"), col("chunk"), col("df")))).as("cs"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(array_join(
+          expr(s"transform(filter(cs, x -> x.df < $ChunkDfMax), x -> x.chunk)"), " "))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textChunkDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS pos,
+       |    ARRAY_TO_STRING(ws[(i * $ChunkWords + 1):(i * $ChunkWords + $ChunkWords)], ' ') AS chunk
+       |  FROM d, UNNEST(RANGE(CAST(CEIL(LEN(ws) / $ChunkWords.0) AS BIGINT))) AS r(i)),
+       |wdf AS (
+       |  SELECT doc_id, pos, chunk, COUNT(*) OVER (PARTITION BY chunk) AS df
+       |  FROM chunks)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN df < $ChunkDfMax THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(STRING_AGG(CASE WHEN df < $ChunkDfMax THEN chunk END, ' ' ORDER BY pos), ''))
+       |    AS clean_md5
+       |FROM wdf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -266,5 +320,6 @@ object TextOps {
     "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)),
     "text_tfidf" -> ((textTfidf _, textTfidfSql)),
     "text_redact" -> ((textRedact _, textRedactSql)),
-    "text_hash_split" -> ((textHashSplit _, textHashSplitSql)))
+    "text_hash_split" -> ((textHashSplit _, textHashSplitSql)),
+    "text_chunk_dedup" -> ((textChunkDedup _, textChunkDedupSql)))
 }

@@ -46,6 +46,30 @@ class ClustersTfidfSpec extends AnyFunSuite {
     }
   }
 
+  test("text_chunk_dedup: chunk math, drop path exercised, identity when nothing dropped") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val texts = operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = operators.TextOps.textChunkDedup(spark, dir).collect()
+    assert(rows.length == texts.size)
+    var dropped = 0
+    rows.foreach { r =>
+      val (doc, nChunks, nKept, cleanMd5) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val words = texts(doc).split(" ", -1).length
+      assert(nChunks == math.ceil(words / 3.0).toLong)
+      assert(nKept <= nChunks)
+      if (nKept == nChunks)
+        // keeping every chunk must reassemble the original text exactly
+        assert(cleanMd5 == md5hex(texts(doc)))
+      else { dropped += 1; assert(cleanMd5 != md5hex(texts(doc))) }
+    }
+    assert(dropped > 0, "corpus should contain boilerplate chunks (df >= 5)")
+  }
+
   test("minhash est_jaccard tracks exact ngram jaccard on candidate pairs") {
     // statistical contract of the Kirsch–Mitzenmacher signatures:
     // per-pair estimates carry 16-permutation noise (sd ≈ 0.12), but
