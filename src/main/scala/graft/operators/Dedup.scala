@@ -493,6 +493,57 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------------------------ incremental
+  /** Incremental-ingest dedup: classify every document of a NEW batch
+    * (doc_id % 5 == 0 stands in for "today's crawl") against the
+    * already-ingested corpus (the rest) — `dup_corpus` if its content
+    * digest exists in the corpus, `dup_batch` if an earlier batch row
+    * (lower doc_id) has the same digest, else `new`. This is the shape
+    * a production pipeline runs daily: never re-deduplicate the whole
+    * corpus, anti-join the delta against it.
+    *
+    * Scale shape: both sides reduce to 16-byte digests before any
+    * join; the corpus side is a digest-distinct partial agg (at
+    * 100 TB this is the persisted "seen digests" table — bucketed on
+    * the digest so the daily join is shuffle-free); within-batch
+    * first-wins is one window over the digest partition of the BATCH
+    * only (small side). The text column never shuffles. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // 10-char-prefix fingerprint (not full-text md5): the synthetic
+    // corpus has zero exact duplicates, so the full digest would leave
+    // both dup paths untested; prefix collisions exercise all three
+    // statuses at every SF. Production swaps in md5(text) unchanged.
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), md5(substring(col("text"), 1, 10)).as("h"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("h")).distinct().withColumn("in_corpus", lit(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    batch.join(corpus, Seq("h"), "left")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, lit("dup_corpus"))
+          .when(col("rk") > 1, lit("dup_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH d AS (SELECT doc_id, md5(SUBSTR(text, 1, 10)) AS h FROM documents),
+      |batch AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      |corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+      |ranked AS (
+      |  SELECT b.doc_id,
+      |    EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h) AS in_corpus,
+      |    ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rk
+      |  FROM batch b)
+      |SELECT doc_id,
+      |  CASE WHEN in_corpus THEN 'dup_corpus'
+      |       WHEN rk > 1 THEN 'dup_batch'
+      |       ELSE 'new' END AS status
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
@@ -501,5 +552,6 @@ object Dedup {
     "dedup_ngram_jaccard_capped" -> ((dedupNgramJaccardCapped _, dedupNgramJaccardCappedSql)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
     "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)),
-    "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)))
+    "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
+    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)))
 }

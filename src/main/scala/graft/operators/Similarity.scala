@@ -279,9 +279,57 @@ object Similarity {
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------------ int8 quantization
+  /** Per-vector int8 scalar quantization — the memory lever that makes
+    * a 100 TB ANN index fit: 64 float32 dims → 64 byte codes + two
+    * float scale params (4× smaller; at 768/1536 dims the same
+    * projection applies unchanged thanks to the HOF form). code_i =
+    * clamp(⌊(x_i − min) · 255 / (max − min)⌋, 255); constant vectors
+    * quantize to all-zero. Pure per-row projection, zero shuffles; the
+    * md5 over the code array certifies every code bit-exactly (floor
+    * of identically-ordered IEEE arithmetic ⇒ identical integers
+    * cross-engine). Reconstruction error / quantized-recall contracts
+    * live in the spec, not the gate. */
+  def simQuantized(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(array_min(embedding) AS DOUBLE)").as("mn"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("mx"),
+        expr(
+          """transform(embedding, x ->
+            |  CASE WHEN CAST(array_max(embedding) AS DOUBLE) = CAST(array_min(embedding) AS DOUBLE)
+            |       THEN 0L
+            |       ELSE least(CAST(255 AS BIGINT),
+            |         CAST(floor((CAST(x AS DOUBLE) - CAST(array_min(embedding) AS DOUBLE)) * 255.0D
+            |           / (CAST(array_max(embedding) AS DOUBLE) - CAST(array_min(embedding) AS DOUBLE))) AS BIGINT))
+            |  END)""".stripMargin).as("codes"))
+      .select(col("vec_id"), col("mn"), col("mx"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").as("sum_codes"),
+        md5(expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')")).as("codes_md5"))
+      .orderBy(col("vec_id"))
+
+  val simQuantizedSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(LIST_AGGREGATE(embedding, 'min') AS DOUBLE) AS mn,
+      |    CAST(LIST_AGGREGATE(embedding, 'max') AS DOUBLE) AS mx
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, mn, mx,
+      |    LIST_TRANSFORM(embedding, x ->
+      |      CASE WHEN mx = mn THEN 0
+      |           ELSE LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) - mn) * 255 / (mx - mn)) AS BIGINT))
+      |      END) AS codes
+      |  FROM e)
+      |SELECT vec_id, mn, mx,
+      |  CAST(LIST_AGGREGATE(codes, 'sum') AS BIGINT) AS sum_codes,
+      |  md5(ARRAY_TO_STRING(codes, ',')) AS codes_md5
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
     "sim_ann_ivf" -> ((simAnnIvf _, simAnnIvfSql)),
-    "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)))
+    "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)),
+    "sim_quantized" -> ((simQuantized _, simQuantizedSql)))
 }

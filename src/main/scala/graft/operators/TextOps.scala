@@ -259,6 +259,49 @@ object TextOps {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------ repetition metrics
+  /** Gopher-style within-document repetition signals: fraction of
+    * duplicate bigrams and the share of the single most frequent
+    * bigram — the standard "repetitious spam" quality filters a
+    * curation pipeline applies before training.
+    *
+    * Scale shape: ONE bigram explode (projection) → partial agg on
+    * (doc_id, bigram) → partial agg on doc_id; both aggregations are
+    * map-side combinable and the shuffles carry counts, never text
+    * beyond the bigram itself. Fractions are single IEEE divisions of
+    * exact integers — bit-identical cross-engine. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val bigrams = docs(spark, dir).filter(size(ws) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin)).as("bigram"))
+    bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        (col("top_c").cast("double") / col("n_bigrams").cast("double")).as("top_frac"),
+        ((col("n_bigrams") - col("n_distinct")).cast("double")
+          / col("n_bigrams").cast("double")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+      |  FROM d, UNNEST(RANGE(1, LEN(ws))) AS r(i)),
+      |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_frac,
+      |  CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_frac
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- chunk-level dedup
   private val ChunkWords = 3
   private val ChunkDfMax = 5 // chunks seen >= this many times are boilerplate
@@ -313,6 +356,46 @@ object TextOps {
        |    AS clean_md5
        |FROM wdf GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------- stratified sampling
+  /** Deterministic stratified sampling for data mixing: keep the top
+    * ⌈20%⌉ of every (lang, source) stratum, ranked by content hash
+    * (stable across runs/partitionings/engines — `rand()` is none of
+    * those; same rationale as text_hash_split). The keep threshold
+    * ⌈n/5⌉ is computed as (n+4)/5 in INTEGER arithmetic so both
+    * engines agree exactly (no float ceil at any corpus size).
+    *
+    * Scale shape: one shuffle on the stratum key serves both window
+    * functions (rank + stratum size); the md5 rank key is computed
+    * map-side. For a FIXED per-stratum k, Spark plans WindowGroupLimit
+    * (map-side top-k before the shuffle); fraction-based keep needs
+    * the stratum count so the limit is reducer-side — still one
+    * shuffle carrying (keys, digest), never text. */
+  def textStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val part = Seq(col("lang"), col("source"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+      .orderBy(col("h"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(part: _*)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .filter(col("rk") * 5 <= col("n_stratum") + 4)
+      .select(col("lang"), col("source"), col("doc_id"),
+        col("rk").cast("bigint").as("rk"), col("n_stratum"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  val textStratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |                       ORDER BY md5(text), doc_id) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang, source) AS BIGINT) AS n_stratum
+      |  FROM documents)
+      |SELECT lang, source, doc_id, rk, n_stratum FROM ranked
+      |WHERE rk * 5 <= n_stratum + 4
+      |ORDER BY lang, source, rk""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -321,5 +404,7 @@ object TextOps {
     "text_tfidf" -> ((textTfidf _, textTfidfSql)),
     "text_redact" -> ((textRedact _, textRedactSql)),
     "text_hash_split" -> ((textHashSplit _, textHashSplitSql)),
-    "text_chunk_dedup" -> ((textChunkDedup _, textChunkDedupSql)))
+    "text_chunk_dedup" -> ((textChunkDedup _, textChunkDedupSql)),
+    "text_repetition" -> ((textRepetition _, textRepetitionSql)),
+    "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)))
 }

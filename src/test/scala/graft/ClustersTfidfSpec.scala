@@ -70,6 +70,32 @@ class ClustersTfidfSpec extends AnyFunSuite {
     assert(dropped > 0, "corpus should contain boilerplate chunks (df >= 5)")
   }
 
+  test("sim_quantized: codes in [0,255], reconstruction within one quant step") {
+    val embs = operators.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rows = operators.Similarity.simQuantized(spark, dir).collect()
+    assert(rows.length == embs.size)
+    rows.foreach { r =>
+      val (id, mn, mx, sum) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val v = embs(id).map(_.toDouble)
+      assert(mn == v.min && mx == v.max)
+      // recompute codes exactly as the operator defines them
+      val codes = v.map { x =>
+        if (mx == mn) 0L
+        else math.min(255L, math.floor((x - mn) * 255.0 / (mx - mn)).toLong)
+      }
+      assert(codes.sum == sum)
+      assert(codes.forall(c => c >= 0L && c <= 255L))
+      // dequantization lands within one quantization step of the input
+      val step = if (mx == mn) 0.0 else (mx - mn) / 255.0
+      v.zip(codes).foreach { case (x, c) =>
+        assert(math.abs((mn + c * step) - x) <= step + 1e-12,
+          s"vec $id: |dequant - x| exceeds one step")
+      }
+    }
+  }
+
   test("minhash est_jaccard tracks exact ngram jaccard on candidate pairs") {
     // statistical contract of the Kirsch–Mitzenmacher signatures:
     // per-pair estimates carry 16-permutation noise (sd ≈ 0.12), but
