@@ -396,6 +396,53 @@ object TextOps {
       |WHERE rk * 5 <= n_stratum + 4
       |ORDER BY lang, source, rk""".stripMargin
 
+  // ---------------------------------------------- shard packing
+  private val ShardTokens = 2000L
+
+  /** Token-budget shard packing: assign documents (per lang, in
+    * doc_id order) to training shards of ~2000 tokens by running
+    * token count — shard = ⌊tokens-before-this-doc / budget⌋, the
+    * standard distributed approximation of greedy packing (a shard
+    * can overshoot by at most one document; exact greedy close-when-
+    * full is an inherently sequential recurrence). Emits per-shard
+    * doc counts and token totals.
+    *
+    * Scale shape: one window shuffle on the lang partition. A single
+    * global sequence would serialize; real pipelines partition the
+    * cumsum by (lang, date-bucket) exactly like this, or two-pass it:
+    * per-partition token subtotals broadcast as offsets, then each
+    * partition labels its rows independently — same results, no
+    * single-reducer window. Integer-only arithmetic cross-engine. */
+  def textShardPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("shard_id", expr(s"(cum - tokens) div $ShardTokens"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
+  val textShardPackSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |cums AS (
+       |  SELECT lang, tokens,
+       |    CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM toks)
+       |SELECT lang, (cum - tokens) // $ShardTokens AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+       |FROM cums GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -406,5 +453,6 @@ object TextOps {
     "text_hash_split" -> ((textHashSplit _, textHashSplitSql)),
     "text_chunk_dedup" -> ((textChunkDedup _, textChunkDedupSql)),
     "text_repetition" -> ((textRepetition _, textRepetitionSql)),
-    "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)))
+    "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)),
+    "text_shard_pack" -> ((textShardPack _, textShardPackSql)))
 }
