@@ -176,11 +176,36 @@ object Relational2 {
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber)
       |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
 
+  /** Unpivot (wide → long, the inverse of q17's pivot): per-nation
+    * customer measures melted into (measure, value) rows via
+    * `stack()`. Spark plans stack as Generate (a projection-time
+    * expand, no shuffle beyond the source agg); the oracle uses the
+    * portable UNION ALL form. */
+  def q22Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"))
+      .selectExpr("c_nationkey",
+        "stack(2, 'n_customers', n_customers, 'sum_acctbal', sum_acctbal) AS (measure, value)")
+      .orderBy(col("c_nationkey"), col("measure"))
+
+  val q22Sql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n_customers,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |  FROM customer GROUP BY 1)
+      |SELECT c_nationkey, 'n_customers' AS measure, n_customers AS value FROM base
+      |UNION ALL
+      |SELECT c_nationkey, 'sum_acctbal' AS measure, sum_acctbal AS value FROM base
+      |ORDER BY c_nationkey, measure""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
     "q19_quantiles" -> ((q19Quantiles _, q19Sql)),
     "q20_retention" -> ((q20Retention _, q20Sql)),
     "q21_salted_agg" -> ((q21SaltedAgg _, q21Sql)),
+    "q22_unpivot" -> ((q22Unpivot _, q22Sql)),
     "q23_window_ranks" -> ((q23WindowRanks _, q23Sql)))
 }

@@ -200,7 +200,62 @@ object Streaming {
     """SELECT lang, COUNT(DISTINCT md5(SUBSTR(text, 1, 40))) AS n_distinct_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------- stream-static join
+  /** Streaming incremental dedup via a STREAM-STATIC join — the third
+    * Structured Streaming join mode (beside the stream-stream interval
+    * join in StreamingSpec and the within-stream dropDuplicates
+    * above): the delta batch (doc_id % 5 == 0, replayed as a file
+    * stream) left-joins the STATIC corpus digest table and is
+    * classified dup_corpus/new in flight. Counts per status are
+    * independent of micro-batch arrival order, so the batch oracle
+    * matches exactly.
+    *
+    * Scale notes: the static side is the persisted digest table of
+    * `dedup_incremental` — broadcast when it fits, else the join
+    * shuffles only 16-byte digests; the stream side holds no join
+    * state at all (static joins are stateless on the stream side, no
+    * watermark needed). This is the production shape for "dedup
+    * today's crawl against everything already ingested" as it lands. */
+  def streamStaticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(md5(substring(col("text"), 1, 10)).as("h"))
+      .distinct().withColumn("in_corpus", lit(1))
+    val delta = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(md5(substring(col("text"), 1, 10)).as("h"))
+    val agg = delta.join(corpus, Seq("h"), "left")
+      .select(when(col("in_corpus").isNotNull, lit("dup_corpus"))
+        .otherwise(lit("new")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+    val qname = s"stream_static_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+      .select(col("status"), col("n"))
+      .orderBy(col("status"))
+  }
+
+  val streamStaticDedupSql: String =
+    """WITH d AS (SELECT doc_id, md5(SUBSTR(text, 1, 10)) AS h FROM documents),
+      |corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0)
+      |SELECT CASE WHEN c.h IS NOT NULL THEN 'dup_corpus' ELSE 'new' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT h FROM d WHERE doc_id % 5 = 0) b
+      |LEFT JOIN corpus c ON b.h = c.h
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
-    "stream_dedup" -> ((streamDedup _, streamDedupSql)))
+    "stream_dedup" -> ((streamDedup _, streamDedupSql)),
+    "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)))
 }
