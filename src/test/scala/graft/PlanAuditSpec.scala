@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural plan-shape regression guard. The perf work of rounds
+  * 1–3 (broadcast dims, exchange reuse, hash-aggregable signature
+  * buffers, single-explode formulations, pushdown) is invisible to
+  * the value-level oracle gates — a regression would only show as a
+  * silent slowdown at scale. These tests pin the plan SHAPES, which
+  * are scale-invariant, at toy SF. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // streaming/sink gates execute eagerly in queries() and return a
+  // sink table scan — nothing to audit in the returned plan
+  private def auditableGates: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.startsWith("stream_") || n.startsWith("sink_"))
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  // tiny bounded build sides crossed on purpose: the DF-cap scalar,
+  // the IVF centroid set, the query vectors, the corpus-size scalar
+  private val intentionalNestedLoop = Set(
+    "dedup_ngram_jaccard_capped", "sim_ann_ivf", "sim_cosine_topk", "text_tfidf")
+
+  test("no gate plans a cartesian product; nested-loop only where intended") {
+    val offenders = auditableGates.flatMap { n =>
+      val p = planOf(n)
+      val cart = if (p.contains("CartesianProduct")) Some(s"$n: CartesianProduct") else None
+      val bnlj = if (p.contains("BroadcastNestedLoopJoin") && !intentionalNestedLoop(n))
+        Some(s"$n: unexpected BroadcastNestedLoopJoin") else None
+      cart ++ bnlj
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
+  test("no gate plans a SortAggregate (all aggregation buffers stay hash-able)") {
+    val offenders = auditableGates.filter(n => planOf(n).contains("SortAggregate"))
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("single-explode formulations stay single-explode") {
+    Seq("text_tfidf", "text_chunk_dedup", "text_repetition").foreach { n =>
+      val gens = "Generate".r.findAllIn(planOf(n)).size
+      assert(gens == 1, s"$n explodes $gens times (expected 1)")
+    }
+  }
+
+  test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
+    assert(planOf("q3_join_agg").contains("BroadcastHashJoin"))
+    assert(planOf("q4_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q2 filters reach the parquet scan as PushedFilters") {
+    assert(planOf("q2_filter_proj").contains("PushedFilters: ["))
+  }
+
+  test("pipeline_curate reuses the signature exchange (AQE off)") {
+    // static ReusedExchange only materializes in the pre-execution
+    // plan with AQE disabled; under AQE reuse happens at runtime
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // ReuseExchange is an executedPlan preparation rule — it never
+      // appears in sparkPlan
+      val p = SparkEntry.queries("pipeline_curate")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), "signature pipeline computed twice")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
