@@ -42,7 +42,28 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
 
     from alpaca_pyspark.stocks.trades import StockTradesDataSource
+    from alpaca_pyspark.stocks.bars import StockBarsDataSource
     spark.dataSource.register(StockTradesDataSource)
+    spark.dataSource.register(StockBarsDataSource)
+
+    def bars_workload():
+        df = (spark.read.format("Alpaca_Stocks_Bars")
+              .options(**{
+                  "symbols": "['AAPL', 'MSFT']",
+                  "start": "2021-01-01T00:00:00Z",
+                  "end": "2022-01-01T00:00:00Z",
+                  "timeframe": "1Min",
+                  "APCA-API-KEY-ID": "test-key",
+                  "APCA-API-SECRET-KEY": "test-secret",
+                  "endpoint": endpoint,
+              })
+              .load())
+        agg = (df.groupBy(F.col("symbol"),
+                          F.date_format(F.col("time"), "yyyy-MM").alias("month"))
+               .agg(F.count(F.lit(1)).alias("n_bars"),
+                    F.sum(F.col("volume")).alias("sum_volume")))
+        rows = agg.collect()
+        return len(rows), sum(r["n_bars"] for r in rows)
 
     def workload():
         df = (spark.read.format("Alpaca_Stocks_Trades")
@@ -62,18 +83,18 @@ def main():
         rows = agg.collect()
         return len(rows), sum(r["n_trades"] for r in rows)
 
-    results = []
-    for i in range(runs):
-        t0 = time.monotonic()
-        n_groups, n_trades = workload()
-        dt = time.monotonic() - t0
-        results.append(dt)
-        print(f"run {i}: {dt:.2f}s  groups={n_groups} trades={n_trades}",
-              flush=True)
-
-    print('{"metric":"ref_trades_throughput","unit":"sec",'
-          f'"runs":{[round(r, 3) for r in results]},'
-          f'"best":{min(results):.3f}}}', flush=True)
+    for label, fn in (("trades", workload), ("bars", bars_workload)):
+        results = []
+        for i in range(runs):
+            t0 = time.monotonic()
+            n_groups, n_records = fn()
+            dt = time.monotonic() - t0
+            results.append(dt)
+            print(f"{label} run {i}: {dt:.2f}s  groups={n_groups} "
+                  f"records={n_records}", flush=True)
+        print(f'{{"metric":"ref_{label}_throughput","unit":"sec",'
+              f'"runs":{[round(r, 3) for r in results]},'
+              f'"best":{min(results):.3f}}}', flush=True)
     spark.stop()
 
 

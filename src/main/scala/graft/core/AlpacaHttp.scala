@@ -74,32 +74,78 @@ class AlpacaHttpClient(
     throw new IllegalStateException("unreachable")
   }
 
+  private def pageToken(pg: JsonNode): Option[String] =
+    Option(pg.get("next_page_token"))
+      .filter(n => !n.isNull)
+      .map(_.asText())
+      .filter(_.nonEmpty)
+
   /** Lazy page iterator: yields each page's JSON while a
-    * `next_page_token` is present; sleeps `rateLimitDelaySec` between
-    * pages when configured. */
+    * `next_page_token` is present.
+    *
+    * With no rate-limit delay, the NEXT page's HTTP request is issued
+    * asynchronously as soon as the current page's JSON arrives, so
+    * network/server time overlaps the consumer's parse time (the
+    * multi-page chain is each partition's critical path; the reference
+    * fetches strictly sequentially, `common.py:166-205`). One page of
+    * lookahead bounds buffered memory at a single response body. When
+    * `rateLimitDelaySec` is configured, pagination stays strictly
+    * sequential so the inter-page sleep keeps its meaning (H5). */
   def fetchAllPages(
       params: Seq[(String, String)],
       rateLimitDelaySec: Double = 0.0): Iterator[JsonNode] =
-    new Iterator[JsonNode] {
-      private var numPages = 0
-      private var nextToken: Option[String] = None
-      override def hasNext: Boolean = numPages < 1 || nextToken.isDefined
-      override def next(): JsonNode = {
-        if (rateLimitDelaySec > 0 && numPages > 0)
-          Thread.sleep((rateLimitDelaySec * 1000).toLong)
-        val pg = getPage(params, nextToken)
-        numPages += 1
-        nextToken = Option(pg.get("next_page_token"))
-          .filter(n => !n.isNull)
-          .map(_.asText())
-          .filter(_.nonEmpty)
-        pg
+    if (rateLimitDelaySec > 0)
+      new Iterator[JsonNode] {
+        private var numPages = 0
+        private var nextToken: Option[String] = None
+        override def hasNext: Boolean = numPages < 1 || nextToken.isDefined
+        override def next(): JsonNode = {
+          if (numPages > 0)
+            Thread.sleep((rateLimitDelaySec * 1000).toLong)
+          val pg = getPage(params, nextToken)
+          numPages += 1
+          nextToken = pageToken(pg)
+          pg
+        }
       }
-    }
+    else
+      new Iterator[JsonNode] {
+        private var inFlight: java.util.concurrent.CompletableFuture[JsonNode] = _
+        private var done = false
+        private def submit(tok: Option[String]): Unit =
+          inFlight = java.util.concurrent.CompletableFuture.supplyAsync(
+            () => getPage(params, tok), AlpacaHttpClient.prefetchPool)
+        override def hasNext: Boolean = !done
+        override def next(): JsonNode = {
+          if (inFlight == null) submit(None)
+          val pg =
+            try inFlight.join()
+            catch {
+              case e: java.util.concurrent.CompletionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          pageToken(pg) match {
+            case some @ Some(_) => submit(some)
+            case None => done = true
+          }
+          pg
+        }
+      }
 }
 
 object AlpacaHttpClient {
   /** reference: `common.py:25,151-156` */
   val MaxRetries = 3
   val RetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
+
+  /** Shared daemon pool for one-page-ahead prefetch. Cached: grows to
+    * the number of concurrently-fetching partitions on this executor
+    * (each holds at most one in-flight request) and idle threads die
+    * after 60 s, so it never pins the JVM or leaks across queries. */
+  private[core] lazy val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "alpaca-prefetch")
+      t.setDaemon(true)
+      t
+    })
 }

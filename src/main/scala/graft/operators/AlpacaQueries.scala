@@ -35,8 +35,13 @@ object AlpacaQueries {
 
   private[operators] def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** Stub endpoint: in-process by default; GRAFT_STUB_ENDPOINT points
+    * the gates at an external stub JVM — used when benchmarking so the
+    * fixture server gets its own process exactly like the reference
+    * bench does, instead of competing with Spark for this JVM's
+    * CPUs/heap. */
   private[operators] def baseOptions(sym: String*): Map[String, String] = Map(
-    "endpoint" -> AlpacaStubServer.endpoint,
+    "endpoint" -> sys.env.getOrElse("GRAFT_STUB_ENDPOINT", AlpacaStubServer.endpoint),
     "APCA-API-KEY-ID" -> "test-key",
     "APCA-API-SECRET-KEY" -> "test-secret",
     "symbols" -> sym.mkString("['", "','", "']"))
@@ -352,6 +357,46 @@ object AlpacaQueries {
        |ORDER BY symbol, month""".stripMargin
   }
 
+  // ------------------------------------- bars scan-throughput gate (r3)
+  /** Bars twin of tradesThroughput, 10× the volume: a full year of
+    * MINUTE bars × 2 symbols (~1.05M records) through HTTP → JSON →
+    * ColumnarBatch → monthly partial agg. Volume-aware partition
+    * planning caps each partition at limit×5 = 50k expected rows
+    * (~11 intervals/symbol). This is the workload REFBENCH.md times
+    * against the reference connector. Fixture closes sit on a
+    * 0.25 grid, so the decimal sum is exact. */
+  def barsThroughput(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> yearStart, "end" -> yearEnd, "timeframe" -> "1Min"))
+      .load()
+      .groupBy(col("symbol"), date_format(col("time"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("volume")).as("sum_volume"),
+        sum(col("close").cast("decimal(18,2)")).cast("double").as("sum_close"))
+      .orderBy(col("symbol"), col("month"))
+
+  def barsThroughputSql: String = {
+    val tfUs = 60L * 1000000L
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(yearStart), us(yearEnd), tfUs)
+        .groupBy(b => (b.symbol, fmtTs(b.timeUs).take(7)))
+        .toSeq.sortBy(_._1)
+        .map { case ((sym, month), bs) =>
+          val closeCents = bs.map(b => BigDecimal.valueOf(b.close)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(100)).toLongExact).sum
+          s"(${sqlStr(sym)}, ${sqlStr(month)}, ${bs.size}, ${bs.map(_.volume).sum}, " +
+            s"${fmtD(closeCents / 100.0)})"
+        }
+    }
+    s"""SELECT symbol, month, CAST(n_bars AS BIGINT) AS n_bars,
+       |  CAST(sum_volume AS BIGINT) AS sum_volume, CAST(sum_close AS DOUBLE) AS sum_close
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, month, n_bars, sum_volume, sum_close)
+       |ORDER BY symbol, month""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_bars_trades_join" -> ((barsTradesJoin _, barsTradesJoinSql)),
     "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
@@ -363,6 +408,7 @@ object AlpacaQueries {
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
+    "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }

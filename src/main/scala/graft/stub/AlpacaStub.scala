@@ -36,18 +36,32 @@ object AlpacaFixtures {
   private def symBase(symbol: String): Double =
     100.0 + (math.abs(symbol.hashCode) % 64) * 0.25
 
+  /** First grid point ≥ startUs for step `stepUs`. */
+  def gridFirst(startUs: Long, stepUs: Long): Long =
+    ((startUs + stepUs - 1) / stepUs) * stepUs
+
+  /** Number of grid points in [startUs, endUs). */
+  def gridCount(startUs: Long, endUs: Long, stepUs: Long): Int = {
+    val first = gridFirst(startUs, stepUs)
+    if (endUs <= first) 0 else ((endUs - first + stepUs - 1) / stepUs).toInt
+  }
+
+  /** The bar at grid time `t` (pure function of symbol and t). */
+  def barAt(symbol: String, t: Long, tfUs: Long): Bar = {
+    val i = t / tfUs
+    val base = symBase(symbol) + (i % 16) * 0.25
+    Bar(symbol, t,
+      open = base, high = base + 1.5, low = base - 0.75, close = base + 0.5,
+      volume = 1000L + (i % 100) * 10L,
+      tradeCount = 50L + (i % 20),
+      vwap = base + 0.25)
+  }
+
   /** Bars on the timeframe grid within [startUs, endUs). */
   def bars(symbol: String, startUs: Long, endUs: Long, tfUs: Long): Seq[Bar] = {
-    val first = ((startUs + tfUs - 1) / tfUs) * tfUs
-    Iterator.iterate(first)(_ + tfUs).takeWhile(_ < endUs).map { t =>
-      val i = t / tfUs
-      val base = symBase(symbol) + (i % 16) * 0.25
-      Bar(symbol, t,
-        open = base, high = base + 1.5, low = base - 0.75, close = base + 0.5,
-        volume = 1000L + (i % 100) * 10L,
-        tradeCount = 50L + (i % 20),
-        vwap = base + 0.25)
-    }.toSeq
+    val first = gridFirst(startUs, tfUs)
+    Iterator.iterate(first)(_ + tfUs).takeWhile(_ < endUs)
+      .map(barAt(symbol, _, tfUs)).toSeq
   }
 
   /** Trades every 10 minutes within [startUs, endUs). */
@@ -128,15 +142,19 @@ object AlpacaStubServer {
   private def fmtD(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString + ".0" else d.toString
 
-  /** Paginates `records` (already JSON strings grouped by symbol order)
-    * and renders the envelope. Honors `sort=desc` (the real API's
-    * server-side ordering, `stocks/trades.py:54-57`) by reversing the
-    * naturally-ascending fixture records before pagination. */
-  private def envelope(dataKey: String, symbol: String, records0: Seq[String],
-      limit: Int, pageToken: String, sort: String = "asc"): String = {
+  /** Paginates `records` and renders the envelope. Slices BEFORE
+    * rendering so each page request pays O(limit) JSON work, not
+    * O(interval) — with volume-aware multi-page partitions the old
+    * render-then-slice shape re-rendered the whole interval per page
+    * and dominated benchmark timings. Honors `sort=desc` (the real
+    * API's server-side ordering, `stocks/trades.py:54-57`) by
+    * reversing the naturally-ascending fixture records first. */
+  private def envelope[T](dataKey: String, symbol: String, records0: Seq[T],
+      render: T => String, limit: Int, pageToken: String,
+      sort: String = "asc"): String = {
     val records = if (sort == "desc") records0.reverse else records0
     val offset = if (pageToken.isEmpty) 0 else pageToken.toInt
-    val page = records.slice(offset, offset + limit)
+    val page = records.slice(offset, offset + limit).map(render)
     val nextTok =
       if (offset + limit < records.size) jsonStr((offset + limit).toString)
       else "null"
@@ -178,17 +196,37 @@ object AlpacaStubServer {
       if (hits <= 2) return (503, """{"message": "service unavailable"}""")
     }
     val tfUs = Timeframe.parseMicros(params.getOrElse("timeframe", "1Hour"))
-    val recs =
-      if (symbol == "MALFORMED")
-        // first record lacks h/l/c/v/n/vw → parser must warn + skip it
+    val limit = params.get("limit").map(_.toInt).getOrElse(10000)
+    val tok = q(params, "page_token")
+    val sort = params.getOrElse("sort", "asc")
+    if (symbol == "MALFORMED")
+      // first record lacks h/l/c/v/n/vw → parser must warn + skip it.
+      // Tiny fixture range, so pre-rendering the full list here is fine.
+      (200, envelope("bars", symbol,
         s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(isoToUs(q(params, "start"))))}, "o": 1.0}""" +:
-          bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson)
-      else
-        bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson)
-    (200, envelope("bars", symbol,
-      recs,
-      params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token"),
-      params.getOrElse("sort", "asc")))
+          bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson),
+        identity[String], limit, tok, sort))
+    else {
+      // O(page) paging on the time grid: volume-aware partitions span
+      // weeks of minute bars (≈50k records over 5 pages), and
+      // materializing the whole interval per page request made the
+      // stub — not the engine under test — the benchmark bottleneck.
+      val startUs = isoToUs(q(params, "start"))
+      val endUs = isoToUs(q(params, "end"))
+      val first = gridFirst(startUs, tfUs)
+      val total = gridCount(startUs, endUs, tfUs)
+      val offset = if (tok.isEmpty) 0 else tok.toInt
+      val hi = math.min(offset + limit, total)
+      val page = (offset until hi).map { k =>
+        val idx = if (sort == "desc") total - 1 - k else k
+        barJson(barAt(symbol, first + idx.toLong * tfUs, tfUs))
+      }
+      val nextTok = if (hi < total) jsonStr(hi.toString) else "null"
+      val body =
+        if (page.isEmpty) """{"bars": {}, "next_page_token": null}"""
+        else s"""{"bars": {${jsonStr(symbol)}: [${page.mkString(",")}]}, "next_page_token": $nextTok}"""
+      (200, body)
+    }
   }
 
   private def start(): Unit = {
@@ -202,19 +240,23 @@ object AlpacaStubServer {
     server.createContext("/v2/stocks/trades", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("trades", symbol,
-        trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))).map(tradeJson),
-        params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token"),
-        params.getOrElse("sort", "asc")))
+        trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        tradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("corporate_actions", symbol,
-        corpActions(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))).map(caJson),
-        params.get("limit").map(_.toInt).getOrElse(10000), q(params, "page_token")))
+        corpActions(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        caJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token")))
     }))
     // Daemon threads: the stub must never keep the JVM alive after
     // main() returns (Verify/Bench exit cleanly without stop()).
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+    // 32 threads: local[32] runs 32 concurrent fetching tasks; an
+    // 8-thread pool made them queue 4-deep at the stub and charged
+    // the wait to whichever engine was being measured.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32,
       (r: Runnable) => {
         val t = new Thread(r, "alpaca-stub")
         t.setDaemon(true)
