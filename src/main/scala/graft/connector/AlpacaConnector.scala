@@ -332,9 +332,13 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
     overridden.toSeq.sortBy(_._1)
   }
 
-  /** One inner iterator per API page (page-lazy: the next HTTP request
-    * only happens when the previous page's rows are consumed). */
-  lazy val pages: Iterator[Iterator[InternalRow]] = {
+  /** One row array per API page (page-lazy with one page of async
+    * lookahead: the NEXT page's HTTP request is in flight while the
+    * current page parses). Each page streams token-by-token from raw
+    * bytes straight to rows — no page DOM, no char decode — the
+    * Spark-side analogue of the reference's JSON→Arrow batch seam
+    * (`common.py:461-493`). */
+  lazy val pageArrays: Iterator[Array[InternalRow]] = {
     val client = new AlpacaHttpClient(
       cfg.endpoint,
       Map(
@@ -342,24 +346,54 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
         "APCA-API-KEY-ID" -> cfg.apiKeyId,
         "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
       pathElements)
-    client.fetchAllPages(partitionParams, cfg.rateLimitDelaySec).map(parsePage)
+    client.fetchAllPagesBytes(partitionParams, cfg.rateLimitDelaySec).map(parsePageBytes)
   }
 
-  private def parsePage(page: JsonNode): Iterator[InternalRow] = {
-    val data = page.get(dataKey)
-    if (data == null || data.isNull || !data.isObject) Iterator.empty
-    else data.properties().iterator().asScala.flatMap { entry =>
-      val sym = entry.getKey
-      entry.getValue.elements().asScala.flatMap { rec =>
-        try Some(parser.parse(sym, rec))
-        catch {
-          case e: IllegalArgumentException =>
-            log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
-            None
-        }
+  lazy val pages: Iterator[Iterator[InternalRow]] = pageArrays.map(_.iterator)
+
+  private def parsePageBytes(bytes: Array[Byte]): Array[InternalRow] = {
+    import com.fasterxml.jackson.core.JsonToken
+    val jp = AlpacaPageSource.mapper.createParser(bytes)
+    try {
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+        math.min(cfg.limit, 16384))
+      if (jp.nextToken() != JsonToken.START_OBJECT) return Array.empty
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        tk = jp.nextToken()
+        if (name == dataKey && tk == JsonToken.START_OBJECT) {
+          var t2 = jp.nextToken()
+          while (t2 == JsonToken.FIELD_NAME) {
+            val sym = jp.currentName()
+            t2 = jp.nextToken()
+            if (t2 == JsonToken.START_ARRAY) {
+              var t3 = jp.nextToken()
+              while (t3 != JsonToken.END_ARRAY) {
+                if (t3 == JsonToken.START_OBJECT) {
+                  try out += parser.parseStream(sym, jp)
+                  catch {
+                    case e: IllegalArgumentException =>
+                      log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
+                  }
+                } else if (t3.isStructStart) jp.skipChildren()
+                t3 = jp.nextToken()
+              }
+            } else if (t2.isStructStart) jp.skipChildren()
+            t2 = jp.nextToken()
+          }
+        } else if (tk != null && tk.isStructStart) jp.skipChildren()
+        tk = jp.nextToken()
       }
-    }
+      out.toArray
+    } finally jp.close()
   }
+}
+
+private[connector] object AlpacaPageSource {
+  /** Shared, thread-safe; createParser carries the codec needed by
+    * tree-based parseStream fallbacks. */
+  val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }
 
 /** Row-at-a-time reader (micro-batch streaming path; batch reads go
@@ -414,8 +448,8 @@ class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
   private val ordinals: Array[(Int, org.apache.spark.sql.types.DataType)] =
     outSchema.fields.map(f => (parser.schema.fieldIndex(f.name), f.dataType))
 
-  private lazy val pages: Iterator[Iterator[InternalRow]] =
-    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition).pages
+  private lazy val pages: Iterator[Array[InternalRow]] =
+    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition).pageArrays
 
   private var emitted = 0L
   private var batch: ColumnarBatch = _
@@ -424,7 +458,7 @@ class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
     close() // release the previous page's vectors
     if (limitOpt.exists(emitted >= _)) return false
     while (pages.hasNext) {
-      var rows = pages.next().toArray
+      var rows = pages.next()
       limitOpt.foreach { lim =>
         if (rows.length > lim - emitted) rows = rows.take((lim - emitted).toInt)
       }

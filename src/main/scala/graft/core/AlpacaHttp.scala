@@ -42,9 +42,11 @@ class AlpacaHttpClient(
     s"$endpoint/$path?$qs"
   }
 
-  /** Fetches one page; retries retryable statuses with backoff, fails
-    * the (Spark) task on anything else — task retry covers the rest. */
-  def getPage(params: Seq[(String, String)], pageToken: Option[String]): JsonNode = {
+  /** Fetches one page as raw UTF-8 bytes; retries retryable statuses
+    * with backoff, fails the (Spark) task on anything else — task
+    * retry covers the rest. Bytes (not String) so the JSON layer can
+    * stream-parse without a 2× char-decode pass. */
+  def getPageBytes(params: Seq[(String, String)], pageToken: Option[String]): Array[Byte] = {
     val url = buildUrl(params ++ pageToken.map("page_token" -> _))
     var attempt = 0
     while (true) {
@@ -53,14 +55,14 @@ class AlpacaHttpClient(
         .GET()
       headers.foreach { case (k, v) => builder.header(k, v) }
       val response =
-        try client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+        try client.send(builder.build(), HttpResponse.BodyHandlers.ofByteArray())
         catch {
           case e: java.io.IOException =>
             throw new RuntimeException(s"Network request failed: ${e.getMessage}", e)
         }
       val code = response.statusCode()
       if (code >= 200 && code < 300) {
-        return mapper.readTree(response.body())
+        return response.body()
       } else if (AlpacaHttpClient.RetryStatuses.contains(code) && attempt < maxRetries) {
         val backoffMs = (500L << attempt) // 0.5s, 1s, 2s
         log.warn(s"HTTP $code for $url; retry ${attempt + 1}/$maxRetries in ${backoffMs}ms")
@@ -68,17 +70,43 @@ class AlpacaHttpClient(
         attempt += 1
       } else {
         throw new RuntimeException(
-          s"HTTP error $code for $url: ${response.body().take(500)}")
+          s"HTTP error $code for $url: ${new String(response.body(), StandardCharsets.UTF_8).take(500)}")
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** DOM variant of getPageBytes (diagnostics + small responses). */
+  def getPage(params: Seq[(String, String)], pageToken: Option[String]): JsonNode =
+    mapper.readTree(getPageBytes(params, pageToken))
 
   private def pageToken(pg: JsonNode): Option[String] =
     Option(pg.get("next_page_token"))
       .filter(n => !n.isNull)
       .map(_.asText())
       .filter(_.nonEmpty)
+
+  /** Streaming skim for `next_page_token` — a lex-only pass that
+    * `skipChildren`s over the (large) data field, so pagination can
+    * chain the next request without building a DOM for the page. */
+  private def skimNextToken(bytes: Array[Byte]): Option[String] = {
+    val jp = mapper.createParser(bytes)
+    try {
+      if (jp.nextToken() != com.fasterxml.jackson.core.JsonToken.START_OBJECT) return None
+      var tk = jp.nextToken()
+      while (tk == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        tk = jp.nextToken()
+        if (name == "next_page_token")
+          return if (tk == com.fasterxml.jackson.core.JsonToken.VALUE_STRING)
+            Some(jp.getText).filter(_.nonEmpty)
+          else None
+        if (tk.isStructStart) jp.skipChildren()
+        tk = jp.nextToken()
+      }
+      None
+    } finally jp.close()
+  }
 
   /** Lazy page iterator: yields each page's JSON while a
     * `next_page_token` is present.
@@ -94,41 +122,51 @@ class AlpacaHttpClient(
   def fetchAllPages(
       params: Seq[(String, String)],
       rateLimitDelaySec: Double = 0.0): Iterator[JsonNode] =
+    fetchAllPagesBytes(params, rateLimitDelaySec).map(b => mapper.readTree(b))
+
+  /** Raw-bytes pagination. The consumer stream-parses each page; the
+    * `next_page_token` needed to chain requests comes from a cheap
+    * lex-only skim, so the full parse stays on the consumer's side of
+    * the pipeline. */
+  def fetchAllPagesBytes(
+      params: Seq[(String, String)],
+      rateLimitDelaySec: Double = 0.0): Iterator[Array[Byte]] =
     if (rateLimitDelaySec > 0)
-      new Iterator[JsonNode] {
+      new Iterator[Array[Byte]] {
         private var numPages = 0
         private var nextToken: Option[String] = None
         override def hasNext: Boolean = numPages < 1 || nextToken.isDefined
-        override def next(): JsonNode = {
+        override def next(): Array[Byte] = {
           if (numPages > 0)
             Thread.sleep((rateLimitDelaySec * 1000).toLong)
-          val pg = getPage(params, nextToken)
+          val pg = getPageBytes(params, nextToken)
           numPages += 1
-          nextToken = pageToken(pg)
+          nextToken = skimNextToken(pg)
           pg
         }
       }
     else
-      new Iterator[JsonNode] {
-        private var inFlight: java.util.concurrent.CompletableFuture[JsonNode] = _
+      new Iterator[Array[Byte]] {
+        private var inFlight: java.util.concurrent.CompletableFuture[(Array[Byte], Option[String])] = _
         private var done = false
         private def submit(tok: Option[String]): Unit =
           inFlight = java.util.concurrent.CompletableFuture.supplyAsync(
-            () => getPage(params, tok), AlpacaHttpClient.prefetchPool)
+            () => { val b = getPageBytes(params, tok); (b, skimNextToken(b)) },
+            AlpacaHttpClient.prefetchPool)
         override def hasNext: Boolean = !done
-        override def next(): JsonNode = {
+        override def next(): Array[Byte] = {
           if (inFlight == null) submit(None)
-          val pg =
+          val (bytes, tok) =
             try inFlight.join()
             catch {
               case e: java.util.concurrent.CompletionException =>
                 throw Option(e.getCause).getOrElse(e)
             }
-          pageToken(pg) match {
+          tok match {
             case some @ Some(_) => submit(some)
             case None => done = true
           }
-          pg
+          bytes
         }
       }
 }

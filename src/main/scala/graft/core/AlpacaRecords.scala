@@ -33,6 +33,64 @@ trait RecordParser extends Serializable {
   def schema: StructType
   def parse(symbol: String, rec: JsonNode): InternalRow
 
+  /** Streaming parse of one record: the parser must be positioned ON
+    * the record's START_OBJECT and, on success, is left ON its
+    * END_OBJECT. Default materializes just this record's subtree and
+    * delegates to [[parse]] — hot sources override with a token walk
+    * (no DOM at all). On failure the token stream is realigned to the
+    * record's END_OBJECT before rethrowing, so the caller can warn +
+    * skip and continue with the next record (E4 semantics). */
+  def parseStream(symbol: String, jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    val node = jp.readValueAsTree[JsonNode]()
+    parse(symbol, node)
+  }
+
+  /** Realign to the current record's END_OBJECT after a mid-record
+    * failure (value tokens already consumed are scalars; an
+    * unconsumed struct value is skipped wholesale). */
+  protected final def skipRecord(jp: com.fasterxml.jackson.core.JsonParser): Unit = {
+    try {
+      var tk = jp.currentToken()
+      if (tk != null && tk.isStructStart) jp.skipChildren()
+      tk = jp.nextToken()
+      while (tk != null && tk != com.fasterxml.jackson.core.JsonToken.END_OBJECT) {
+        if (tk.isStructStart) jp.skipChildren()
+        tk = jp.nextToken()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  protected final def streamTs(jp: com.fasterxml.jackson.core.JsonParser, key: String): Long = {
+    val raw = jp.getText
+    AlpacaOptions.parseIsoMicros(raw).getOrElse(
+      throw new IllegalArgumentException(s"bad timestamp '$raw' in '$key'"))
+  }
+
+  protected final def streamDbl(jp: com.fasterxml.jackson.core.JsonParser, key: String): Double = {
+    import com.fasterxml.jackson.core.JsonToken._
+    jp.currentToken() match {
+      case VALUE_NUMBER_INT | VALUE_NUMBER_FLOAT => jp.getDoubleValue
+      case VALUE_STRING =>
+        try jp.getText.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad double '${jp.getText}' in '$key'") }
+      case _ => throw new IllegalArgumentException(s"bad double in '$key'")
+    }
+  }
+
+  protected final def streamLng(jp: com.fasterxml.jackson.core.JsonParser, key: String): Long = {
+    import com.fasterxml.jackson.core.JsonToken._
+    jp.currentToken() match {
+      case VALUE_NUMBER_INT => jp.getLongValue
+      case VALUE_NUMBER_FLOAT => jp.getDoubleValue.toLong
+      case VALUE_STRING =>
+        try jp.getText.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad long '${jp.getText}' in '$key'") }
+      case _ => throw new IllegalArgumentException(s"bad long in '$key'")
+    }
+  }
+
   protected def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
   protected def reqNode(rec: JsonNode, key: String): JsonNode = {
@@ -73,6 +131,43 @@ object BarParser extends RecordParser {
       dbl(rec, "o"), dbl(rec, "h"), dbl(rec, "l"), dbl(rec, "c"),
       lng(rec, "v"), lng(rec, "n"),
       dbl(rec, "vw"))
+
+  /** Token walk — no per-record DOM. A null or absent field surfaces
+    * as the same missing-field error the DOM path raises. */
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L
+    var o = 0d; var h = 0d; var l = 0d; var c = 0d; var vw = 0d
+    var v = 0L; var n = 0L
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) () // same as absent
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "o" => o = streamDbl(jp, "o"); seen |= 2
+          case "h" => h = streamDbl(jp, "h"); seen |= 4
+          case "l" => l = streamDbl(jp, "l"); seen |= 8
+          case "c" => c = streamDbl(jp, "c"); seen |= 16
+          case "v" => v = streamLng(jp, "v"); seen |= 32
+          case "n" => n = streamLng(jp, "n"); seen |= 64
+          case "vw" => vw = streamDbl(jp, "vw"); seen |= 128
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != 255) {
+      val names = Array("t", "o", "h", "l", "c", "v", "n", "vw")
+      throw new IllegalArgumentException(
+        s"missing field '${names(Integer.numberOfTrailingZeros(~seen))}'")
+    }
+    InternalRow(utf8(symbol), tUs, o, h, l, c, v, n, vw)
+  }
 }
 
 /** `{t,x,p,s,c,i,z}` → trade row; the `c` array of condition codes is
@@ -102,6 +197,52 @@ object TradeParser extends RecordParser {
       utf8(conditions),
       lng(rec, "i"),
       utf8(reqNode(rec, "z").asText()))
+  }
+
+  /** Token walk; the `c` condition array is joined to CSV in-stream
+    * (absent/null `c` → empty string, like the DOM path). */
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L; var p = 0d; var s = 0L; var id = 0L
+    var x: String = null; var z: String = null
+    var conditions = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) () // absent/null → default or missing
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "x" => x = jp.getText; seen |= 2
+          case "p" => p = streamDbl(jp, "p"); seen |= 4
+          case "s" => s = streamLng(jp, "s"); seen |= 8
+          case "i" => id = streamLng(jp, "i"); seen |= 16
+          case "z" => z = jp.getText; seen |= 32
+          case "c" =>
+            if (vt == JsonToken.START_ARRAY) {
+              val sb = new java.lang.StringBuilder
+              var t2 = jp.nextToken()
+              while (t2 != JsonToken.END_ARRAY) {
+                if (sb.length > 0) sb.append(',')
+                sb.append(jp.getText)
+                t2 = jp.nextToken()
+              }
+              conditions = sb.toString
+            } else if (vt.isStructStart) jp.skipChildren()
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != 63) {
+      val names = Array("t", "x", "p", "s", "i", "z")
+      throw new IllegalArgumentException(
+        s"missing field '${names(Integer.numberOfTrailingZeros(~seen))}'")
+    }
+    InternalRow(utf8(symbol), tUs, utf8(x), p, s, utf8(conditions), id, utf8(z))
   }
 }
 
