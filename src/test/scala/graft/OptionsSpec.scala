@@ -59,6 +59,47 @@ class OptionsSpec extends AnyFunSuite {
     assert(us("garbage").isEmpty)
   }
 
+  test("ISO fast paths agree with java.time across a generated sweep") {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val referenceFmt = DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx").withZone(ZoneOffset.UTC)
+    // deterministic pseudo-random micros sweep incl. edge instants
+    val edges = Seq(0L, -1L, 1L, 86399999999L, -62135596800000000L + 86400000000L,
+      253402300799999999L, 951782400000000L /* 2000-02-29 */)
+    val rng = new scala.util.Random(42)
+    val samples = edges ++ Seq.fill(2000)(
+      (rng.nextLong() % 4102444800L) * 1000000L + rng.nextInt(1000000))
+    samples.foreach { us =>
+      val mine = AlpacaOptions.microsToIso(us)
+      val secs = Math.floorDiv(us, 1000000L)
+      val ref = referenceFmt.format(Instant.ofEpochSecond(secs,
+        Math.floorMod(us, 1000000L) * 1000L))
+      assert(mine == ref, s"format mismatch at $us: $mine vs $ref")
+      // round-trip through the fast parse
+      assert(AlpacaOptions.parseIsoMicros(mine).contains(us), s"roundtrip $mine")
+      // the Z form parses identically
+      assert(AlpacaOptions.parseIsoMicros(mine.replace("+00:00", "Z")).contains(us))
+    }
+    // fractional widths 1..6 + no-fraction forms
+    (1 to 6).foreach { w =>
+      val frac = "123456".take(w)
+      val expect = ("123456".take(w) + "000000").take(6).toLong
+      assert(AlpacaOptions.parseIsoMicros(s"2021-03-04T05:06:07.${frac}Z").get ==
+        AlpacaOptions.parseIsoMicros("2021-03-04T05:06:07Z").get + expect)
+    }
+    // shapes the fast path must reject but the fallback handles or rejects
+    assert(AlpacaOptions.parseIsoMicros("2021-02-30T00:00:00Z").isEmpty) // bad date
+    assert(AlpacaOptions.parseIsoMicros("2021-01-01T00:00:00+01:00").get ==
+      AlpacaOptions.parseIsoMicros("2020-12-31T23:00:00Z").get) // offset via fallback
+    // dot-with-no-digits is rejected by the fast path and lands in the
+    // java.time fallback (which happens to accept it) — the fast path
+    // must not change the answer, whatever the fallback says
+    assert(AlpacaOptions.parseIsoMicros("2021-01-01T00:00:00.Z") ==
+      AlpacaOptions.parseIsoMicros("2021-01-01T00:00:00Z") ||
+      AlpacaOptions.parseIsoMicros("2021-01-01T00:00:00.Z").isEmpty)
+  }
+
   test("V4: timeframe grammar with unit aliases and trading-calendar approximations") {
     val M = 60L * 1000000L
     assert(Timeframe.parseMicros("5Min") == 5 * M)
