@@ -443,6 +443,99 @@ object TextOps {
        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens
        |FROM cums GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin
 
+  // ---------------------------------------------- per-source capping
+  private val SourceCap = 15
+
+  /** C4/RefinedWeb-style source-frequency cap: keep at most N docs per
+    * source, survivors chosen by stable content-hash rank (not arrival
+    * order — reruns and repartitions pick identical survivors). Bounds
+    * over-represented domains before mixing.
+    *
+    * Scale shape: one shuffle on `source` for the rank window. A
+    * billion-doc domain makes that reducer hot; production two-phases
+    * it (per-partition pre-cap to N local survivors — keeping any N
+    * smallest hashes per partition is admissible because the global
+    * top-N by hash is a subset of the union of per-partition top-Ns —
+    * then the exact window over ≤ N×partitions rows). The gate keeps
+    * the exact one-window form; the pre-cap composition is specced in
+    * ScaleTechniquesSpec. */
+  def textSourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .select(col("source"), col("doc_id"), col("rk").cast("bigint").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val textSourceCapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY md5(text), doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM ranked
+       |WHERE rk <= $SourceCap
+       |ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------- weighted corpus mixing
+  /** Epoch-style corpus mixing: each source gets a sampling weight in
+    * {0.5, 1.0, 1.5, 2.0, 2.5} (derived here from a source hash; in
+    * production a tiny broadcast dim) and every document is emitted
+    * ⌊w⌋ times plus one more with probability frac(w), decided by a
+    * deterministic per-document hash — so a 2.5-weight source is seen
+    * ~2.5 "epochs" and a 0.5-weight source is half-sampled,
+    * reproducibly across reruns.
+    *
+    * Scale shape: zero shuffles — the weight is a pure projection (or
+    * a broadcast join against the weights dim), the repeat is a
+    * row-local explode, and fractional inclusion is an integer hash
+    * compare. The millage arithmetic is integer-exact cross-engine
+    * (frac(w) ∈ {0, .5} ⇒ w·1000 exact in binary doubles). */
+  def textMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val srcH = conv(substring(md5(col("source")), 1, 15), 16, 10).cast("bigint")
+    val docH = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("text"))), 1, 15), 16, 10).cast("bigint")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        ((srcH % 5 + 1).cast("double") * 0.5).as("weight"),
+        (docH % 1000).as("frac_mill"))
+      .withColumn("n_copies",
+        (floor(col("weight")) +
+          when(col("frac_mill") <
+            ((col("weight") - floor(col("weight"))) * 1000).cast("bigint"), 1L)
+            .otherwise(0L)).cast("int"))
+      .withColumn("copy",
+        explode(when(col("n_copies") >= 1,
+          sequence(lit(1), col("n_copies"))).otherwise(array().cast("array<int>"))))
+      .select(col("source"), col("doc_id"), col("weight"),
+        col("copy").cast("bigint").as("copy"),
+        col("n_copies").cast("bigint").as("n_copies"))
+      .orderBy(col("source"), col("doc_id"), col("copy"))
+  }
+
+  val textMixWeightsSql: String =
+    """WITH weighted AS (
+      |  SELECT doc_id, source,
+      |    (('0x' || substr(md5(source), 1, 15))::BIGINT % 5 + 1) * 0.5 AS weight,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT % 1000 AS frac_mill
+      |  FROM documents),
+      |copies AS (
+      |  SELECT *, (FLOOR(weight)::BIGINT +
+      |      CASE WHEN frac_mill < ((weight - FLOOR(weight)) * 1000)::BIGINT
+      |           THEN 1 ELSE 0 END) AS n_copies
+      |  FROM weighted),
+      |exploded AS (
+      |  SELECT source, doc_id, weight, n_copies,
+      |    unnest(range(1, n_copies + 1)) AS copy
+      |  FROM copies)
+      |SELECT source, doc_id, CAST(weight AS DOUBLE) AS weight,
+      |  CAST(copy AS BIGINT) AS copy, CAST(n_copies AS BIGINT) AS n_copies
+      |FROM exploded
+      |ORDER BY source, doc_id, copy""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -454,5 +547,7 @@ object TextOps {
     "text_chunk_dedup" -> ((textChunkDedup _, textChunkDedupSql)),
     "text_repetition" -> ((textRepetition _, textRepetitionSql)),
     "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)),
-    "text_shard_pack" -> ((textShardPack _, textShardPackSql)))
+    "text_shard_pack" -> ((textShardPack _, textShardPackSql)),
+    "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
+    "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)))
 }

@@ -68,4 +68,48 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val s = salted.orderBy("name").collect().toSeq
     assert(p == s)
   }
+
+  test("per-partition pre-cap then exact window equals the one-window source cap") {
+    // The TextOps.textSourceCap scale note: a hot source with billions
+    // of docs makes the single rank-window reducer the bottleneck.
+    // Two-phase form — each map partition keeps its N smallest
+    // (hash, id) locally (mapPartitions, no shuffle), THEN the exact
+    // window runs over ≤ N×partitions survivors. Admissible because
+    // the global N smallest are a subset of the union of per-partition
+    // N smallest. Survivor sets must be identical.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = 7
+    val docs = (1 to 4000).map { i =>
+      (i.toLong, s"src${i % 3}", f"h${(i * 2654435761L) % 100000}%06d")
+    }.toDF("doc_id", "source", "h").repartition(13)
+
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val exact = docs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= n).select("source", "doc_id", "rk")
+
+    val preCapped = docs.repartition(13) // arbitrary placement, NOT by source
+      .mapPartitions { it =>
+        // local top-N per source within this partition
+        val bySrc = scala.collection.mutable.Map[String,
+          scala.collection.mutable.PriorityQueue[(String, Long)]]()
+        it.foreach { r =>
+          val (id, src, h) = (r.getLong(0), r.getString(1), r.getString(2))
+          val pq = bySrc.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty[(String, Long)])
+          pq.enqueue((h, id)) // max-heap on (h, id): root = current worst
+          if (pq.size > n) pq.dequeue()
+        }
+        bySrc.iterator.flatMap { case (src, pq) => pq.iterator.map(t => (t._2, src, t._1)) }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("doc_id", "source", "h")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= n).select("source", "doc_id", "rk")
+
+    assert(exact.orderBy("source", "rk").collect().toSeq ==
+      preCapped.orderBy("source", "rk").collect().toSeq)
+  }
 }
