@@ -65,4 +65,34 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "(?:^|&)page_token=([^&]*)".r.findFirstMatchIn(q).map(_.group(1)))
     assert(tokens == Vector(None, Some("t2"), Some("t3")))
   }
+
+  test("stub grid paging: multi-page asc/desc tile the fixture sequence exactly") {
+    // The bars endpoint pages by direct time-grid index (O(page) per
+    // request). Multi-page asc must tile bars() in order; desc must
+    // tile the REVERSED sequence — the same contract as the
+    // materialize-reverse-slice form it replaced and as the real
+    // API's server-side `sort` (`stocks/trades.py:54-57`).
+    import graft.stub.{AlpacaFixtures, AlpacaStubServer}
+    val stub = AlpacaStubServer.endpoint.stripSuffix("/v2")
+    val c = new AlpacaHttpClient(stub, Map.empty, Seq("v2", "stocks", "bars"))
+    val base = Seq(
+      "symbols" -> "GRID",
+      "start" -> "2021-01-04T00:00:00+00:00",
+      "end" -> "2021-01-05T02:00:00+00:00", // 26 hourly bars
+      "timeframe" -> "1Hour",
+      "limit" -> "7") // 4 pages: 7+7+7+5
+    val expectAsc = AlpacaFixtures.bars("GRID",
+      1609718400000000L, 1609812000000000L, 3600L * 1000000L).map(_.timeUs)
+    assert(expectAsc.size == 26)
+
+    def times(sort: String): Seq[Long] =
+      c.fetchAllPages(base :+ ("sort" -> sort)).flatMap { pg =>
+        val arr = pg.get("bars").get("GRID")
+        (0 until arr.size).map(i =>
+          graft.core.AlpacaOptions.parseIsoMicros(arr.get(i).get("t").asText()).get)
+      }.toList
+
+    assert(times("asc") == expectAsc)
+    assert(times("desc") == expectAsc.reverse)
+  }
 }
