@@ -338,16 +338,19 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
     * bytes straight to rows — no page DOM, no char decode — the
     * Spark-side analogue of the reference's JSON→Arrow batch seam
     * (`common.py:461-493`). */
-  lazy val pageArrays: Iterator[Array[InternalRow]] = {
-    val client = new AlpacaHttpClient(
-      cfg.endpoint,
-      Map(
-        "Content-Type" -> "application/json",
-        "APCA-API-KEY-ID" -> cfg.apiKeyId,
-        "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
-      pathElements)
-    client.fetchAllPagesBytes(partitionParams, cfg.rateLimitDelaySec).map(parsePageBytes)
-  }
+  private lazy val client = new AlpacaHttpClient(
+    cfg.endpoint,
+    Map(
+      "Content-Type" -> "application/json",
+      "APCA-API-KEY-ID" -> cfg.apiKeyId,
+      "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
+    pathElements)
+
+  /** Raw page bodies (prefetched one ahead). */
+  lazy val rawPages: Iterator[Array[Byte]] =
+    client.fetchAllPagesBytes(partitionParams, cfg.rateLimitDelaySec)
+
+  lazy val pageArrays: Iterator[Array[InternalRow]] = rawPages.map(parsePageBytes)
 
   lazy val pages: Iterator[Iterator[InternalRow]] = pageArrays.map(_.iterator)
 
@@ -386,6 +389,56 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
         tk = jp.nextToken()
       }
       out.toArray
+    } finally jp.close()
+  }
+
+  /** Vectorized twin of parsePageBytes: records decode straight into
+    * the (reused) column vectors — no InternalRow, no boxing. Returns
+    * the row count written; records past `maxRows` are lex-skipped so
+    * the token stream stays aligned with pagination. */
+  def parsePageIntoVectors(bytes: Array[Byte], vp: graft.core.VectorWriteSupport,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], maxRows: Int): Int = {
+    import com.fasterxml.jackson.core.JsonToken
+    val jp = AlpacaPageSource.mapper.createParser(bytes)
+    var count = 0
+    try {
+      if (jp.nextToken() != JsonToken.START_OBJECT) return 0
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        tk = jp.nextToken()
+        if (name == dataKey && tk == JsonToken.START_OBJECT) {
+          var t2 = jp.nextToken()
+          while (t2 == JsonToken.FIELD_NAME) {
+            val sym = org.apache.spark.unsafe.types.UTF8String.fromString(jp.currentName())
+            t2 = jp.nextToken()
+            if (t2 == JsonToken.START_ARRAY) {
+              var t3 = jp.nextToken()
+              while (t3 != JsonToken.END_ARRAY) {
+                if (t3 == JsonToken.START_OBJECT) {
+                  if (count >= maxRows) jp.skipChildren()
+                  else {
+                    var i = 0
+                    while (i < vecs.length) { vecs(i).reserve(count + 1); i += 1 }
+                    try {
+                      vp.parseIntoVectors(sym, jp, vecs, fieldToOut, count)
+                      count += 1
+                    } catch {
+                      case e: IllegalArgumentException =>
+                        log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
+                    }
+                  }
+                } else if (t3.isStructStart) jp.skipChildren()
+                t3 = jp.nextToken()
+              }
+            } else if (t2.isStructStart) jp.skipChildren()
+            t2 = jp.nextToken()
+          }
+        } else if (tk != null && tk.isStructStart) jp.skipChildren()
+        tk = jp.nextToken()
+      }
+      count
     } finally jp.close()
   }
 }
@@ -448,13 +501,60 @@ class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
   private val ordinals: Array[(Int, org.apache.spark.sql.types.DataType)] =
     outSchema.fields.map(f => (parser.schema.fieldIndex(f.name), f.dataType))
 
-  private lazy val pages: Iterator[Array[InternalRow]] =
-    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition).pageArrays
+  /** Inverse map: parser-schema field index → output ordinal (−1 =
+    * pruned), for the direct token→vector decode. */
+  private val fieldToOut: Array[Int] = {
+    val m = Array.fill(parser.schema.length)(-1)
+    ordinals.zipWithIndex.foreach { case ((ord, _), outIdx) => m(ord) = outIdx }
+    m
+  }
+
+  private lazy val pageSource =
+    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition)
+
+  private lazy val pages: Iterator[Array[InternalRow]] = pageSource.pageArrays
 
   private var emitted = 0L
   private var batch: ColumnarBatch = _
+  // vectorized path state: vectors live for the whole partition and
+  // are reset (buffers kept) per page, as Spark's own vectorized
+  // parquet reader does
+  private var reusedVecs: Array[OnHeapColumnVector] = _
 
-  override def next(): Boolean = {
+  override def next(): Boolean = parser match {
+    case vp: graft.core.VectorWriteSupport => nextVectorized(vp)
+    case _ => nextRowFill()
+  }
+
+  /** Direct decode: HTTP bytes → Jackson tokens → column vectors.
+    * No InternalRow or boxed field values exist on this path. */
+  private def nextVectorized(vp: graft.core.VectorWriteSupport): Boolean = {
+    if (limitOpt.exists(emitted >= _)) return false
+    if (reusedVecs == null) {
+      reusedVecs = OnHeapColumnVector.allocateColumns(
+        math.min(cfg.limit, 16384), outSchema)
+      batch = new ColumnarBatch(
+        reusedVecs.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], 0)
+    }
+    val raw = pageSource.rawPages
+    while (raw.hasNext) {
+      val bytes = raw.next()
+      var i = 0
+      while (i < reusedVecs.length) { reusedVecs(i).reset(); i += 1 }
+      val maxRows = limitOpt.map(l => (l - emitted).toInt).getOrElse(Int.MaxValue)
+      val n = pageSource.parsePageIntoVectors(bytes, vp, reusedVecs
+        .asInstanceOf[Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector]],
+        fieldToOut, maxRows)
+      if (n > 0) {
+        batch.setNumRows(n)
+        emitted += n
+        return true
+      }
+    }
+    false
+  }
+
+  private def nextRowFill(): Boolean = {
     close() // release the previous page's vectors
     if (limitOpt.exists(emitted >= _)) return false
     while (pages.hasNext) {

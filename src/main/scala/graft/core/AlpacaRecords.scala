@@ -121,8 +121,35 @@ trait RecordParser extends Serializable {
   }
 }
 
+/** Direct token→vector decode: implemented by parsers whose records
+  * can be written straight into a ColumnarBatch's vectors with no
+  * InternalRow (and no boxing) in between — the end state of the
+  * scan path: HTTP bytes → Jackson tokens → column vectors →
+  * codegen'd ColumnarToRow. Contract mirrors [[RecordParser.parseStream]]:
+  * enter ON the record's START_OBJECT, leave ON its END_OBJECT, and
+  * realign before rethrowing so the caller can warn+skip. On failure
+  * the row slot may hold partial values — the caller must not advance
+  * the row index, so the next record overwrites it. */
+trait VectorWriteSupport { self: RecordParser =>
+  /** @param fieldToOut output-vector ordinal for each field of
+    *   [[RecordParser.schema]] (−1 = pruned away). `vecs` is indexed
+    *   by those output ordinals. */
+  def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit
+
+  protected final def putStr(
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      out: Int, row: Int, s: UTF8String): Unit =
+    if (out >= 0) {
+      val b = s.getBytes
+      vecs(out).putByteArray(row, b, 0, b.length)
+    }
+}
+
 /** `{t,o,h,l,c,v,n,vw}` → bar row (reference: `bars.py:199-225`). */
-object BarParser extends RecordParser {
+object BarParser extends RecordParser with VectorWriteSupport {
   override val schema: StructType = Schemas.bars
   override def parse(symbol: String, rec: JsonNode): InternalRow =
     InternalRow(
@@ -168,12 +195,52 @@ object BarParser extends RecordParser {
     }
     InternalRow(utf8(symbol), tUs, o, h, l, c, v, n, vw)
   }
+
+  /** Same walk as parseStream, values landing in the vectors.
+    * Numeric/timestamp fields write through immediately (a failed
+    * record's partial writes are overwritten when the slot is
+    * reused); the seen-mask still gates completeness. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) () // same as absent
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "o" => putD(fieldToOut(2), streamDbl(jp, "o")); seen |= 2
+          case "h" => putD(fieldToOut(3), streamDbl(jp, "h")); seen |= 4
+          case "l" => putD(fieldToOut(4), streamDbl(jp, "l")); seen |= 8
+          case "c" => putD(fieldToOut(5), streamDbl(jp, "c")); seen |= 16
+          case "v" => putL(fieldToOut(6), streamLng(jp, "v")); seen |= 32
+          case "n" => putL(fieldToOut(7), streamLng(jp, "n")); seen |= 64
+          case "vw" => putD(fieldToOut(8), streamDbl(jp, "vw")); seen |= 128
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != 255) {
+      val names = Array("t", "o", "h", "l", "c", "v", "n", "vw")
+      throw new IllegalArgumentException(
+        s"missing field '${names(Integer.numberOfTrailingZeros(~seen))}'")
+    }
+    putStr(vecs, fieldToOut(0), row, symbol)
+  }
 }
 
 /** `{t,x,p,s,c,i,z}` → trade row; the `c` array of condition codes is
   * flattened to a CSV string (reference: `stocks/trades.py:113-140`,
   * join at `:128`). */
-object TradeParser extends RecordParser {
+object TradeParser extends RecordParser with VectorWriteSupport {
   override val schema: StructType = Schemas.trades
   override def parse(symbol: String, rec: JsonNode): InternalRow = {
     val condNode = rec.get("c")
@@ -243,6 +310,60 @@ object TradeParser extends RecordParser {
         s"missing field '${names(Integer.numberOfTrailingZeros(~seen))}'")
     }
     InternalRow(utf8(symbol), tUs, utf8(x), p, s, utf8(conditions), id, utf8(z))
+  }
+
+  /** Vector twin of the token walk. Strings are held in locals and
+    * written only after the record validates, so failed records leave
+    * no bytes in the string vectors' child buffers. Schema order:
+    * symbol, time, exchange, price, size, conditions, id, tape. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var x: String = null; var z: String = null
+    var conditions = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "x" => x = jp.getText; seen |= 2
+          case "p" => putD(fieldToOut(3), streamDbl(jp, "p")); seen |= 4
+          case "s" => putL(fieldToOut(4), streamLng(jp, "s")); seen |= 8
+          case "i" => putL(fieldToOut(6), streamLng(jp, "i")); seen |= 16
+          case "z" => z = jp.getText; seen |= 32
+          case "c" =>
+            if (vt == JsonToken.START_ARRAY) {
+              val sb = new java.lang.StringBuilder
+              var t2 = jp.nextToken()
+              while (t2 != JsonToken.END_ARRAY) {
+                if (sb.length > 0) sb.append(',')
+                sb.append(jp.getText)
+                t2 = jp.nextToken()
+              }
+              conditions = sb.toString
+            } else if (vt.isStructStart) jp.skipChildren()
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != 63) {
+      val names = Array("t", "x", "p", "s", "i", "z")
+      throw new IllegalArgumentException(
+        s"missing field '${names(Integer.numberOfTrailingZeros(~seen))}'")
+    }
+    putStr(vecs, fieldToOut(0), row, symbol)
+    putStr(vecs, fieldToOut(2), row, utf8(x))
+    putStr(vecs, fieldToOut(5), row, utf8(conditions))
+    putStr(vecs, fieldToOut(7), row, utf8(z))
   }
 }
 
