@@ -410,6 +410,37 @@ object Relational {
       |         <= COUNT(DISTINCT l_partkey) * 0.05 THEN 1 ELSE 0 END AS approx_within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable-sketch re-aggregation (DataSketches HLL): per
+    * (event_type, day) sketches built ONCE, then daily sketches
+    * UNIONED per event_type and estimated — the 100 TB rollup trick:
+    * weekly/monthly/all-time distincts come from merging kilobyte
+    * sketches, never from rescanning raw events (unlike
+    * approx_count_distinct, whose partial buffers are internal,
+    * these sketches are storable columns — build daily, keep
+    * forever). Gate contract mirrors q16: exact distinct + a 5%
+    * tolerance flag on the merged estimate (DataSketches lgK=12 ⇒
+    * ~1% typical error), since sketch internals differ per engine. */
+  def q24SketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("day", to_date($"ts"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val merged = daily.groupBy($"event_type".as("et"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_users"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    exact.join(broadcast(merged), $"event_type" === $"et")
+      .select($"event_type", $"exact_users",
+        when(abs($"est_users" - $"exact_users") <= $"exact_users" * 0.05, 1L)
+          .otherwise(0L).as("merged_within_5pct"))
+      .orderBy($"event_type")
+  }
+
+  val q24Sql: String =
+    """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CASE WHEN ABS(APPROX_COUNT_DISTINCT(user_id) - COUNT(DISTINCT user_id))
+      |         <= COUNT(DISTINCT user_id) * 0.05 THEN 1 ELSE 0 END AS merged_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** name → (builder, oracle) for SparkEntry wiring. */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q1_agg" -> ((q1Agg _, q1Sql)),
@@ -425,7 +456,8 @@ object Relational {
     "q11_scalar" -> ((q11Scalar _, q11Sql)),
     "q12_event_bars" -> ((q12EventBars _, q12Sql)),
     "q13_cube" -> ((q13Cube _, q13Sql)),
-    "q16_approx_distinct" -> ((q16ApproxDistinct _, q16Sql)))
+    "q16_approx_distinct" -> ((q16ApproxDistinct _, q16Sql)),
+    "q24_sketch_union" -> ((q24SketchUnion _, q24Sql)))
 
   // Column syntax sugar without a SparkSession-bound implicits import.
   private implicit class Sym(val sc: StringContext) {
