@@ -95,4 +95,29 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(times("asc") == expectAsc)
     assert(times("desc") == expectAsc.reverse)
   }
+
+  test("prefetch path surfaces mid-pagination HTTP errors unwrapped") {
+    // /pages yields page 1 fine; an unknown-token request 404s. The
+    // error happens inside the prefetch future — the consumer must
+    // see the original RuntimeException (message intact), not a
+    // CompletionException wrapper.
+    server.createContext("/v2/flaky_pages", { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val token = "(?:^|&)page_token=([^&]*)".r.findFirstMatchIn(q).map(_.group(1))
+      val (code, body) = token match {
+        case None => (200, """{"n": 1, "next_page_token": "boom"}""")
+        case Some(_) => (404, """{"message": "no such page"}""")
+      }
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    val c = new AlpacaHttpClient(endpoint, Map.empty, Seq("flaky_pages"))
+    val it = c.fetchAllPages(Seq("q" -> "1"))
+    assert(it.next().get("n").asInt() == 1)
+    val e = intercept[RuntimeException](it.next())
+    assert(e.getMessage.contains("404") && e.getMessage.contains("no such page"),
+      s"unexpected: $e")
+  }
 }
