@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cluster-readiness probe: runs the connector scan and a shuffled
+  * dedup query on `local-cluster[2,2,...]` — TWO real executor JVMs
+  * with real task/closure serialization and a real classpath, which
+  * `local[32]` never exercises. Catches NotSerializableException,
+  * singleton-object assumptions, and driver-only classpath bugs
+  * before a real cluster would.
+  *
+  * The fixture stub stays in the DRIVER JVM; executors reach it over
+  * loopback HTTP exactly as cluster executors reach a real API.
+  *
+  * Usage: sbt -batch "runMain graft.tools.ClusterCheck"
+  * Prints CLUSTER_CHECK_OK=<n_bars>/<n_dedup> on success.
+  */
+object ClusterCheck {
+  def main(args: Array[String]): Unit = {
+    val classes = Seq("target/scala-2.13/classes")
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1536]")
+      .appName("graft-cluster-check")
+      .config("spark.executor.extraClassPath", classes)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // 1. Connector scan: DSv2 partitions + reader factory + parser
+      //    all serialize to executor JVMs; columnar decode runs there.
+      val bars = spark.read.format("Alpaca_Stocks_Bars")
+        .options(Map(
+          "endpoint" -> graft.stub.AlpacaStubServer.endpoint,
+          "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+          "symbols" -> "['AAPL','MSFT']",
+          "timeframe" -> "1Hour",
+          "start" -> "2021-01-04T00:00:00Z",
+          "end" -> "2021-01-06T00:00:00Z")).load()
+      val nBars = bars.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("v"))
+        .collect().map(_.getLong(1)).sum
+
+      // 2. Shuffled dedup over parquet: exchange + hash agg across
+      //    executors, md5/conv expressions codegen'd in executor JVMs.
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDedup = docs
+        .withColumn("h", md5(col("text")))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+        .count()
+
+      println(s"CLUSTER_CHECK_OK=$nBars/$nDedup")
+    } finally {
+      spark.stop()
+      graft.stub.AlpacaStubServer.stop()
+    }
+  }
+}
