@@ -35,19 +35,19 @@ object Similarity {
   private val NearDupThreshold = 0.35
 
   // --------------------------------------------------- column builders
-  // Higher-order functions, not Dim-term unrolled chains: the unrolled
-  // form generated enormous Janino methods (compile-dominated at 64
-  // dims, fatal at 768/1536). aggregate() folds left from 0.0 — the
-  // identical IEEE order to the unrolled left-associated sum (0.0 + t1
-  // is bit-equal to t1) — so the DuckDB twins, which stay explicit
-  // term chains, remain bit-exact at constant codegen size.
+  // r2 lesson: never unroll per-element chains (Janino megamethods,
+  // compile-dominated at 64 dims, fatal at 768/1536). r2 used
+  // aggregate(zip_with(...)) HOFs — constant codegen size, but HOFs
+  // are CodegenFallback: interpreted per pair with a boxed
+  // intermediate array. r3 final form: a native codegen'd
+  // DotProductF expression (graft.functions) — primitive loop, zero
+  // allocation, same left-associated IEEE fold from 0.0, so the
+  // DuckDB twins' explicit term chains remain bit-exact.
   private def dotCol(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.functions.VectorFunctions.dotF(col(a), col(b))
 
   private def normCol(a: String): Column =
-    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), " +
-      "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    sqrt(graft.functions.VectorFunctions.dotF(col(a), col(a)))
 
   // ------------------------------------------------------ sql builders
   // (explicit term chains — the oracle runs once in DuckDB at tiny SF;

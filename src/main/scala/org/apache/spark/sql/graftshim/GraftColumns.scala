@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * Column API. `ExpressionUtils` is `private[sql]` in Spark 4.x, so
+  * this one-file subpackage shim is the standard third-party-library
+  * way to wrap a native `Expression` into a `Column` (the alternative
+  * — FunctionRegistry injection via SparkSessionExtensions — requires
+  * controlling session construction, which library callers like the
+  * driver's smoke harness do not). */
+object GraftColumns {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
