@@ -73,9 +73,70 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd equal-element count over two `array<bigint>`
+  * columns — the MinHash signature-agreement kernel, evaluated once
+  * per candidate PAIR in the LSH self-join (the hottest non-scan loop
+  * in the dedup family). Replaces an interpreted
+  * `aggregate(zip_with(.., IF(x=y,1,0)), ..)` fold; identical 0..n
+  * integer count over the common prefix length. */
+case class MatchCountF(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_match_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $acc++;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Σ aᵢ·bᵢ as a codegen'd primitive loop (left-associated from 0.0). */
   def dotF(a: Column, b: Column): Column =
     GraftColumns.column(DotProductF(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** #{i : aᵢ = bᵢ} as a codegen'd primitive loop. */
+  def matchCountF(a: Column, b: Column): Column =
+    GraftColumns.column(MatchCountF(
       GraftColumns.expression(a), GraftColumns.expression(b)))
 }

@@ -165,11 +165,12 @@ object Dedup {
     * whole shingle→signature pipeline twice (112 s vs 5 s at sf0.1). */
   private[operators] def minhashPairsCore(spark: SparkSession, dir: String): DataFrame = {
     val bandsWithSigs = bandDf(sigDf(spark, dir))
-    // matching-component count as a fold over the packed arrays:
-    // constant-size codegen, and the integer adds keep the exact
-    // 0..16 count the unrolled chain produced
-    val eq = expr(
-      "aggregate(zip_with(a.sigs, b.sigs, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    // matching-component count as a native codegen'd loop over the
+    // packed arrays (graft.functions.MatchCountF) — evaluated once
+    // per candidate pair; the HOF fold it replaces was interpreted
+    // (CodegenFallback). Exact same 0..16 integer count.
+    val eq = graft.functions.VectorFunctions.matchCountF(
+      col("a.sigs"), col("b.sigs"))
     bandsWithSigs.as("a")
       .join(bandsWithSigs.as("b").hint("merge"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
