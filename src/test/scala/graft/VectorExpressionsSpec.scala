@@ -57,4 +57,44 @@ class VectorExpressionsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("1536-dim cosine top-k: realistic embedding widths, constant codegen") {
+    // r1 flagged the unrolled form as fatal at real dims; the native
+    // kernel's generated code is dimension-independent. 2000 corpus ×
+    // 5 queries at 1536-dim, verified against a driver-side oracle.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = 1536
+    val rng = new scala.util.Random(11)
+    val corpus = Seq.tabulate(2000)(i => (i.toLong, Array.fill(dim)(rng.nextFloat())))
+    val queries = Seq.tabulate(5)(i => (i.toLong, Array.fill(dim)(rng.nextFloat())))
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = queries.map { case (qid, qv) =>
+      qid -> corpus.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3).map(_._1)
+    }.toMap
+
+    val cDf = corpus.toDF("vec_id", "emb")
+    val qDf = queries.toDF("q_id", "q_emb")
+    val scored = cDf.crossJoin(broadcast(qDf))
+      .select($"q_id", $"vec_id",
+        (dotF($"emb", $"q_emb") /
+          (sqrt(dotF($"emb", $"emb")) * sqrt(dotF($"q_emb", $"q_emb")))).as("cosine"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    val top = scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"q_id", $"rk")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    expected.foreach { case (q, ids) => assert(top(q) == ids, s"query $q") }
+  }
 }
