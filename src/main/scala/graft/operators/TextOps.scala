@@ -271,12 +271,16 @@ object TextOps {
     * beyond the bigram itself. Fractions are single IEEE divisions of
     * exact integers — bit-identical cross-engine. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val bigrams = docs(spark, dir).filter(size(ws) >= 2)
+    // split ONCE into a materialized array column — inlining
+    // split(text) inside the transform lambda re-tokenized the whole
+    // document per bigram element (O(words²) per doc; measured ~2×
+    // on this gate at sf0.1)
+    val bigrams = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(split(text, ' ')) - 1),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1)))""".stripMargin)).as("bigram"))
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin)).as("bigram"))
     bigrams.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"),
@@ -323,10 +327,13 @@ object TextOps {
     * boilerplate chunks skew the chunk partition; at 100 TB pre-filter
     * them with a two-level partial agg (see SCALE.md). */
   def textChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // materialized `ws` (split once) — split(text) inlined in the
+    // lambda would re-tokenize the document per chunk element
     val chunksExpr = expr(
-      s"""transform(sequence(0, cast(ceil(size(split(text, ' ')) / $ChunkWords.0d) as int) - 1),
-         |  i -> array_join(slice(split(text, ' '), i * $ChunkWords + 1, $ChunkWords), ' '))""".stripMargin)
+      s"""transform(sequence(0, cast(ceil(size(ws) / $ChunkWords.0d) as int) - 1),
+         |  i -> array_join(slice(ws, i * $ChunkWords + 1, $ChunkWords), ' '))""".stripMargin)
     val chunks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(chunksExpr).as(Seq("pos", "chunk")))
     val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))
     chunks.withColumn("df", count(lit(1)).over(wdf))
