@@ -139,4 +139,38 @@ object VectorFunctions {
   def matchCountF(a: Column, b: Column): Column =
     GraftColumns.column(MatchCountF(
       GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  /** Makes the kernels SQL-callable (`graft_dot`, `graft_match_count`)
+    * in an existing session. For sessions you build yourself, the
+    * SparkSessionExtensions route is [[GraftExtensions]] via
+    * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftColumns.registerFunction(spark, "graft_dot",
+      "graft_dot(a, b) - dot product of two float arrays as double",
+      exprs => DotProductF(exprs(0), exprs(1)))
+    GraftColumns.registerFunction(spark, "graft_match_count",
+      "graft_match_count(a, b) - count of positions where two bigint arrays agree",
+      exprs => MatchCountF(exprs(0), exprs(1)))
+  }
+}
+
+/** Session-build-time injection: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (SURVEY §2.12 extension surface — same mechanism a SQL-only
+  * deployment would use; no private API involved). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", "graft_dot",
+        "graft_dot(a, b) - dot product of two float arrays as double"),
+      (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_match_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", "graft_match_count",
+        "graft_match_count(a, b) - count of positions where two bigint arrays agree"),
+      (exprs: Seq[Expression]) => MatchCountF(exprs(0), exprs(1))))
+  }
 }

@@ -25,6 +25,7 @@ object ClusterCheck {
       .master("local-cluster[2,2,1536]")
       .appName("graft-cluster-check")
       .config("spark.executor.extraClassPath", classes)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,7 +54,13 @@ object ClusterCheck {
         .groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
         .count()
 
-      println(s"CLUSTER_CHECK_OK=$nBars/$nDedup")
+      // 3. Custom-kernel SQL through SparkSessionExtensions, codegen'd
+      //    and executed in the executor JVMs over a distributed range.
+      val nDot = spark.range(0, 1000, 1, 4)
+        .selectExpr("graft_dot(array(CAST(id AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+        .selectExpr("CAST(sum(d) AS BIGINT) AS s").collect().head.getLong(0)
+
+      println(s"CLUSTER_CHECK_OK=$nBars/$nDedup/$nDot")
     } finally {
       spark.stop()
       graft.stub.AlpacaStubServer.stop()

@@ -14,4 +14,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Registers a function into an EXISTING session's registry (the
+    * SparkSessionExtensions route only applies at session build time,
+    * which library callers — e.g. a driver harness handing us its
+    * session — do not control). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      usage: String, builder: Seq[Expression] => Expression): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions", name, usage),
+      builder)
+  }
 }

@@ -58,6 +58,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("kernels are SQL-callable after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "graft_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS m").collect().head
+    assert(r.getDouble(0) == 11.0 && r.getInt(1) == 2)
+  }
+
   test("1536-dim cosine top-k: realistic embedding widths, constant codegen") {
     // r1 flagged the unrolled form as fatal at real dims; the native
     // kernel's generated code is dimension-independent. 2000 corpus ×
