@@ -1,0 +1,67 @@
+package graft.operators // package-scoped: drives the real private[operators] pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope soak for the dedup family, driving the REAL gate
+  * pipelines (graft.operators.Dedup) over an amplified corpus written
+  * to /tmp.
+  *
+  * Amplification: copy c suffixes every word with _c, so each copy is
+  * a distinct sub-corpus whose internal near-dup structure is
+  * isomorphic to the original's (disjoint shingle spaces across
+  * copies). Near-dup pairs and duplicate-clique sizes grow linearly
+  * with n, as in a real corpus — the timing slope isolates the
+  * engine, not a quadratically-growing answer.
+  *
+  * Diagnostic main, not a gate: gates use the driver's testdata
+  * verbatim; this synthesizes load from it purely to observe scaling.
+  *
+  * Usage: sbt -batch "runMain graft.operators.ScaleSoak [N]"  (default 20)
+  */
+object ScaleSoak {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+    def amplify(n: Int): String = {
+      val dir = s"/tmp/graft_soak/x$n"
+      base.crossJoin(spark.range(n).toDF("copy"))
+        .select(($"doc_id" * n + $"copy").as("doc_id"),
+          when($"copy" === 0, $"text").otherwise(
+            array_join(transform(split($"text", " "),
+              w => concat(w, lit("_"), $"copy")), " ")).as("text"),
+          $"lang", $"source", $"n_chars")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+
+    def timeIt(df: => DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // warm codegen once
+    locally { val d1 = amplify(1); timeIt(Dedup.dedupMinhashLsh(spark, d1)) }
+
+    Seq(1, math.max(2, factor / 2), factor).foreach { n =>
+      val dir = amplify(n)
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val (tE, ne) = timeIt(Dedup.dedupExact(spark, dir))
+      val (tM, nm) = timeIt(Dedup.dedupMinhashLsh(spark, dir))
+      println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
+        f"minhash=$tM%.2f s ($nm pairs)")
+    }
+    spark.stop()
+  }
+}
