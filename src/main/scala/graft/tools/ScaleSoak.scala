@@ -51,16 +51,43 @@ object ScaleSoak {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    /** Copy c multiplies every element by a copy-seeded ±1 sign
+      * vector: cos(s∘a, s∘b) = cos(a, b) exactly (each term carries
+      * sᵢ² = 1), so WITHIN-copy near-dup structure is bit-preserved,
+      * while cross-copy cosines decorrelate (random sign agreement).
+      * Near-dup cliques stay constant-size ⇒ linear answer. */
+    def amplifyEmb(n: Int): String = {
+      val dir = s"/tmp/graft_soak/emb_x$n"
+      baseEmb.crossJoin(spark.range(n).toDF("copy"))
+        .select(($"vec_id" * n + $"copy").as("vec_id"),
+          when($"copy" === 0, $"embedding").otherwise(
+            expr("transform(embedding, (x, i) -> " +
+              "CAST(x * IF(pmod(hash(copy, i), 2) = 0, 1.0D, -1.0D) AS FLOAT))"))
+            .as("embedding"),
+          $"label")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+
     // warm codegen once
-    locally { val d1 = amplify(1); timeIt(Dedup.dedupMinhashLsh(spark, d1)) }
+    locally {
+      val d1 = amplify(1); timeIt(Dedup.dedupMinhashLsh(spark, d1))
+      val e1 = amplifyEmb(1); timeIt(Similarity.simEmbNearDup(spark, e1))
+    }
 
     Seq(1, math.max(2, factor / 2), factor).foreach { n =>
       val dir = amplify(n)
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
       val (tE, ne) = timeIt(Dedup.dedupExact(spark, dir))
       val (tM, nm) = timeIt(Dedup.dedupMinhashLsh(spark, dir))
+      val edir = amplifyEmb(n)
+      val vecs = spark.read.parquet(s"$edir/embeddings.parquet").count()
+      val (tS, ns) = timeIt(Similarity.simEmbNearDup(spark, edir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
-        f"minhash=$tM%.2f s ($nm pairs)")
+        f"minhash=$tM%.2f s ($nm pairs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs)")
     }
     spark.stop()
   }
