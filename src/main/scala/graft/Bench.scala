@@ -30,6 +30,25 @@ object Bench {
       spark.range(100).selectExpr("sequence(0, 9) AS a")
         .selectExpr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS s")
         .write.format("noop").mode("overwrite").save()
+      // window exec + explode/collect_list + SMJ + DataSketches: the
+      // remaining first-use framework/codegen paths the original
+      // warmup missed (still generic shapes, never the real queries)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("id"))
+      warm.select(col("id"), col("k"),
+          org.apache.spark.sql.functions.row_number().over(w).as("rn"),
+          lag(col("v"), 1).over(w).as("lg"),
+          sum(col("v")).over(w).as("cs"))
+        .filter(col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+      warm.selectExpr("k", "sequence(0, 2) AS sq")
+        .select(col("k"), posexplode(col("sq")))
+        .groupBy(col("k")).agg(collect_list(struct(col("pos"), col("col"))).as("c"),
+          hll_sketch_estimate(hll_sketch_agg(col("pos"))).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      warm.as("l").hint("merge")
+        .join(warm.as("r").hint("merge"), col("l.id") === col("r.id"))
+        .select(col("l.k")).write.format("noop").mode("overwrite").save()
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
