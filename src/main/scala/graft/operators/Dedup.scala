@@ -248,13 +248,16 @@ object Dedup {
     while (!done && iter < MaxCcIters) {
       val nbrMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // `changed` rides along in the checkpointed frame, so the
+      // convergence check is a filter over the cached result — not a
+      // second join back to the previous labels (one fewer
+      // shuffle-join per iteration)
+      val newLabel = least(col("label"), coalesce(col("nbr_label"), col("label")))
       val next = ckpt(labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
-      done = next.withColumnRenamed("label", "new_label")
-        .join(labels, "node")
-        .filter(col("new_label") =!= col("label")).isEmpty
-      labels = next
+        .select(col("node"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("changed")))
+      done = next.filter(col("changed")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     if (!done) throw new IllegalStateException(
