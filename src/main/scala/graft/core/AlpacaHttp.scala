@@ -29,9 +29,10 @@ class AlpacaHttpClient(
     maxRetries: Int = AlpacaHttpClient.MaxRetries) {
 
   private val log = LoggerFactory.getLogger(getClass)
-  private lazy val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(10))
-    .build()
+  // JVM-shared: a new HttpClient per partition would open fresh TCP
+  // connections for every task (one executor runs thousands of tasks
+  // over a scan); the shared client's keep-alive pool reuses them.
+  private def client = AlpacaHttpClient.sharedHttpClient
   private val mapper = new ObjectMapper()
 
   def buildUrl(params: Seq[(String, String)]): String = {
@@ -175,6 +176,14 @@ object AlpacaHttpClient {
   /** reference: `common.py:25,151-156` */
   val MaxRetries = 3
   val RetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
+
+  /** One JDK HttpClient per executor JVM: connection pooling +
+    * keep-alive across all partition readers (timeouts are
+    * per-request, so sharing loses nothing). */
+  lazy val sharedHttpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
 
   /** Shared daemon pool for one-page-ahead prefetch. Cached: grows to
     * the number of concurrently-fetching partitions on this executor
