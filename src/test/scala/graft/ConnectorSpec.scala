@@ -24,6 +24,32 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "start" -> "2021-01-04T00:00:00Z",
       "end" -> "2021-01-06T00:00:00Z") ++ extra.toMap)
 
+  test("SQL entry points: CREATE ... USING DDL and temp-view SQL (SURVEY §3.2)") {
+    // DDL route: the DSv2 TableProvider resolves by its registered
+    // short name in `USING`, options become the scan config
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY VIEW bars_ddl
+      USING Alpaca_Stocks_Bars
+      OPTIONS (
+        endpoint '${AlpacaStubServer.endpoint}',
+        `APCA-API-KEY-ID` 'k', `APCA-API-SECRET-KEY` 's',
+        symbols "['AAPL','MSFT']", timeframe '1Hour',
+        start '2021-01-04T00:00:00Z', `end` '2021-01-06T00:00:00Z')""")
+    val viaDdl = spark.sql(
+      "SELECT symbol, count(*) AS n FROM bars_ddl GROUP BY symbol ORDER BY symbol")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaDdl == Seq(("AAPL", 48L), ("MSFT", 48L)))
+    // pushdown works through SQL too: symbol predicate prunes partitions
+    assert(spark.sql("SELECT * FROM bars_ddl WHERE symbol = 'AAPL'").count() == 48)
+
+    // temp-view route (the reference README's pattern)
+    barsReader().load().createOrReplaceTempView("bars_view")
+    assert(spark.sql("SELECT count(DISTINCT symbol) FROM bars_view")
+      .collect().head.getLong(0) == 2)
+    spark.catalog.dropTempView("bars_ddl")
+    spark.catalog.dropTempView("bars_view")
+  }
+
   test("bars scan: full schema, 48 hourly bars × 2 symbols") {
     val df = barsReader().load()
     assert(df.schema.fieldNames.toSeq ==
