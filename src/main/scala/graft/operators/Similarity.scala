@@ -179,7 +179,11 @@ object Similarity {
     * partial-agg argmax, cell equi-join — is unchanged. Ties (a
     * vector scoring equal against two centroids) break to the larger
     * cent_id in BOTH engines. */
-  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus with cell assignment — (vec_id, embedding, vnorm, cell),
+    * each vector mapped to its nearest of the K fixed centroids
+    * (argmax cosine; ties break to the larger cent_id in BOTH
+    * engines). Shared by the IVF ANN probe and the SemDeDup pass. */
+  private def corpusWithCells(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
@@ -196,9 +200,32 @@ object Similarity {
       .join(best, col("vec_id") === col("b_vec") && col("cscore") === col("ms"))
       .groupBy(col("vec_id"))
       .agg(max(col("cent_id")).as("cell"))
-    val corpus = emb
-      .select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
+    emb.select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
       .join(cells, "vec_id")
+  }
+
+  /** DuckDB twin of [[corpusWithCells]], ending in a `corpus` CTE.
+    * Argmax is max-score + max(cent_id) among the max-scorers —
+    * identical tie semantics; scores are bit-exact so the
+    * float-equality join is safe. */
+  private val cellsCtes: String =
+    s"""cent AS (
+       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < $IvfK),
+       |cscores AS (
+       |  SELECT e.vec_id, cent_id, ${cosineSql("e.embedding", "cvec")} AS cscore
+       |  FROM embeddings e, cent),
+       |best AS (SELECT vec_id, MAX(cscore) AS ms FROM cscores GROUP BY vec_id),
+       |cells AS (
+       |  SELECT s.vec_id, MAX(s.cent_id) AS cell
+       |  FROM cscores s JOIN best b ON s.vec_id = b.vec_id AND s.cscore = b.ms
+       |  GROUP BY s.vec_id),
+       |corpus AS (
+       |  SELECT e.vec_id, e.embedding, c.cell FROM embeddings e
+       |  JOIN cells c ON e.vec_id = c.vec_id)""".stripMargin
+
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithCells(spark, dir)
     val queries = corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("vnorm").as("qnorm"), col("cell").as("qcell"))
@@ -215,25 +242,8 @@ object Similarity {
       .orderBy(col("query_id"), col("vec_id"))
   }
 
-  /** DuckDB twin: argmax expressed as max-score + max(cent_id) among
-    * the max-scorers (identical tie semantics to Spark's
-    * max(struct(cscore, cent_id))); scores are bit-exact so the
-    * float-equality join is safe. */
   val simAnnIvfSql: String =
-    s"""WITH cent AS (
-       |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-       |  WHERE vec_id < $IvfK),
-       |cscores AS (
-       |  SELECT e.vec_id, cent_id, ${cosineSql("e.embedding", "cvec")} AS cscore
-       |  FROM embeddings e, cent),
-       |best AS (SELECT vec_id, MAX(cscore) AS ms FROM cscores GROUP BY vec_id),
-       |cells AS (
-       |  SELECT s.vec_id, MAX(s.cent_id) AS cell
-       |  FROM cscores s JOIN best b ON s.vec_id = b.vec_id AND s.cscore = b.ms
-       |  GROUP BY s.vec_id),
-       |corpus AS (
-       |  SELECT e.vec_id, e.embedding, c.cell FROM embeddings e
-       |  JOIN cells c ON e.vec_id = c.vec_id),
+    s"""WITH $cellsCtes,
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
        |  FROM corpus WHERE vec_id < $NumQueries),
@@ -278,6 +288,54 @@ object Similarity {
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.embedding", "b.embedding")} >= $NearDupThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------------- semantic dedup (SemDeDup)
+  private val SemThreshold = 0.35
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, score
+    * cosine only WITHIN each cluster, and keep one representative
+    * (the lowest vec_id) of every near-duplicate pair. Output = the
+    * surviving (vec_id, cell) corpus.
+    *
+    * This is the third candidate-generation shape beside hash buckets
+    * (sim_emb_neardup) and band joins (dedup_minhash_lsh): cluster-
+    * scoped pairing finds semantic duplicates that land in DIFFERENT
+    * LSH buckets (no hash collision needed) while staying
+    * sub-quadratic — pairs are bounded by the largest cell, not the
+    * corpus.
+    *
+    * Scale design: cell assignment is the broadcast-argmax of
+    * [[corpusWithCells]]; the within-cell self-join is merge-pinned so
+    * both sides share ONE shuffle exchange on cell (cost estimation
+    * would broadcast the linearly-growing corpus side — audited, same
+    * rule as every pair self-join here). At 100 TB, K grows ~√N so
+    * cells stay bounded, and the corpus-with-cells relation would be
+    * checkpointed once rather than recomputed per consumer (here it
+    * appears in the pair join and the final anti-join; at gate scale
+    * the recompute is cheaper than the write). */
+  def simSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithCells(spark, dir)
+    val dropped = corpus.as("a")
+      .join(corpus.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter((dotCol("a.embedding", "b.embedding") /
+        (col("a.vnorm") * col("b.vnorm"))) >= SemThreshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    corpus.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  val simSemanticDedupSql: String =
+    s"""WITH $cellsCtes,
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $SemThreshold)
+       |SELECT c.vec_id, c.cell FROM corpus c
+       |WHERE c.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------ int8 quantization
   /** Per-vector int8 scalar quantization — the memory lever that makes
@@ -331,5 +389,6 @@ object Similarity {
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
     "sim_ann_ivf" -> ((simAnnIvf _, simAnnIvfSql)),
     "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)),
+    "sim_semantic_dedup" -> ((simSemanticDedup _, simSemanticDedupSql)),
     "sim_quantized" -> ((simQuantized _, simQuantizedSql)))
 }

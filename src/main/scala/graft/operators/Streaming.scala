@@ -254,8 +254,72 @@ object Streaming {
       |LEFT JOIN corpus c ON b.h = c.h
       |GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ------------------------------------------- stream-stream join
+  private val AttribWindowMin = 30
+
+  /** Stream-stream interval join as a GATE (it previously lived only
+    * in StreamingSpec): click events joined to the SAME user's
+    * purchase events landing within 30 minutes — the standard
+    * attribution join — with BOTH sides watermarked so join state
+    * ages out. An inner interval join emits a deterministic pair set
+    * regardless of micro-batch boundaries, so a plain batch self-join
+    * oracle matches exactly after the per-user post-aggregation
+    * (which runs as a batch query over the drained sink — gate
+    * scaffolding; production appends the raw attributed pairs
+    * downstream).
+    *
+    * Scale notes: per-side state is bounded by watermark horizon ×
+    * per-user event rate; each stream shuffles ONCE on user_id.
+    * Purchase money is summed via the DECIMAL(18,2) path (parity
+    * rule: never sum raw doubles). */
+  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "60 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "60 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttribWindowMin MINUTES"))
+    val qname = s"stream_attrib_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamJoinAttribSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, EPOCH_US(ts) AS ts_us FROM events
+       |  WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT user_id, EPOCH_US(ts) AS ts_us, value FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_purchase
+       |FROM c JOIN p ON c.user_id = p.user_id
+       |  AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + ${AttribWindowMin * 60L * 1000000L}
+       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
-    "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)))
+    "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
+    "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)))
 }

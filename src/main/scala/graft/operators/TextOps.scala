@@ -543,6 +543,160 @@ object TextOps {
       |FROM exploded
       |ORDER BY source, doc_id, copy""".stripMargin
 
+  // ------------------------------------- n-gram LM corpus likelihood
+  private val LmVocabTop = 10000
+
+  /** One row per (doc, word-bigram occurrence) — the shared front of
+    * both LM gates. `ws` is materialized once (split per bigram was
+    * measured O(words²) — see textRepetition). */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin)).as("bigram"))
+
+  private val bigramCtes: String =
+    """d AS (
+      |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+      |  FROM d, UNNEST(RANGE(1, LEN(ws))) AS r(i))""".stripMargin
+
+  /** Per-document bigram-LM likelihood (the CCNet-style "how typical
+    * is this text of the corpus" quality filter, rational form): build
+    * a word-bigram frequency model over the corpus, cap it to the
+    * top-V vocabulary, and score each document by its MEAN MODEL
+    * PROBABILITY — sum of the model counts of the doc's bigrams,
+    * divided by (n_bigrams × total corpus bigram mass).
+    *
+    * The textbook formulation sums log-probabilities, but ln() is not
+    * IEEE-754-exactness-mandated — its low bit may differ across
+    * engines, which a hash gate cannot tolerate. The mean-probability
+    * form carries the same corpus-typicality ranking signal using
+    * ONLY exact integer sums plus one final IEEE division —
+    * bit-identical cross-engine by construction (parity rule: never
+    * sum raw doubles; divide exact integers once).
+    *
+    * Scale shape: one bigram explode → one partial-aggregable
+    * groupBy(bigram) builds the model; the top-V cap bounds the model
+    * so scoring is a BROADCAST join (out-of-vocabulary bigrams score
+    * 0 via the left join) + one partial agg on doc_id — the corpus is
+    * never shuffled on the hot bigram key, so the head of the Zipf
+    * distribution cannot skew the scoring pass. The global top-V
+    * row_number is a single-partition sort over the (bounded,
+    * post-agg) vocabulary, not the corpus; at 100 TB replace it with
+    * a count-threshold cut or per-partition partial top-V. */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(spark, dir)
+    val cnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("bigram"))
+    val model = cnt.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= LmVocabTop).select(col("bigram"), col("c"))
+    val total = cnt.agg(sum(col("c")).as("t"))
+    bg.join(broadcast(model), Seq("bigram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("c"), lit(0L))).as("matched_mass"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_bigrams"), col("matched_mass"),
+        (col("matched_mass").cast("double") /
+          (col("n_bigrams").cast("double") * col("t").cast("double"))).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH $bigramCtes,
+       |cnt AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+       |model AS (
+       |  SELECT bigram, c FROM (
+       |    SELECT bigram, c, ROW_NUMBER() OVER (ORDER BY c DESC, bigram) AS rn
+       |    FROM cnt) r
+       |  WHERE rn <= $LmVocabTop),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(COALESCE(m.c, 0)) AS BIGINT) AS matched_mass,
+       |  CAST(SUM(COALESCE(m.c, 0)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * CAST((SELECT t FROM tot) AS DOUBLE)) AS lm_score
+       |FROM bg LEFT JOIN model m USING (bigram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------- DSIR-style importance filtering
+  private val DsirQualityBar = 0.55
+  private val DsirKeep = 1.0
+
+  /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    * arXiv:2302.03169 — here in its deterministic filter form): build
+    * TWO bigram models — the target model from documents above the
+    * quality bar, the corpus model from everything — and keep the
+    * documents whose importance weight
+    * (target mean-probability / corpus mean-probability) is ≥ 1, i.e.
+    * the documents whose n-gram profile is over-represented in the
+    * high-quality subcorpus. This composes the quality scorer and the
+    * LM machinery into the standard "select pretraining data that
+    * looks like the target domain" pipeline step.
+    *
+    * Same rational-arithmetic parity argument as textLmScore: masses
+    * and totals are exact integers; the weight is a quotient of two
+    * single IEEE divisions. The corpus model is deliberately UNCAPPED
+    * so every bigram has corpus_mass ≥ 1 (no zero denominator); at
+    * 100 TB both models get the top-V cap and out-of-vocabulary
+    * bigrams fall back to an additive-smoothing floor. Scale shape:
+    * the models are aggregation outputs (bounded by vocabulary),
+    * broadcast into one scoring pass over the exploded corpus —
+    * two partial aggs + one doc_id agg, never a corpus shuffle on the
+    * bigram key. */
+  def textDsirFilter(spark: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(spark, dir)
+    val target = qualityCore(spark, dir)
+      .filter(col("quality_score") >= DsirQualityBar).select(col("doc_id"))
+    val targetCnt = bg.join(target, Seq("doc_id"), "left_semi")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("tc"))
+    val corpusCnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cc"))
+    val totals = targetCnt.agg(sum(col("tc")).as("tt"))
+      .crossJoin(corpusCnt.agg(sum(col("cc")).as("ct")))
+    bg.join(broadcast(targetCnt), Seq("bigram"), "left")
+      .join(broadcast(corpusCnt), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("tc"), lit(0L))).as("target_mass"),
+        sum(col("cc")).as("corpus_mass"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"), col("target_mass"),
+        col("corpus_mass"),
+        ((col("target_mass").cast("double") / col("tt").cast("double")) /
+          (col("corpus_mass").cast("double") / col("ct").cast("double")))
+          .as("dsir_weight"))
+      .filter(col("dsir_weight") >= DsirKeep)
+      .orderBy(col("doc_id"))
+  }
+
+  val textDsirFilterSql: String =
+    s"""WITH $bigramCtes,
+       |quality AS ($qualitySelectSql),
+       |target AS (SELECT doc_id FROM quality WHERE quality_score >= $DsirQualityBar),
+       |tcnt AS (
+       |  SELECT bigram, COUNT(*) AS tc FROM bg
+       |  WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY 1),
+       |ccnt AS (SELECT bigram, COUNT(*) AS cc FROM bg GROUP BY 1),
+       |tot AS (SELECT
+       |  (SELECT CAST(SUM(tc) AS BIGINT) FROM tcnt) AS tt,
+       |  (SELECT CAST(SUM(cc) AS BIGINT) FROM ccnt) AS ct)
+       |SELECT doc_id, n_bigrams, target_mass, corpus_mass, dsir_weight FROM (
+       |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(COALESCE(t.tc, 0)) AS BIGINT) AS target_mass,
+       |    CAST(SUM(c.cc) AS BIGINT) AS corpus_mass,
+       |    (CAST(SUM(COALESCE(t.tc, 0)) AS DOUBLE) / CAST((SELECT tt FROM tot) AS DOUBLE))
+       |      / (CAST(SUM(c.cc) AS DOUBLE) / CAST((SELECT ct FROM tot) AS DOUBLE)) AS dsir_weight
+       |  FROM bg b JOIN ccnt c ON b.bigram = c.bigram
+       |  LEFT JOIN tcnt t ON b.bigram = t.bigram
+       |  GROUP BY b.doc_id) s
+       |WHERE dsir_weight >= $DsirKeep
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -556,5 +710,7 @@ object TextOps {
     "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)),
     "text_shard_pack" -> ((textShardPack _, textShardPackSql)),
     "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
-    "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)))
+    "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)),
+    "text_lm_score" -> ((textLmScore _, textLmScoreSql)),
+    "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)))
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Driver-side re-computation oracles for the round-3 operators,
+  * independent of the DuckDB gate: the same math in plain Scala over
+  * the collected sf0.001 fixture, compared EXACTLY (the operators'
+  * arithmetic is integer sums + single IEEE divisions / identical
+  * left-associated folds, so no tolerance is needed). */
+class LmSemanticSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // Spark split() keeps trailing empties (Java split with limit -1)
+  private def bigrams(t: String): Seq[String] = {
+    val ws = t.split(" ", -1)
+    if (ws.length < 2) Seq.empty
+    else ws.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+  }
+
+  private lazy val docTexts: Map[Long, String] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("text_lm_score matches a plain-Scala recompute exactly") {
+    val cnt = docTexts.toSeq.flatMap { case (_, t) => bigrams(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val total = cnt.values.sum
+    val model = cnt.toSeq.sortBy { case (b, c) => (-c, b) }.take(10000).toMap
+    val expected = docTexts.toSeq.collect {
+      case (id, t) if bigrams(t).nonEmpty =>
+        val bs = bigrams(t)
+        val mass = bs.map(b => model.getOrElse(b, 0L)).sum
+        id -> ((bs.size.toLong, mass,
+          mass.toDouble / (bs.size.toDouble * total.toDouble)))
+    }.toMap
+    val got = SparkEntry.queries("text_lm_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("text_dsir_filter weights recompute exactly; only weight>=1 kept") {
+    // target set from the quality GATE (tests the composition, not a
+    // re-derivation of the quality formula)
+    val target = SparkEntry.queries("text_quality")(spark, dir).collect()
+      .collect { case r if r.getDouble(6) >= 0.55 => r.getLong(0) }.toSet
+    val corpusCnt = docTexts.toSeq.flatMap { case (_, t) => bigrams(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val targetCnt = docTexts.toSeq
+      .filter { case (id, _) => target(id) }
+      .flatMap { case (_, t) => bigrams(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val (tt, ct) = (targetCnt.values.sum, corpusCnt.values.sum)
+    val expected = docTexts.toSeq.collect {
+      case (id, t) if bigrams(t).nonEmpty =>
+        val bs = bigrams(t)
+        val tm = bs.map(b => targetCnt.getOrElse(b, 0L)).sum
+        val cm = bs.map(b => corpusCnt(b)).sum
+        val w = (tm.toDouble / tt.toDouble) / (cm.toDouble / ct.toDouble)
+        (id, bs.size.toLong, tm, cm, w)
+    }.filter(_._5 >= 1.0)
+      .map(x => x._1 -> ((x._2, x._3, x._4, x._5))).toMap
+    val got = SparkEntry.queries("text_dsir_filter")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == expected)
+    assert(got.values.forall(_._4 >= 1.0))
+  }
+
+  test("sim_semantic_dedup kept set matches a plain-Scala recompute") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    // same left-associated fold from 0.0 as the DotProductF kernel
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = vecs.toSeq.filter(_._1 < 8).sortBy(_._1)
+    val cell = vecs.map { case (id, v) =>
+      // argmax cosine, ties to the LARGER cent_id (>= replace while
+      // iterating cent_id ascending)
+      var bestScore = Double.NegativeInfinity; var bestCent = -1L
+      cents.foreach { case (cid, cv) =>
+        val s = cos(v, cv)
+        if (s >= bestScore) { bestScore = s; bestCent = cid }
+      }
+      id -> bestCent
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val dropped = (for {
+      a <- ids; b <- ids
+      if a < b && cell(a) == cell(b) && cos(vecs(a), vecs(b)) >= 0.35
+    } yield b).toSet
+    val expected = ids.filterNot(dropped).map(id => id -> cell(id)).toMap
+    val got = SparkEntry.queries("sim_semantic_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("stream_join_attrib equals its batch interval-join twin") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_us").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_us").as("pts"), col("value"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + lit(1800000000L))
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
+      .orderBy(col("user_id")).collect().toSeq
+    val stream = SparkEntry.queries("stream_join_attrib")(spark, dir)
+      .collect().toSeq
+    assert(stream == batch)
+  }
+}

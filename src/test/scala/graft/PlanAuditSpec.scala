@@ -23,9 +23,11 @@ class PlanAuditSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
 
   // tiny bounded build sides crossed on purpose: the DF-cap scalar,
-  // the IVF centroid set, the query vectors, the corpus-size scalar
+  // the IVF centroid set, the query vectors, the corpus-size scalar,
+  // the LM model-total scalars
   private val intentionalNestedLoop = Set(
-    "dedup_ngram_jaccard_capped", "sim_ann_ivf", "sim_cosine_topk", "text_tfidf")
+    "dedup_ngram_jaccard_capped", "sim_ann_ivf", "sim_cosine_topk", "text_tfidf",
+    "sim_semantic_dedup", "text_lm_score", "text_dsir_filter")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
