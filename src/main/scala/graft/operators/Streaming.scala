@@ -291,12 +291,22 @@ object Streaming {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttribWindowMin MINUTES"))
     val qname = s"stream_attrib_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // a stream-stream join opens FOUR state stores per shuffle
+    // partition; at gate scale the per-store open/commit overhead
+    // dominates, so the micro-batch runs at 8 partitions (the value
+    // is baked into the checkpoint, so production picks its own at
+    // first start). Restored after the drain — batch gates keep 32.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = joined.writeStream
       .outputMode("append")
       .format("memory")
       .queryName(qname)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     spark.table(qname)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
