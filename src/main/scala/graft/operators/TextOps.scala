@@ -697,6 +697,96 @@ object TextOps {
        |WHERE dsir_weight >= $DsirKeep
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- sliding-window chunking
+  private val OvWindow = 20 // words per chunk
+  private val OvStride = 10 // overlap = OvWindow - OvStride
+
+  /** Sliding-window chunking with overlap — the RAG / long-context
+    * training prep step (fixed window, 50% stride) as opposed to the
+    * disjoint segments of text_chunk_dedup and the greedy bin-packing
+    * of text_shard_pack. Chunk count is the standard
+    * ceil((n − W)/S) + 1 (one chunk when n ≤ W), so the final chunk
+    * may be short rather than text being dropped.
+    *
+    * Scale shape: pure per-row projection + one explode — pipelines
+    * into the scan with zero shuffles; only the oracle's ORDER BY
+    * sorts. The md5 digest certifies every chunk's exact content. */
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = expr(
+      s"""CASE WHEN size(ws) <= $OvWindow THEN 1
+         |     ELSE CAST(ceil((size(ws) - $OvWindow) / $OvStride.0d) AS INT) + 1
+         |END""".stripMargin)
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), nChunks.as("nc"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, nc - 1),
+           |  i -> slice(ws, i * $OvStride + 1, $OvWindow))""".stripMargin))
+        .as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        size(col("cw")).cast("bigint").as("n_words"),
+        md5(array_join(col("cw"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val textChunkOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+       |n AS (
+       |  SELECT doc_id, ws,
+       |    CASE WHEN LEN(ws) <= $OvWindow THEN 1
+       |         ELSE CAST(CEIL((LEN(ws) - $OvWindow) / $OvStride.0) AS INT) + 1
+       |    END AS nc
+       |  FROM d),
+       |ch AS (
+       |  SELECT doc_id, i AS chunk_id,
+       |    ws[i * $OvStride + 1 : i * $OvStride + $OvWindow] AS cw
+       |  FROM n, UNNEST(RANGE(0, nc)) AS r(i))
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(LEN(cw) AS BIGINT) AS n_words,
+       |  md5(ARRAY_TO_STRING(cw, ' ')) AS chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --------------------------- per-source quality percentile filter
+  private val PctKeep = 0.5
+
+  /** Per-source quality normalization: rank every document's quality
+    * score WITHIN its source and keep the top half of each source —
+    * the curation step that stops one high-scoring domain from
+    * crowding out every other (absolute thresholds over-select the
+    * cleanest domain; percentile thresholds select uniformly).
+    * percent_rank = (rank−1)/(n−1) over a unique (score desc, doc_id)
+    * order — exact-integer division, identical in both engines.
+    *
+    * Scale shape: ONE shuffle on source with a per-source sort.
+    * Sources are few and large at 100 TB, so the production variant
+    * computes each source's score threshold approximately
+    * (approx_percentile per source, broadcast, filter — no full
+    * sort); the exact window here is the gate-scale reference
+    * semantics. */
+  def textQualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    qualityCore(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= PctKeep)
+      .select(col("doc_id"), col("source"), col("quality_score"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualityPercentileSql: String =
+    s"""WITH quality AS ($qualitySelectSql),
+       |ranked AS (
+       |  SELECT q.doc_id, d.source, q.quality_score,
+       |    PERCENT_RANK() OVER (PARTITION BY d.source
+       |      ORDER BY q.quality_score DESC, q.doc_id) AS pr
+       |  FROM quality q JOIN documents d ON q.doc_id = d.doc_id)
+       |SELECT doc_id, source, quality_score, pr
+       |FROM ranked WHERE pr <= $PctKeep
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -712,5 +802,7 @@ object TextOps {
     "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
     "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)),
     "text_lm_score" -> ((textLmScore _, textLmScoreSql)),
-    "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)))
+    "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)),
+    "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),
+    "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)))
 }

@@ -61,6 +61,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(planOf("q2_filter_proj").contains("PushedFilters: ["))
   }
 
+  test("sim_semantic_dedup reuses the corpus-with-cells exchange (AQE off)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("sim_semantic_dedup")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), "cell pipeline computed twice")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("pipeline_curate reuses the signature exchange (AQE off)") {
     // static ReusedExchange only materializes in the pre-execution
     // plan with AQE disabled; under AQE reuse happens at runtime
