@@ -27,6 +27,32 @@ case class SessionOut(user_id: Long, start_ms: Long, n_events: Long,
  */
 object Streaming {
 
+  /** Drain a streaming frame synchronously into a memory-sink table
+    * and return it (gate scaffolding shared by every streaming gate).
+    * Stateful operators open one state-store instance per shuffle
+    * partition (a stream-stream join opens FOUR), and at gate scale
+    * the per-store open/commit overhead dominates the micro-batch —
+    * so the drain runs at 8 partitions (measured 6.8 s → 2.8 s for
+    * the join gate at sf0.1). The value bakes into each query's
+    * checkpoint at first start, so production sizes it per cluster;
+    * the session's 32 is restored for the batch read-back. */
+  private def drainToTable(spark: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val qname = s"stream_gate_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.table(qname)
+  }
+
   def streamEventBars(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -44,18 +70,7 @@ object Streaming {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
-    val qname = s"stream_bars_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    spark.table(qname)
+    drainToTable(spark, agg, "complete")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n_events"), col("sum_value"),
@@ -184,14 +199,7 @@ object Streaming {
       .dropDuplicates("lang", "prefix_hash")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_distinct_docs"))
-    val qname = s"stream_dedup_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(qname)
+    drainToTable(spark, agg, "complete")
       .select(col("lang"), col("n_distinct_docs"))
       .orderBy(col("lang"))
   }
@@ -233,14 +241,7 @@ object Streaming {
         .otherwise(lit("new")).as("status"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"))
-    val qname = s"stream_static_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(qname)
+    drainToTable(spark, agg, "complete")
       .select(col("status"), col("n"))
       .orderBy(col("status"))
   }
@@ -290,24 +291,7 @@ object Streaming {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttribWindowMin MINUTES"))
-    val qname = s"stream_attrib_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    // a stream-stream join opens FOUR state stores per shuffle
-    // partition; at gate scale the per-store open/commit overhead
-    // dominates, so the micro-batch runs at 8 partitions (the value
-    // is baked into the checkpoint, so production picks its own at
-    // first start). Restored after the drain — batch gates keep 32.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qname)
-      .start()
-    try q.processAllAvailable() finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
-    spark.table(qname)
+    drainToTable(spark, joined, "append")
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
