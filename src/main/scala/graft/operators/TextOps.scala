@@ -787,6 +787,77 @@ object TextOps {
        |FROM ranked WHERE pr <= $PctKeep
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------- exact n-gram decontamination
+  private val DecontamN = 5
+
+  /** GPT-3-style exact n-gram decontamination, complementing
+    * `pipeline_contamination` (which flags cross-split NEAR-dups via
+    * MinHash): a train document is contaminated if any of its word
+    * 5-grams appears VERBATIM in any test-split document. Splits are
+    * the same deterministic md5 80/10/10 as text_hash_split. Emits
+    * every contaminated train doc with its overlap counts and
+    * contaminated-gram fraction.
+    *
+    * Scale shape: one shingle explode per side; the join carries
+    * 16-byte gram digests, never text; the test side is DISTINCT
+    * (bounded by the test split) and both sides equi-join on the
+    * digest, then one partial agg on doc_id. Boilerplate grams skew
+    * the join key at 100 TB — the same document-frequency cap as
+    * dedup_ngram_jaccard_capped applies unchanged. */
+  def textNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        when(h < 80, lit("train")).when(h < 90, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= DecontamN)
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${DecontamN - 1}),
+           |  i -> md5(array_join(slice(ws, i, $DecontamN), ' ')))""".stripMargin))
+        .as("gram"))
+    val testGrams = grams.filter(col("split") === "test")
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    grams.filter(col("split") === "train")
+      .join(testGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_shared_occ"),
+        countDistinct(when(col("hit").isNotNull, col("gram"))).as("n_shared_distinct"))
+      .filter(col("n_shared_occ") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_shared_occ"),
+        col("n_shared_distinct"),
+        (col("n_shared_occ").cast("double") / col("n_grams").cast("double"))
+          .as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNgramDecontamSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    STRING_SPLIT(text, ' ') AS ws
+       |  FROM documents
+       |  WHERE LEN(STRING_SPLIT(text, ' ')) >= $DecontamN),
+       |grams AS (
+       |  SELECT doc_id, split,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${DecontamN - 1}], ' ')) AS gram
+       |  FROM d, UNNEST(RANGE(1, LEN(ws) - ${DecontamN - 2})) AS r(i)),
+       |test_grams AS (
+       |  SELECT DISTINCT gram, 1 AS hit FROM grams WHERE split = 'test')
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN g.hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_occ,
+       |  CAST(COUNT(DISTINCT CASE WHEN g.hit IS NOT NULL THEN t.gram END) AS BIGINT) AS n_shared_distinct,
+       |  CAST(SUM(CASE WHEN g.hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS contam_frac
+       |FROM grams t LEFT JOIN test_grams g ON t.gram = g.gram
+       |WHERE t.split = 'train'
+       |GROUP BY t.doc_id
+       |HAVING SUM(CASE WHEN g.hit IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -804,5 +875,6 @@ object TextOps {
     "text_lm_score" -> ((textLmScore _, textLmScoreSql)),
     "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)),
     "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),
-    "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)))
+    "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)),
+    "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)))
 }
