@@ -83,11 +83,26 @@ object ScaleSoak {
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
       val (tE, ne) = timeIt(Dedup.dedupExact(spark, dir))
       val (tM, nm) = timeIt(Dedup.dedupMinhashLsh(spark, dir))
+      val (tL, nl) = timeIt(TextOps.textLmScore(spark, dir))
+      val (tD, nd) = timeIt(TextOps.textNgramDecontam(spark, dir))
       val edir = amplifyEmb(n)
       val vecs = spark.read.parquet(s"$edir/embeddings.parquet").count()
       val (tS, ns) = timeIt(Similarity.simEmbNearDup(spark, edir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
-        f"minhash=$tM%.2f s ($nm pairs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs)")
+        f"minhash=$tM%.2f s ($nm pairs) lm=$tL%.2f s ($nl docs) " +
+        f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs)")
+    }
+
+    // SemDeDup with the gate's FIXED K=8 centroids is deliberately
+    // soaked only to ×4: cells grow linearly with the corpus, so the
+    // within-cell pair join is quadratic in n — the measured blow-up
+    // below is the evidence for the documented scale rule that K must
+    // grow ~√N (cells stay bounded ⇒ pairs stay linear).
+    Seq(1, 2, 4).foreach { n =>
+      val edir = amplifyEmb(n)
+      val vecs = spark.read.parquet(s"$edir/embeddings.parquet").count()
+      val (tC, nc) = timeIt(Similarity.simSemanticDedup(spark, edir))
+      println(f"SOAK_SEMDEDUP n=$n vecs=$vecs fixedK8=$tC%.2f s ($nc kept)")
     }
     spark.stop()
   }
