@@ -143,8 +143,58 @@ object Pipeline {
        |WHERE est_jaccard >= $DedupThreshold AND sa.split <> sb.split
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------- hybrid two-signal dedup
+  private val HybridJaccard = 0.3
+  private val HybridCosine = 0.0
+
+  /** Hybrid near-dedup: cheap lexical CANDIDATES (MinHash bands,
+    * est-Jaccard ≥ 0.3) CONFIRMED by the embedding signal (cosine ≥ 0
+    * between the pair's vectors) — the standard two-stage shape where
+    * a hash generates candidates and a dense model adjudicates them.
+    * On this synthetic corpus the embeddings are independent of the
+    * text, so the confirmation exercises the mechanism (as langid's
+    * gate does), not semantic ground truth.
+    *
+    * Scale design: the expensive signal (the 64-dim kernel cosine)
+    * runs ONLY on the candidate pairs — |candidates| rows, never
+    * corpus² — and the embedding join shuffles 256-byte vectors keyed
+    * by doc id exactly twice. This is the composition that makes
+    * embedding-grade dedup affordable at 100 TB: LSH bounds the pair
+    * count, the kernel prices each pair at a constant. */
+  def dedupHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    val emb = Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Dedup.minhashPairsCore(spark, dir)
+      .filter(col("est_jaccard") >= HybridJaccard)
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        (dotF(col("ea"), col("eb")) /
+          (sqrt(dotF(col("ea"), col("ea"))) * sqrt(dotF(col("eb"), col("eb")))))
+          .as("cosine"))
+      .filter(col("cosine") >= HybridCosine)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupHybridSql: String =
+    s"""WITH ${Dedup.minhashPairsCtes},
+       |cand AS (
+       |  SELECT doc_a, doc_b, est_jaccard FROM est_pairs
+       |  WHERE est_jaccard >= $HybridJaccard),
+       |scored AS (
+       |  SELECT doc_a, doc_b, est_jaccard,
+       |    ${Similarity.cosineSql("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings ea ON doc_a = ea.vec_id
+       |  JOIN embeddings eb ON doc_b = eb.vec_id)
+       |SELECT doc_a, doc_b, est_jaccard, cosine FROM scored
+       |WHERE cosine >= $HybridCosine
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "pipeline_curate" -> ((curate _, curateSql)),
     "pipeline_curate_cc" -> ((curateCc _, curateCcSql)),
-    "pipeline_contamination" -> ((contamination _, contaminationSql)))
+    "pipeline_contamination" -> ((contamination _, contaminationSql)),
+    "dedup_hybrid" -> ((dedupHybrid _, dedupHybridSql)))
 }

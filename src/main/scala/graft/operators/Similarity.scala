@@ -61,7 +61,7 @@ object Similarity {
   private def normSql(a: String): String =
     s"SQRT(${(1 to Dim).map(i => s"${elemSql(a, i)} * ${elemSql(a, i)}").mkString(" + ")})"
 
-  private def cosineSql(a: String, b: String): String =
+  private[operators] def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (${normSql(a)} * ${normSql(b)})"
 
   // ------------------------------------------------- brute-force top-k
