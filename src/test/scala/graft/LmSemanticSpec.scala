@@ -106,6 +106,94 @@ class LmSemanticSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("text_chunk_overlap matches a plain-Scala recompute exactly") {
+    val W = 20; val S = 10
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docTexts.toSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nc = if (ws.length <= W) 1 else math.ceil((ws.length - W) / S.toDouble).toInt + 1
+      (0 until nc).map { i =>
+        val cw = ws.slice(i * S, i * S + W)
+        (id, i.toLong, cw.length.toLong, md5hex(cw.mkString(" ")))
+      }
+    }.toSet
+    val got = SparkEntry.queries("text_chunk_overlap")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == expected)
+  }
+
+  test("text_ngram_decontam matches a plain-Scala recompute exactly") {
+    val N = 5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def splitOf(t: String): String = {
+      val h = java.lang.Integer.parseInt(md5hex(t).take(4), 16) % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    def grams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < N) Seq.empty
+      else ws.sliding(N).map(g => md5hex(g.mkString(" "))).toSeq
+    }
+    val testGrams = docTexts.values.filter(splitOf(_) == "test")
+      .flatMap(grams).toSet
+    val expected = docTexts.toSeq.collect {
+      case (id, t) if splitOf(t) == "train" && grams(t).nonEmpty =>
+        val gs = grams(t)
+        val hits = gs.filter(testGrams)
+        (id, gs.size.toLong, hits.size.toLong, hits.distinct.size.toLong,
+          hits.size.toDouble / gs.size.toDouble)
+    }.filter(_._3 > 0).toSet
+    val got = SparkEntry.queries("text_ngram_decontam")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
+  test("text_quality_percentile keeps exactly the per-source top half") {
+    val quality = SparkEntry.queries("text_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = sources.groupBy(_._2).flatMap { case (_, members) =>
+      val ordered = members.keys.toSeq
+        .sortBy(id => (-quality(id), id))
+      val n = ordered.size
+      ordered.zipWithIndex.collect {
+        case (id, rk) if n == 1 || rk.toDouble / (n - 1) <= 0.5 =>
+          id -> (rk.toDouble / math.max(1, n - 1))
+      }
+    }
+    val got = SparkEntry.queries("text_quality_percentile")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == expected)
+  }
+
+  test("dedup_hybrid cosine equals the kernel fold over the pair's vectors") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val rows = SparkEntry.queries("dedup_hybrid")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val c = dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+      assert(r.getDouble(3) == c, s"pair ($a,$b) cosine mismatch")
+      assert(c >= 0.0 && r.getDouble(2) >= 0.3)
+    }
+  }
+
   test("stream_join_attrib equals its batch interval-join twin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
