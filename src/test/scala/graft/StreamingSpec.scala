@@ -151,6 +151,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attribution join runs on the RocksDB state store (production backend)") {
+    // at 100 TB of stream state the in-memory HDFS-backed store cannot
+    // hold the working set; RocksDB is the production provider. The
+    // gate must be provider-agnostic — same result either way.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = SparkEntry.queries("stream_join_attrib")(spark, "/root/testdata/sf0.001")
+        .collect().toSeq
+      spark.conf.unset(key)
+      val hdfsStore = SparkEntry.queries("stream_join_attrib")(spark, "/root/testdata/sf0.001")
+        .collect().toSeq
+      assert(got.nonEmpty && got == hdfsStore)
+    } finally { prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    } }
+  }
+
   test("stream-stream join resumes from checkpoint: exact pair set across restart") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_ssj_src").toString
