@@ -232,10 +232,71 @@ object AlpacaAnalytics {
        |ORDER BY symbol, day""".stripMargin
   }
 
+  // ------------------------------------------- daily realized variance
+  private val volStart = "2021-02-01T00:00:00Z"
+  private val volEnd = "2021-02-08T00:00:00Z"
+
+  /** Per-(symbol, day) realized variance of hour-over-hour close moves
+    * — the intraday volatility summary a market-data user computes
+    * from bars. All internals are EXACT integers: closes sit on the
+    * 0.25 grid so `close*100` casts to cents losslessly, moves are
+    * cent differences, and the sample variance is assembled from
+    * (n, Σd, Σd²) with ONE final IEEE division of two exact longs —
+    * bit-identical in both engines with no rounding tolerance (the
+    * same rational-form discipline as the LM-scoring gates; ln()/
+    * stddev() accumulation order would not be cross-engine-stable).
+    *
+    * Scale design: one window pass partitioned by (symbol, day) for
+    * the lag, then a partial aggregation on the same key — at 100 TB
+    * the shuffle carries one row per bar (already symbol×interval
+    * partitioned by the connector) and the variance composes from
+    * per-partition (n, Σd, Σd²) partials. */
+  def volatilityDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("day")).orderBy(col("time"))
+    barsDf(spark, "1Hour", volStart, volEnd)
+      .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+      .withColumn("cents", (col("close") * 100).cast("bigint"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .filter(col("prev_cents").isNotNull)
+      .withColumn("d", col("cents") - col("prev_cents"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(count(lit(1)).as("n_moves"),
+        sum(col("d")).as("sum_d"),
+        sum(col("d") * col("d")).as("sum_d2"))
+      .withColumn("realized_var",
+        (col("n_moves") * col("sum_d2") - col("sum_d") * col("sum_d"))
+          .cast("double") /
+          (col("n_moves") * (col("n_moves") - 1)).cast("double"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def volatilityDailySql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(volStart), us(volEnd), Hour)
+        .groupBy(b => fmtTs(b.timeUs).take(10)).toSeq.sortBy(_._1)
+        .map { case (day, bs) =>
+          val cents = bs.sortBy(_.timeUs).map(b => (b.close * 100).toLong)
+          val ds = cents.zip(cents.tail).map { case (a, b) => b - a }
+          val n = ds.size.toLong
+          val sumD = ds.sum
+          val sumD2 = ds.map(d => d * d).sum
+          val v = (n * sumD2 - sumD * sumD).toDouble / (n * (n - 1)).toDouble
+          s"(${sqlStr(s)}, ${sqlStr(day)}, $n, $sumD, $sumD2, ${fmtDExact(v)})"
+        }
+    }
+    s"""SELECT symbol, day, CAST(n_moves AS BIGINT) AS n_moves,
+       |  CAST(sum_d AS BIGINT) AS sum_d, CAST(sum_d2 AS BIGINT) AS sum_d2,
+       |  CAST(realized_var AS DOUBLE) AS realized_var
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, day, n_moves, sum_d, sum_d2, realized_var)
+       |ORDER BY symbol, day""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
     "alpaca_sma_crossover" -> ((smaCrossover _, smaCrossoverSql)),
     "alpaca_daily_returns" -> ((dailyReturns _, dailyReturnsSql)),
-    "alpaca_return_summary" -> ((returnSummary _, returnSummarySql)))
+    "alpaca_return_summary" -> ((returnSummary _, returnSummarySql)),
+    "alpaca_volatility" -> ((volatilityDaily _, volatilityDailySql)))
 }

@@ -200,6 +200,125 @@ object Relational2 {
       |SELECT c_nationkey, 'sum_acctbal' AS measure, sum_acctbal AS value FROM base
       |ORDER BY c_nationkey, measure""".stripMargin
 
+  /** Column profiling (the ANALYZE/data-quality pass every ingest
+    * pipeline runs before training on a new source): per-column null
+    * count, exact distinct count, and min/max, computed in ONE scan.
+    * The four COUNT(DISTINCT)s plan as a single Expand (5 projections
+    * of one pass over the table) + partial aggregation — never four
+    * scans; the final `stack()` melts the 1-row aggregate into a
+    * long-format report at zero cost. At 100 TB the exact distincts
+    * swap for approx_count_distinct (the q16 HLL path) and the Expand
+    * factor prices at |profiled columns|, so you profile a column
+    * subset per pass, not the whole schema. Min/max are raw column
+    * values (no arithmetic) — bit-exact in both engines. */
+  def q25Profile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("ck_null"),
+        count_distinct(col("o_custkey")).as("ck_dist"),
+        min(col("o_custkey")).cast("double").as("ck_min"),
+        max(col("o_custkey")).cast("double").as("ck_max"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("tp_null"),
+        count_distinct(col("o_totalprice")).as("tp_dist"),
+        min(col("o_totalprice")).as("tp_min"),
+        max(col("o_totalprice")).as("tp_max"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("os_null"),
+        count_distinct(col("o_orderstatus")).as("os_dist"),
+        min(col("o_orderstatus")).as("os_min"),
+        max(col("o_orderstatus")).as("os_max"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("op_null"),
+        count_distinct(col("o_orderpriority")).as("op_dist"),
+        min(col("o_orderpriority")).as("op_min"),
+        max(col("o_orderpriority")).as("op_max"))
+      .selectExpr(
+        """stack(4,
+          |  'o_custkey',      ck_null, ck_dist, ck_min, ck_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_totalprice',   tp_null, tp_dist, tp_min, tp_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_orderstatus',  os_null, os_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), os_min, os_max,
+          |  'o_orderpriority',op_null, op_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), op_min, op_max)
+          |AS (column_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+      .orderBy(col("column_name"))
+
+  val q25Sql: String =
+    """WITH a AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ck_null,
+      |    COUNT(DISTINCT o_custkey) AS ck_dist,
+      |    CAST(MIN(o_custkey) AS DOUBLE) AS ck_min, CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
+      |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp_null,
+      |    COUNT(DISTINCT o_totalprice) AS tp_dist,
+      |    MIN(o_totalprice) AS tp_min, MAX(o_totalprice) AS tp_max,
+      |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS os_null,
+      |    COUNT(DISTINCT o_orderstatus) AS os_dist,
+      |    MIN(o_orderstatus) AS os_min, MAX(o_orderstatus) AS os_max,
+      |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS op_null,
+      |    COUNT(DISTINCT o_orderpriority) AS op_dist,
+      |    MIN(o_orderpriority) AS op_min, MAX(o_orderpriority) AS op_max
+      |  FROM orders)
+      |SELECT 'o_custkey' AS column_name, ck_null AS n_null, ck_dist AS n_distinct,
+      |  ck_min AS min_num, ck_max AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a
+      |UNION ALL
+      |SELECT 'o_totalprice', tp_null, tp_dist, tp_min, tp_max,
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM a
+      |UNION ALL
+      |SELECT 'o_orderstatus', os_null, os_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  os_min, os_max FROM a
+      |UNION ALL
+      |SELECT 'o_orderpriority', op_null, op_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  op_min, op_max FROM a
+      |ORDER BY column_name""".stripMargin
+
+  /** Latest-wins upsert merge (CDC / slowly-changing snapshot — the
+    * "apply today's corrections to the corpus snapshot" operator):
+    * the snapshot unions a delta batch carrying a higher version, and
+    * one row per key survives via row_number over (key, version DESC).
+    * The delta here marks every 7th order filled-with-correction
+    * (status 'X', price +10 through the DECIMAL path).
+    *
+    * Scale notes: the union shuffles ONCE on the merge key; at 100 TB
+    * keep the snapshot bucketed by key so only the (small) delta
+    * moves, and compact merged snapshots back to bucketed storage on
+    * a cadence — never re-sort the full corpus per delta. The final
+    * aggregation certifies the merge (counts + DECIMAL money sums per
+    * status), so a misrouted or duplicated key breaks the hash. */
+  def q26Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val snapshot = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0L).as("version"))
+    val delta = t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") + lit(10))
+          .cast("double").as("o_totalprice"),
+        lit(1L).as("version"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    snapshot.unionByName(delta)
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q26Sql: String =
+    """WITH snapshot AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey, 'X' AS o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE) AS o_totalprice,
+      |    1 AS version
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |merged AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM (SELECT * FROM snapshot UNION ALL SELECT * FROM delta))
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM merged WHERE rn = 1
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
@@ -207,5 +326,7 @@ object Relational2 {
     "q20_retention" -> ((q20Retention _, q20Sql)),
     "q21_salted_agg" -> ((q21SaltedAgg _, q21Sql)),
     "q22_unpivot" -> ((q22Unpivot _, q22Sql)),
-    "q23_window_ranks" -> ((q23WindowRanks _, q23Sql)))
+    "q23_window_ranks" -> ((q23WindowRanks _, q23Sql)),
+    "q25_profile" -> ((q25Profile _, q25Sql)),
+    "q26_upsert" -> ((q26Upsert _, q26Sql)))
 }

@@ -49,6 +49,52 @@ object Sinks {
       |FROM lineitem WHERE l_returnflag = 'A'
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Bucketed-storage co-located join — the OTHER lake layout beside
+    * hive partitioning: both fact tables written with
+    * `bucketBy(8, orderkey).sortBy(orderkey)`, then joined on the
+    * bucket key. Spark's bucketed read satisfies the join's
+    * distribution requirement straight from storage, so the plan has
+    * NO shuffle exchange under the join on either side (asserted in
+    * SinkSpec) — at 100 TB this is how a daily fact⋈fact join avoids
+    * re-shuffling the corpus every run: pay the bucketed write once,
+    * join shuffle-free forever after. The merge hint keeps the small
+    * local tables on the SMJ path (a broadcast would also skip the
+    * shuffle, but then the plan proves nothing about bucketing).
+    * Oracle: the same join+agg over the ORIGINAL parquet, so bucket
+    * misrouting or dropped rows break the hash. */
+  def sinkBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$suffix"
+    val liTable = s"graft_li_bucketed_$suffix"
+    val ordTable = s"graft_ord_bucketed_$suffix"
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem").saveAsTable(liTable)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders").saveAsTable(ordTable)
+    spark.table(liTable).hint("merge")
+      .join(spark.table(ordTable), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val sinkBucketedJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "sink_partitioned_roundtrip" -> ((sinkRoundtrip _, sinkRoundtripSql)))
+    "sink_partitioned_roundtrip" -> ((sinkRoundtrip _, sinkRoundtripSql)),
+    "sink_bucketed_join" -> ((sinkBucketedJoin _, sinkBucketedJoinSql)))
 }

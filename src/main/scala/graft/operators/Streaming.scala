@@ -321,9 +321,97 @@ object Streaming {
        |  AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + ${AttribWindowMin * 60L * 1000000L}
        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // --------------------------------------- streaming sessionize gate
+  private val SessGapMs = 30L * 60L * 1000L
+
+  /** `sessionizeStream` (custom flatMapGroupsWithState state) as a
+    * GATE with a batch gaps-and-islands oracle — previously the
+    * operator was spec-only; this certifies it against DuckDB on the
+    * full events table. Closing EVERY session deterministically needs
+    * the watermark to pass every real event, so the events are staged
+    * into a temp dir as three files processed as three ordered
+    * micro-batches (`maxFilesPerTrigger=1`, ascending mtimes): all
+    * real events, then two far-future sentinel users. Sentinel #1
+    * advances the watermark past every real session's close; the
+    * batch triggered by sentinel #2 fires the EventTimeTimeouts that
+    * emit them (timeouts fire on the NEXT batch after the watermark
+    * moves — same two-step the StreamingSpec exercises). Event times
+    * are floored to millis at staging (state arithmetic is in ms), so
+    * the oracle's ms domain is exact, not a rounding approximation.
+    *
+    * Scale notes: identical runtime shape to production — one shuffle
+    * on user_id, state = one (start, last, n) triple per OPEN user,
+    * closed sessions leave state via timeout. The sentinel staging is
+    * gate scaffolding only; a real deployment just keeps running. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"))
+    val maxMs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000"))).head().getLong(0)
+
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stagePath = Paths.get(stage)
+    if (Files.exists(stagePath)) {
+      Files.walk(stagePath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(stagePath)
+    def writeOne(df: DataFrame, tmp: String, destName: String, mtime: Long): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val part = {
+        val s = Files.list(Paths.get(tmp))
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).next()
+        finally s.close()
+      }
+      val dest = stagePath.resolve(destName)
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(mtime)
+    }
+    def sentinel(uid: Long, ms: Long): DataFrame = spark.range(1)
+      .select(lit(uid).as("user_id"), timestamp_millis(lit(ms)).as("ts"))
+    val t0 = System.currentTimeMillis()
+    writeOne(ev, s"${stage}_a", "00_events.parquet", t0 - 120000L)
+    writeOne(sentinel(-1L, maxMs + 10L * 86400000L), s"${stage}_b",
+      "01_sentinel.parquet", t0 - 60000L)
+    writeOne(sentinel(-2L, maxMs + 20L * 86400000L), s"${stage}_c",
+      "02_sentinel.parquet", t0)
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val sessions = sessionizeStream(stream, gapMinutes = 30)
+    drainToTable(spark, sessions.toDF(), "append")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  val streamSessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, EPOCH_US(ts) // 1000 AS ts_ms FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts_ms,
+       |    CASE WHEN LAG(ts_ms) OVER w IS NULL OR ts_ms - LAG(ts_ms) OVER w > $SessGapMs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+       |sessions AS (
+       |  SELECT user_id, ts_ms,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms) AS BIGINT) AS sid
+       |  FROM flagged)
+       |SELECT user_id, MIN(ts_ms) AS start_ms, COUNT(*) AS n_events,
+       |  MAX(ts_ms) - MIN(ts_ms) AS duration_ms
+       |FROM sessions GROUP BY user_id, sid
+       |ORDER BY user_id, start_ms""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
-    "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)))
+    "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
+    "stream_sessionize" -> ((streamSessionize _, streamSessionizeSql)))
 }

@@ -32,4 +32,23 @@ class SinkSpec extends AnyFunSuite {
     assert(scanned.contains("PartitionFilters: [isnotnull(event_type"),
       s"no partition pruning in:\n${scanned.take(600)}")
   }
+
+  test("bucketed join: no shuffle exchange under the sort-merge join") {
+    val df = operators.Sinks.sinkBucketedJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan
+    val smjs = plan.collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+    val shuffles = smjs.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(shuffles.isEmpty,
+      s"bucketed sides must satisfy the join distribution from storage:\n$plan")
+    // both scans report the bucket layout
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.forall(_.bucketedScan), s"non-bucketed scan in:\n$plan")
+  }
 }
