@@ -61,9 +61,46 @@ object ClusterCheck {
         .selectExpr("CAST(sum(d) AS BIGINT) AS s").collect().head.getLong(0)
 
       println(s"CLUSTER_CHECK_OK=$nBars/$nDedup/$nDot")
-    } finally {
+
+      // 4. Gate equivalence: representative gates (covering connector,
+      //    dedup band-join, as-of window, HOF similarity, projection
+      //    scoring) run UNMODIFIED on the 2-JVM cluster; their
+      //    order-independent fingerprints must match local mode below.
+      val gateDir = "/root/testdata/sf0.001"
+      val clusterFps = gateNames.map(n => n -> fingerprint(
+        graft.SparkEntry.queries(n)(spark, gateDir))).toMap
       spark.stop()
+
+      val local = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      local.sparkContext.setLogLevel("WARN")
+      val mismatches = gateNames.filter { n =>
+        fingerprint(graft.SparkEntry.queries(n)(local, gateDir)) != clusterFps(n)
+      }
+      require(mismatches.isEmpty,
+        s"cluster/local gate results differ: ${mismatches.mkString(",")}")
+      println(s"CLUSTER_GATES_OK=${gateNames.size}")
+      local.stop()
+    } finally {
       graft.stub.AlpacaStubServer.stop()
     }
+  }
+
+  private val gateNames = Seq(
+    "q3_join_agg", "dedup_minhash_lsh", "asof_join", "sim_ann_lsh",
+    "text_quality")
+
+  /** Order-independent result fingerprint: (row count, sum of crc32
+    * over the sorted-column row rendering). Identical values ⇒
+    * identical multisets of rows, regardless of partitioning. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val r = df.select(concat_ws("|", cols: _*).as("s"))
+      .agg(count(lit(1)).as("n"), sum(crc32(col("s"))).as("h")).head()
+    (r.getLong(0), r.getLong(1))
   }
 }

@@ -45,6 +45,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed join partition (skew=true) with unchanged results") {
+    // The OTHER skew tool beside salting: runtime skew-join splitting.
+    // One key carries 90% of the left side; with low split thresholds
+    // AQE must mark the SMJ skew=true (hot partition split into
+    // multiple tasks) and the result must equal the analytic count.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // left: 200k rows, 90% on key 0; right: 1k distinct keys
+      val left = spark.range(0, 200000)
+        .selectExpr("IF(id % 10 = 0, id, 0L) AS k", "id AS v")
+      val right = spark.range(0, 1000).selectExpr("id AS rk")
+      val joined = left.join(right, col("k") === col("rk"))
+      val n = joined.collect().length.toLong // execute THIS plan (count() would plan its own)
+      // 180,000 non-multiples of 10 land on k=0 (+ id=0 itself) plus
+      // the 99 other multiples of 10 below 1000
+      assert(n == 180100L, s"join row count changed under skew split: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(1500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join of a skewed key equals the plain join") {
     import spark.implicits._
     val Salt = 8
