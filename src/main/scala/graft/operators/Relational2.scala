@@ -202,42 +202,40 @@ object Relational2 {
 
   /** Column profiling (the ANALYZE/data-quality pass every ingest
     * pipeline runs before training on a new source): per-column null
-    * count, exact distinct count, and min/max, computed in ONE scan.
-    * The four COUNT(DISTINCT)s plan as a single Expand (5 projections
-    * of one pass over the table) + partial aggregation — never four
-    * scans; the final `stack()` melts the 1-row aggregate into a
-    * long-format report at zero cost. At 100 TB the exact distincts
-    * swap for approx_count_distinct (the q16 HLL path) and the Expand
-    * factor prices at |profiled columns|, so you profile a column
-    * subset per pass, not the whole schema. Min/max are raw column
-    * values (no arithmetic) — bit-exact in both engines. */
-  def q25Profile(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .agg(
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("ck_null"),
-        count_distinct(col("o_custkey")).as("ck_dist"),
-        min(col("o_custkey")).cast("double").as("ck_min"),
-        max(col("o_custkey")).cast("double").as("ck_max"),
-        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("tp_null"),
-        count_distinct(col("o_totalprice")).as("tp_dist"),
-        min(col("o_totalprice")).as("tp_min"),
-        max(col("o_totalprice")).as("tp_max"),
-        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("os_null"),
-        count_distinct(col("o_orderstatus")).as("os_dist"),
-        min(col("o_orderstatus")).as("os_min"),
-        max(col("o_orderstatus")).as("os_max"),
-        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("op_null"),
-        count_distinct(col("o_orderpriority")).as("op_dist"),
-        min(col("o_orderpriority")).as("op_min"),
-        max(col("o_orderpriority")).as("op_max"))
-      .selectExpr(
-        """stack(4,
-          |  'o_custkey',      ck_null, ck_dist, ck_min, ck_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |  'o_totalprice',   tp_null, tp_dist, tp_min, tp_max, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          |  'o_orderstatus',  os_null, os_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), os_min, os_max,
-          |  'o_orderpriority',op_null, op_dist, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), op_min, op_max)
-          |AS (column_name, n_null, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+    * count, exact distinct count, and min/max. Each column profiles in
+    * TWO phases: a hash-aggregable groupBy(value) pass over the data
+    * (strings are GROUP KEYS there, which hash fine — only agg
+    * BUFFERS can't hold strings), then nulls/distincts/min/max fold
+    * over the per-value counts — so the sort-based aggregate strings
+    * force is confined to the |distinct values| rows, never the scan
+    * (PlanAuditSpec asserts every PARTIAL aggregate in the plan is
+    * hash-based). Each branch's parquet scan is pruned to its ONE
+    * column, so the union costs the same IO as a single 4-column
+    * scan. At 100 TB the exact distinct pass swaps for the q16 HLL
+    * sketch when the counts may stay approximate. Min/max are raw
+    * column values (no arithmetic) — bit-exact in both engines. */
+  def q25Profile(spark: SparkSession, dir: String): DataFrame = {
+    def prof(cname: String, isNum: Boolean): DataFrame = {
+      val counted = t(spark, dir, "orders")
+        .groupBy(col(cname).as("v")).agg(count(lit(1)).as("cnt"))
+      val minV = if (isNum) min(col("v")).cast("double") else lit(null).cast("double")
+      val maxV = if (isNum) max(col("v")).cast("double") else lit(null).cast("double")
+      val minS = if (isNum) lit(null).cast("string") else min(col("v")).cast("string")
+      val maxS = if (isNum) lit(null).cast("string") else max(col("v")).cast("string")
+      counted.agg(
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        minV.as("min_num"), maxV.as("max_num"),
+        minS.as("min_str"), maxS.as("max_str"))
+        .select(lit(cname).as("column_name"), col("n_null"), col("n_distinct"),
+          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }
+    prof("o_custkey", isNum = true)
+      .unionByName(prof("o_totalprice", isNum = true))
+      .unionByName(prof("o_orderstatus", isNum = false))
+      .unionByName(prof("o_orderpriority", isNum = false))
       .orderBy(col("column_name"))
+  }
 
   val q25Sql: String =
     """WITH a AS (

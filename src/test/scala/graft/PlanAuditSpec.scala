@@ -41,8 +41,29 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("no gate plans a SortAggregate (all aggregation buffers stay hash-able)") {
-    val offenders = auditableGates.filter(n => planOf(n).contains("SortAggregate"))
+    // q25_profile: min/max over STRING columns can never hash-agg
+    // (var-length buffer); its dedicated test below pins the sort to
+    // the tiny distinct-value sets instead of the scan.
+    val offenders = auditableGates.filterNot(_ == "q25_profile")
+      .filter(n => planOf(n).contains("SortAggregate"))
     assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
+  test("q25_profile: sort aggregates only above the hash distinct pass") {
+    val plan = SparkEntry.queries("q25_profile")(spark, dir)
+      .queryExecution.sparkPlan
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec => s
+    }
+    assert(sorts.nonEmpty, "string min/max should still plan (tiny) sort aggregates")
+    // every sort aggregate folds a HASH aggregate's output (the
+    // per-value distinct pass) — never the raw scan
+    sorts.foreach { s =>
+      val hashBelow = s.children.exists(_.collectFirst {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+      }.isDefined)
+      assert(hashBelow, s"SortAggregate directly over the scan:\n$s")
+    }
   }
 
   test("single-explode formulations stay single-explode") {
