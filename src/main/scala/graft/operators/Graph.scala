@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over the duplicate-candidate graph — the third
+ * graph operator beside `pipeline_curate_cc`'s connected components
+ * (cluster membership) and the band-join pair generation itself:
+ * triangle counting, the classic cohesion metric (a doc in many
+ * triangles sits in a DENSE duplicate clique, not a chain of
+ * borderline pairs — the signal curation uses to distinguish
+ * boilerplate families from incidental near-dups).
+ *
+ * Everything is exact BIGINT arithmetic (node ids, edge endpoints,
+ * triangle counts) — no floating point anywhere, so cross-engine
+ * parity is structural, not numeric.
+ */
+object Graph {
+  import Tables.t
+
+  private val PrefixLen = 20
+  private val BucketCap = 100L
+
+  /** Candidate edges: docs sharing a 20-char text-prefix digest form
+    * bucket cliques (the same candidate-generation shape as the dedup
+    * family), with a df-style bucket-size cap so a degenerate hot
+    * bucket can never explode the clique quadratically (the
+    * `dedup_ngram_jaccard_capped` discipline applied to graph
+    * building). Edges are canonical (a < b). */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(md5(substring(col("text"), 1, PrefixLen)).as("h"),
+        col("doc_id"))
+    val sizes = d.groupBy(col("h")).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= BucketCap)
+    val bounded = d.join(sizes, Seq("h"))
+    bounded.as("x").join(bounded.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+  }
+
+  /** Per-node triangle participation: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with
+    * a < b < c enumerates each triangle exactly once; exploding the
+    * three corners counts participation. Scale notes: with canonical
+    * edges the three-way self-join is the standard distributed
+    * triangle enumeration — each join is an equi-join on node ids
+    * (shuffle carries (a,b) pairs only), and the bucket cap bounds
+    * both the edge count (≤ cap²/2 per bucket) and the join fan-out.
+    * At 100 TB you additionally orient edges by degree (low-degree
+    * node first) so no single vertex fans out on its full degree. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trianglesSql: String =
+    s"""WITH d AS (
+       |  SELECT md5(SUBSTR(text, 1, $PrefixLen)) AS h, doc_id FROM documents),
+       |sizes AS (
+       |  SELECT h, COUNT(*) AS bucket_n FROM d GROUP BY h
+       |  HAVING COUNT(*) <= $BucketCap),
+       |b AS (SELECT d.h, d.doc_id FROM d JOIN sizes USING (h)),
+       |e AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM b x JOIN b y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e1.b = e2.a
+       |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+       |corners AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, COUNT(*) AS n_triangles
+       |FROM corners GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "graph_triangles" -> ((triangles _, trianglesSql)))
+}

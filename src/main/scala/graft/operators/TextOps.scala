@@ -858,6 +858,48 @@ object TextOps {
        |HAVING SUM(CASE WHEN g.hit IS NOT NULL THEN 1 ELSE 0 END) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- inverted index
+  private val PostingsHead = 10
+
+  /** Inverted-index build (the search/retrieval artifact a corpus
+    * pipeline materializes beside the training shards): per term, the
+    * document frequency, total term frequency, and the head of the
+    * sorted posting list. Two hash aggregations — (term, doc) tf then
+    * term-level fold — so the explode shuffles once on (term, doc)
+    * and once on term; the posting-list head is bounded at
+    * $PostingsHead ids so no term ever materializes an unbounded
+    * list. At 100 TB: postings shard by term range (the term-level
+    * shuffle IS that sharding), full posting lists stream to
+    * per-term-range files rather than a collect_list, and df/tf stay
+    * partial-aggregable as here. */
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, PostingsHead),
+            _.cast("string")),
+          ",").as("postings_head"))
+      .orderBy(col("term"))
+  }
+
+  val textInvertedIndexSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT t.term, doc_id, COUNT(*) AS tf
+       |  FROM documents, UNNEST(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS t(term)
+       |  GROUP BY t.term, doc_id)
+       |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       |  ARRAY_TO_STRING(LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, $PostingsHead), ',')
+       |    AS postings_head
+       |FROM per_doc
+       |GROUP BY term
+       |ORDER BY term""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -876,5 +918,6 @@ object TextOps {
     "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)),
     "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),
     "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)),
-    "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)))
+    "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)),
+    "text_inverted_index" -> ((textInvertedIndex _, textInvertedIndexSql)))
 }
