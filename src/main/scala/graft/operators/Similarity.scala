@@ -384,11 +384,131 @@ object Similarity {
       |  md5(ARRAY_TO_STRING(codes, ',')) AS codes_md5
       |FROM c ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------- exact k-means
+  private val KmK = 4
+  private val KmIters = 2
+
+  /** Codes on a FIXED global int8 grid (unlike `sim_quantized`'s
+    * per-vector scale, which would destroy geometry): every engine
+    * computes floor((x+1)·127.5) over doubles with identical single
+    * operations, so codes are deterministic exact integers. */
+  private val kmCodes =
+    """transform(embedding, x ->
+      |  GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+      |    CAST(FLOOR((CAST(x AS DOUBLE) + 1.0D) * 127.5D) AS BIGINT))))""".stripMargin
+
+  /** K-means (Lloyd) over int8-quantized embeddings — clustering as a
+    * first-class operator, with EVERY iteration exact: squared
+    * distances and centroid updates are pure BIGINT arithmetic
+    * (floor-division means), so two engines agree structurally, not
+    * within a tolerance. K=4 centroids init from the first K vectors;
+    * 2 full (assign, update) iterations; the output is the final
+    * assignment's per-cluster size and total squared distance.
+    *
+    * Scale design (the MLlib pattern): centroids live on the DRIVER
+    * (K×64 longs) and enter each assignment as LITERAL arrays, so
+    * assignment is a pure codegen projection — no join, no window, no
+    * shuffle; constant-size codegen at any corpus size. The update is
+    * one posexplode + (cluster, pos) partial aggregation per
+    * iteration — the only shuffles in the loop, carrying K×dims
+    * partials. Empty clusters deterministically keep their previous
+    * centroid. At 100 TB: identical shape, plus a centroid broadcast
+    * instead of literals once K×dims outgrows the plan size. */
+  def simKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val coded = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(kmCodes).as("codes"))
+
+    var centroids: Array[Array[Long]] = coded.orderBy(col("vec_id"))
+      .limit(KmK).collect()
+      .map(_.getSeq[Long](1).toArray)
+
+    def withAssignment(df: DataFrame): DataFrame = {
+      val dists = centroids.zipWithIndex.map { case (c, j) =>
+        val lits = c.mkString("CAST(", " AS BIGINT), CAST(", " AS BIGINT)")
+        expr(s"""aggregate(zip_with(codes, array($lits),
+                |  (a, b) -> (a - b) * (a - b)),
+                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as(s"d$j")
+      }
+      val withD = df.select(col("vec_id") +: col("codes") +: dists.map(d => d): _*)
+      val minD = least((0 until KmK).map(j => col(s"d$j")): _*)
+      // CASE tests j ascending, so ties pick the smallest j — same as
+      // the oracle's ROW_NUMBER ... ORDER BY dist, j
+      val cluster = (0 until KmK).foldRight(lit(-1L)) { (j, other) =>
+        when(col(s"d$j") === minD, lit(j.toLong)).otherwise(other)
+      }
+      withD.withColumn("cluster", cluster).withColumn("dist", minD)
+    }
+
+    (1 to KmIters).foreach { _ =>
+      val updates = withAssignment(coded)
+        .select(col("cluster"), posexplode(col("codes")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(expr("SUM(v) DIV COUNT(1)").as("nv"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (j, rows) =>
+          j -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).map(_._2)
+        }
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        updates.get(j.toLong).map(_.toArray).getOrElse(old)
+      }
+    }
+
+    withAssignment(coded)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("sum_dist"))
+      .orderBy(col("cluster"))
+  }
+
+  val simKmeansSql: String = {
+    val codesDuck =
+      """LIST_TRANSFORM(embedding, x ->
+        |    GREATEST(0, LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT))))""".stripMargin
+    // one (distance → assign → update) round, unrolled per iteration
+    def round(i: Int): String =
+      s"""d$i AS (
+         |  SELECT c.vec_id, e.j, SUM((c.v - e.v) * (c.v - e.v)) AS dist
+         |  FROM cv c JOIN ce${i - 1} e ON c.p = e.p
+         |  GROUP BY c.vec_id, e.j),
+         |a$i AS (
+         |  SELECT vec_id, j AS cluster, dist FROM d$i
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1),
+         |u$i AS (
+         |  SELECT a.cluster AS j, c.p, SUM(c.v) // COUNT(*) AS v
+         |  FROM a$i a JOIN cv c ON a.vec_id = c.vec_id
+         |  GROUP BY 1, 2),
+         |ce$i AS (
+         |  SELECT e.j, e.p, COALESCE(u.v, e.v) AS v
+         |  FROM ce${i - 1} e LEFT JOIN u$i u ON u.j = e.j AND u.p = e.p)""".stripMargin
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    $codesDuck AS codes
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, codes
+       |  FROM codes ORDER BY vec_id LIMIT $KmK),
+       |pos AS (SELECT UNNEST(RANGE(1, 65)) AS p),
+       |cv AS (SELECT vec_id, p, codes[p] AS v FROM codes, pos),
+       |ce0 AS (SELECT j, p, codes[p] AS v FROM init, pos),
+       |${(1 to KmIters).map(round).mkString(",\n")},
+       |dF AS (
+       |  SELECT c.vec_id, e.j, SUM((c.v - e.v) * (c.v - e.v)) AS dist
+       |  FROM cv c JOIN ce$KmIters e ON c.p = e.p
+       |  GROUP BY c.vec_id, e.j),
+       |aF AS (
+       |  SELECT vec_id, j AS cluster, dist FROM dF
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n_vecs,
+       |  CAST(SUM(dist) AS BIGINT) AS sum_dist
+       |FROM aF GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
     "sim_ann_ivf" -> ((simAnnIvf _, simAnnIvfSql)),
     "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)),
     "sim_semantic_dedup" -> ((simSemanticDedup _, simSemanticDedupSql)),
-    "sim_quantized" -> ((simQuantized _, simQuantizedSql)))
+    "sim_quantized" -> ((simQuantized _, simQuantizedSql)),
+    "sim_kmeans" -> ((simKmeans _, simKmeansSql)))
 }
