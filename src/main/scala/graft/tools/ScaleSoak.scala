@@ -46,6 +46,10 @@ object ScaleSoak {
     }
 
     def timeIt(df: => DataFrame): (Double, Long) = {
+      // untimed GC: earlier workloads' promoted garbage otherwise gets
+      // collected DURING later ones' timing (the Bench lesson — one
+      // polluted sweep showed 30× outliers on the big-n points)
+      System.gc()
       val t0 = System.nanoTime()
       val n = df.count()
       ((System.nanoTime() - t0) / 1e9, n)
@@ -88,9 +92,17 @@ object ScaleSoak {
       val edir = amplifyEmb(n)
       val vecs = spark.read.parquet(s"$edir/embeddings.parquet").count()
       val (tS, ns) = timeIt(Similarity.simEmbNearDup(spark, edir))
+      // r3 late additions: suffixed copies keep prefix buckets and
+      // posting lists constant-size and decorrelate cross-copy
+      // cosines, so all three answers grow linearly too
+      val (tT, nt) = timeIt(Graph.triangles(spark, dir))
+      val (tI, ni) = timeIt(TextOps.textInvertedIndex(spark, dir))
+      val (tK, nk) = timeIt(Similarity.simKmeans(spark, edir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
         f"minhash=$tM%.2f s ($nm pairs) lm=$tL%.2f s ($nl docs) " +
-        f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs)")
+        f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs) " +
+        f"| triangles=$tT%.2f s ($nt nodes) invIndex=$tI%.2f s ($ni terms) " +
+        f"kmeans=$tK%.2f s ($nk clusters)")
     }
 
     // SemDeDup with the gate's FIXED K=8 centroids is deliberately

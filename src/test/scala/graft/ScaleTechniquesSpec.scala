@@ -79,6 +79,41 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the big join side before the shuffle") {
+    // Row-level runtime filtering: a selective filter on the small
+    // side injects a bloom filter into the BIG side's scan, so rows
+    // that cannot join die before the shuffle — at 100 TB this is
+    // the difference between shuffling the corpus and shuffling the
+    // matching slice. Thresholds lowered to engage at toy size.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${optimized.take(1200)}")
+      // results are unchanged by the filter
+      val n = joined.agg(org.apache.spark.sql.functions.sum(col("n"))).head.getLong(0)
+      val expected = li.join(
+        spark.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected, s"bloom filter changed the result: $n vs $expected")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join of a skewed key equals the plain join") {
     import spark.implicits._
     val Salt = 8
