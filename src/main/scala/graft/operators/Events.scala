@@ -113,8 +113,65 @@ object Events {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, start_us""".stripMargin
 
+  private val FunnelWindowUs: Long = 24L * 3600L * 1000000L // 24 h conversion window
+
+  /** Ordered funnel analysis (view → click-within-24h →
+    * purchase-within-24h): the greedy stage times — t1 = first view,
+    * t2 = first click in (t1, t1+24h], t3 = first purchase in
+    * (t2, t2+24h] — computed as three chained whole-partition window
+    * MINs over ONE user_id shuffle (the three WindowExecs share the
+    * same partitioning, so Spark reuses the exchange and sort);
+    * stage counts fold the per-user constants. All comparisons are
+    * exact epoch-micros BIGINTs. At 100 TB this is one shuffle of
+    * (user_id, ts, type) triples — no joins, no self-products — and
+    * greedy first-occurrence-within-window is the standard funnel
+    * conversion definition. */
+  def q27Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    eventsUs(spark, dir)
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts_us") > col("t1") &&
+          col("ts_us") <= col("t1") + FunnelWindowUs,
+          col("ts_us"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts_us") > col("t2") &&
+          col("ts_us") <= col("t2") + FunnelWindowUs,
+          col("ts_us"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("t3").isNotNull, 3L)
+        .when(col("t2").isNotNull, 2L)
+        .when(col("t1").isNotNull, 1L).otherwise(0L)).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  val q27FunnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, EPOCH_US(ts) AS ts_us FROM events),
+      |s1 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t1 FROM e),
+      |s2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+      |      AND ts_us <= t1 + $FunnelWindowUs THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2
+      |      AND ts_us <= t2 + $FunnelWindowUs THEN ts_us END)
+      |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |per_user AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+      |  FROM s3 GROUP BY user_id)
+      |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+      |FROM per_user GROUP BY stage ORDER BY stage""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
     "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
-    "q22_session_window" -> ((q22SessionWindow _, q22Sql)))
+    "q22_session_window" -> ((q22SessionWindow _, q22Sql)),
+    "q27_funnel" -> ((q27Funnel _, q27FunnelSql)))
 }

@@ -900,6 +900,54 @@ object TextOps {
        |GROUP BY term
        |ORDER BY term""".stripMargin
 
+  // --------------------------------------------------- fuzzy join
+  /** Blocked fuzzy join (entity resolution / record linkage): a query
+    * set with a 1-char corruption links back to the corpus by edit
+    * distance ≤ 3 on 30-char prefixes. Candidates come from an
+    * EQUI-join on an unperturbed 16-char block segment — the classic
+    * blocking discipline, so Levenshtein (quadratic per pair) only
+    * runs on block-collision pairs and the plan never goes all-pairs.
+    * Distances are exact integers — structural parity.
+    *
+    * Scale notes: block-key equi-join is the same candidate-bounding
+    * shape as the dedup band joins; block sizes are bounded by
+    * near-dup clique sizes. At 100 TB use several SHIFTED block
+    * segments OR'd together (multi-probe) so recall survives edits
+    * inside any single block, and cap block sizes like
+    * `dedup_ngram_jaccard_capped`. */
+  def textFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(spark, dir)
+      .select(col("doc_id").as("c_doc_id"),
+        substring(col("text"), 1, 30).as("c_prefix"),
+        substring(col("text"), 5, 20).as("block"))
+    val queries = docs(spark, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_doc_id"),
+        concat(lit("z"), substring(col("text"), 2, 29)).as("q_prefix"),
+        substring(col("text"), 5, 20).as("block"))
+    queries.join(corpus, Seq("block"))
+      .withColumn("dist", levenshtein(col("q_prefix"), col("c_prefix")))
+      .filter(col("dist") <= 3)
+      .select(col("q_doc_id"), col("c_doc_id"),
+        col("dist").cast("bigint").as("dist"))
+      .orderBy(col("q_doc_id"), col("c_doc_id"))
+  }
+
+  val textFuzzyJoinSql: String =
+    """WITH c AS (
+      |  SELECT doc_id AS c_doc_id, SUBSTR(text, 1, 30) AS c_prefix,
+      |    SUBSTR(text, 5, 20) AS block
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id AS q_doc_id, 'z' || SUBSTR(text, 2, 29) AS q_prefix,
+      |    SUBSTR(text, 5, 20) AS block
+      |  FROM documents WHERE doc_id % 97 = 0)
+      |SELECT q_doc_id, c_doc_id,
+      |  CAST(LEVENSHTEIN(q_prefix, c_prefix) AS BIGINT) AS dist
+      |FROM q JOIN c USING (block)
+      |WHERE LEVENSHTEIN(q_prefix, c_prefix) <= 3
+      |ORDER BY q_doc_id, c_doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
@@ -919,5 +967,6 @@ object TextOps {
     "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),
     "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)),
     "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)),
-    "text_inverted_index" -> ((textInvertedIndex _, textInvertedIndexSql)))
+    "text_inverted_index" -> ((textInvertedIndex _, textInvertedIndexSql)),
+    "text_fuzzy_join" -> ((textFuzzyJoin _, textFuzzyJoinSql)))
 }
