@@ -14,7 +14,11 @@ class DeterminismSpec extends AnyFunSuite {
 
   private val gates = Seq("alpaca_vwap_daily", "alpaca_adjusted_bars",
     "pipeline_curate", "sim_cosine_topk", "text_tfidf",
-    "dedup_clusters", "asof_join_forward", "q20_retention")
+    "dedup_clusters", "asof_join_forward", "q20_retention",
+    // r3 session additions with iterative/collected state (kmeans
+    // centroids, triangle join fan-out, funnel window chain,
+    // volatility lag windows) — none may notice the partitioning
+    "sim_kmeans", "graph_triangles", "q27_funnel", "alpaca_volatility")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
