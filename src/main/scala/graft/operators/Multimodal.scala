@@ -220,9 +220,74 @@ object Multimodal {
        |FROM b, UNNEST(RANGE(0, $ResizeBuckets)) AS r(k)
        |ORDER BY doc_id, bucket""".stripMargin
 
+  // ------------------------------------------- audio window energy
+  private val AudioFrameLen = 256
+  private val AudioHop = 128
+
+  /** Audio-feature plumbing: the payload read as PCM-8-style samples,
+    * framed into $AudioFrameLen-sample windows at 50% hop, per-frame
+    * energy = Σ(sample−128)² — the windowing/feature shape every
+    * audio pipeline runs (VAD, loudness normalization, spectral
+    * stubs), with the codec seam being exactly "replace the sample
+    * extractor". All arithmetic is exact BIGINT, so parity is
+    * structural. Unlike `mmDecodeStub`'s mapPartitions contract this
+    * path stays INSIDE whole-stage codegen: nested HOFs (transform
+    * over frames → aggregate over a slice) — the two executor-side
+    * batch-processing idioms a multimodal pipeline chooses between.
+    * Frames never leave the executor; the output is one narrow row
+    * per document. */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("codes",
+        expr("""transform(sequence(1, length(text)),
+               |  i -> CAST(ascii(substring(text, i, 1)) AS BIGINT) - 128)""".stripMargin))
+      .withColumn("n_frames",
+        expr(s"""CASE WHEN length(text) >= $AudioFrameLen
+                |  THEN CAST((length(text) - $AudioFrameLen) DIV $AudioHop AS INT) + 1
+                |  ELSE 0 END""".stripMargin))
+      .withColumn("energies",
+        expr(s"""CASE WHEN n_frames > 0 THEN
+                |  transform(sequence(0, n_frames - 1), f ->
+                |    aggregate(slice(codes, f * $AudioHop + 1, $AudioFrameLen),
+                |      CAST(0 AS BIGINT), (a, x) -> a + x * x))
+                |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin))
+      .select(col("doc_id"),
+        col("n_frames").cast("bigint").as("n_frames"),
+        expr("aggregate(energies, CAST(0 AS BIGINT), (a, e) -> a + e)")
+          .as("sum_energy"),
+        expr("array_max(energies)").as("max_energy"))
+      .orderBy(col("doc_id"))
+
+  val mmAudioEnergySql: String =
+    s"""WITH d AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, n,
+       |    LIST_TRANSFORM(RANGE(1, n + 1),
+       |      i -> CAST(ASCII(SUBSTR(text, i, 1)) AS BIGINT) - 128) AS codes,
+       |    CASE WHEN n >= $AudioFrameLen
+       |         THEN (n - $AudioFrameLen) // $AudioHop + 1 ELSE 0 END AS n_frames
+       |  FROM d),
+       |e AS (
+       |  SELECT doc_id, n_frames,
+       |    CASE WHEN n_frames > 0 THEN
+       |      LIST_TRANSFORM(RANGE(0, n_frames), f ->
+       |        LIST_AGGREGATE(
+       |          LIST_TRANSFORM(
+       |            LIST_SLICE(codes, f * $AudioHop + 1, f * $AudioHop + $AudioFrameLen),
+       |            x -> x * x),
+       |          'sum'))
+       |      ELSE [] END AS energies
+       |  FROM c)
+       |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(COALESCE(LIST_AGGREGATE(energies, 'sum'), 0) AS BIGINT) AS sum_energy,
+       |  CAST(LIST_AGGREGATE(energies, 'max') AS BIGINT) AS max_energy
+       |FROM e ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
     "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
     "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),
-    "mm_resize_stub" -> ((mmResizeStub _, mmResizeStubSql)))
+    "mm_resize_stub" -> ((mmResizeStub _, mmResizeStubSql)),
+    "mm_audio_energy" -> ((mmAudioEnergy _, mmAudioEnergySql)))
 }
