@@ -94,7 +94,54 @@ object Sinks {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Schema evolution on the lake: an old-schema batch (no
+    * `o_totalprice`) and a new-schema batch land in the same dataset;
+    * `mergeSchema` reads the union schema with nulls for the missing
+    * column, and the aggregation proves both batches survive intact
+    * (counts per status; money summed over the rows that HAVE the
+    * column; explicit null accounting). This is the ingest reality a
+    * long-lived 100 TB corpus lives with — producers upgrade schemas
+    * mid-stream and history is never rewritten.
+    *
+    * Scale notes: schema merge costs one footer read per file at
+    * planning (no data pass); at production scale pin the merged
+    * schema explicitly (or in a catalog) instead of re-inferring per
+    * query, exactly as the explicit `schema(...)` read here would. */
+  def sinkSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val orders = t(spark, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/batch=old")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/batch=new")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price_new"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val sinkSchemaEvolutionSql: String =
+    """WITH unioned AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_missing,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_new
+      |FROM unioned
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sink_partitioned_roundtrip" -> ((sinkRoundtrip _, sinkRoundtripSql)),
-    "sink_bucketed_join" -> ((sinkBucketedJoin _, sinkBucketedJoinSql)))
+    "sink_bucketed_join" -> ((sinkBucketedJoin _, sinkBucketedJoinSql)),
+    "sink_schema_evolution" -> ((sinkSchemaEvolution _, sinkSchemaEvolutionSql)))
 }
