@@ -240,8 +240,12 @@ object Multimodal {
     t(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .withColumn("codes",
-        expr("""transform(sequence(1, length(text)),
-               |  i -> CAST(ascii(substring(text, i, 1)) AS BIGINT) - 128)""".stripMargin))
+        // one O(n) pass: split('') yields the char array; the
+        // sequence+substring form re-scanned the prefix per char
+        // (quadratic in document length — a real smell at book-length
+        // payloads even though both forms parity-match)
+        expr("""transform(split(text, ''),
+               |  c -> CAST(ascii(c) AS BIGINT) - 128)""".stripMargin))
       .withColumn("n_frames",
         expr(s"""CASE WHEN length(text) >= $AudioFrameLen
                 |  THEN CAST((length(text) - $AudioFrameLen) DIV $AudioHop AS INT) + 1
