@@ -85,6 +85,65 @@ object Graph {
        |FROM corners GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  private val ReachMaxHops = 4
+
+  /** Bounded transitive closure via a RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE` — the declarative twin of
+    * `pipeline_curate_cc`'s iterative HashMin loop): per node, the
+    * count of distinct peers reachable within ≤ $ReachMaxHops hops on
+    * the bidirectional candidate graph. The recursion joins the
+    * frontier to the (bucket-capped) edge list each step, so fan-out
+    * is bounded by cliqueᴰᵉᵖᵗʰ with cliques ≤ the bucket cap — at
+    * these corpora max clique 4 ⇒ ≤ 81 paths/source before the
+    * DISTINCT. SQL-first on purpose: the gate drives the spark.sql
+    * entry point end-to-end (temp view + recursive query), proving
+    * the engine's SQL surface carries the newest language feature.
+    *
+    * At 100 TB prefer the iterative HashMin form for UNBOUNDED
+    * closure (it converges in O(log diameter) passes with one compact
+    * state row per node); recursive CTEs shine exactly here — small
+    * bounded-depth neighborhood queries. */
+  def reachability(spark: SparkSession, dir: String): DataFrame = {
+    val view = s"graft_edges_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    edges(spark, dir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""WITH RECURSIVE reach(src, node, d) AS (
+         |  SELECT a, b, 1 FROM (SELECT a, b FROM $view
+         |                       UNION ALL SELECT b, a FROM $view)
+         |  UNION ALL
+         |  SELECT r.src, e.dst, r.d + 1
+         |  FROM reach r
+         |  JOIN (SELECT a AS s, b AS dst FROM $view
+         |        UNION ALL SELECT b, a FROM $view) e
+         |    ON r.node = e.s
+         |  WHERE r.d < $ReachMaxHops AND e.dst <> r.src)
+         |SELECT src AS doc_id, COUNT(DISTINCT node) AS n_reachable
+         |FROM reach WHERE node <> src
+         |GROUP BY src ORDER BY doc_id""".stripMargin)
+  }
+
+  val reachabilitySql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT md5(SUBSTR(text, 1, $PrefixLen)) AS h, doc_id FROM documents),
+       |sizes AS (
+       |  SELECT h, COUNT(*) AS bucket_n FROM d GROUP BY h
+       |  HAVING COUNT(*) <= $BucketCap),
+       |b AS (SELECT d.h, d.doc_id FROM d JOIN sizes USING (h)),
+       |e AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM b x JOIN b y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |eb AS (SELECT a AS s, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |reach(src, node, d2) AS (
+       |  SELECT s, dst, 1 FROM eb
+       |  UNION ALL
+       |  SELECT r.src, e2.dst, r.d2 + 1
+       |  FROM reach r JOIN eb e2 ON r.node = e2.s
+       |  WHERE r.d2 < $ReachMaxHops AND e2.dst <> r.src)
+       |SELECT src AS doc_id, COUNT(DISTINCT node) AS n_reachable
+       |FROM reach WHERE node <> src
+       |GROUP BY src ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
-    "graph_triangles" -> ((triangles _, trianglesSql)))
+    "graph_triangles" -> ((triangles _, trianglesSql)),
+    "graph_reachability" -> ((reachability _, reachabilitySql)))
 }

@@ -317,6 +317,43 @@ object Relational2 {
       |FROM merged WHERE rn = 1
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  private val RollingWindowUs = 6L * 3600L * 1000000L // 6-hour RANGE frame
+
+  /** Time-RANGE window frames — the window mode q5/q23's ROW frames
+    * don't cover: per-user rolling 6-hour event count and value sum,
+    * where the frame is defined by the ORDER-BY VALUE (epoch micros),
+    * not row offsets, so frame membership is identical in both
+    * engines regardless of peer ordering (ties share a frame by
+    * definition). Money through the DECIMAL path keeps the rolling
+    * sum order-independent. Scale notes: one shuffle on user_id; the
+    * range frame evaluates with a sliding two-pointer over each
+    * partition's sort — linear, state = one frame's rows; at 100 TB
+    * this is THE shape for "rate in the trailing window" features
+    * (fraud velocity, request throttling, session intensity). */
+  def q28RollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-RollingWindowUs, 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(w).as("rolling_n"),
+        sum(col("value").cast("decimal(18,2)")).over(w)
+          .cast("double").as("rolling_sum"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  val q28Sql: String =
+    s"""SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
+       |  COUNT(*) OVER w AS rolling_n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_sum
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+       |  RANGE BETWEEN $RollingWindowUs PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, ts_us, event_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
@@ -326,5 +363,6 @@ object Relational2 {
     "q22_unpivot" -> ((q22Unpivot _, q22Sql)),
     "q23_window_ranks" -> ((q23WindowRanks _, q23Sql)),
     "q25_profile" -> ((q25Profile _, q25Sql)),
-    "q26_upsert" -> ((q26Upsert _, q26Sql)))
+    "q26_upsert" -> ((q26Upsert _, q26Sql)),
+    "q28_rolling_range" -> ((q28RollingRange _, q28Sql)))
 }
