@@ -408,8 +408,52 @@ object Streaming {
        |FROM sessions GROUP BY user_id, sid
        |ORDER BY user_id, start_ms""".stripMargin
 
+  // --------------------------------------- sliding-window aggregation
+  /** SLIDING (overlapping) event-time windows — the streaming window
+    * mode `stream_event_bars`' tumbling windows don't cover: 1-hour
+    * windows sliding every 30 minutes, so each event lands in TWO
+    * windows (state per key = |overlapping windows| × |types|, still
+    * volume-independent). The oracle enumerates the k ∈ {0,1}
+    * window memberships per event explicitly — the same alignment
+    * Spark's window(ts, len, slide) computes. DECIMAL money path as
+    * everywhere. Complete-mode drain is gate scaffolding; production
+    * appends with a watermark exactly as the tumbling twin. */
+  def streamSlidingBars(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    drainToTable(spark, agg, "complete")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val streamSlidingBarsSql: String =
+    """WITH e AS (
+      |  SELECT EPOCH(ts) AS sec, event_type, value FROM events),
+      |m AS (
+      |  SELECT (FLOOR(sec / 1800) - k) * 1800 AS wstart, event_type, value
+      |  FROM e, UNNEST([0, 1]) AS u(k))
+      |SELECT
+      |  STRFTIME(MAKE_TIMESTAMP(CAST(wstart AS BIGINT) * 1000000),
+      |           '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM m GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
+    "stream_sliding_bars" -> ((streamSlidingBars _, streamSlidingBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
