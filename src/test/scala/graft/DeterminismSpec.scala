@@ -18,7 +18,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r3 session additions with iterative/collected state (kmeans
     // centroids, triangle join fan-out, funnel window chain,
     // volatility lag windows) — none may notice the partitioning
-    "sim_kmeans", "graph_triangles", "q27_funnel", "alpaca_volatility")
+    "sim_kmeans", "graph_triangles", "q27_funnel", "alpaca_volatility",
+    "q28_rolling_range", "graph_reachability")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
