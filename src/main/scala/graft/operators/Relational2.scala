@@ -354,6 +354,93 @@ object Relational2 {
        |  RANGE BETWEEN $RollingWindowUs PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, ts_us, event_id""".stripMargin
 
+  /** MapType operations — the one Spark complex type the array/struct
+    * heavy gates don't touch: per-user event-type→count maps built
+    * with map_from_entries over a SORTED entry list (deterministic
+    * key order), then consumed via size / map_keys / element_at /
+    * aggregate(map_values). The output is plain columns, so the
+    * DuckDB oracle computes the same values map-free — the gate
+    * certifies the map round-trip, not a map wire format. Scale: two
+    * partial-aggregable shuffles ((user, type) then user); maps live
+    * only inside rows, bounded by |event types|. */
+  def q29MapOps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("bigint").as("n_types"),
+        array_join(map_keys(col("m")), ",").as("types_csv"),
+        element_at(col("m"), "click").as("n_click"),
+        expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("n_total"))
+      .orderBy(col("user_id"))
+
+  val q29Sql: String =
+    """WITH per_type AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n FROM events
+      |  GROUP BY user_id, event_type)
+      |SELECT user_id,
+      |  COUNT(*) AS n_types,
+      |  STRING_AGG(event_type, ',' ORDER BY event_type) AS types_csv,
+      |  NULLIF(CAST(SUM(CASE WHEN event_type = 'click' THEN n ELSE 0 END) AS BIGINT), 0)
+      |    AS n_click,
+      |  CAST(SUM(n) AS BIGINT) AS n_total
+      |FROM per_type
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Null semantics — the correctness corners every engine must agree
+    * on: COUNT(*) vs COUNT(col) (null-skipping), COUNT(DISTINCT col)
+    * (null-excluding), and the null-safe equality join (`<=>` /
+    * IS NOT DISTINCT FROM) where NULL matches NULL exactly once on
+    * the distinct diagonal. Nulls are synthesized (quantity < 10 →
+    * NULL). The null-safe join runs on the DISTINCT value set
+    * deliberately: a null-heavy raw column under `<=>` is a
+    * null×null cross blow-up — the distinct-first shape is the one
+    * that scales. */
+  def q30NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("n_col",
+        when(col("l_quantity") < 10, lit(null)).otherwise(col("l_quantity")))
+    val counts = li.agg(
+      count(lit(1)).as("count_star"),
+      count(col("n_col")).as("count_col"),
+      count_distinct(col("n_col")).as("count_distinct"))
+    val d = li.select(col("n_col")).distinct()
+    val diag = d.as("a")
+      .join(d.as("b"), col("a.n_col") <=> col("b.n_col"))
+      .agg(count(lit(1)).as("nullsafe_diag"))
+    counts.crossJoin(diag)
+      .selectExpr(
+        """stack(4,
+          |  'count_star', count_star,
+          |  'count_col', count_col,
+          |  'count_distinct', count_distinct,
+          |  'nullsafe_diag', nullsafe_diag)
+          |AS (metric, value)""".stripMargin)
+      .orderBy(col("metric"))
+  }
+
+  val q30Sql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_quantity < 10 THEN NULL ELSE l_quantity END AS n_col
+      |  FROM lineitem),
+      |counts AS (
+      |  SELECT COUNT(*) AS count_star, COUNT(n_col) AS count_col,
+      |    COUNT(DISTINCT n_col) AS count_distinct
+      |  FROM li),
+      |d AS (SELECT DISTINCT n_col FROM li),
+      |diag AS (
+      |  SELECT COUNT(*) AS nullsafe_diag
+      |  FROM d a JOIN d b ON a.n_col IS NOT DISTINCT FROM b.n_col)
+      |SELECT 'count_star' AS metric, count_star AS value FROM counts, diag
+      |UNION ALL SELECT 'count_col', count_col FROM counts, diag
+      |UNION ALL SELECT 'count_distinct', count_distinct FROM counts, diag
+      |UNION ALL SELECT 'nullsafe_diag', nullsafe_diag FROM counts, diag
+      |ORDER BY metric""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
@@ -364,5 +451,7 @@ object Relational2 {
     "q23_window_ranks" -> ((q23WindowRanks _, q23Sql)),
     "q25_profile" -> ((q25Profile _, q25Sql)),
     "q26_upsert" -> ((q26Upsert _, q26Sql)),
-    "q28_rolling_range" -> ((q28RollingRange _, q28Sql)))
+    "q28_rolling_range" -> ((q28RollingRange _, q28Sql)),
+    "q29_map_ops" -> ((q29MapOps _, q29Sql)),
+    "q30_null_semantics" -> ((q30NullSemantics _, q30Sql)))
 }
