@@ -292,11 +292,56 @@ object AlpacaAnalytics {
        |ORDER BY symbol, day""".stripMargin
   }
 
+  // ------------------------------------------------- max drawdown
+  /** Running-peak drawdown per symbol (the UNBOUNDED-PRECEDING frame
+    * no other gate uses): peak = running max of close over the whole
+    * period, drawdown = peak − close, summarized per (symbol, day)
+    * as the max drawdown and day-end peak — all exact cent BIGINTs.
+    * One window pass per symbol then a partial aggregation; at scale
+    * the running max is the canonical prefix-scan window (linear,
+    * one frame value of state). */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    barsDf(spark, "1Hour", volStart, volEnd)
+      .withColumn("cents", (col("close") * 100).cast("bigint"))
+      .withColumn("peak", max(col("cents")).over(w))
+      .withColumn("dd", col("peak") - col("cents"))
+      .withColumn("day", date_format(col("time"), "yyyy-MM-dd"))
+      .groupBy(col("symbol"), col("day"))
+      .agg(max(col("dd")).as("max_drawdown_cents"),
+        max(col("peak")).as("peak_cents"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def drawdownSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      var peak = Long.MinValue
+      AlpacaFixtures.bars(s, us(volStart), us(volEnd), Hour)
+        .sortBy(_.timeUs)
+        .map { b =>
+          val cents = (b.close * 100).toLong
+          peak = math.max(peak, cents)
+          (fmtTs(b.timeUs).take(10), peak - cents, peak)
+        }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (day, xs) =>
+          s"(${sqlStr(s)}, ${sqlStr(day)}, ${xs.map(_._2).max}, ${xs.map(_._3).max})"
+        }
+    }
+    s"""SELECT symbol, day, CAST(max_drawdown_cents AS BIGINT) AS max_drawdown_cents,
+       |  CAST(peak_cents AS BIGINT) AS peak_cents
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, day, max_drawdown_cents, peak_cents)
+       |ORDER BY symbol, day""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
     "alpaca_sma_crossover" -> ((smaCrossover _, smaCrossoverSql)),
     "alpaca_daily_returns" -> ((dailyReturns _, dailyReturnsSql)),
     "alpaca_return_summary" -> ((returnSummary _, returnSummarySql)),
-    "alpaca_volatility" -> ((volatilityDaily _, volatilityDailySql)))
+    "alpaca_volatility" -> ((volatilityDaily _, volatilityDailySql)),
+    "alpaca_drawdown" -> ((drawdown _, drawdownSql)))
 }
