@@ -50,6 +50,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("sim_kmeans: assignment is projection-only (two exchanges total)") {
+    // centroids are literals, so the final assignment pass must plan
+    // as scan → projections → partial agg; the ONLY exchanges are the
+    // K-row aggregation and the final K-row sort. A join, window, or
+    // extra exchange here means assignment regressed to a shuffle.
+    val p = planOf("sim_kmeans")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"kmeans assignment gained a shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"kmeans assignment should be pure projections:\n$p")
+  }
+
+  test("q28_rolling_range: one user_id exchange feeds the range-frame window") {
+    // executedPlan: exchanges exist only after EnsureRequirements
+    val p = SparkEntry.queries("q28_rolling_range")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"rolling window should shuffle once on user_id:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      s"expected a RANGE frame in:\n$p")
+  }
+
   test("q25_profile: sort aggregates only above the hash distinct pass") {
     val plan = SparkEntry.queries("q25_profile")(spark, dir)
       .queryExecution.sparkPlan
