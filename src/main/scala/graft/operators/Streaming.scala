@@ -343,16 +343,15 @@ object Streaming {
     * on user_id, state = one (start, last, n) triple per OPEN user,
     * closed sessions leave state via timeout. The sentinel staging is
     * gate scaffolding only; a real deployment just keeps running. */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id").cast("long").as("user_id"),
-        timestamp_millis(expr("ts div 1000000")).as("ts"))
-    val maxMs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000000"))).head().getLong(0)
-
+  /** Stage [data, sentinel1, sentinel2] as three one-file parquet
+    * batches (ascending mtimes) so a `maxFilesPerTrigger=1` file
+    * stream processes them as three ordered micro-batches: sentinel 1
+    * advances the watermark past everything real; the batch triggered
+    * by sentinel 2 fires the resulting emissions/timeouts. Shared by
+    * every gate that must CLOSE all event-time state deterministically
+    * before its drain returns. */
+  private def stageWithSentinels(spark: SparkSession, stage: String,
+      data: DataFrame, sentinel1: DataFrame, sentinel2: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stagePath = Paths.get(stage)
     if (Files.exists(stagePath)) {
@@ -373,14 +372,26 @@ object Streaming {
       Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
       dest.toFile.setLastModified(mtime)
     }
+    val t0 = System.currentTimeMillis()
+    writeOne(data, s"${stage}_a", "00_data.parquet", t0 - 120000L)
+    writeOne(sentinel1, s"${stage}_b", "01_sentinel.parquet", t0 - 60000L)
+    writeOne(sentinel2, s"${stage}_c", "02_sentinel.parquet", t0)
+  }
+
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("long").as("user_id"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"))
+    val maxMs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000000"))).head().getLong(0)
     def sentinel(uid: Long, ms: Long): DataFrame = spark.range(1)
       .select(lit(uid).as("user_id"), timestamp_millis(lit(ms)).as("ts"))
-    val t0 = System.currentTimeMillis()
-    writeOne(ev, s"${stage}_a", "00_events.parquet", t0 - 120000L)
-    writeOne(sentinel(-1L, maxMs + 10L * 86400000L), s"${stage}_b",
-      "01_sentinel.parquet", t0 - 60000L)
-    writeOne(sentinel(-2L, maxMs + 20L * 86400000L), s"${stage}_c",
-      "02_sentinel.parquet", t0)
+    stageWithSentinels(spark, stage, ev,
+      sentinel(-1L, maxMs + 10L * 86400000L),
+      sentinel(-2L, maxMs + 20L * 86400000L))
 
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -451,8 +462,62 @@ object Streaming {
       |FROM m GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  // ---------------------------- append-mode watermarked aggregation
+  /** The PRODUCTION windowed-aggregation shape as a gate: append
+    * output mode + a 30-minute watermark, so every window's state is
+    * dropped once the watermark passes its end and the window emits
+    * exactly once — unlike `stream_event_bars`' complete-mode
+    * scaffolding, which retains all windows forever. Sentinel staging
+    * (shared helper) drives the watermark past every real window so
+    * the finite gate emits the COMPLETE window set; the oracle is the
+    * identical batch bucketing — equality proves append+watermark
+    * loses nothing and duplicates nothing. State at any instant is
+    * bounded by |open windows| × |types| (one watermark horizon),
+    * which is the 100 TB memory story. */
+  def streamEventBarsAppend(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_append_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+    val maxUs = spark.read.parquet(s"$dir/events.parquet")
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    def sentinel(us: Long): DataFrame = spark.range(1)
+      .select(timestamp_micros(lit(us)).as("ts"),
+        lit("__sentinel__").as("event_type"), lit(0.0d).as("value"))
+    stageWithSentinels(spark, stage, ev,
+      sentinel(maxUs + 10L * 86400000000L),
+      sentinel(maxUs + 20L * 86400000000L))
+
+    val agg = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    drainToTable(spark, agg, "append")
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  val streamEventBarsAppendSql: String =
+    """SELECT
+      |  STRFTIME(MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 1800) * 1800 AS BIGINT) * 1000000),
+      |           '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
+    "stream_event_bars_append" -> ((streamEventBarsAppend _, streamEventBarsAppendSql)),
     "stream_sliding_bars" -> ((streamSlidingBars _, streamSlidingBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
