@@ -926,8 +926,11 @@ object TextOps {
         concat(lit("z"), substring(col("text"), 2, 29)).as("q_prefix"),
         substring(col("text"), 5, 20).as("block"))
     queries.join(corpus, Seq("block"))
-      .withColumn("dist", levenshtein(col("q_prefix"), col("c_prefix")))
-      .filter(col("dist") <= 3)
+      // thresholded form: early-exits at distance > 3 (returns -1),
+      // O(threshold·len) per pair instead of O(len²) — the variant
+      // that matters when prefixes are long at scale
+      .withColumn("dist", levenshtein(col("q_prefix"), col("c_prefix"), 3))
+      .filter(col("dist").between(0, 3))
       .select(col("q_doc_id"), col("c_doc_id"),
         col("dist").cast("bigint").as("dist"))
       .orderBy(col("q_doc_id"), col("c_doc_id"))
