@@ -503,6 +503,55 @@ object Similarity {
        |FROM aF GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  // ------------------------------------------------- ANN recall audit
+  /** Measured ANN QUALITY, not just determinism: recall@$AnnTopK of
+    * the LSH index against brute-force ground truth, per query — the
+    * number every index tuning decision (plane count, bucket bits,
+    * multi-probe) is made from. Composes the two existing pipelines:
+    * exact top-$AnnTopK re-ranked from the brute-force gate, hit
+    * counts via a semi-join, zero-hit queries retained by a left
+    * join from the query list. All-integer output (hits, k) — exact
+    * parity. At 100 TB recall is audited exactly like this on a
+    * query SAMPLE; the ground-truth side prices at one brute-force
+    * pass over the corpus per sampled query batch, which is why the
+    * sample, not the full query log, feeds it. */
+  def simAnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val exact = simCosineTopK(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= AnnTopK)
+      .select(col("query_id"), col("vec_id"))
+    val ann = simAnnLsh(spark, dir).select(col("query_id"), col("vec_id"))
+    val hits = exact.join(ann, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(AnnTopK.toLong).as("k"))
+      .orderBy(col("query_id"))
+  }
+
+  lazy val simAnnRecallSql: String =
+    s"""WITH exact3 AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM ($simCosineTopKSql) ex) WHERE rn <= $AnnTopK),
+       |ann3 AS (SELECT query_id, vec_id FROM ($simAnnLshSql) an),
+       |hits AS (
+       |  SELECT e.query_id, COUNT(*) AS n
+       |  FROM exact3 e JOIN ann3 a USING (query_id, vec_id)
+       |  GROUP BY e.query_id)
+       |SELECT q.vec_id AS query_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+       |  CAST($AnnTopK AS BIGINT) AS k
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id < $NumQueries) q
+       |LEFT JOIN hits h ON q.vec_id = h.query_id
+       |ORDER BY query_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
@@ -510,5 +559,6 @@ object Similarity {
     "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)),
     "sim_semantic_dedup" -> ((simSemanticDedup _, simSemanticDedupSql)),
     "sim_quantized" -> ((simQuantized _, simQuantizedSql)),
-    "sim_kmeans" -> ((simKmeans _, simKmeansSql)))
+    "sim_kmeans" -> ((simKmeans _, simKmeansSql)),
+    "sim_ann_recall" -> ((simAnnRecall _, simAnnRecallSql)))
 }
