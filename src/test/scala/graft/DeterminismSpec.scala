@@ -19,7 +19,7 @@ class DeterminismSpec extends AnyFunSuite {
     // centroids, triangle join fan-out, funnel window chain,
     // volatility lag windows) — none may notice the partitioning
     "sim_kmeans", "graph_triangles", "q27_funnel", "alpaca_volatility",
-    "q28_rolling_range", "graph_reachability")
+    "q28_rolling_range", "graph_reachability", "sim_ann_recall")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
