@@ -91,12 +91,24 @@ object Bench {
       val best = attempts.minBy { case (t, err) => (err.isDefined, t) }
       (name, best._1, best._2)
     }
-    val qs = results.collect { case (k, v, None) => s"\"${esc(k)}\":$v" }
+    // 3-decimal (ms) timings: full Double.toString rendered the
+    // 111-query line past the driver's stdout-tail window, truncating
+    // BENCH_r03.json mid-line. Millisecond precision is already below
+    // run-to-run noise and halves the line length.
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+    val qs = results.collect { case (k, v, None) => s"\"${esc(k)}\":${fmt(v)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Durable artifact first (stdout-tail capture proved lossy in r3):
+    // the full metric JSON always lands in target/bench.json.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
     spark.stop()
     graft.stub.AlpacaStubServer.stop()
   }

@@ -263,6 +263,10 @@ object AlpacaAnalytics {
       .agg(count(lit(1)).as("n_moves"),
         sum(col("d")).as("sum_d"),
         sum(col("d") * col("d")).as("sum_d2"))
+      // sample variance needs >= 2 moves: a single-move day has a zero
+      // denominator (n*(n-1)); the oracle applies the identical n >= 2
+      // cut so sparse days agree instead of depending on dense fixtures
+      .filter(col("n_moves") > 1)
       .withColumn("realized_var",
         (col("n_moves") * col("sum_d2") - col("sum_d") * col("sum_d"))
           .cast("double") /
@@ -274,14 +278,19 @@ object AlpacaAnalytics {
     val rows = symbols.sorted.flatMap { s =>
       AlpacaFixtures.bars(s, us(volStart), us(volEnd), Hour)
         .groupBy(b => fmtTs(b.timeUs).take(10)).toSeq.sortBy(_._1)
-        .map { case (day, bs) =>
+        .flatMap { case (day, bs) =>
           val cents = bs.sortBy(_.timeUs).map(b => (b.close * 100).toLong)
           val ds = cents.zip(cents.tail).map { case (a, b) => b - a }
           val n = ds.size.toLong
-          val sumD = ds.sum
-          val sumD2 = ds.map(d => d * d).sum
-          val v = (n * sumD2 - sumD * sumD).toDouble / (n * (n - 1)).toDouble
-          s"(${sqlStr(s)}, ${sqlStr(day)}, $n, $sumD, $sumD2, ${fmtDExact(v)})"
+          // same n >= 2 cut as the Spark side: a 0- or 1-move day has
+          // no sample variance (0/0) — emit nothing, don't emit NaN
+          if (n < 2) None
+          else {
+            val sumD = ds.sum
+            val sumD2 = ds.map(d => d * d).sum
+            val v = (n * sumD2 - sumD * sumD).toDouble / (n * (n - 1)).toDouble
+            Some(s"(${sqlStr(s)}, ${sqlStr(day)}, $n, $sumD, $sumD2, ${fmtDExact(v)})")
+          }
         }
     }
     s"""SELECT symbol, day, CAST(n_moves AS BIGINT) AS n_moves,

@@ -106,20 +106,32 @@ object Graph {
   def reachability(spark: SparkSession, dir: String): DataFrame = {
     val view = s"graft_edges_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     edges(spark, dir).createOrReplaceTempView(view)
-    spark.sql(
-      s"""WITH RECURSIVE reach(src, node, d) AS (
-         |  SELECT a, b, 1 FROM (SELECT a, b FROM $view
-         |                       UNION ALL SELECT b, a FROM $view)
-         |  UNION ALL
-         |  SELECT r.src, e.dst, r.d + 1
-         |  FROM reach r
-         |  JOIN (SELECT a AS s, b AS dst FROM $view
-         |        UNION ALL SELECT b, a FROM $view) e
-         |    ON r.node = e.s
-         |  WHERE r.d < $ReachMaxHops AND e.dst <> r.src)
-         |SELECT src AS doc_id, COUNT(DISTINCT node) AS n_reachable
-         |FROM reach WHERE node <> src
-         |GROUP BY src ORDER BY doc_id""".stripMargin)
+    // spark.sql analyzes EAGERLY — the view is inlined into the
+    // returned plan, so it can be dropped before the query runs.
+    // Without the drop, every invocation (DeterminismSpec alone runs
+    // this at several partition settings) leaks a catalog entry.
+    // Fan-out bound: the recursion only excludes the SOURCE node, so a
+    // bucket of size c can expand to ~c^(hops) intermediate rows before
+    // the DISTINCT — safe solely because `edges` is bucket-capped at
+    // BucketCap ($BucketCap ⇒ cliques ≤ cap ⇒ ≤ cap^4 paths/source).
+    // An uncapped edge list must NOT be fed through this query; use
+    // the iterative HashMin form (clustersCore) instead.
+    try {
+      spark.sql(
+        s"""WITH RECURSIVE reach(src, node, d) AS (
+           |  SELECT a, b, 1 FROM (SELECT a, b FROM $view
+           |                       UNION ALL SELECT b, a FROM $view)
+           |  UNION ALL
+           |  SELECT r.src, e.dst, r.d + 1
+           |  FROM reach r
+           |  JOIN (SELECT a AS s, b AS dst FROM $view
+           |        UNION ALL SELECT b, a FROM $view) e
+           |    ON r.node = e.s
+           |  WHERE r.d < $ReachMaxHops AND e.dst <> r.src)
+           |SELECT src AS doc_id, COUNT(DISTINCT node) AS n_reachable
+           |FROM reach WHERE node <> src
+           |GROUP BY src ORDER BY doc_id""".stripMargin)
+    } finally spark.catalog.dropTempView(view)
   }
 
   val reachabilitySql: String =

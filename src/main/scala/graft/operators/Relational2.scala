@@ -372,7 +372,11 @@ object Relational2 {
       .select(col("user_id"),
         size(col("m")).cast("bigint").as("n_types"),
         array_join(map_keys(col("m")), ",").as("types_csv"),
-        element_at(col("m"), "click").as("n_click"),
+        // try_element_at: NULL on absent key in ALL modes — plain
+        // element_at throws MAP_KEY_DOES_NOT_EXIST under ANSI for any
+        // user with zero 'click' events (the oracle models that case
+        // as NULL via NULLIF)
+        try_element_at(col("m"), lit("click")).as("n_click"),
         expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
           .as("n_total"))
       .orderBy(col("user_id"))

@@ -349,9 +349,16 @@ object Streaming {
     * advances the watermark past everything real; the batch triggered
     * by sentinel 2 fires the resulting emissions/timeouts. Shared by
     * every gate that must CLOSE all event-time state deterministically
-    * before its drain returns. */
+    * before its drain returns.
+    *
+    * The sentinel timestamps need the data's max event time: instead
+    * of a separate driver pre-pass over the source (an extra job per
+    * gate), the data-staging job OBSERVES max(obsCol) via
+    * CollectMetrics and the sentinels are built from that — one job,
+    * one read. */
   private def stageWithSentinels(spark: SparkSession, stage: String,
-      data: DataFrame, sentinel1: DataFrame, sentinel2: DataFrame): Unit = {
+      data: DataFrame, obsCol: org.apache.spark.sql.Column,
+      sentinels: Long => (DataFrame, DataFrame)): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stagePath = Paths.get(stage)
     if (Files.exists(stagePath)) {
@@ -362,18 +369,30 @@ object Streaming {
     def writeOne(df: DataFrame, tmp: String, destName: String, mtime: Long): Unit = {
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       import scala.jdk.CollectionConverters._
+      val tmpPath = Paths.get(tmp)
       val part = {
-        val s = Files.list(Paths.get(tmp))
+        val s = Files.list(tmpPath)
         try s.iterator().asScala
           .filter(_.getFileName.toString.startsWith("part-")).next()
         finally s.close()
       }
       val dest = stagePath.resolve(destName)
       Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
-      dest.toFile.setLastModified(mtime)
+      // micro-batch ORDER rides on these mtimes — fail loudly on a
+      // filesystem that rejects the update instead of silently
+      // depending on write-time mtimes
+      require(dest.toFile.setLastModified(mtime),
+        s"setLastModified($mtime) failed for $dest — batch order would be undefined")
+      // scratch write dir is spent once the part file is copied
+      Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
     }
+    val obs = new org.apache.spark.sql.Observation()
     val t0 = System.currentTimeMillis()
-    writeOne(data, s"${stage}_a", "00_data.parquet", t0 - 120000L)
+    writeOne(data.observe(obs, max(obsCol).as("mx")),
+      s"${stage}_a", "00_data.parquet", t0 - 120000L)
+    val mx = obs.get("mx").asInstanceOf[Long]
+    val (sentinel1, sentinel2) = sentinels(mx)
     writeOne(sentinel1, s"${stage}_b", "01_sentinel.parquet", t0 - 60000L)
     writeOne(sentinel2, s"${stage}_c", "02_sentinel.parquet", t0)
   }
@@ -385,13 +404,13 @@ object Streaming {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id").cast("long").as("user_id"),
         timestamp_millis(expr("ts div 1000000")).as("ts"))
-    val maxMs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000000"))).head().getLong(0)
     def sentinel(uid: Long, ms: Long): DataFrame = spark.range(1)
       .select(lit(uid).as("user_id"), timestamp_millis(lit(ms)).as("ts"))
-    stageWithSentinels(spark, stage, ev,
-      sentinel(-1L, maxMs + 10L * 86400000L),
-      sentinel(-2L, maxMs + 20L * 86400000L))
+    // unix_millis(ts) recovers exactly the `ts div 1000000` millis the
+    // projection wrote, so the observed max equals the old pre-pass
+    stageWithSentinels(spark, stage, ev, unix_millis(col("ts")),
+      maxMs => (sentinel(-1L, maxMs + 10L * 86400000L),
+        sentinel(-2L, maxMs + 20L * 86400000L)))
 
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -481,14 +500,13 @@ object Streaming {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
-    val maxUs = spark.read.parquet(s"$dir/events.parquet")
-      .agg(max(expr("ts div 1000"))).head().getLong(0)
     def sentinel(us: Long): DataFrame = spark.range(1)
       .select(timestamp_micros(lit(us)).as("ts"),
         lit("__sentinel__").as("event_type"), lit(0.0d).as("value"))
-    stageWithSentinels(spark, stage, ev,
-      sentinel(maxUs + 10L * 86400000000L),
-      sentinel(maxUs + 20L * 86400000000L))
+    // unix_micros(ts) == the `ts div 1000` micros the projection wrote
+    stageWithSentinels(spark, stage, ev, unix_micros(col("ts")),
+      maxUs => (sentinel(maxUs + 10L * 86400000000L),
+        sentinel(maxUs + 20L * 86400000000L)))
 
     val agg = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)

@@ -319,13 +319,26 @@ object TextOps {
     * synthetic corpus has no newlines, so the "line" unit is a 3-word
     * chunk — the plan shape is identical for real newline-split lines.
     *
-    * Scale shape: ONE chunk explode (projection) → df as a window
-    * count over the chunk partition (same single-explode trick as
-    * text_tfidf — a separate groupBy(chunk)+join-back loses exchange
-    * reuse and recomputes the explode) → per-doc reassembly is one
-    * doc_id shuffle whose state is bounded by document size. Hot
-    * boilerplate chunks skew the chunk partition; at 100 TB pre-filter
-    * them with a two-level partial agg (see SCALE.md). */
+    * Scale shape (two-level hot-chunk aggregation): ONE chunk explode
+    * per branch (projection — recomputed, see below) → df computed as
+    * a PARTIAL-AGGREGABLE groupBy on xxhash64(chunk), an 8-byte key:
+    * a boilerplate chunk seen 10⁹ times contributes ONE row per map
+    * partition to the shuffle, never 10⁹ rows in one reducer (the
+    * window-over-chunk-partition form this replaces funneled exactly
+    * the hottest chunks — the ones being dropped — into single
+    * reducers). The df table joins back to the chunk rows on the LONG
+    * key: the probe side is still Zipf-hot, but a skewed JOIN
+    * partition is AQE-splittable (OptimizeSkewedJoin replicates the
+    * one matching build row), while a skewed WINDOW partition is
+    * irreducible. Per-doc reassembly is one doc_id shuffle bounded by
+    * document size.
+    *
+    * Costs accepted: the explode is recomputed for the join's probe
+    * branch (projection-only — cheaper at 100 TB than any skewed
+    * exchange; text_tfidf keeps the single-explode window form because
+    * tf-idf terms are NOT boilerplate-skewed), and df counts collide
+    * on xxhash64 (a collision inflates a chunk's df — P ≈ n²/2⁶⁵,
+    * the standard dedup trade-off). */
   def textChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     // materialized `ws` (split once) — split(text) inlined in the
     // lambda would re-tokenize the document per chunk element
@@ -335,8 +348,9 @@ object TextOps {
     val chunks = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(chunksExpr).as(Seq("pos", "chunk")))
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"))
-    chunks.withColumn("df", count(lit(1)).over(wdf))
+      .withColumn("ck", xxhash64(col("chunk")))
+    val dfCounts = chunks.groupBy(col("ck")).agg(count(lit(1)).as("df"))
+    chunks.join(dfCounts, Seq("ck"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("df") < ChunkDfMax, 1L).otherwise(0L)).as("n_kept"),
@@ -585,17 +599,20 @@ object TextOps {
     * so scoring is a BROADCAST join (out-of-vocabulary bigrams score
     * 0 via the left join) + one partial agg on doc_id — the corpus is
     * never shuffled on the hot bigram key, so the head of the Zipf
-    * distribution cannot skew the scoring pass. The global top-V
-    * row_number is a single-partition sort over the (bounded,
-    * post-agg) vocabulary, not the corpus; at 100 TB replace it with
-    * a count-threshold cut or per-partition partial top-V. */
+    * distribution cannot skew the scoring pass. The top-V cap is a
+    * PER-PARTITION PARTIAL top-V (orderBy + limit ⇒
+    * TakeOrderedAndProject: each partition keeps a V-element heap,
+    * the driver merges |partitions| × V rows) — not the global
+    * single-partition row_number sort this replaces, which pushed the
+    * whole post-agg vocabulary (still billions of distinct bigrams at
+    * 100 TB) through one reducer. Ties break on (count DESC, bigram),
+    * a total order, so the selected set is identical to the
+    * row_number form. */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     val bg = docBigrams(spark, dir)
     val cnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .orderBy(col("c").desc, col("bigram"))
-    val model = cnt.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= LmVocabTop).select(col("bigram"), col("c"))
+    val model = cnt.orderBy(col("c").desc, col("bigram")).limit(LmVocabTop)
+      .select(col("bigram"), col("c"))
     val total = cnt.agg(sum(col("c")).as("t"))
     bg.join(broadcast(model), Seq("bigram"), "left")
       .groupBy(col("doc_id"))

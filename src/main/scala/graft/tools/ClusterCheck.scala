@@ -77,14 +77,15 @@ object ClusterCheck {
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      local.sparkContext.setLogLevel("WARN")
-      val mismatches = gateNames.filter { n =>
-        fingerprint(graft.SparkEntry.queries(n)(local, gateDir)) != clusterFps(n)
-      }
-      require(mismatches.isEmpty,
-        s"cluster/local gate results differ: ${mismatches.mkString(",")}")
-      println(s"CLUSTER_GATES_OK=${gateNames.size}")
-      local.stop()
+      try {
+        local.sparkContext.setLogLevel("WARN")
+        val mismatches = gateNames.filter { n =>
+          fingerprint(graft.SparkEntry.queries(n)(local, gateDir)) != clusterFps(n)
+        }
+        require(mismatches.isEmpty,
+          s"cluster/local gate results differ: ${mismatches.mkString(",")}")
+        println(s"CLUSTER_GATES_OK=${gateNames.size}")
+      } finally local.stop()
     } finally {
       graft.stub.AlpacaStubServer.stop()
     }
@@ -96,9 +97,13 @@ object ClusterCheck {
 
   /** Order-independent result fingerprint: (row count, sum of crc32
     * over the sorted-column row rendering). Identical values ⇒
-    * identical multisets of rows, regardless of partitioning. */
+    * identical multisets of rows, regardless of partitioning.
+    * NULLs render as an explicit NUL (\\u0000) token — concat_ws SKIPS null
+    * arguments, so (a, NULL, b) and (a, b, NULL) would otherwise
+    * collide and hide a cluster/local divergence. */
   private def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    val cols = df.columns.sorted.toIndexedSeq
+      .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
     val r = df.select(concat_ws("|", cols: _*).as("s"))
       .agg(count(lit(1)).as("n"), sum(crc32(col("s"))).as("h")).head()
     (r.getLong(0), r.getLong(1))

@@ -91,10 +91,43 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("single-explode formulations stay single-explode") {
-    Seq("text_tfidf", "text_chunk_dedup", "text_repetition").foreach { n =>
+    Seq("text_tfidf", "text_repetition").foreach { n =>
       val gens = "Generate".r.findAllIn(planOf(n)).size
       assert(gens == 1, s"$n explodes $gens times (expected 1)")
     }
+  }
+
+  test("text_chunk_dedup: two-level hot-chunk agg, no window over the chunk partition") {
+    // The boilerplate-df count must be a partial-aggregable groupBy on
+    // the 8-byte xxhash64 key (hot chunk → one row per map partition),
+    // NOT a window over the raw chunk partition (hot chunk → all its
+    // rows in one reducer — the r3 scale-killer). The explode is
+    // deliberately recomputed for the join's probe branch: exactly 2
+    // Generates, a projection recompute being cheaper at 100 TB than
+    // any skewed exchange.
+    val p = planOf("text_chunk_dedup")
+    assert(!p.contains("Window"),
+      s"chunk df must not be a window over the chunk partition:\n$p")
+    assert(p.contains("xxhash64"),
+      s"chunk df should aggregate on the 8-byte xxhash64 key:\n$p")
+    val gens = "Generate".r.findAllIn(p).size
+    assert(gens == 2, s"expected 2 Generates (df branch + probe branch), got $gens:\n$p")
+    // two-phase agg on the chunk key: partial + final HashAggregate
+    // pairs for both the df count and the doc reassembly
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"df count should be a two-phase hash aggregation:\n$p")
+  }
+
+  test("text_lm_score: vocab cap is a partial top-V, not a global row_number") {
+    // The top-V vocabulary cut must plan as TakeOrderedAndProject
+    // (per-partition V-element heaps, driver merge) — a global
+    // row_number window would single-partition-sort the entire
+    // post-agg vocabulary, billions of distinct bigrams at 100 TB.
+    val p = planOf("text_lm_score")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-V cap:\n$p")
+    assert(!p.contains("Window"),
+      s"no window should remain in the lm_score plan:\n$p")
   }
 
   test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
