@@ -63,7 +63,18 @@ class AlpacaHttpClient(
         }
       val code = response.statusCode()
       if (code >= 200 && code < 300) {
-        return response.body()
+        val body = response.body()
+        // HTTP 200 with an empty body is a malformed API response, not
+        // "no data" (the API's empty page is an explicit JSON envelope
+        // with an empty data map). Silently treating it as empty would
+        // turn a broken proxy/server into missing rows — fail the page
+        // (task retry covers transient causes), mirroring the
+        // reference's record-skip vs page-fail asymmetry
+        // (common.py:484-486: only RECORD-level damage is skippable).
+        if (body.isEmpty)
+          throw new RuntimeException(
+            s"HTTP $code with empty body for $url — malformed API response")
+        return body
       } else if (AlpacaHttpClient.RetryStatuses.contains(code) && attempt < maxRetries) {
         val backoffMs = (500L << attempt) // 0.5s, 1s, 2s
         log.warn(s"HTTP $code for $url; retry ${attempt + 1}/$maxRetries in ${backoffMs}ms")
@@ -136,6 +147,7 @@ class AlpacaHttpClient(
       new Iterator[Array[Byte]] {
         private var numPages = 0
         private var nextToken: Option[String] = None
+        private val seen = new TokenCycleGuard
         override def hasNext: Boolean = numPages < 1 || nextToken.isDefined
         override def next(): Array[Byte] = {
           if (numPages > 0)
@@ -143,6 +155,7 @@ class AlpacaHttpClient(
           val pg = getPageBytes(params, nextToken)
           numPages += 1
           nextToken = skimNextToken(pg)
+          nextToken.foreach(seen.check)
           pg
         }
       }
@@ -150,6 +163,7 @@ class AlpacaHttpClient(
       new Iterator[Array[Byte]] {
         private var inFlight: java.util.concurrent.CompletableFuture[(Array[Byte], Option[String])] = _
         private var done = false
+        private val seen = new TokenCycleGuard
         private def submit(tok: Option[String]): Unit =
           inFlight = java.util.concurrent.CompletableFuture.supplyAsync(
             () => { val b = getPageBytes(params, tok); (b, skimNextToken(b)) },
@@ -164,12 +178,29 @@ class AlpacaHttpClient(
                 throw Option(e.getCause).getOrElse(e)
             }
           tok match {
-            case some @ Some(_) => submit(some)
+            case some @ Some(t) =>
+              seen.check(t)
+              submit(some)
             case None => done = true
           }
           bytes
         }
       }
+
+  /** A server that re-issues a `next_page_token` it already served
+    * would page forever (the reference's loop has the same hang,
+    * `common.py:166-205`). Tokens within one partition's pagination are
+    * tracked and a repeat fails the page chain loudly. Memory is one
+    * small string per page actually fetched — bounded by the data the
+    * partition legitimately reads. */
+  private final class TokenCycleGuard {
+    private val seen = scala.collection.mutable.HashSet[String]()
+    def check(token: String): Unit =
+      if (!seen.add(token))
+        throw new RuntimeException(
+          s"pagination cycle: next_page_token '$token' repeated — " +
+            "aborting page chain (server paging bug would loop forever)")
+  }
 }
 
 object AlpacaHttpClient {

@@ -199,6 +199,26 @@ object AlpacaStubServer {
     val limit = params.get("limit").map(_.toInt).getOrElse(10000)
     val tok = q(params, "page_token")
     val sort = params.getOrElse("sort", "asc")
+    // ------------------------- hostile-input fixtures (ConnectorSpec)
+    // Each models a distinct server failure the connector must handle
+    // deliberately: only RECORD-level damage (MALFORMED) is skippable;
+    // structural page damage must fail the task.
+    if (symbol == "TRUNCATED") {
+      // valid envelope cut mid-record: stream parse must fail the page
+      val bs = bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs)
+        .map(barJson)
+      val full =
+        s"""{"bars": {${jsonStr(symbol)}: [${bs.mkString(",")}]}, "next_page_token": null}"""
+      return (200, full.substring(0, full.length - full.length / 3))
+    }
+    if (symbol == "EMPTYBODY") return (200, "")
+    if (symbol == "TOKENLOOP") {
+      // always the same page with the same non-null token — a paging
+      // bug that would loop forever without the client's cycle guard
+      val one = barJson(barAt(symbol, gridFirst(isoToUs(q(params, "start")), tfUs), tfUs))
+      return (200,
+        s"""{"bars": {${jsonStr(symbol)}: [$one]}, "next_page_token": "0"}""")
+    }
     if (symbol == "MALFORMED")
       // first record lacks h/l/c/v/n/vw → parser must warn + skip it.
       // Tiny fixture range, so pre-rendering the full list here is fine.
@@ -239,9 +259,17 @@ object AlpacaStubServer {
       (ex: HttpExchange) => handle(ex, barsHandler))
     server.createContext("/v2/stocks/trades", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
+      // OVERLIMIT ignores the requested page size entirely: every
+      // record in the interval arrives in ONE page (>10× `limit`).
+      // The reader must size to what arrives, not to what it asked
+      // for — per-page memory is bounded by the response body it
+      // already holds either way.
+      val limit =
+        if (symbol == "OVERLIMIT") Int.MaxValue
+        else params.get("limit").map(_.toInt).getOrElse(10000)
       (200, envelope("trades", symbol,
         trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
-        tradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        tradeJson, limit,
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>

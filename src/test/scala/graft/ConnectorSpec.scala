@@ -181,6 +181,59 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.collect().forall(_.getDouble(1) > 0))
   }
 
+  // ------------------------------------------------- hostile inputs
+  // The failure-mode contract mirrors the reference's asymmetry
+  // (common.py:484-486): RECORD-level damage is warned and skipped
+  // (MALFORMED test above); STRUCTURAL page damage — truncated JSON,
+  // empty body, token cycles — must fail the task loudly. Silently
+  // skipping a broken PAGE would silently lose every record behind it.
+
+  private def hostileReader(symbol: String, end: String = "2021-01-05T00:00:00Z") =
+    spark.read.format("Alpaca_Stocks_Bars").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> s"['$symbol']", "timeframe" -> "1Hour",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> end))
+
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("truncated JSON mid-page fails the task (no partial silent page)") {
+    val e = intercept[Throwable] { hostileReader("TRUNCATED").load().count() }
+    assert(causeChain(e).toLowerCase.contains("end-of-input")
+      || causeChain(e).toLowerCase.contains("unexpected"),
+      s"expected a JSON EOF failure, got: ${causeChain(e)}")
+  }
+
+  test("HTTP 200 with empty body fails the page, not 'no data'") {
+    val e = intercept[Throwable] { hostileReader("EMPTYBODY").load().count() }
+    assert(causeChain(e).contains("empty body"),
+      s"expected the empty-body guard, got: ${causeChain(e)}")
+  }
+
+  test("next_page_token cycle is detected instead of paging forever") {
+    // the stub re-issues token "0" with every page — without the
+    // guard this count() would never return
+    val e = intercept[Throwable] {
+      hostileReader("TOKENLOOP").load().count()
+    }
+    assert(causeChain(e).contains("pagination cycle"),
+      s"expected the cycle guard, got: ${causeChain(e)}")
+  }
+
+  test("page with >10x the requested limit is ingested, not truncated") {
+    // stub ignores limit=10 and delivers all 144 trades of the day in
+    // one page (14.4×); the reader sizes to what arrives
+    val df = spark.read.format("Alpaca_Stocks_Trades").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['OVERLIMIT']", "limit" -> "10",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-05T00:00:00Z")).load()
+    val n = df.count()
+    assert(n == 144, s"over-delivered page truncated or dropped: $n")
+  }
+
   test("empty response (unknown path range) yields empty DataFrame") {
     val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,

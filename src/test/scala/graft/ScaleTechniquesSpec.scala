@@ -79,6 +79,60 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_lsh band join: AQE splits the hot band bucket end-to-end") {
+    // The generic skew demo above proves the MECHANISM; this proves it
+    // fires on THIS gate's pinned sort-merge band join. Fixture: half
+    // the corpus is ONE identical document — identical shingles ⇒
+    // identical MinHash signatures ⇒ all 400 land in the same 4 band
+    // buckets, so those buckets hold ~100% of the candidate mass (the
+    // worst real-world case: a viral boilerplate page). With split
+    // thresholds lowered to toy scale, AQE must mark the band join
+    // skew=true and the pair set must still be exactly the hot clique.
+    import spark.implicits._
+    val hotText = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docs = ((0 until 800).map(i => (i.toLong, hotText)) ++
+      (800 until 900).map(i => (i.toLong,
+        (1 to 16).map(k => s"u${i}w$k").mkString(" "))))
+      .toDF("doc_id", "text")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_skew_lsh").toString
+    docs.repartition(8).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // thresholds sized for COMPRESSED shuffle bytes: the hot bucket's
+      // rows are near-identical and lz4 shrinks them ~10×
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // 32 partitions, not the suite's 4: with only 4, each partition
+      // absorbs one of the 4 hot band keys and they ALL look median —
+      // the skew must be visible relative to typical partitions, as it
+      // would be at production partition counts
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = SparkEntry.queries("dedup_minhash_lsh")(spark, fixDir)
+      val rows = q.collect()
+      // exactly the hot clique: C(800,2) pairs at est_jaccard 1.0; the
+      // 100 unique docs bucket alone and pair with nobody
+      assert(rows.length == 800 * 799 / 2,
+        s"pair set changed under skew split: ${rows.length}")
+      assert(rows.forall(_.getDouble(2) == 1.0))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot band bucket:\n${plan.take(2000)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixDir))
+    }
+  }
+
   test("runtime bloom filter prunes the big join side before the shuffle") {
     // Row-level runtime filtering: a selective filter on the small
     // side injects a bloom filter into the BIG side's scan, so rows
