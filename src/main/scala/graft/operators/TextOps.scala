@@ -64,8 +64,12 @@ object TextOps {
     val len = length(col("text")).cast("double")
     val nWords = size(w).cast("double")
     val nStop = size(expr(s"filter(split(text, ' '), x -> x IN ($inList))")).cast("double")
-    val digitRatio =
-      (len - length(regexp_replace(col("text"), "[0-9]", ""))) / len
+    // empty document ⇒ len = 0: digit_ratio is undefined (NULL in both
+    // engines — ANSI mode would throw DIVIDE_BY_ZERO, the oracle uses
+    // NULLIF). nWords needs no guard: split('', ' ') = [''] has size 1
+    // in Spark and DuckDB alike, so word denominators are always >= 1.
+    val digitRatio = when(len > 0,
+      (len - length(regexp_replace(col("text"), "[0-9]", ""))) / len)
     val meanWordLen = (len - (nWords - 1)) / nWords
     val stopRatio = nStop / nWords
     val score = stopRatio * 2.0 + meanWordLen * 0.1 - digitRatio * 1.0
@@ -88,7 +92,8 @@ object TextOps {
     val len = "CAST(LENGTH(text) AS DOUBLE)"
     val nWords = "CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)"
     val nStop = s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ($inList))) AS DOUBLE)"
-    val digitRatio = s"($len - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / $len"
+    val digitRatio =
+      s"($len - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) / NULLIF($len, 0)"
     val meanWordLen = s"($len - ($nWords - 1)) / $nWords"
     val stopRatio = s"$nStop / $nWords"
     s"""SELECT doc_id,
