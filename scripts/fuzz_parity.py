@@ -12,8 +12,13 @@ DECIMAL(18,2), discounts within DECIMAL(5,2) — because the contract is
 what the engine promises to agree with the oracle on; NaN money or
 non-integral quantities are contract violations, not inputs.
 
-Ten cheapest gates: nine documents-table projections/aggregations plus
-q1_agg over lineitem (money-decimal + countDistinct path).
+Fourteen gates: nine documents-table projections/aggregations, q1_agg
+over lineitem (money-decimal + countDistinct path), and four events
+gates (windowed bars, funnel, retention, map ops) over hostile event
+streams. Event timestamps stay unique per user (the events contract —
+window functions tie-break on event time, and engines order ties
+differently) and non-negative (pre-epoch `div 1000` truncates toward
+zero in Spark but EPOCH_US floors in DuckDB).
 
 Usage: python3 scripts/fuzz_parity.py [seed ...]   (default: 1 2 3)
 Exit 0 iff every gate passes at every seed.
@@ -36,7 +41,8 @@ REPO = Path(__file__).resolve().parent.parent
 DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "text_langid", "text_fingerprint", "text_redact",
              "text_repetition", "text_hash_split"]
-GATES = DOC_GATES + ["q1_agg"]
+EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops"]
+GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES
 
 I64_EDGES = [0, 1, -1, 2**31, -(2**31) - 1, 2**62, -(2**62), 2**63 - 1]
 
@@ -143,6 +149,46 @@ def gen_lineitem(rng, n, cardinality):
     })
 
 
+def gen_events(rng, n, cardinality):
+    # events contract: ts >= 0 (pre-epoch `ts div 1000` truncates toward
+    # zero in Spark, EPOCH_US floors in DuckDB) and (user_id, ts) unique
+    # (event-time window functions tie-break on ts; engines order exact
+    # ties differently). Cross-user ts collisions ARE generated.
+    if cardinality == "one":
+        users, types = [7], ["view"]
+    elif cardinality == "all":
+        users = [10**6 + i for i in range(n)]
+        types = [f"t{i}" for i in range(n)]
+    else:
+        users = [0, 1, -1, 2**62, 12345]
+        types = ["", "view", "click", "purchase", "視聴"]
+    val_pool = [0.0, -0.0, 0.25, -0.25, 1e6, -1e6, 999999.75]
+    base_pool = [0, 3600 * 10**9, 86400 * 10**9, 2_000_000_000 * 10**9]
+    props_pool = ["{}", "", '{"k": 1}', "not json", '{"a": [1, {"b": 2}]}']
+    rows, used = [], set()
+    for i in range(n):
+        uid = users[i % len(users)]
+        # hour grid spreads retention cohorts over ~n/24 days; the
+        # shared grid makes DIFFERENT users collide on the same ts
+        ts = rng.choice(base_pool) + (i // len(users)) * 3600 * 10**9
+        while (uid, ts) in used:
+            ts += 1_000  # enforce per-user uniqueness only
+        used.add((uid, ts))
+        rows.append((
+            rng.choice(I64_EDGES) if rng.random() < 0.1 else 10**6 + i,
+            ts, uid,
+            rng.choice(types) if cardinality == "mixed" else types[i % len(types)],
+            rng.choice(val_pool), rng.choice(props_pool)))
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
 def canon(df):
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
@@ -161,7 +207,7 @@ def values_equal(a, b):
 
 def compare(out_dir, sf_dir, oracle_sql):
     con = duckdb.connect()
-    for t in ["documents", "lineitem"]:
+    for t in ["documents", "lineitem", "events"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = []
     for name in GATES:
@@ -201,6 +247,8 @@ def main(seeds):
                        sf_dir / "documents.parquet")
         pq.write_table(gen_lineitem(rng, 2000, cardinality),
                        sf_dir / "lineitem.parquet")
+        pq.write_table(gen_events(rng, 3000, cardinality),
+                       sf_dir / "events.parquet")
         runs.append((seed, sf_dir, work / f"out_seed{seed}"))
 
     # one sbt launch, one forked Verify per seed

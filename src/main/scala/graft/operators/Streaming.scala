@@ -391,7 +391,14 @@ object Streaming {
     val t0 = System.currentTimeMillis()
     writeOne(data.observe(obs, max(obsCol).as("mx")),
       s"${stage}_a", "00_data.parquet", t0 - 120000L)
-    val mx = obs.get("mx").asInstanceOf[Long]
+    val mx = obs.get("mx") match {
+      case l: java.lang.Long => l.longValue()
+      // max() over zero rows is NULL: an empty source means there is
+      // no watermark to advance past — a clear error beats the NPE
+      // the cast would throw
+      case other => throw new IllegalStateException(
+        s"staged stream data is empty (observed max = $other) — no sentinel horizon")
+    }
     val (sentinel1, sentinel2) = sentinels(mx)
     writeOne(sentinel1, s"${stage}_b", "01_sentinel.parquet", t0 - 60000L)
     writeOne(sentinel2, s"${stage}_c", "02_sentinel.parquet", t0)
