@@ -477,14 +477,17 @@ object TextOps {
     * order — reruns and repartitions pick identical survivors). Bounds
     * over-represented domains before mixing.
     *
-    * Scale shape: one shuffle on `source` for the rank window. A
-    * billion-doc domain makes that reducer hot; production two-phases
-    * it (per-partition pre-cap to N local survivors — keeping any N
-    * smallest hashes per partition is admissible because the global
-    * top-N by hash is a subset of the union of per-partition top-Ns —
-    * then the exact window over ≤ N×partitions rows). The gate keeps
-    * the exact one-window form; the pre-cap composition is specced in
-    * ScaleTechniquesSpec. */
+    * Scale shape: this row_number+filter(rk <= N) form IS already
+    * two-phase — Spark plans a PARTIAL WindowGroupLimit below the
+    * source exchange (each map partition keeps its N smallest
+    * (hash, id) per source — admissible because the global top-N is a
+    * subset of the union of per-partition top-Ns), so a billion-doc
+    * domain sends at most N × |map partitions| rows to its reducer,
+    * never a billion. PlanAuditSpec pins the partial-below-exchange
+    * shape; the equivalent hand-rolled mapPartitions pre-cap (what
+    * you'd write if the optimizer lacked WindowGroupLimit, or for a
+    * FRACTION-based cap like text_stratified_sample where the limit
+    * needs the stratum count) is specced in ScaleTechniquesSpec. */
   def textSourceCap(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
       .orderBy(col("h"), col("doc_id"))

@@ -118,6 +118,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"df count should be a two-phase hash aggregation:\n$p")
   }
 
+  test("text_source_cap: partial WindowGroupLimit runs BELOW the source exchange") {
+    // Fixed per-source N caps must pre-filter map-side: the plan needs
+    // TWO WindowGroupLimits (Partial under the exchange, Final above),
+    // so a billion-doc domain ships N × |map partitions| rows, not a
+    // billion, to its reducer.
+    val p = SparkEntry.queries("text_source_cap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    assert(limits == 2, s"expected partial+final WindowGroupLimit, got $limits:\n$p")
+    // the partial one must appear AFTER (deeper than) the source exchange
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(source")
+    assert(exchangeIdx >= 0, s"no source exchange found:\n$p")
+    assert(p.indexOf("WindowGroupLimit", exchangeIdx) >= 0,
+      s"no partial WindowGroupLimit below the source exchange:\n$p")
+  }
+
   test("text_lm_score: vocab cap is a partial top-V, not a global row_number") {
     // The top-V vocabulary cut must plan as TakeOrderedAndProject
     // (per-partition V-element heaps, driver merge) — a global
