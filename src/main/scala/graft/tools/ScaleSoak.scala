@@ -98,11 +98,15 @@ object ScaleSoak {
       val (tT, nt) = timeIt(Graph.triangles(spark, dir))
       val (tI, ni) = timeIt(TextOps.textInvertedIndex(spark, dir))
       val (tK, nk) = timeIt(Similarity.simKmeans(spark, edir))
+      // r4: the two-level hot-chunk aggregation — suffixed copies keep
+      // per-copy chunk structure (df counts constant per copy), so the
+      // answer and the work both grow linearly
+      val (tC, ncd) = timeIt(TextOps.textChunkDedup(spark, dir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
         f"minhash=$tM%.2f s ($nm pairs) lm=$tL%.2f s ($nl docs) " +
         f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs) " +
         f"| triangles=$tT%.2f s ($nt nodes) invIndex=$tI%.2f s ($ni terms) " +
-        f"kmeans=$tK%.2f s ($nk clusters)")
+        f"kmeans=$tK%.2f s ($nk clusters) chunkDedup=$tC%.2f s ($ncd docs)")
     }
 
     // SemDeDup with the gate's FIXED K=8 centroids is deliberately
