@@ -324,18 +324,26 @@ object TextOps {
     * synthetic corpus has no newlines, so the "line" unit is a 3-word
     * chunk — the plan shape is identical for real newline-split lines.
     *
-    * Scale shape (two-level hot-chunk aggregation): ONE chunk explode
-    * per branch (projection — recomputed, see below) → df computed as
-    * a PARTIAL-AGGREGABLE groupBy on xxhash64(chunk), an 8-byte key:
-    * a boilerplate chunk seen 10⁹ times contributes ONE row per map
+    * Scale shape (two-level hot-chunk aggregation + boilerplate-only
+    * build side): ONE chunk explode per branch (projection —
+    * recomputed, see below) → chunk corpus frequency computed as a
+    * PARTIAL-AGGREGABLE groupBy on xxhash64(chunk), an 8-byte key: a
+    * boilerplate chunk seen 10⁹ times contributes ONE row per map
     * partition to the shuffle, never 10⁹ rows in one reducer (the
     * window-over-chunk-partition form this replaces funneled exactly
     * the hottest chunks — the ones being dropped — into single
-    * reducers). The df table joins back to the chunk rows on the LONG
-    * key: the probe side is still Zipf-hot, but a skewed JOIN
-    * partition is AQE-splittable (OptimizeSkewedJoin replicates the
-    * one matching build row), while a skewed WINDOW partition is
-    * irreducible. Per-doc reassembly is one doc_id shuffle bounded by
+    * reducers). The keep/drop decision only needs a per-chunk BOOLEAN,
+    * so the aggregate is FILTERED to boilerplate chunks (df ≥
+    * threshold) before joining back as a LEFT join (null df ⇒ kept):
+    * the build side is bounded by the boilerplate VOCABULARY — the
+    * distinct over-threshold chunks, not the corpus — so it broadcasts
+    * at any corpus size and the Zipf-hot probe side NEVER shuffles on
+    * the chunk key. (A join against the unfiltered df table would
+    * shuffle the probe side on ck once the table outgrew broadcast,
+    * and that hot partition is NOT AQE-splittable: OptimizeSkewedJoin
+    * requires bare shuffle stages under the join, and the df
+    * aggregate's final HashAggregate sits between its exchange and
+    * the join.) Per-doc reassembly is one doc_id shuffle bounded by
     * document size.
     *
     * Costs accepted: the explode is recomputed for the join's probe
@@ -354,15 +362,18 @@ object TextOps {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(chunksExpr).as(Seq("pos", "chunk")))
       .withColumn("ck", xxhash64(col("chunk")))
-    val dfCounts = chunks.groupBy(col("ck")).agg(count(lit(1)).as("df"))
-    chunks.join(dfCounts, Seq("ck"))
+    val boiler = chunks.groupBy(col("ck")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= ChunkDfMax) // boilerplate vocabulary only
+    chunks.join(boiler, Seq("ck"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("df") < ChunkDfMax, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_kept"),
+        // pos (unique per doc) is the struct's first field, so the
+        // sort never compares the nullable df
         array_sort(collect_list(struct(col("pos"), col("chunk"), col("df")))).as("cs"))
       .select(col("doc_id"), col("n_chunks"), col("n_kept"),
         md5(array_join(
-          expr(s"transform(filter(cs, x -> x.df < $ChunkDfMax), x -> x.chunk)"), " "))
+          expr("transform(filter(cs, x -> x.df IS NULL), x -> x.chunk)"), " "))
           .as("clean_md5"))
       .orderBy(col("doc_id"))
   }

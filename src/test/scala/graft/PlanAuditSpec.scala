@@ -101,15 +101,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // The boilerplate-df count must be a partial-aggregable groupBy on
     // the 8-byte xxhash64 key (hot chunk → one row per map partition),
     // NOT a window over the raw chunk partition (hot chunk → all its
-    // rows in one reducer — the r3 scale-killer). The explode is
-    // deliberately recomputed for the join's probe branch: exactly 2
-    // Generates, a projection recompute being cheaper at 100 TB than
-    // any skewed exchange.
+    // rows in one reducer — the r3 scale-killer). The aggregate is
+    // FILTERED to over-threshold chunks before the LEFT join back, so
+    // the build side is bounded by the boilerplate vocabulary. The
+    // explode is deliberately recomputed for the join's probe branch:
+    // exactly 2 Generates, a projection recompute being cheaper at
+    // 100 TB than any skewed exchange.
     val p = planOf("text_chunk_dedup")
     assert(!p.contains("Window"),
       s"chunk df must not be a window over the chunk partition:\n$p")
     assert(p.contains("xxhash64"),
       s"chunk df should aggregate on the 8-byte xxhash64 key:\n$p")
+    assert(p.contains("LeftOuter") || p.contains("BuildRight"),
+      s"keep/drop should be a left join against the boilerplate set:\n$p")
+    assert(p.contains("(df") && p.contains(">= 5"),
+      s"build side should be filtered to boilerplate (df >= threshold):\n$p")
     val gens = "Generate".r.findAllIn(p).size
     assert(gens == 2, s"expected 2 Generates (df branch + probe branch), got $gens:\n$p")
     // two-phase agg on the chunk key: partial + final HashAggregate

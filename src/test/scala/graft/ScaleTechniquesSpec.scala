@@ -133,6 +133,45 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("text_chunk_dedup: hot-chunk fixture keeps the probe side shuffle-free") {
+    // Boilerplate-skew end-to-end: every doc STARTS with the same
+    // 3-word chunk (df = 2000) and continues uniquely. The r4 design
+    // joins the probe side LEFT against the FILTERED boilerplate set
+    // (df >= threshold — here exactly 1 chunk), which broadcasts at
+    // any corpus size, so the Zipf-hot probe never shuffles on the
+    // chunk key. (The unfiltered-df alternative would shuffle-join on
+    // ck past the broadcast threshold, and that hot partition is NOT
+    // AQE-splittable — the df aggregate's final HashAggregate between
+    // its exchange and the join breaks OptimizeSkewedJoin's pattern.)
+    import spark.implicits._
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, s"the quick brown u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_skew_chunk").toString
+    docs.repartition(8).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    try {
+      val q = SparkEntry.queries("text_chunk_dedup")(spark, fixDir)
+      val rows = q.collect()
+      // every doc: 2 chunks, the hot one dropped, the unique one kept
+      assert(rows.length == 2000)
+      assert(rows.forall(r => r.getLong(1) == 2L && r.getLong(2) == 1L),
+        "expected n_chunks=2, n_kept=1 for every doc")
+      // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+      // audit only the final one
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("BroadcastHashJoin"),
+        s"boilerplate set should broadcast:\n${plan.take(1500)}")
+      // exactly ONE ck exchange — the df aggregate's own; the probe
+      // side reaches the join straight from its explode projection
+      val ckExchanges = "Exchange hashpartitioning\\(ck".r.findAllIn(plan).size
+      assert(ckExchanges <= 1,
+        s"probe side must not shuffle on the chunk key ($ckExchanges ck exchanges):\n$plan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixDir))
+    }
+  }
+
   test("runtime bloom filter prunes the big join side before the shuffle") {
     // Row-level runtime filtering: a selective filter on the small
     // side injects a bloom filter into the BIG side's scan, so rows
