@@ -12,10 +12,12 @@ DECIMAL(18,2), discounts within DECIMAL(5,2) — because the contract is
 what the engine promises to agree with the oracle on; NaN money or
 non-integral quantities are contract violations, not inputs.
 
-Fourteen gates: nine documents-table projections/aggregations, q1_agg
-over lineitem (money-decimal + countDistinct path), and four events
-gates (windowed bars, funnel, retention, map ops) over hostile event
-streams. Event timestamps stay unique per user (the events contract —
+Twenty-one gates: sixteen documents-table operators (projections,
+dedup digests, the r4-reworked chunk dedup and LM scorer, and the
+exact-integer corpus-assembly arithmetic — strata ceil-division,
+millage weights, token-budget cumsums), q1_agg over lineitem
+(money-decimal + countDistinct path), and four events gates (windowed
+bars, funnel, retention, map ops) over hostile event streams. Event timestamps stay unique per user (the events contract —
 window functions tie-break on event time, and engines order ties
 differently) and non-negative (pre-epoch `div 1000` truncates toward
 zero in Spark but EPOCH_US floors in DuckDB).
@@ -40,7 +42,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "text_langid", "text_fingerprint", "text_redact",
-             "text_repetition", "text_hash_split"]
+             "text_repetition", "text_hash_split",
+             # r4-reworked plans + the exact-integer corpus-assembly
+             # arithmetic (ceil-division strata, millage weights,
+             # token-budget cumsums, boilerplate chunk counts)
+             "text_chunk_dedup", "text_lm_score", "text_stratified_sample",
+             "text_source_cap", "text_mix_weights", "text_shard_pack",
+             "dedup_simhash"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops"]
 GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES
 
