@@ -663,6 +663,13 @@ object TextOps {
   // ---------------------------------- DSIR-style importance filtering
   private val DsirQualityBar = 0.55
   private val DsirKeep = 1.0
+  // Top-V cap for BOTH bigram models. Deliberately smaller than
+  // LmVocabTop: the synthetic corpus has only ~916 distinct bigrams,
+  // so a 10k cap would never bind at gate scale and the OOV smoothing
+  // floor would be dead code in the correctness gate. At 500 the cap
+  // bites, so the three-way hash gate certifies the SMOOTHED scoring
+  // path cross-engine, not just the in-vocabulary one.
+  private val DsirVocabTop = 500
 
   /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
     * arXiv:2302.03169 — here in its deterministic filter form): build
@@ -675,31 +682,48 @@ object TextOps {
     * LM machinery into the standard "select pretraining data that
     * looks like the target domain" pipeline step.
     *
+    * BOTH models are capped to their top-V bigrams (V = DsirVocabTop)
+    * via orderBy + limit ⇒ TakeOrderedAndProject — per-partition
+    * V-element heaps, driver merges |partitions| × V rows — so each
+    * broadcast is bounded by construction at ANY corpus size (at
+    * 100 TB the uncapped distinct-bigram aggregate is billions of
+    * rows; broadcasting it fails at build). Out-of-vocabulary bigrams
+    * take an additive-smoothing (add-one) floor: each bigram
+    * contributes model_count + 1 to its doc's mass and each total
+    * gains +V, i.e. P(b) = (c_b + 1) / (T + V) — no denominator can
+    * be zero and no OOV bigram scores zero. Ties at the cap boundary
+    * break on (count DESC, bigram), a total order, so the selected
+    * vocabulary is identical cross-engine.
+    *
     * Same rational-arithmetic parity argument as textLmScore: masses
-    * and totals are exact integers; the weight is a quotient of two
-    * single IEEE divisions. The corpus model is deliberately UNCAPPED
-    * so every bigram has corpus_mass ≥ 1 (no zero denominator); at
-    * 100 TB both models get the top-V cap and out-of-vocabulary
-    * bigrams fall back to an additive-smoothing floor. Scale shape:
-    * the models are aggregation outputs (bounded by vocabulary),
-    * broadcast into one scoring pass over the exploded corpus —
-    * two partial aggs + one doc_id agg, never a corpus shuffle on the
-    * bigram key. */
+    * (Σ(count+1)) and smoothed totals (T+V) are exact integers; the
+    * weight is a quotient of two single IEEE divisions, identical
+    * operation order in both engines. Scale shape: the models are
+    * capped aggregation outputs (≤ V rows each), broadcast into one
+    * scoring pass over the exploded corpus — two partial aggs + one
+    * doc_id agg, never a corpus shuffle on the Zipf-headed bigram
+    * key. */
   def textDsirFilter(spark: SparkSession, dir: String): DataFrame = {
     val bg = docBigrams(spark, dir)
     val target = qualityCore(spark, dir)
       .filter(col("quality_score") >= DsirQualityBar).select(col("doc_id"))
     val targetCnt = bg.join(target, Seq("doc_id"), "left_semi")
       .groupBy(col("bigram")).agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("bigram")).limit(DsirVocabTop)
     val corpusCnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cc"))
-    val totals = targetCnt.agg(sum(col("tc")).as("tt"))
-      .crossJoin(corpusCnt.agg(sum(col("cc")).as("ct")))
+      .orderBy(col("cc").desc, col("bigram")).limit(DsirVocabTop)
+    // smoothed totals: capped model mass + V (exact integer adds; the
+    // empty-target coalesce keeps tt defined if no doc clears the bar)
+    val totals = targetCnt.agg(
+        (coalesce(sum(col("tc")), lit(0L)) + lit(DsirVocabTop.toLong)).as("tt"))
+      .crossJoin(corpusCnt.agg(
+        (coalesce(sum(col("cc")), lit(0L)) + lit(DsirVocabTop.toLong)).as("ct")))
     bg.join(broadcast(targetCnt), Seq("bigram"), "left")
-      .join(broadcast(corpusCnt), Seq("bigram"))
+      .join(broadcast(corpusCnt), Seq("bigram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("tc"), lit(0L))).as("target_mass"),
-        sum(col("cc")).as("corpus_mass"))
+        sum(coalesce(col("tc"), lit(0L)) + lit(1L)).as("target_mass"),
+        sum(coalesce(col("cc"), lit(0L)) + lit(1L)).as("corpus_mass"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_bigrams"), col("target_mass"),
         col("corpus_mass"),
@@ -715,19 +739,27 @@ object TextOps {
        |quality AS ($qualitySelectSql),
        |target AS (SELECT doc_id FROM quality WHERE quality_score >= $DsirQualityBar),
        |tcnt AS (
-       |  SELECT bigram, COUNT(*) AS tc FROM bg
-       |  WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY 1),
-       |ccnt AS (SELECT bigram, COUNT(*) AS cc FROM bg GROUP BY 1),
+       |  SELECT bigram, tc FROM (
+       |    SELECT bigram, COUNT(*) AS tc,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+       |    FROM bg WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY bigram) r
+       |  WHERE rn <= $DsirVocabTop),
+       |ccnt AS (
+       |  SELECT bigram, cc FROM (
+       |    SELECT bigram, COUNT(*) AS cc,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+       |    FROM bg GROUP BY bigram) r
+       |  WHERE rn <= $DsirVocabTop),
        |tot AS (SELECT
-       |  (SELECT CAST(SUM(tc) AS BIGINT) FROM tcnt) AS tt,
-       |  (SELECT CAST(SUM(cc) AS BIGINT) FROM ccnt) AS ct)
+       |  (SELECT CAST(COALESCE(SUM(tc), 0) + $DsirVocabTop AS BIGINT) FROM tcnt) AS tt,
+       |  (SELECT CAST(COALESCE(SUM(cc), 0) + $DsirVocabTop AS BIGINT) FROM ccnt) AS ct)
        |SELECT doc_id, n_bigrams, target_mass, corpus_mass, dsir_weight FROM (
        |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |    CAST(SUM(COALESCE(t.tc, 0)) AS BIGINT) AS target_mass,
-       |    CAST(SUM(c.cc) AS BIGINT) AS corpus_mass,
-       |    (CAST(SUM(COALESCE(t.tc, 0)) AS DOUBLE) / CAST((SELECT tt FROM tot) AS DOUBLE))
-       |      / (CAST(SUM(c.cc) AS DOUBLE) / CAST((SELECT ct FROM tot) AS DOUBLE)) AS dsir_weight
-       |  FROM bg b JOIN ccnt c ON b.bigram = c.bigram
+       |    CAST(SUM(COALESCE(t.tc, 0) + 1) AS BIGINT) AS target_mass,
+       |    CAST(SUM(COALESCE(c.cc, 0) + 1) AS BIGINT) AS corpus_mass,
+       |    (CAST(SUM(COALESCE(t.tc, 0) + 1) AS DOUBLE) / CAST((SELECT tt FROM tot) AS DOUBLE))
+       |      / (CAST(SUM(COALESCE(c.cc, 0) + 1) AS DOUBLE) / CAST((SELECT ct FROM tot) AS DOUBLE)) AS dsir_weight
+       |  FROM bg b LEFT JOIN ccnt c ON b.bigram = c.bigram
        |  LEFT JOIN tcnt t ON b.bigram = t.bigram
        |  GROUP BY b.doc_id) s
        |WHERE dsir_weight >= $DsirKeep

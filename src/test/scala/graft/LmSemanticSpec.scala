@@ -45,21 +45,26 @@ class LmSemanticSpec extends AnyFunSuite {
 
   test("text_dsir_filter weights recompute exactly; only weight>=1 kept") {
     // target set from the quality GATE (tests the composition, not a
-    // re-derivation of the quality formula)
+    // re-derivation of the quality formula). Models are capped to the
+    // top-V bigrams by (count DESC, bigram) and OOV bigrams take the
+    // add-one floor: mass contribution = count + 1, totals gain +V.
+    val V = 500
     val target = SparkEntry.queries("text_quality")(spark, dir).collect()
       .collect { case r if r.getDouble(6) >= 0.55 => r.getLong(0) }.toSet
-    val corpusCnt = docTexts.toSeq.flatMap { case (_, t) => bigrams(t) }
-      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val targetCnt = docTexts.toSeq
+    def capped(cnt: Map[String, Long]): Map[String, Long] =
+      cnt.toSeq.sortBy { case (b, c) => (-c, b) }.take(V).toMap
+    val corpusCnt = capped(docTexts.toSeq.flatMap { case (_, t) => bigrams(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+    val targetCnt = capped(docTexts.toSeq
       .filter { case (id, _) => target(id) }
       .flatMap { case (_, t) => bigrams(t) }
-      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-    val (tt, ct) = (targetCnt.values.sum, corpusCnt.values.sum)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+    val (tt, ct) = (targetCnt.values.sum + V, corpusCnt.values.sum + V)
     val expected = docTexts.toSeq.collect {
       case (id, t) if bigrams(t).nonEmpty =>
         val bs = bigrams(t)
-        val tm = bs.map(b => targetCnt.getOrElse(b, 0L)).sum
-        val cm = bs.map(b => corpusCnt(b)).sum
+        val tm = bs.map(b => targetCnt.getOrElse(b, 0L) + 1L).sum
+        val cm = bs.map(b => corpusCnt.getOrElse(b, 0L) + 1L).sum
         val w = (tm.toDouble / tt.toDouble) / (cm.toDouble / ct.toDouble)
         (id, bs.size.toLong, tm, cm, w)
     }.filter(_._5 >= 1.0)
@@ -69,6 +74,10 @@ class LmSemanticSpec extends AnyFunSuite {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(got == expected)
     assert(got.values.forall(_._4 >= 1.0))
+    // the cap must BIND at fixture scale (vocab > V), so the OOV
+    // add-one floor is genuinely exercised by this recompute
+    assert(docTexts.toSeq.flatMap { case (_, t) => bigrams(t) }
+      .distinct.size > V, "fixture vocabulary no longer exceeds the cap")
   }
 
   test("sim_semantic_dedup kept set matches a plain-Scala recompute") {

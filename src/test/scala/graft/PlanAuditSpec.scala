@@ -152,6 +152,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no window should remain in the lm_score plan:\n$p")
   }
 
+  test("text_dsir_filter: BOTH model broadcasts are behind a top-V cap") {
+    // The r4 verdict's last prose-only scale design: the corpus bigram
+    // model used to broadcast the UNCAPPED distinct-bigram aggregate
+    // (billions of rows at 100 TB — broadcast build fails outright).
+    // Both models must now plan their cap as TakeOrderedAndProject
+    // (per-partition V-heaps) feeding the BroadcastExchange, and no
+    // global row_number window may do the cut.
+    val p = planOf("text_dsir_filter")
+    // 4 = 2 model join sides + 2 totals branches (the totals recompute
+    // the capped model; sparkPlan has no exchange reuse — at runtime
+    // AQE reuses the aggregation). What matters: NO model branch lacks
+    // its cap.
+    val caps = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(caps == 4, s"expected a top-V cap on BOTH models (+totals), got $caps:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may remain in the dsir plan (cap must be partial):\n$p")
+    // both model joins must still be broadcast-hash (the probe never
+    // shuffles on the Zipf bigram key); exchanges themselves only
+    // materialize in executedPlan, so count the join nodes
+    assert("BroadcastHashJoin \\[bigram".r.findAllIn(p).size == 2,
+      s"both model joins should be broadcast-hash on bigram:\n$p")
+  }
+
   test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
     assert(planOf("q3_join_agg").contains("BroadcastHashJoin"))
     assert(planOf("q4_topk").contains("TakeOrderedAndProject"))
