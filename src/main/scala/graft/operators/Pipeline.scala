@@ -170,8 +170,10 @@ object Pipeline {
       .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), "doc_a")
       .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        // zero-norm guard as in Similarity.cosineOf (PARITY.md)
         (dotF(col("ea"), col("eb")) /
-          (sqrt(dotF(col("ea"), col("ea"))) * sqrt(dotF(col("eb"), col("eb")))))
+          nullif(sqrt(dotF(col("ea"), col("ea"))) * sqrt(dotF(col("eb"), col("eb"))),
+            lit(0.0)))
           .as("cosine"))
       .filter(col("cosine") >= HybridCosine)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
  *
  * Scale design (100 TB):
  *  - brute-force top-k: the query set is broadcast; the corpus is
- *    scanned once with no shuffle until the per-query top-k reduction
- *    (rows after scoring: |corpus|×|queries|, cut to k×|queries| by
- *    the window; at larger query sets switch to per-partition partial
- *    top-k before the global one);
+ *    scanned once with no shuffle until the per-query top-k reduction.
+ *    The row_number ≤ k filter plans as a PARTIAL WindowGroupLimit
+ *    below the query_id exchange (per-partition k-heaps map-side) +
+ *    a Final one above — so the shuffle carries ≤ k×|queries| rows
+ *    per map partition, not |corpus|×|queries|, and the exact
+ *    baseline itself survives large query sets (pinned in
+ *    PlanAuditSpec);
  *  - ANN: sign-of-block-sum random-projection buckets (4-bit LSH)
  *    turn scoring into a bucket equi-join — the corpus never meets
  *    queries outside its bucket. Buckets are computed in the scan
@@ -49,6 +52,16 @@ object Similarity {
   private def normCol(a: String): Column =
     sqrt(graft.functions.VectorFunctions.dotF(col(a), col(a)))
 
+  /** Cosine with the zero-norm guard: a zero-norm vector has no
+    * defined direction, so its cosine is NULL via NULLIF on the norm
+    * product — identically in both engines (Spark-ANSI would THROW
+    * DIVIDE_BY_ZERO where DuckDB yields NaN; NULL unifies them: it
+    * ranks last under DESC in both, fails every >= threshold, and is
+    * ignored by max/argmax). Found by the r5 hostile-embedding fuzz
+    * sweep; see PARITY.md. */
+  private[operators] def cosineOf(dot: Column, n1: Column, n2: Column): Column =
+    dot / nullif(n1 * n2, lit(0.0))
+
   // ------------------------------------------------------ sql builders
   // (explicit term chains — the oracle runs once in DuckDB at tiny SF;
   // unrolled SQL text costs nothing there and guarantees bit parity)
@@ -62,7 +75,7 @@ object Similarity {
     s"SQRT(${(1 to Dim).map(i => s"${elemSql(a, i)} * ${elemSql(a, i)}").mkString(" + ")})"
 
   private[operators] def cosineSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (${normSql(a)} * ${normSql(b)})"
+    s"(${dotSql(a, b)}) / NULLIF(${normSql(a)} * ${normSql(b)}, 0.0)"
 
   // ------------------------------------------------- brute-force top-k
   /** Exact cosine top-5 neighbors for each of the first 10 vectors.
@@ -79,7 +92,7 @@ object Similarity {
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotCol("e", "qe") / (col("enorm") * col("qnorm"))).as("cosine"))
+        cosineOf(dotCol("e", "qe"), col("enorm"), col("qnorm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -132,7 +145,7 @@ object Similarity {
       .join(broadcast(queries), col("bucket") === col("qbucket") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotCol("e", "qe") / (col("enorm") * col("qnorm"))).as("cosine"))
+        cosineOf(dotCol("e", "qe"), col("enorm"), col("qnorm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -192,7 +205,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"),
-        (dotCol("embedding", "cvec") / (col("vnorm") * col("cnorm"))).as("cscore"),
+        cosineOf(dotCol("embedding", "cvec"), col("vnorm"), col("cnorm")).as("cscore"),
         col("cent_id"))
     val best = cscores.groupBy(col("vec_id").as("b_vec"))
       .agg(max(col("cscore")).as("ms"))
@@ -233,7 +246,7 @@ object Similarity {
       .join(broadcast(queries), col("cell") === col("qcell") &&
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        (dotCol("embedding", "qe") / (col("vnorm") * col("qnorm"))).as("cosine"))
+        cosineOf(dotCol("embedding", "qe"), col("vnorm"), col("qnorm")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -273,8 +286,8 @@ object Similarity {
       .join(emb.as("b").hint("merge"), col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dotCol("a.embedding", "b.embedding") /
-          (col("a.vnorm") * col("b.vnorm"))).as("cosine"))
+        cosineOf(dotCol("a.embedding", "b.embedding"),
+          col("a.vnorm"), col("b.vnorm")).as("cosine"))
       .filter(col("cosine") >= NearDupThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -319,8 +332,8 @@ object Similarity {
     val dropped = corpus.as("a")
       .join(corpus.as("b").hint("merge"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter((dotCol("a.embedding", "b.embedding") /
-        (col("a.vnorm") * col("b.vnorm"))) >= SemThreshold)
+      .filter(cosineOf(dotCol("a.embedding", "b.embedding"),
+        col("a.vnorm"), col("b.vnorm")) >= SemThreshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
     corpus.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
@@ -422,6 +435,18 @@ object Similarity {
       .limit(KmK).collect()
       .map(_.getSeq[Long](1).toArray)
 
+    // degenerate corpora are total, not crashes: an empty corpus has
+    // no centroids (and no assignments) — return the empty result with
+    // the gate schema; a corpus smaller than K simply runs with the
+    // centroids it has (least() below needs the arg list to match)
+    if (centroids.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cluster BIGINT, n_vecs BIGINT, sum_dist BIGINT"))
+
+    val k = centroids.length // = min(KmK, |corpus|)
+
     def withAssignment(df: DataFrame): DataFrame = {
       val dists = centroids.zipWithIndex.map { case (c, j) =>
         val lits = c.mkString("CAST(", " AS BIGINT), CAST(", " AS BIGINT)")
@@ -430,10 +455,12 @@ object Similarity {
                 |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin).as(s"d$j")
       }
       val withD = df.select(col("vec_id") +: col("codes") +: dists.map(d => d): _*)
-      val minD = least((0 until KmK).map(j => col(s"d$j")): _*)
+      val minD =
+        if (k == 1) col("d0")
+        else least((0 until k).map(j => col(s"d$j")): _*)
       // CASE tests j ascending, so ties pick the smallest j — same as
       // the oracle's ROW_NUMBER ... ORDER BY dist, j
-      val cluster = (0 until KmK).foldRight(lit(-1L)) { (j, other) =>
+      val cluster = (0 until k).foldRight(lit(-1L)) { (j, other) =>
         when(col(s"d$j") === minD, lit(j.toLong)).otherwise(other)
       }
       withD.withColumn("cluster", cluster).withColumn("dist", minD)
