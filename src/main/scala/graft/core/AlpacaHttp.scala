@@ -71,6 +71,15 @@ class AlpacaHttpClient(
         // (task retry covers transient causes), mirroring the
         // reference's record-skip vs page-fail asymmetry
         // (common.py:484-486: only RECORD-level damage is skippable).
+        // Scoped to 200 only: a 204 No Content is empty BY DEFINITION,
+        // but this GET-a-page API never legitimately returns one — a
+        // 204 here means a misbehaving middlebox ate the envelope, so
+        // it fails with its own message rather than the generic
+        // "malformed" one (and other empty 2xx follow the 200 rule).
+        if (code == 204)
+          throw new RuntimeException(
+            s"HTTP 204 No Content for $url — this endpoint always returns a " +
+              "JSON envelope; a 204 indicates a broken proxy or gateway")
         if (body.isEmpty)
           throw new RuntimeException(
             s"HTTP $code with empty body for $url — malformed API response")

@@ -362,8 +362,10 @@ object Streaming {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val stagePath = Paths.get(stage)
     if (Files.exists(stagePath)) {
-      Files.walk(stagePath).sorted(java.util.Comparator.reverseOrder())
+      val w = Files.walk(stagePath)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally w.close()
     }
     Files.createDirectories(stagePath)
     def writeOne(df: DataFrame, tmp: String, destName: String, mtime: Long): Unit = {
@@ -384,8 +386,12 @@ object Streaming {
       require(dest.toFile.setLastModified(mtime),
         s"setLastModified($mtime) failed for $dest — batch order would be undefined")
       // scratch write dir is spent once the part file is copied
-      Files.walk(tmpPath).sorted(java.util.Comparator.reverseOrder())
+      // (walk stream closed like Files.list above — each leaks a
+      // directory handle until GC otherwise)
+      val w = Files.walk(tmpPath)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally w.close()
     }
     val obs = new org.apache.spark.sql.Observation()
     val t0 = System.currentTimeMillis()

@@ -349,9 +349,14 @@ object TextOps {
     * Costs accepted: the explode is recomputed for the join's probe
     * branch (projection-only — cheaper at 100 TB than any skewed
     * exchange; text_tfidf keeps the single-explode window form because
-    * tf-idf terms are NOT boilerplate-skewed), and df counts collide
-    * on xxhash64 (a collision inflates a chunk's df — P ≈ n²/2⁶⁵,
-    * the standard dedup trade-off). */
+    * tf-idf terms are NOT boilerplate-skewed). The build side CARRIES
+    * the chunk string alongside ck and the join matches on BOTH, so an
+    * xxhash64 collision between a rare chunk and a boilerplate chunk
+    * can no longer silently drop the rare chunk — the hash leads the
+    * grouping key (partial-agg rows still collapse per map partition;
+    * they now carry the ~ChunkWords-word string alongside the 8-byte
+    * key, the price of exactness), and the broadcast build side stays
+    * bounded by the boilerplate vocabulary. */
   def textChunkDedup(spark: SparkSession, dir: String): DataFrame = {
     // materialized `ws` (split once) — split(text) inlined in the
     // lambda would re-tokenize the document per chunk element
@@ -362,9 +367,9 @@ object TextOps {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(chunksExpr).as(Seq("pos", "chunk")))
       .withColumn("ck", xxhash64(col("chunk")))
-    val boiler = chunks.groupBy(col("ck")).agg(count(lit(1)).as("df"))
+    val boiler = chunks.groupBy(col("ck"), col("chunk")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= ChunkDfMax) // boilerplate vocabulary only
-    chunks.join(boiler, Seq("ck"), "left")
+    chunks.join(boiler, Seq("ck", "chunk"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("df").isNull, 1L).otherwise(0L)).as("n_kept"),
