@@ -175,6 +175,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"both model joins should be broadcast-hash on bigram:\n$p")
   }
 
+  test("sim_cosine_topk: partial WindowGroupLimit below the query_id exchange") {
+    // The exact-baseline scale path: scoring emits |corpus|×|queries|
+    // rows, and without a map-side partial top-k the per-query window
+    // would pull all of them through the query_id shuffle. The
+    // row_number ≤ k filter must plan TWO WindowGroupLimits — Partial
+    // BELOW the exchange (per-partition k-heaps), Final above — so
+    // each map partition ships at most k rows per query.
+    val p = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    assert(limits == 2, s"expected partial+final WindowGroupLimit, got $limits:\n$p")
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(query_id")
+    assert(exchangeIdx >= 0, s"no query_id exchange found:\n$p")
+    assert(p.indexOf("WindowGroupLimit", exchangeIdx) >= 0,
+      s"no partial WindowGroupLimit below the query_id exchange:\n$p")
+  }
+
   test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
     assert(planOf("q3_join_agg").contains("BroadcastHashJoin"))
     assert(planOf("q4_topk").contains("TakeOrderedAndProject"))

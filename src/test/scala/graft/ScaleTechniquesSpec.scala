@@ -231,6 +231,119 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(p == s)
   }
 
+  test("q21_salted_agg: half-the-table hot key stays salt-bounded with exact parity") {
+    // The salted aggregation's entire purpose is skew, but until r5 it
+    // was only proven on uniform fixtures. Fixture: ONE event_type
+    // holds 50% of all rows (the hot key). The two-stage form must
+    //  (a) equal the unsalted single-stage aggregate bit-for-bit
+    //      (DECIMAL partials are order-independent), and
+    //  (b) shuffle raw rows ONLY on (event_type, salt) — the stage-1
+    //      exchange — so no reducer receives the whole hot key; the
+    //      stage-2 exchange on event_type alone carries ≤ 16 pre-
+    //      aggregated rows per type, not data.
+    import spark.implicits._
+    val n = 4000
+    val rows = (0 until n).map { i =>
+      val etype = if (i % 2 == 0) "hot" else s"t${i % 7}"
+      // user ids spread across salts (user_id % 16) as crawled ids do
+      (i.toLong, i.toLong * 1_000_000_000L, i.toLong, etype, (i % 100) / 4.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_skew_salt").toString
+    rows.repartition(8).write.mode("overwrite").parquet(s"$fixDir/events.parquet")
+    try {
+      val salted = SparkEntry.queries("q21_salted_agg")(spark, fixDir)
+      val got = salted.collect().toSeq
+      // unsalted single-stage twin (the oracle's shape) on the same data
+      val expected = operators.Tables.events(spark, fixDir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy($"event_type").collect().toSeq
+      assert(got == expected, "salted two-stage result diverged from unsalted")
+      assert(got.exists(r => r.getString(0) == "hot" && r.getLong(1) == n / 2))
+      // plan shape: the deepest (raw-row) exchange is on (event_type,
+      // salt); the event_type-only exchange sits ABOVE it and receives
+      // only stage-1 partials
+      val p = salted.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val saltIdx = p.indexOf("Exchange hashpartitioning(event_type")
+      assert(saltIdx >= 0 && p.substring(saltIdx).contains("salt"),
+        s"stage-1 exchange must include the salt key:\n${p.take(2000)}")
+      // the fixture's semantic bound: no (event_type, salt) group owns
+      // more than ~1/16 of the hot key (this is what stage 1 ships to
+      // any single reducer)
+      val maxGroup = operators.Tables.events(spark, fixDir)
+        .groupBy($"event_type", ($"user_id" % 16).as("salt"))
+        .agg(count(lit(1)).as("c")).agg(max($"c")).head().getLong(0)
+      assert(maxGroup <= (n / 2) / 16 * 2,
+        s"salt failed to spread the hot key: max group $maxGroup")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixDir))
+    }
+  }
+
+  test("stratified sample + source cap: one hot stratum, parity and one-shuffle plans") {
+    // r5: the corpus-assembly windows proven on a skewed stratum — one
+    // (lang, source) stratum (and one source) holds ~50% of the corpus.
+    // text_stratified_sample's fraction keep needs the stratum count,
+    // so its window is reducer-side by design; the scale contract is
+    // (a) the answer matches an independent recompute, and (b) the
+    // stratum shuffle happens ONCE (rank + count share the exchange)
+    // and carries digests, not text. text_source_cap must additionally
+    // keep its partial WindowGroupLimit below the exchange so the hot
+    // source pre-filters map-side (pinned at uniform scale in
+    // PlanAuditSpec; re-asserted here under skew).
+    import spark.implicits._
+    val n = 3000
+    val docs = (0 until n).map { i =>
+      val (lang, src) = if (i % 2 == 0) ("en", "web") else (s"l${i % 5}", s"s${i % 11}")
+      (i.toLong, s"doc $i body w${i}a w${i}b", lang, src, 20L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_skew_strata").toString
+    docs.repartition(8).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    try {
+      val strat = SparkEntry.queries("text_stratified_sample")(spark, fixDir)
+      val got = strat.collect().toSeq
+      // independent recompute: per stratum keep rk*5 <= n+4 ranked by (md5, id)
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val all = (0 until n).map { i =>
+        val (lang, src) = if (i % 2 == 0) ("en", "web") else (s"l${i % 5}", s"s${i % 11}")
+        (lang, src, i.toLong, md5hex(s"doc $i body w${i}a w${i}b"))
+      }
+      val expected = all.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((lang, src), m) =>
+        val ranked = m.sortBy(t => (t._4, t._3)).zipWithIndex
+        ranked.collect { case ((_, _, id, _), rk0) if (rk0 + 1) * 5 <= m.size + 4 =>
+          (lang, src, id, (rk0 + 1).toLong, m.size.toLong)
+        }
+      }.sortBy(t => (t._1, t._2, t._4))
+      assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))) == expected,
+        "stratified sample diverged from recompute on the skewed corpus")
+      // hot stratum kept exactly ceil(1500/5) = 300
+      assert(got.count(r => r.getString(0) == "en" && r.getString(1) == "web") == 300)
+      // ONE stratum exchange serves both windows (rank + count)
+      val p = strat.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val stratumExchanges = "Exchange hashpartitioning\\(lang".r.findAllIn(p).size
+      assert(stratumExchanges == 1,
+        s"rank and count windows must share one stratum shuffle ($stratumExchanges):\n${p.take(2000)}")
+      // source cap under the same skew: partial WindowGroupLimit below
+      // the source exchange still present (map-side pre-filter of the
+      // hot source), and the capped result is exact
+      val cap = SparkEntry.queries("text_source_cap")(spark, fixDir)
+      val capPlan = cap.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exIdx = capPlan.indexOf("Exchange hashpartitioning(source")
+      assert(exIdx >= 0 && capPlan.indexOf("WindowGroupLimit", exIdx) >= 0,
+        s"partial WindowGroupLimit must stay below the source exchange under skew:\n${capPlan.take(2000)}")
+      cap.collect() // executes green on the skewed corpus
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixDir))
+    }
+  }
+
   test("per-partition pre-cap then exact window equals the one-window source cap") {
     // The TextOps.textSourceCap scale note: a hot source with billions
     // of docs makes the single rank-window reducer the bottleneck.
