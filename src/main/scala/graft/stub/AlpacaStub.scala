@@ -219,6 +219,31 @@ object AlpacaStubServer {
       return (200,
         s"""{"bars": {${jsonStr(symbol)}: [$one]}, "next_page_token": "0"}""")
     }
+    if (symbol == "DRIFTEXTRA") {
+      // mid-stream schema drift, additive direction: from the second
+      // page on, every record carries unknown keys (scalar, nested
+      // object, array). The real API adds fields without versioning;
+      // the reference tolerates them (dict access ignores extras,
+      // bars.py:199-225) and graft's token walk must skipChildren()
+      // past them — same rows as a clean symbol, no skips, no errors.
+      val startUs = isoToUs(q(params, "start"))
+      val endUs = isoToUs(q(params, "end"))
+      val first = gridFirst(startUs, tfUs)
+      val total = gridCount(startUs, endUs, tfUs)
+      val offset = if (tok.isEmpty) 0 else tok.toInt
+      val hi = math.min(offset + limit, total)
+      val page = (offset until hi).map { k =>
+        val b = barJson(barAt(symbol, first + k.toLong * tfUs, tfUs))
+        if (offset == 0) b
+        else b.dropRight(1) +
+          """, "zz_new_metric": 7.5, "meta": {"src": "v3", "tags": [1, 2]}, "flags": ["a", "b"]}"""
+      }
+      val nextTok = if (hi < total) jsonStr(hi.toString) else "null"
+      val body =
+        if (page.isEmpty) """{"bars": {}, "next_page_token": null}"""
+        else s"""{"bars": {${jsonStr(symbol)}: [${page.mkString(",")}]}, "next_page_token": $nextTok}"""
+      return (200, body)
+    }
     if (symbol == "MALFORMED")
       // first record lacks h/l/c/v/n/vw → parser must warn + skip it.
       // Tiny fixture range, so pre-rendering the full list here is fine.
@@ -267,9 +292,27 @@ object AlpacaStubServer {
       val limit =
         if (symbol == "OVERLIMIT") Int.MaxValue
         else params.get("limit").map(_.toInt).getOrElse(10000)
+      // DRIFTMISSING: mid-stream schema drift, subtractive direction —
+      // from the second page on, records OMIT the optional `c`
+      // (conditions) key. The reference's parser defaults it
+      // (trades.py .get path); graft must emit conditions = "" for
+      // those rows and parse everything else unchanged — optional-key
+      // drift is record-shape tolerance, NOT malformed-record damage.
+      val renderTrade: Trade => String =
+        if (symbol == "DRIFTMISSING") {
+          val offset = {
+            val tok = q(params, "page_token")
+            if (tok.isEmpty) 0 else tok.toInt
+          }
+          t => {
+            val j = tradeJson(t)
+            if (offset == 0) j
+            else j.replaceFirst(""", "c": \[[^\]]*\]""", "")
+          }
+        } else tradeJson
       (200, envelope("trades", symbol,
         trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
-        tradeJson, limit,
+        renderTrade, limit,
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>

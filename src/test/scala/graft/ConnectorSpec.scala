@@ -234,6 +234,49 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 144, s"over-delivered page truncated or dropped: $n")
   }
 
+  test("mid-stream schema drift: extra unknown keys are tolerated (additive)") {
+    // DRIFTEXTRA adds unknown scalar, nested-object and array keys to
+    // every record from the SECOND page on (the real API adds fields
+    // without versioning; the reference's dict access ignores extras,
+    // bars.py:199-225). The token walk must skipChildren() past them.
+    // limit=7 forces pagination (24 hourly bars → 4 pages, 3 drifted);
+    // the un-paginated read of the same symbol returns one un-drifted
+    // page — identical parsed rows proves the extras changed nothing.
+    def read(extra: (String, String)*) =
+      spark.read.format("Alpaca_Stocks_Bars").options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['DRIFTEXTRA']", "timeframe" -> "1Hour",
+        "start" -> "2021-01-04T00:00:00Z",
+        "end" -> "2021-01-05T00:00:00Z") ++ extra.toMap)
+        .load().orderBy("time")
+        .select("time", "open", "high", "low", "close", "volume", "trade_count", "vwap")
+        .collect().toSeq
+    val drifted = read("limit" -> "7")
+    val clean = read()
+    assert(drifted.size == 24, s"drifted pages lost records: ${drifted.size}")
+    assert(drifted == clean, "extra unknown keys changed parsed values")
+  }
+
+  test("mid-stream schema drift: missing OPTIONAL key takes its default (subtractive)") {
+    // from the second page on, trade records omit the optional `c`
+    // (conditions) key entirely; the contract (reference .get default,
+    // E2) is conditions = "" for those rows — tolerate-and-default,
+    // never malformed-skip. limit=40 → page 1 (40 trades) keeps its
+    // conditions, pages 2-4 (104 trades) drift to "".
+    val df = spark.read.format("Alpaca_Stocks_Trades").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['DRIFTMISSING']", "limit" -> "40",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-05T00:00:00Z")).load()
+    val rows = df.orderBy("time").select("conditions").collect().map(_.getString(0))
+    assert(rows.length == 144, s"optional-key drift dropped records: ${rows.length}")
+    val (page1, drifted) = rows.splitAt(40)
+    assert(page1.exists(_.nonEmpty), "fixture page 1 should carry conditions")
+    assert(drifted.forall(_ == ""),
+      "missing optional key must default to empty conditions, not skip/fail")
+  }
+
   test("empty response (unknown path range) yields empty DataFrame") {
     val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
