@@ -582,7 +582,13 @@ object TextOps {
       |ORDER BY source, doc_id, copy""".stripMargin
 
   // ------------------------------------- n-gram LM corpus likelihood
-  private val LmVocabTop = 10000
+  // r5: 500 (was 10000) — the synthetic corpus has only ~916 distinct
+  // bigrams, so the old cap never bound and the out-of-vocabulary
+  // left-join path (coalesce to 0) was dead code in every gate. At
+  // 500 the cap bites at gate scale, so the three-way hash gate
+  // certifies the capped scoring path — the one that runs at 100 TB —
+  // not just the everything-in-vocabulary one.
+  private val LmVocabTop = 500
 
   /** One row per (doc, word-bigram occurrence) — the shared front of
     * both LM gates. `ws` is materialized once (split per bigram was

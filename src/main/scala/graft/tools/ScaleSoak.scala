@@ -102,11 +102,16 @@ object ScaleSoak {
       // per-copy chunk structure (df counts constant per copy), so the
       // answer and the work both grow linearly
       val (tC, ncd) = timeIt(TextOps.textChunkDedup(spark, dir))
+      // r5: the capped DSIR filter — amplified copies Zipf-flatten the
+      // bigram distribution but the top-V caps bound BOTH broadcast
+      // models by construction, so the scoring pass must stay linear
+      val (tF, nf) = timeIt(TextOps.textDsirFilter(spark, dir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
         f"minhash=$tM%.2f s ($nm pairs) lm=$tL%.2f s ($nl docs) " +
         f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs) " +
         f"| triangles=$tT%.2f s ($nt nodes) invIndex=$tI%.2f s ($ni terms) " +
-        f"kmeans=$tK%.2f s ($nk clusters) chunkDedup=$tC%.2f s ($ncd docs)")
+        f"kmeans=$tK%.2f s ($nk clusters) chunkDedup=$tC%.2f s ($ncd docs) " +
+        f"dsir=$tF%.2f s ($nf kept)")
     }
 
     // SemDeDup with the gate's FIXED K=8 centroids is deliberately

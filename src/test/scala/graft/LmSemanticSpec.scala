@@ -29,7 +29,9 @@ class LmSemanticSpec extends AnyFunSuite {
     val cnt = docTexts.toSeq.flatMap { case (_, t) => bigrams(t) }
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val total = cnt.values.sum
-    val model = cnt.toSeq.sortBy { case (b, c) => (-c, b) }.take(10000).toMap
+    val model = cnt.toSeq.sortBy { case (b, c) => (-c, b) }.take(500).toMap
+    // the cap must BIND (vocab > V) so the OOV zero path is exercised
+    assert(cnt.size > 500, "fixture vocabulary no longer exceeds the lm cap")
     val expected = docTexts.toSeq.collect {
       case (id, t) if bigrams(t).nonEmpty =>
         val bs = bigrams(t)
