@@ -19,7 +19,12 @@ class DeterminismSpec extends AnyFunSuite {
     // centroids, triangle join fan-out, funnel window chain,
     // volatility lag windows) — none may notice the partitioning
     "sim_kmeans", "graph_triangles", "q27_funnel", "alpaca_volatility",
-    "q28_rolling_range", "graph_reachability", "sim_ann_recall")
+    "q28_rolling_range", "graph_reachability", "sim_ann_recall",
+    // r5: the binding top-V caps — TakeOrderedAndProject merges
+    // per-partition V-heaps, so a non-total tie-break would select
+    // different vocabularies at different partitionings; and the
+    // chunk dedup's (ck, chunk) two-level aggregation
+    "text_lm_score", "text_dsir_filter", "text_chunk_dedup")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
