@@ -133,6 +133,54 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_ngram_jaccard (uncapped): AQE splits the hot-shingle bucket end-to-end") {
+    // SCALE.md's backstop claim for the UNCAPPED Jaccard variant —
+    // "AQE skew splitting remains the backstop" — as proof, mirroring
+    // the LSH band-join case. Fixture: 400 docs share ONE hot shingle
+    // ("the quick brown" prefix) and continue uniquely, 100 docs are
+    // fully unique; the hot shingle's join bucket holds C(400,2)
+    // intersections. With toy-scale split thresholds, AQE must mark
+    // the merge-pinned self-join skew=true and the pair set must be
+    // exactly the hot clique at jaccard 1/(3+3-1) = 0.2 (each hot doc
+    // has 3 shingles, hot pairs share exactly the one).
+    import spark.implicits._
+    val docs = ((0 until 400).map(i =>
+      (i.toLong, s"the quick brown u${i}a u${i}b")) ++
+      (400 until 500).map(i =>
+        (i.toLong, s"v${i}a v${i}b v${i}c v${i}d v${i}e")))
+      .toDF("doc_id", "text")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_skew_jac").toString
+    docs.repartition(8).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = SparkEntry.queries("dedup_ngram_jaccard")(spark, fixDir)
+      val rows = q.collect()
+      assert(rows.length == 400 * 399 / 2,
+        s"pair set changed under skew split: ${rows.length}")
+      assert(rows.forall(_.getDouble(2) == 0.2),
+        "hot pairs must score exactly 1/5")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot shingle bucket:\n${plan.take(2000)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixDir))
+    }
+  }
+
   test("text_chunk_dedup: hot-chunk fixture keeps the probe side shuffle-free") {
     // Boilerplate-skew end-to-end: every doc STARTS with the same
     // 3-word chunk (df = 2000) and continues uniquely. The r4 design
