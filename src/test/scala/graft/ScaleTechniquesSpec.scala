@@ -133,6 +133,55 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: bucketed digest corpus makes the daily join corpus-shuffle-free") {
+    // SCALE.md's dedup_incremental scale note as proof: at 100 TB the
+    // persisted "seen digests" table is bucketed on the digest so the
+    // daily delta join never re-shuffles the corpus side. Persist the
+    // corpus digests bucketed by h, run the delta classification
+    // against the TABLE, and assert (a) the statuses equal the gate's
+    // own in-memory form on the same data, (b) the corpus side of the
+    // join has NO exchange — only the (small) delta side shuffles.
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS corpus_digests_b")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", md5(substring($"text", 1, 10)).as("h"))
+    d.filter($"doc_id" % 5 =!= 0).select($"h").distinct()
+      .write.bucketBy(8, "h").sortBy("h").mode("overwrite")
+      .saveAsTable("corpus_digests_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = d.filter($"doc_id" % 5 === 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"h").orderBy($"doc_id")
+      val viaTable = batch
+        .join(spark.table("corpus_digests_b").withColumn("in_corpus", lit(1)),
+          Seq("h"), "left")
+        .withColumn("rk", row_number().over(w))
+        .select($"doc_id",
+          when($"in_corpus".isNotNull, lit("dup_corpus"))
+            .when($"rk" > 1, lit("dup_batch"))
+            .otherwise(lit("new")).as("status"))
+        .orderBy($"doc_id")
+      val expected = SparkEntry.queries("dedup_incremental")(spark, dir)
+        .collect().map(_.toString).toSeq
+      assert(viaTable.collect().map(_.toString).toSeq == expected,
+        "bucketed-corpus classification diverged from the gate")
+      // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+      // audit only the final one
+      val plan = viaTable.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the corpus (bucketed) branch must read straight into the join;
+      // exactly ONE h-exchange total — the batch/delta side's
+      val hShuffles = "Exchange hashpartitioning\\(h".r.findAllIn(plan).size
+      assert(hShuffles <= 1, s"corpus side re-shuffled on the digest:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"corpus scan not bucket-fed:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a bucket-fed SMJ:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS corpus_digests_b")
+    }
+  }
+
   test("dedup_ngram_jaccard (uncapped): AQE splits the hot-shingle bucket end-to-end") {
     // SCALE.md's backstop claim for the UNCAPPED Jaccard variant —
     // "AQE skew splitting remains the backstop" — as proof, mirroring
