@@ -92,8 +92,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val best = attempts.minBy { case (t, err) => (err.isDefined, t) }
-      val ok = attempts.collect { case (t, None) => t }
-      val spread = if (ok.size > 1) ok.max - ok.min else 0.0
+      val ok = attempts.collect { case (t, None) => t }.sorted
+      // spread = second-best − best, NOT max − min: the max is usually
+      // the cold first attempt (codegen/JIT attribution), which would
+      // overstate steady-state noise for every query and make the
+      // field useless for regression adjudication
+      val spread = if (ok.size > 1) ok(1) - ok(0) else 0.0
       (name, best._1, spread, best._2)
     }
     // 3-decimal (ms) timings: full Double.toString rendered the
