@@ -441,6 +441,59 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy-join multi-probe: shifted block keys recover edits inside any one block") {
+    // The text_fuzzy_join scale note as proof: a single block key
+    // misses every match whose edit lands INSIDE the block segment;
+    // OR-ing several shifted block segments (multi-probe) recovers
+    // them — an edit localized to one segment leaves the others
+    // intact — while staying equi-join-bounded (never all-pairs).
+    // Fixture: 200 pseudo-random 45-char docs; each query is one doc
+    // with ONE char edited, half inside block A (chars 5..24), half
+    // inside block B (25..44). Ground truth = exact thresholded
+    // all-pairs. Single probe on A finds only the A-intact half;
+    // probing A ∪ B finds 100%.
+    import spark.implicits._
+    // the 5-digit id repeats through all 45 chars, so any two DISTINCT
+    // docs differ in ≥1 char per 6-char repeat (≥7 total ≫ threshold 3)
+    // while each query sits at distance exactly 1 from its source
+    def text(i: Int): String =
+      (("%05d".format(i) + "x") * 8).take(45)
+    val corpus = (0 until 200).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val queries = (0 until 200).map { i =>
+      val t = text(i).toCharArray
+      val pos = if (i % 2 == 0) 10 else 28 // inside A / inside B
+      t(pos) = if (t(pos) == 'z') 'y' else 'z'
+      (1000L + i, new String(t), i.toLong)
+    }.toDF("q_id", "q_text", "src_id")
+
+    def probe(df: org.apache.spark.sql.DataFrame, from: Int): org.apache.spark.sql.DataFrame =
+      df.withColumn("block", substring(col(df.columns(1)), from, 20))
+    val cA = probe(corpus, 5); val qA = probe(queries, 5)
+    val cB = probe(corpus, 25); val qB = probe(queries, 25)
+    def join(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      q.join(c, "block")
+        .withColumn("dist", levenshtein(col("q_text"), col("text"), 3))
+        .filter(col("dist").between(0, 3))
+        .select(col("q_id"), col("doc_id"))
+    val single = join(qA, cA).distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiDf = join(qA, cA).union(join(qB, cB)).distinct()
+    val multi = multiDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth: thresholded all-pairs (fine at 200×200)
+    val truth = queries.crossJoin(corpus)
+      .withColumn("dist", levenshtein(col("q_text"), col("text"), 3))
+      .filter(col("dist").between(0, 3))
+      .select(col("q_id"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size == 200, s"each query should match exactly its source: ${truth.size}")
+    assert(multi == truth, "multi-probe must reach 100% recall on single-segment edits")
+    assert(single.size == 100 && single.subsetOf(truth),
+      s"single probe should find exactly the A-intact half: ${single.size}")
+    // candidate generation stays an equi-join union — never all-pairs
+    val plan = multiDf.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe must remain equi-join-bounded:\n$plan")
+  }
+
   test("per-partition pre-cap then exact window equals the one-window source cap") {
     // The TextOps.textSourceCap scale note: a hot source with billions
     // of docs makes the single rank-window reducer the bottleneck.
