@@ -79,12 +79,23 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "dedup_ngram_jaccard_capped", "dedup_simhash_pairs",
              "dedup_clusters", "dedup_incremental"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops"]
+# r5: multimodal plumbing (payload = documents.text bytes). These run
+# on a DEDICATED single-byte hostile fixture (plus the degenerate
+# runs), not the shared seeds: their DuckDB oracles index code points
+# (DuckDB has no blob byte access), which equals the Spark side's
+# byte arithmetic only for single-byte text — the documented oracle
+# bound (PARITY.md). The fixture still carries NULs, empty docs, 5KB
+# tokens and int64-edge doc_ids — the hostile cases that found the
+# height-derivation overflow and the empty-doc NULL divergence.
+MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
+            "mm_resize_stub", "mm_audio_energy"]
 # r5: similarity family over hostile embeddings (zero-norm → NaN
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)
 EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              "sim_emb_neardup", "sim_semantic_dedup", "sim_quantized",
              "sim_kmeans", "sim_ann_recall"]
 GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES
+ALL_GATES = GATES + MM_GATES
 
 I64_EDGES = [0, 1, -1, 2**31, -(2**31) - 1, 2**62, -(2**62), 2**63 - 1]
 
@@ -358,12 +369,12 @@ def values_equal(a, b):
     return a == b
 
 
-def compare(out_dir, sf_dir, oracle_sql):
+def compare(out_dir, sf_dir, oracle_sql, gates=None):
     con = duckdb.connect()
     for t in ["documents", "lineitem", "events", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = []
-    for name in GATES:
+    for name in (gates if gates is not None else GATES):
         try:
             spark_df = canon(
                 pads.dataset(f"{out_dir}/{name}").to_table().to_pandas())
@@ -390,7 +401,7 @@ def compare(out_dir, sf_dir, oracle_sql):
 
 def main(seeds):
     work = Path(tempfile.mkdtemp(prefix="graft_fuzz_"))
-    runs = []
+    runs = []  # (tag, sf_dir, out_dir, gates)
     for seed in seeds:
         rng = random.Random(seed)
         cardinality = ["one", "all", "mixed"][seed % 3]
@@ -406,8 +417,9 @@ def main(seeds):
                        sf_dir / "embeddings.parquet")
         runs.append((f"seed={seed} "
                      f"({['one-group', 'all-distinct', 'mixed'][seed % 3]})",
-                     sf_dir, work / f"out_seed{seed}"))
+                     sf_dir, work / f"out_seed{seed}", GATES))
     # degenerate corpora: every table empty, then every table single-row
+    # (ALL gates incl. multimodal — single-byte by construction)
     for tag, tables in [("empty", empty_tables()),
                         ("single-row", single_row_tables())]:
         sf_dir = work / f"sf_{tag.replace('-', '_')}"
@@ -415,13 +427,31 @@ def main(seeds):
         for name, t in zip(["documents", "lineitem", "events", "embeddings"],
                            tables):
             pq.write_table(t, sf_dir / f"{name}.parquet")
-        runs.append((tag, sf_dir, work / f"out_{tag.replace('-', '_')}"))
+        runs.append((tag, sf_dir, work / f"out_{tag.replace('-', '_')}",
+                     ALL_GATES))
+    # multimodal hostile fixture: single-byte text only (the mm oracle
+    # bound), still hostile — empty / NUL / 5KB-token / punctuation
+    # docs, int64-edge doc_ids (the height-overflow case)
+    mm_rng = random.Random(seeds[0])
+    mm_dir = work / "sf_mm_singlebyte"
+    mm_dir.mkdir(parents=True)
+    single_byte = [t for t in TEXT_POOL if all(ord(c) < 128 for c in t)]
+    mm_docs = gen_documents(mm_rng, 300, "mixed")
+    mm_texts = [mm_rng.choice(single_byte) for _ in range(300)]
+    mm_docs = mm_docs.set_column(
+        mm_docs.schema.get_field_index("text"),
+        "text", pa.array(mm_texts, pa.string()))
+    pq.write_table(mm_docs, mm_dir / "documents.parquet")
+    for name, t in zip(["lineitem", "events", "embeddings"],
+                       single_row_tables()[1:]):
+        pq.write_table(t, mm_dir / f"{name}.parquet")
+    runs.append(("mm-singlebyte", mm_dir, work / "out_mm", MM_GATES))
 
     # one sbt launch, one forked Verify per fixture; stdout suppressed
     # (it is megabytes of Spark INFO noise) but captured to a log so a
     # failed Verify is diagnosable instead of a bare CalledProcessError
-    cmds = [f'runMain graft.Verify {sf} {out} {",".join(GATES)}'
-            for _, sf, out in runs]
+    cmds = [f'runMain graft.Verify {sf} {out} {",".join(gates)}'
+            for _, sf, out, gates in runs]
     sbt_log = work / "sbt.log"
     with open(sbt_log, "w") as lf:
         proc = subprocess.run(["sbt", "-batch"] + cmds, cwd=REPO,
@@ -436,21 +466,21 @@ def main(seeds):
 
     import json
     n_fail = 0
-    for tag, sf_dir, out_dir in runs:
+    for tag, sf_dir, out_dir, gates in runs:
         oracle_sql = json.load(open(out_dir / "oracle_sql.json"))
-        failures = compare(out_dir, sf_dir, oracle_sql)
+        failures = compare(out_dir, sf_dir, oracle_sql, gates)
         if failures:
             n_fail += len(failures)
             for f in failures:
                 print(f"FAIL {tag} {f}")
         else:
-            print(f"PASS {tag}: {len(GATES)} gates")
+            print(f"PASS {tag}: {len(gates)} gates")
     if n_fail:
         print(f"(fixtures kept for diagnosis under {work})")
     else:
         shutil.rmtree(work, ignore_errors=True)
     print(f"== fuzz {'FAILED' if n_fail else 'OK'}: "
-          f"{len(runs)} fixtures x {len(GATES)} gates, {n_fail} failures ==")
+          f"{len(runs)} fixtures, {n_fail} failures ==")
     return 1 if n_fail else 0
 
 

@@ -28,13 +28,18 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
 object Multimodal {
   import Tables.t
 
-  /** Typed media records: text bytes as payload + synthetic metadata. */
+  /** Typed media records: text bytes as payload + synthetic metadata.
+    * The height derivation reduces doc_id mod 64 BEFORE multiplying:
+    * ((id % 64) * 7) % 64 ≡ (id * 7) % 64 (congruence, same C-modulo
+    * sign either way) but cannot overflow — the direct form threw
+    * ARITHMETIC_OVERFLOW under ANSI for int64-edge ids (r5 fuzz
+    * find), and DuckDB errors on BIGINT overflow too. */
   def mediaRecords(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       (lit(32) + col("doc_id") % 64).cast("int").as("width"),
-      (lit(32) + (col("doc_id") * 7) % 64).cast("int").as("height"),
+      (lit(32) + (col("doc_id") % 64) * 7 % 64).cast("int").as("height"),
       lit(3).as("channels"))
 
   /** Metadata extraction (no decode): byte length, leading byte,
@@ -56,9 +61,9 @@ object Multimodal {
       |  ASCII(SUBSTR(text, 1, 1)) AS first_byte,
       |  md5(text) AS payload_md5,
       |  CAST(32 + doc_id % 64 AS INT) AS width,
-      |  CAST(32 + (doc_id * 7) % 64 AS INT) AS height,
+      |  CAST(32 + (doc_id % 64) * 7 % 64 AS INT) AS height,
       |  3 AS channels,
-      |  CAST(32 + doc_id % 64 AS BIGINT) * (32 + (doc_id * 7) % 64) * 3 AS n_values
+      |  CAST(32 + doc_id % 64 AS BIGINT) * (32 + (doc_id % 64) * 7 % 64) * 3 AS n_values
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /**
@@ -104,10 +109,15 @@ object Multimodal {
     * 1-based), and the chunk-mean sum keeps the left-associated
     * order of the Spark-side aggregate(). */
   val mmDecodeStubSql: String = {
+    // empty-chunk/empty-doc guards mirror the Spark side's `if (n == 0)
+    // 0.0` / `if (hi <= lo) 0.0` exactly — without them an empty
+    // document scores NULL here (sum of [] is NULL) but 0.0 in Spark
+    // (r5 fuzz find)
     val chunkMeans = (0 until 4).map { c =>
       val lo = s"($c * n) // 4"
       val hi = s"(${c + 1} * n) // 4"
-      s"CAST(list_aggregate(list_slice(cps, $lo + 1, $hi), 'sum') AS DOUBLE) / ($hi - $lo) AS m$c"
+      s"CASE WHEN $hi <= $lo THEN 0.0 ELSE " +
+        s"CAST(list_aggregate(list_slice(cps, $lo + 1, $hi), 'sum') AS DOUBLE) / ($hi - $lo) END AS m$c"
     }.mkString(",\n      |    ").stripMargin
     s"""WITH b AS (
        |  SELECT doc_id, strlen(text) AS n,
@@ -115,7 +125,8 @@ object Multimodal {
        |  FROM documents),
        |chunks AS (
        |  SELECT doc_id, n,
-       |    CAST(list_aggregate(cps, 'sum') AS DOUBLE) / n AS mean_byte,
+       |    CASE WHEN n = 0 THEN 0.0
+       |         ELSE CAST(list_aggregate(cps, 'sum') AS DOUBLE) / n END AS mean_byte,
        |    $chunkMeans
        |  FROM b)
        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, mean_byte,
