@@ -78,7 +78,20 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "text_dsir_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
              "dedup_ngram_jaccard_capped", "dedup_simhash_pairs",
              "dedup_clusters", "dedup_incremental"]
-EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops"]
+EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
+               # r5 widening: RANGE-frame rolling windows and both
+               # as-of directions over hostile event streams, plus the
+               # lineitem-only rank/null-semantics gates. The
+               # tolerance-flag gates (q16/q19/q24: "is MY sketch
+               # within 5% of MY exact") are deliberately absent: each
+               # engine checks its own approximate structure, so on an
+               # adversarially bimodal distribution (values ±1e9,
+               # exact median ~1) the flags legitimately disagree —
+               # swept once, diverged exactly there, documented in
+               # PARITY.md. The EXACT quantile columns held bit parity
+               # even on that fixture.
+               "q28_rolling_range", "asof_join", "asof_join_forward",
+               "q23_window_ranks", "q30_null_semantics"]
 # r5: multimodal plumbing (payload = documents.text bytes). These run
 # on a DEDICATED single-byte hostile fixture (plus the degenerate
 # runs), not the shared seeds: their DuckDB oracles index code points
