@@ -77,7 +77,10 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # shingles: unicode, NULs, 5KB tokens, sub-shingle docs)
              "text_dsir_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
              "dedup_ngram_jaccard_capped", "dedup_simhash_pairs",
-             "dedup_clusters", "dedup_incremental"]
+             "dedup_clusters", "dedup_incremental",
+             # r5: bloom-prefiltered decontam — the no-false-negative +
+             # exact-confirm argument must hold on hostile gram content
+             "text_bloom_decontam"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the

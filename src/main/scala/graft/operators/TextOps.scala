@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /**
  * Text-analysis operators for a training-data pipeline, over the
@@ -937,6 +938,93 @@ object TextOps {
        |HAVING SUM(CASE WHEN g.hit IS NOT NULL THEN 1 ELSE 0 END) > 0
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------- Bloom-prefiltered decontamination
+  /** Provisioned capacity for the benchmark-gram Bloom filter. A cap,
+    * not a limit: overflow past it degrades the false-positive rate
+    * (more candidates reach the exact confirm join) but NEVER the
+    * result — the opposite failure mode of an unbounded broadcast
+    * model (which OOMs). At 100 TB a full eval-suite gram set is
+    * ~1e8 entries → ~115 MB of bits at this fpp, still a routine
+    * broadcast; the constant here is sized for gate scale. */
+  private val BloomCapacity = 1L << 17
+  private val BloomFpp = 0.01
+
+  /** Decontamination against a FIXED benchmark set, restructured for
+    * the 100 TB shape: `text_ngram_decontam` joins every train gram
+    * against the test grams, so the (huge) train side pays a join for
+    * ~100% clean data. Here the distinct test grams are folded into a
+    * Bloom filter (distributed build via `stat.bloomFilter` — the
+    * sketch merges per-partition, only ~`BloomCapacity·ln(1/fpp)` BITS
+    * ever reach the driver), the train side is prefiltered map-side by
+    * a codegen'd `graft_bloom_might_contain` probe on `xxhash64(gram)`
+    * — no shuffle, no exchange, inside the scan's WholeStageCodegen
+    * span — and only the surviving ~fpp fraction meets the exact
+    * confirm join (broadcast: the benchmark set is bounded by
+    * construction). False positives die in the confirm join, so the
+    * output is EXACTLY the contaminated-doc set; the oracle needs no
+    * Bloom at all.
+    *
+    * Emits (doc_id, n_shared_distinct) per contaminated train doc —
+    * the same distinct-overlap count as the sibling gate, cross-
+    * checkable row for row. */
+  def textBloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        when(h < 80, lit("train")).when(h < 90, lit("val"))
+          .otherwise(lit("test")).as("split"),
+        split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= DecontamN)
+      .select(col("doc_id"), col("split"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${DecontamN - 1}),
+           |  i -> md5(array_join(slice(ws, i, $DecontamN), ' ')))""".stripMargin))
+        .as("gram"))
+    val testGrams = grams.filter(col("split") === "test")
+      .select(col("gram")).distinct()
+    // NOT df.stat.bloomFilter: its treeAggregate seeds with null and
+    // NPEs on an empty input (an empty benchmark set must mean "no
+    // candidates", not a crash). Same distributed build, non-null
+    // zero: each partition folds its grams into a local filter and
+    // the ~BloomCapacity·ln(1/fpp)-bit sketches OR-merge up the tree
+    // — raw grams never reach the driver.
+    import spark.implicits._
+    val bloom = testGrams.select(xxhash64(col("gram"))).as[Long].rdd
+      .treeAggregate(BloomFilter.create(BloomCapacity, BloomFpp))(
+        (bf, v) => { bf.putLong(v); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    grams.filter(col("split") === "train")
+      .filter(graft.functions.BloomExpressions.mightContainLong(
+        xxhash64(col("gram")), bloom))
+      .join(broadcast(testGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_distinct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle is the exact semantics — the Bloom stage is invisible to
+    * the result by the no-false-negative + exact-confirm argument. */
+  val textBloomDecontamSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    STRING_SPLIT(text, ' ') AS ws
+       |  FROM documents
+       |  WHERE LEN(STRING_SPLIT(text, ' ')) >= $DecontamN),
+       |grams AS (
+       |  SELECT doc_id, split,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${DecontamN - 1}], ' ')) AS gram
+       |  FROM d, UNNEST(RANGE(1, LEN(ws) - ${DecontamN - 2})) AS r(i)),
+       |test_grams AS (
+       |  SELECT DISTINCT gram FROM grams WHERE split = 'test')
+       |SELECT t.doc_id,
+       |  CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_distinct
+       |FROM grams t JOIN test_grams g ON t.gram = g.gram
+       |WHERE t.split = 'train'
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- inverted index
   private val PostingsHead = 10
 
@@ -1049,6 +1137,7 @@ object TextOps {
     "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),
     "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)),
     "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)),
+    "text_bloom_decontam" -> ((textBloomDecontam _, textBloomDecontamSql)),
     "text_inverted_index" -> ((textInvertedIndex _, textInvertedIndexSql)),
     "text_fuzzy_join" -> ((textFuzzyJoin _, textFuzzyJoinSql)))
 }

@@ -90,6 +90,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bloom_decontam: map-side bloom prefilter, exchange-free probe branch") {
+    // The 100 TB contract of the Bloom rework: the train side is
+    // prefiltered by the codegen'd graft_bloom_might_contain probe
+    // BELOW the confirm join, and the probe branch (scan → explode →
+    // bloom filter → join) carries NO exchange — the only gram-keyed
+    // shuffle in the whole plan is the bounded build-side distinct of
+    // the benchmark grams. The confirm join must broadcast that
+    // bounded side, never sort-merge the corpus.
+    val p = SparkEntry.queries("text_bloom_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_bloom_might_contain"),
+      s"bloom prefilter missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"confirm join must broadcast the bounded benchmark grams:\n$p")
+    // textual tree order: the streamed (probe) branch prints between
+    // the join node and its BroadcastExchange build side
+    val probeBranch = p.substring(
+      p.indexOf("BroadcastHashJoin"), p.indexOf("BroadcastExchange"))
+    assert(probeBranch.contains("graft_bloom_might_contain"),
+      s"bloom probe must sit on the streamed train branch:\n$p")
+    assert(!probeBranch.contains("Exchange"),
+      s"probe branch gained a shuffle (train grams must never exchange):\n$p")
+  }
+
   test("single-explode formulations stay single-explode") {
     Seq("text_tfidf", "text_repetition").foreach { n =>
       val gens = "Generate".r.findAllIn(planOf(n)).size
