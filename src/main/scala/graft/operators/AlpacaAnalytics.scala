@@ -345,6 +345,146 @@ object AlpacaAnalytics {
        |ORDER BY symbol, day""".stripMargin
   }
 
+  // --------------------------------------------------- RSI (Cutler)
+  private val rsiStart = "2021-03-01T00:00:00Z"
+  private val rsiEnd = "2021-03-04T00:00:00Z"
+  private val RsiN = 14
+
+  /** Cutler's RSI-14 over hourly bars (the SMA-based variant — the
+    * Wilder recursive-EMA form has an infinite memory horizon, which
+    * no bounded window frame can express and no cross-engine oracle
+    * can replay exactly). All internals are exact integers: cent
+    * moves, gain/loss sums over a 14-diff frame, and the rational
+    * single-division form rsi = 100·Σgain / (Σgain + Σloss) — which
+    * equals 100 − 100/(1+RS) algebraically but costs ONE IEEE divide
+    * of two exact longs, so it is bit-identical to the serial oracle
+    * on any partitioning (and a flat-but-nonconstant window needs no
+    * special case: Σloss = 0 ⇒ exactly 100.0).
+    *
+    * Scale: one symbol exchange feeds a single Window node holding
+    * the lag, the row_number and both framed sums (same partition +
+    * order spec); rows-frame state is 14 longs. Emitted only for full
+    * lookbacks (rn ≥ 14 diffs), the standard convention. */
+  def rsi(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    val w14 = w.rowsBetween(-(RsiN - 1), 0)
+    barsDf(spark, "1Hour", rsiStart, rsiEnd)
+      .withColumn("cents", (col("close") * 100).cast("bigint"))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum_gain", sum(when(col("d") > 0, col("d")).otherwise(0L)).over(w14))
+      .withColumn("sum_loss", sum(when(col("d") < 0, -col("d")).otherwise(0L)).over(w14))
+      .filter(col("rn") >= RsiN)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("close"), col("sum_gain"), col("sum_loss"),
+        when(col("sum_gain") + col("sum_loss") === 0L, lit(null).cast("double"))
+          .otherwise((col("sum_gain") * 100L).cast("double") /
+            (col("sum_gain") + col("sum_loss")).cast("double")).as("rsi"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def rsiSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(rsiStart), us(rsiEnd), Hour)
+      val cents = bs.map(b => (b.close * 100).toLong)
+      val diffs = cents.zip(cents.tail).map { case (a, b) => b - a }
+      (RsiN - 1 until diffs.size).map { j =>
+        val win = diffs.slice(j - (RsiN - 1), j + 1)
+        val sg = win.filter(_ > 0).sum
+        val sl = -win.filter(_ < 0).sum
+        val b = bs(j + 1) // diff j closes at bar j+1
+        val rsiLit = if (sg + sl == 0L) "CAST(NULL AS DOUBLE)"
+        else fmtDExact((sg * 100L).toDouble / (sg + sl).toDouble)
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(b.timeUs))}, ${fmtD(b.close)}, $sg, $sl, $rsiLit)"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(close AS DOUBLE) AS close,
+       |  CAST(sum_gain AS BIGINT) AS sum_gain, CAST(sum_loss AS BIGINT) AS sum_loss,
+       |  CAST(rsi AS DOUBLE) AS rsi
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, close, sum_gain, sum_loss, rsi)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
+  // ---------------------------------------------- Bollinger bands
+  private val bollStart = "2021-03-08T00:00:00Z"
+  private val bollEnd = "2021-03-11T00:00:00Z"
+  private val BollN = 20
+
+  /** 20-bar Bollinger bands (±2σ, population σ) + %B, in cents. The
+    * moving mean and variance are assembled from exact-integer frame
+    * sums (Σc, Σc² — closes are cent longs, so both are exact and
+    * order-independent), then a FIXED chain of IEEE ops replayed
+    * identically by the serial oracle: mean = Σc/n,
+    * var = (n·Σc² − (Σc)²)/n², sd = √var, bands = mean ± 2·sd,
+    * %B = (c − lower)/(upper − lower). stddev()/avg() would hand the
+    * accumulation order to each engine's aggregate internals — the
+    * exact-sum + explicit-expression form keeps it deterministic
+    * (same discipline as alpaca_volatility). %B NULL-guards the
+    * flat-window case (sd = 0 ⇒ bands collapse).
+    *
+    * Scale: one symbol exchange, one Window node (row_number + both
+    * framed sums share the spec), frame state = 20 longs. Full
+    * windows only (rn ≥ 20). */
+  def bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    val wN = w.rowsBetween(-(BollN - 1), 0)
+    val n = BollN.toLong
+    barsDf(spark, "1Hour", bollStart, bollEnd)
+      .withColumn("cents", (col("close") * 100).cast("bigint"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum_c", sum(col("cents")).over(wN))
+      .withColumn("sum_c2", sum(col("cents") * col("cents")).over(wN))
+      .filter(col("rn") >= BollN)
+      .withColumn("mean_c", col("sum_c").cast("double") / lit(n.toDouble))
+      .withColumn("var_c",
+        (lit(n) * col("sum_c2") - col("sum_c") * col("sum_c")).cast("double") /
+          lit((n * n).toDouble))
+      .withColumn("sd_c", sqrt(col("var_c")))
+      .withColumn("upper_c", col("mean_c") + lit(2.0) * col("sd_c"))
+      .withColumn("lower_c", col("mean_c") - lit(2.0) * col("sd_c"))
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("cents"), col("mean_c"), col("sd_c"), col("upper_c"), col("lower_c"),
+        when(col("sd_c") === 0.0, lit(null).cast("double"))
+          .otherwise((col("cents").cast("double") - col("lower_c")) /
+            (col("upper_c") - col("lower_c"))).as("pct_b"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def bollingerSql: String = {
+    val n = BollN.toLong
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(bollStart), us(bollEnd), Hour)
+      val cents = bs.map(b => (b.close * 100).toLong)
+      (BollN - 1 until bs.size).map { j =>
+        val win = cents.slice(j - (BollN - 1), j + 1)
+        val sumC = win.sum
+        val sumC2 = win.map(c => c * c).sum
+        // the EXACT op chain of the Spark expressions above
+        val mean = sumC.toDouble / n.toDouble
+        val varC = (n * sumC2 - sumC * sumC).toDouble / (n * n).toDouble
+        val sd = math.sqrt(varC)
+        val upper = mean + 2.0 * sd
+        val lower = mean - 2.0 * sd
+        val pctB = if (sd == 0.0) "CAST(NULL AS DOUBLE)"
+        else fmtDExact((cents(j).toDouble - lower) / (upper - lower))
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(bs(j).timeUs))}, ${cents(j)}, " +
+          s"${fmtDExact(mean)}, ${fmtDExact(sd)}, ${fmtDExact(upper)}, " +
+          s"${fmtDExact(lower)}, $pctB)"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(cents AS BIGINT) AS cents,
+       |  CAST(mean_c AS DOUBLE) AS mean_c, CAST(sd_c AS DOUBLE) AS sd_c,
+       |  CAST(upper_c AS DOUBLE) AS upper_c, CAST(lower_c AS DOUBLE) AS lower_c,
+       |  CAST(pct_b AS DOUBLE) AS pct_b
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, cents, mean_c, sd_c, upper_c, lower_c, pct_b)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
@@ -352,5 +492,7 @@ object AlpacaAnalytics {
     "alpaca_daily_returns" -> ((dailyReturns _, dailyReturnsSql)),
     "alpaca_return_summary" -> ((returnSummary _, returnSummarySql)),
     "alpaca_volatility" -> ((volatilityDaily _, volatilityDailySql)),
-    "alpaca_drawdown" -> ((drawdown _, drawdownSql)))
+    "alpaca_drawdown" -> ((drawdown _, drawdownSql)),
+    "alpaca_rsi" -> ((rsi _, rsiSql)),
+    "alpaca_bollinger" -> ((bollinger _, bollingerSql)))
 }
