@@ -80,7 +80,10 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "dedup_clusters", "dedup_incremental",
              # r5: bloom-prefiltered decontam — the no-false-negative +
              # exact-confirm argument must hold on hostile gram content
-             "text_bloom_decontam"]
+             "text_bloom_decontam",
+             # r5: repeated-substring spans (run-merge arithmetic on
+             # hostile token content + degenerate corpora)
+             "text_substring_dedup"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the

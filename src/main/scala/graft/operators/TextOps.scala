@@ -1025,6 +1025,77 @@ object TextOps {
        |GROUP BY t.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------- exact repeated-substring spans
+  private val SubstrK = 8
+
+  /** Exact substring-duplication spans — the signal behind
+    * suffix-array training-data dedup (find every ≥K-token substring
+    * that occurs more than once in the corpus), re-expressed for a
+    * distributed engine: a position is "duplicated" iff its K-gram
+    * occurs ≥2 times corpus-wide (any doc, any position — intra-doc
+    * repeats count), and maximal CONSECUTIVE runs of duplicated
+    * positions are merged per doc with the pos − row_number() trick
+    * (consecutive integers share the difference), so no recursion and
+    * the oracle is plain SQL. Emits per affected doc the run count,
+    * total duplicated positions, and longest run.
+    *
+    * Scale shape: one explode; the corpus-wide gram count is a
+    * partial-aggregable two-phase hash aggregate on the 16-byte
+    * digest (hot boilerplate grams collapse map-side — never a
+    * window over the gram partition); the join back to positions is
+    * the one honest big-big shuffle of the operator, carrying only
+    * (digest, doc_id, pos) — AQE skew-split backstops hot digests,
+    * and the df-cap pattern of dedup_ngram_jaccard_capped applies if
+    * boilerplate needs bounding by construction. The run merge is a
+    * per-doc window (doc_id exchange) over ints. ~3 digest/id-only
+    * exchanges total; text never shuffles. */
+  def textSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SubstrK)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(ws) - ${SubstrK - 1}),
+           |  i -> md5(array_join(slice(ws, i, $SubstrK), ' ')))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dupGrams, Seq("gram"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_pos"), max(col("pos")).as("end_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("n_pos")).as("n_dup_positions"),
+        max(col("n_pos")).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textSubstringDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+       |  WHERE LEN(STRING_SPLIT(text, ' ')) >= $SubstrK),
+       |grams AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${SubstrK - 1}], ' ')) AS gram
+       |  FROM d, UNNEST(RANGE(1, LEN(ws) - ${SubstrK - 2})) AS r(i)),
+       |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+       |pos_runs AS (
+       |  SELECT g.doc_id, g.pos,
+       |    g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+       |  FROM grams g JOIN dup USING (gram)),
+       |runs AS (
+       |  SELECT doc_id, grp, COUNT(*) AS n_pos
+       |  FROM pos_runs GROUP BY doc_id, grp)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |  CAST(SUM(n_pos) AS BIGINT) AS n_dup_positions,
+       |  CAST(MAX(n_pos) AS BIGINT) AS max_run
+       |FROM runs GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------- inverted index
   private val PostingsHead = 10
 
@@ -1138,6 +1209,7 @@ object TextOps {
     "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)),
     "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)),
     "text_bloom_decontam" -> ((textBloomDecontam _, textBloomDecontamSql)),
+    "text_substring_dedup" -> ((textSubstringDedup _, textSubstringDedupSql)),
     "text_inverted_index" -> ((textInvertedIndex _, textInvertedIndexSql)),
     "text_fuzzy_join" -> ((textFuzzyJoin _, textFuzzyJoinSql)))
 }
