@@ -106,12 +106,21 @@ object ScaleSoak {
       // bigram distribution but the top-V caps bound BOTH broadcast
       // models by construction, so the scoring pass must stay linear
       val (tF, nf) = timeIt(TextOps.textDsirFilter(spark, dir))
+      // r5 continuation: bloom decontam — the FIXED-capacity filter
+      // saturates as amplified test grams exceed it, so the timing
+      // should degrade TOWARD the plain-join decontam cost and never
+      // past it (graceful degradation measured, not asserted);
+      // substring spans — disjoint per-copy gram spaces keep the
+      // duplicated-run answer linear
+      val (tB, nb) = timeIt(TextOps.textBloomDecontam(spark, dir))
+      val (tU, nu) = timeIt(TextOps.textSubstringDedup(spark, dir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
         f"minhash=$tM%.2f s ($nm pairs) lm=$tL%.2f s ($nl docs) " +
         f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs) " +
         f"| triangles=$tT%.2f s ($nt nodes) invIndex=$tI%.2f s ($ni terms) " +
         f"kmeans=$tK%.2f s ($nk clusters) chunkDedup=$tC%.2f s ($ncd docs) " +
-        f"dsir=$tF%.2f s ($nf kept)")
+        f"dsir=$tF%.2f s ($nf kept) bloomDecontam=$tB%.2f s ($nb docs) " +
+        f"substrSpans=$tU%.2f s ($nu docs)")
     }
 
     // SemDeDup with the gate's FIXED K=8 centroids is deliberately
