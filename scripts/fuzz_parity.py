@@ -83,7 +83,10 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "text_bloom_decontam",
              # r5: repeated-substring spans (run-merge arithmetic on
              # hostile token content + degenerate corpora)
-             "text_substring_dedup"]
+             "text_substring_dedup",
+             # r5: incremental minhash probe (band/est parity on
+             # hostile shingles; empty batch or corpus sides)
+             "dedup_incremental_minhash"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the

@@ -548,6 +548,81 @@ object Dedup {
       |       ELSE 'new' END AS status
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- incremental near-dup
+  /** Incremental MinHash dedup — the production shape of near-dup
+    * maintenance: an arriving delta batch (doc_id % 5 = 0, the same
+    * split convention as `dedup_incremental`) is probed against the
+    * EXISTING corpus's LSH band index, never against itself + corpus
+    * re-banded from scratch. Each batch doc gets its best corpus
+    * match (highest est_jaccard, ties to the lowest corpus doc_id)
+    * at the ≥ $ClusterThreshold near-dup bar, or 'new'.
+    *
+    * Scale: the band join probes the (persistent, linearly-growing)
+    * corpus index with only the delta — at 100 TB the index lives as
+    * a table BUCKETED on the band hash, so the incremental probe
+    * shuffles the delta alone (the corpus-shuffle-free bucketed join
+    * is proven for the digest case in ScaleTechniquesSpec; the band
+    * key changes nothing structural). In-gate both sides derive from
+    * one scan, so the join is pinned sort-merge with a reused
+    * exchange (the minhashPairsCore rationale: broadcasting a
+    * linear-size side is the scale-killer). Signatures ride packed
+    * through the band explode; the per-pair eq-count is the codegen'd
+    * MatchCountF loop; best-match selection is a per-batch-doc
+    * row_number — delta-sized, never corpus-sized. */
+  def dedupIncrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandDf(sigDf(spark, dir))
+    val batchB = bands.filter(col("doc_id") % 5 === 0)
+    val corpusB = bands.filter(col("doc_id") % 5 =!= 0)
+    val eq = graft.functions.VectorFunctions.matchCountF(
+      col("a.sigs"), col("b.sigs"))
+    val cand = batchB.as("a")
+      .join(corpusB.as("b").hint("merge"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("c_doc"),
+        (eq.cast("double") / lit(16.0)).as("ej"))
+      .distinct()
+      .filter(col("ej") >= ClusterThreshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("ej").desc, col("c_doc"))
+    val best = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("c_doc"), col("ej"))
+    batchB.select(col("doc_id")).distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("c_doc").isNotNull, lit("dup_corpus")).otherwise(lit("new"))
+          .as("status"),
+        col("c_doc").as("match_doc_id"),
+        col("ej").as("best_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalMinhashSql: String =
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |$bandCte,
+       |batch_bands AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |corpus_bands AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS b_doc, c.doc_id AS c_doc
+       |  FROM batch_bands a JOIN corpus_bands c
+       |    ON a.band_id = c.band_id AND a.bh = c.bh),
+       |est AS (
+       |  SELECT b_doc, c_doc,
+       |    CAST(${(1 to NumPerms).map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE) / 16.0 AS ej
+       |  FROM cand JOIN sigs sa ON b_doc = sa.doc_id
+       |            JOIN sigs sb ON c_doc = sb.doc_id),
+       |best AS (
+       |  SELECT b_doc, c_doc, ej,
+       |    ROW_NUMBER() OVER (PARTITION BY b_doc ORDER BY ej DESC, c_doc) AS rk
+       |  FROM est WHERE ej >= $ClusterThreshold)
+       |SELECT s.doc_id,
+       |  CASE WHEN b.c_doc IS NOT NULL THEN 'dup_corpus' ELSE 'new' END AS status,
+       |  b.c_doc AS match_doc_id, CAST(b.ej AS DOUBLE) AS best_est_jaccard
+       |FROM (SELECT doc_id FROM sigs WHERE doc_id % 5 = 0) s
+       |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON s.doc_id = b.b_doc
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
     "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
@@ -557,5 +632,6 @@ object Dedup {
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
     "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
-    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)))
+    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)),
+    "dedup_incremental_minhash" -> ((dedupIncrementalMinhash _, dedupIncrementalMinhashSql)))
 }

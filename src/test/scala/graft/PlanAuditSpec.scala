@@ -114,6 +114,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe branch gained a shuffle (train grams must never exchange):\n$p")
   }
 
+  test("dedup_incremental_minhash: SMJ band probe, in-join threshold, partial best-match") {
+    // The incremental probe must sort-merge the band index (a
+    // broadcast of the linearly-growing corpus bands is the 100 TB
+    // scale-killer minhashPairsCore documents), evaluate the
+    // codegen'd MatchCountF eq-count + >= threshold INSIDE the join
+    // (pairs below the near-dup bar die before the distinct), and
+    // plan best-match selection as a Partial+Final WindowGroupLimit
+    // so each map partition ships at most one row per batch doc.
+    val p = SparkEntry.queries("dedup_incremental_minhash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin [band_id"),
+      s"band probe must be a sort-merge join on the band keys:\n$p")
+    val smj = p.substring(p.indexOf("SortMergeJoin [band_id"))
+      .linesIterator.next()
+    assert(smj.contains("graft_match_count"),
+      s"eq-count threshold should evaluate inside the band join:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"best-match top-1 should plan a partial WindowGroupLimit:\n$p")
+  }
+
   test("single-explode formulations stay single-explode") {
     Seq("text_tfidf", "text_repetition").foreach { n =>
       val gens = "Generate".r.findAllIn(planOf(n)).size
