@@ -93,7 +93,13 @@ object ClusterCheck {
 
   private val gateNames = Seq(
     "q3_join_agg", "dedup_minhash_lsh", "asof_join", "sim_ann_lsh",
-    "text_quality")
+    "text_quality",
+    // r5: the Bloom probe attaches a BloomFilter object to the plan
+    // via addReferenceObj — local[*] never serializes plan
+    // references, so THIS is the run that proves the filter survives
+    // real executor-JVM shipping; incremental minhash rides along for
+    // the in-join MatchCountF + WindowGroupLimit path
+    "text_bloom_decontam", "dedup_incremental_minhash")
 
   /** Order-independent result fingerprint: (row count, sum of crc32
     * over the sorted-column row rendering). Identical values ⇒
