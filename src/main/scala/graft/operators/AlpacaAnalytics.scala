@@ -485,6 +485,94 @@ object AlpacaAnalytics {
        |ORDER BY symbol, bar_time""".stripMargin
   }
 
+  // --------------------------------------------- ATR (true range)
+  /** Average True Range (14-bar SMA form): TR = max(H−L, |H−C₋₁|,
+    * |L−C₋₁|) — entirely exact cent longs (greatest/abs of integer
+    * differences), with the single IEEE division ΣTR/14 at the end.
+    * One symbol exchange; lag + row_number + the framed sum share one
+    * Window spec. Full lookbacks only. */
+  def atr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    val w14 = w.rowsBetween(-(RsiN - 1), 0)
+    barsDf(spark, "1Hour", rsiStart, rsiEnd)
+      .withColumn("h", (col("high") * 100).cast("bigint"))
+      .withColumn("l", (col("low") * 100).cast("bigint"))
+      .withColumn("c", (col("close") * 100).cast("bigint"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull)
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("pc")), abs(col("l") - col("pc"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum_tr", sum(col("tr")).over(w14))
+      .filter(col("rn") >= RsiN)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("tr").as("tr_cents"), col("sum_tr"),
+        (col("sum_tr").cast("double") / lit(RsiN.toDouble)).as("atr_cents"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def atrSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(rsiStart), us(rsiEnd), Hour)
+      val trs = bs.zip(bs.tail).map { case (p, b) =>
+        val (h, l, pc) = ((b.high * 100).toLong, (b.low * 100).toLong,
+          (p.close * 100).toLong)
+        math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+      }
+      (RsiN - 1 until trs.size).map { j =>
+        val sumTr = trs.slice(j - (RsiN - 1), j + 1).sum
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(bs(j + 1).timeUs))}, ${trs(j)}, $sumTr, " +
+          s"${fmtDExact(sumTr.toDouble / RsiN.toDouble)})"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(tr_cents AS BIGINT) AS tr_cents,
+       |  CAST(sum_tr AS BIGINT) AS sum_tr, CAST(atr_cents AS DOUBLE) AS atr_cents
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, tr_cents, sum_tr, atr_cents)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
+  // ----------------------------------------- OBV (on-balance volume)
+  /** On-balance volume: cumulative signed volume, ALL exact BIGINTs —
+    * the one indicator with no floating point anywhere. The prefix
+    * sum is the canonical unbounded-preceding linear-state window
+    * (same scan shape as alpaca_drawdown's running peak). */
+  def obv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    barsDf(spark, "1Hour", rsiStart, rsiEnd)
+      .withColumn("c", (col("close") * 100).cast("bigint"))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("pc").isNotNull)
+      .withColumn("signed_vol",
+        when(col("c") > col("pc"), col("volume"))
+          .when(col("c") < col("pc"), -col("volume")).otherwise(0L))
+      .withColumn("obv", sum(col("signed_vol"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("c").as("close_cents"), col("signed_vol"), col("obv"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def obvSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(rsiStart), us(rsiEnd), Hour)
+      var acc = 0L
+      bs.zip(bs.tail).map { case (p, b) =>
+        val (c, pc) = ((b.close * 100).toLong, (p.close * 100).toLong)
+        val sv = if (c > pc) b.volume else if (c < pc) -b.volume else 0L
+        acc += sv
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(b.timeUs))}, $c, $sv, $acc)"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(close_cents AS BIGINT) AS close_cents,
+       |  CAST(signed_vol AS BIGINT) AS signed_vol, CAST(obv AS BIGINT) AS obv
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, close_cents, signed_vol, obv)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
@@ -494,5 +582,7 @@ object AlpacaAnalytics {
     "alpaca_volatility" -> ((volatilityDaily _, volatilityDailySql)),
     "alpaca_drawdown" -> ((drawdown _, drawdownSql)),
     "alpaca_rsi" -> ((rsi _, rsiSql)),
-    "alpaca_bollinger" -> ((bollinger _, bollingerSql)))
+    "alpaca_bollinger" -> ((bollinger _, bollingerSql)),
+    "alpaca_atr" -> ((atr _, atrSql)),
+    "alpaca_obv" -> ((obv _, obvSql)))
 }
