@@ -115,7 +115,10 @@ MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)
 EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              "sim_emb_neardup", "sim_semantic_dedup", "sim_quantized",
-             "sim_kmeans", "sim_ann_recall"]
+             "sim_kmeans", "sim_ann_recall",
+             # r5: PQ encode/ADC exact-integer parity on hostile
+             # embeddings (grid extremes, all-identical, negatives)
+             "sim_ann_pq"]
 GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES
 ALL_GATES = GATES + MM_GATES
 

@@ -579,6 +579,104 @@ object Similarity {
        |LEFT JOIN hits h ON q.vec_id = h.query_id
        |ORDER BY query_id""".stripMargin
 
+  // --------------------------------------- product quantization ANN
+  private val PqSub = 16 //  dims per subspace (4 subspaces over 64)
+  private val PqK = 4 //     codebook entries per subspace
+  private val PqTopK = 10
+
+  /** IVF-PQ's memory half as a first-class operator: each vector
+    * compresses to M=4 subspace codes (64 int8 dims → 4 codebook ids
+    * — the 16× compression that makes billion-vector indexes fit),
+    * and queries rank candidates by ADC (asymmetric distance): the
+    * query's per-(subspace, codebook-entry) distance table replaces
+    * any float work per candidate. Codebooks here are SAMPLED (the
+    * first K vectors' subvectors — deterministic); production swaps
+    * per-subspace Lloyd (`sim_kmeans` is exactly that kernel), the
+    * plumbing is identical.
+    *
+    * Everything is exact BIGINT arithmetic on the int8 grid — encode
+    * distances, LUT entries and ADC sums — so parity is structural,
+    * and ties (equal distance) break to the lower codebook id /
+    * vec_id in both engines.
+    *
+    * Scale shape: encode = one posexplode + broadcast of the K×D
+    * codebook (256 rows) + partial agg on (vec_id, m, j) + a
+    * Partial+Final WindowGroupLimit argmin — the corpus never
+    * shuffles floats, only (id, m, j, dist) ints. The ADC probe
+    * broadcasts the Q×M×K LUT (160 rows) and partial-aggregates the
+    * per-(query, vec) sum; top-k is the same partial WindowGroupLimit
+    * as the cosine baseline. At 100 TB the LUT stays driver-free and
+    * query batches bound the N×Q expansion (the sim_cosine_topk
+    * note); no driver collect anywhere — empty/sub-K corpora are
+    * total by construction (empty codebook ⇒ empty result). */
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val codes = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(kmCodes).as("codes"))
+    val cv = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("p0", "v")))
+      .select(col("vec_id"), expr(s"p0 DIV $PqSub").as("m"),
+        col("p0").as("p"), col("v"))
+    val cb = cv.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("j"), col("p").as("cp"), col("v").as("cbv"))
+    val encDist = cv.join(broadcast(cb), col("p") === col("cp"))
+      .groupBy(col("vec_id"), col("m"), col("j"))
+      .agg(sum((col("v") - col("cbv")) * (col("v") - col("cbv"))).as("dist"))
+    val wEnc = w.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("j"))
+    val enc = encDist.withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    val lut = encDist.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("j").as("qj"), col("dist"))
+    val adc = enc
+      .join(broadcast(lut), col("m") === col("qm") && col("code") === col("qj"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val wTop = w.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= PqTopK)
+      .select(col("query_id"), col("vec_id"), col("adc_dist"),
+        col("rk").cast("bigint").as("rk"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val simAnnPqSql: String = {
+    val codesDuck =
+      """LIST_TRANSFORM(embedding, x ->
+        |    GREATEST(0, LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT))))""".stripMargin
+    s"""WITH codes AS (
+       |  SELECT vec_id, $codesDuck AS codes
+       |  FROM embeddings),
+       |pos AS (SELECT UNNEST(RANGE(1, 65)) AS p),
+       |cv AS (SELECT vec_id, p, (p - 1) // $PqSub AS m, codes[p] AS v
+       |       FROM codes, pos),
+       |cb AS (SELECT vec_id AS j, p, v FROM cv WHERE vec_id < $PqK),
+       |enc_dist AS (
+       |  SELECT c.vec_id, c.m, b.j, SUM((c.v - b.v) * (c.v - b.v)) AS dist
+       |  FROM cv c JOIN cb b ON c.p = b.p
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM enc_dist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, j, dist FROM enc_dist
+       |  WHERE vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT l.query_id, e.vec_id, SUM(l.dist) AS adc_dist
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rk
+       |      FROM adc)
+       |WHERE rk <= $PqTopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
@@ -587,5 +685,6 @@ object Similarity {
     "sim_semantic_dedup" -> ((simSemanticDedup _, simSemanticDedupSql)),
     "sim_quantized" -> ((simQuantized _, simQuantizedSql)),
     "sim_kmeans" -> ((simKmeans _, simKmeansSql)),
-    "sim_ann_recall" -> ((simAnnRecall _, simAnnRecallSql)))
+    "sim_ann_recall" -> ((simAnnRecall _, simAnnRecallSql)),
+    "sim_ann_pq" -> ((simAnnPq _, simAnnPqSql)))
 }
