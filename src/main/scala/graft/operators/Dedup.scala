@@ -92,7 +92,7 @@ object Dedup {
     * 17·2^56 < 2^63, so no overflow on either side). Aggregation
     * buffers stay primitive LONGs → the 16 min()s plan as
     * HashAggregate. */
-  private def sigDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def sigDf(spark: SparkSession, dir: String): DataFrame = {
     val h1 = conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("bigint")
     val h2 = conv(substring(md5(col("shingle")), 17, 14), 16, 10).cast("bigint")
     val sigCols = (1 to NumPerms).map { k =>
@@ -101,7 +101,7 @@ object Dedup {
     shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  private val sigCte: String = {
+  private[operators] val sigCte: String = {
     val sigs = (1 to NumPerms)
       .map(k => s"MIN(h1 + $k*h2) AS s$k")
       .mkString(", ")
@@ -119,7 +119,7 @@ object Dedup {
     * the band self-join sorts 4 columns instead of 19, and the
     * eq-count over two arrays is a constant-size HOF instead of a
     * 16-term generated chain. */
-  private def bandDf(sigs: DataFrame): DataFrame = {
+  private[operators] def bandDf(sigs: DataFrame): DataFrame = {
     val bands = (0 until NumBands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws("|", (1 to 4).map(r => col(s"s${4 * b + r}").cast("string")): _*)).as("bh"))
@@ -130,7 +130,7 @@ object Dedup {
         col("band.bh").as("bh"), col("sigs"))
   }
 
-  private val bandCte: String = {
+  private[operators] val bandCte: String = {
     val parts = (0 until NumBands).map { b =>
       val cc = (1 to 4).map(r => s"s${4 * b + r}::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_id, md5($cc) AS bh FROM sigs"

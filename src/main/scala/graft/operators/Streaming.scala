@@ -546,12 +546,99 @@ object Streaming {
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  // ------------------------------- stream-static NEAR-dup (MinHash)
+  /** Streaming near-dup scoring against the corpus LSH index — the
+    * in-flight form of `dedup_incremental_minhash`: the delta stream
+    * (doc_id % 5 = 0) is scored against the STATIC corpus band index
+    * as it lands. The streaming constraint that shapes the operator:
+    * only ONE stateful op is allowed, so the MinHash signature cannot
+    * be the batch explode+groupBy — it is recomputed as a pure
+    * PER-ROW projection (array_min over the shingle array per
+    * permutation, two md5s per shingle via the same
+    * Kirsch–Mitzenmacher halves), which is bit-identical to
+    * `Dedup.sigDf`'s aggregate because min over the same distinct
+    * shingle set is min. Bands explode stateless, the stream-static
+    * band join holds NO stream state (static joins are stateless on
+    * the stream side), and the single aggregation counts band-level
+    * matches — a multiset independent of micro-batch arrival order,
+    * so the batch oracle matches exactly. The near-dup test is the
+    * INTEGER form eq ≥ 8 (≡ est_jaccard ≥ 0.5): no division anywhere.
+    *
+    * Scale: per-row signatures trade one pass of per-row md5 work for
+    * zero stream state — the right trade in flight (state is the
+    * scarce resource; the corpus index is the static side, bucketed
+    * on the band hash at 100 TB). */
+  def streamMinhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val corpusB = Dedup.bandDf(Dedup.sigDf(spark, dir))
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("band_id").as("c_band_id"), col("bh").as("c_bh"),
+        col("sigs").as("c_sigs"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val h1 = "CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT)"
+    val h2 = "CAST(conv(substring(md5(s), 17, 14), 16, 10) AS BIGINT)"
+    val deltaBands = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"))
+      .withColumn("hs", expr(
+        s"transform(shingles, s -> array($h1, $h2))"))
+      .withColumn("sigs", expr(
+        "transform(sequence(1, 16), k -> array_min(transform(hs, h -> h[0] + CAST(k AS BIGINT) * h[1])))"))
+      .withColumn("band", explode(expr(
+        """transform(sequence(0, 3), b -> named_struct(
+          |  'band_id', b,
+          |  'bh', md5(concat_ws('|',
+          |    CAST(sigs[b*4] AS STRING), CAST(sigs[b*4+1] AS STRING),
+          |    CAST(sigs[b*4+2] AS STRING), CAST(sigs[b*4+3] AS STRING)))))""".stripMargin)))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.bh").as("bh"), col("sigs"))
+    val eq = graft.functions.VectorFunctions.matchCountF(col("sigs"), col("c_sigs"))
+    val agg = deltaBands
+      .join(corpusB,
+        col("band_id") === col("c_band_id") && col("bh") === col("c_bh"))
+      .select(col("band_id"),
+        when(eq >= 8, 1L).otherwise(0L).as("nd"))
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_candidates"), sum(col("nd")).as("n_near_dups"))
+    drainToTable(spark, agg, "complete")
+      .select(col("band_id").cast("bigint").as("band_id"),
+        col("n_candidates"), col("n_near_dups"))
+      .orderBy(col("band_id"))
+  }
+
+  val streamMinhashDedupSql: String = {
+    val eqSum = (1 to 16)
+      .map(k => s"CASE WHEN sa.s$k = sc.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${Dedup.shingleCte},
+       |${Dedup.sigCte},
+       |${Dedup.bandCte},
+       |sb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+       |cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+       |m AS (
+       |  SELECT s.band_id,
+       |    CASE WHEN ($eqSum) >= 8 THEN 1 ELSE 0 END AS nd
+       |  FROM sb s JOIN cb c ON s.band_id = c.band_id AND s.bh = c.bh
+       |  JOIN sigs sa ON s.doc_id = sa.doc_id
+       |  JOIN sigs sc ON c.doc_id = sc.doc_id)
+       |SELECT CAST(band_id AS BIGINT) AS band_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(nd) AS BIGINT) AS n_near_dups
+       |FROM m GROUP BY band_id
+       |ORDER BY band_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
     "stream_event_bars_append" -> ((streamEventBarsAppend _, streamEventBarsAppendSql)),
     "stream_sliding_bars" -> ((streamSlidingBars _, streamSlidingBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
+    "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
     "stream_sessionize" -> ((streamSessionize _, streamSessionizeSql)))
 }
