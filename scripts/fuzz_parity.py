@@ -86,7 +86,10 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "text_substring_dedup",
              # r5: incremental minhash probe (band/est parity on
              # hostile shingles; empty batch or corpus sides)
-             "dedup_incremental_minhash"]
+             "dedup_incremental_minhash",
+             # r5: the composed v2 curation recipe (split gate +
+             # quality bar + bloom decontam + substring-span drops)
+             "pipeline_curate_v2"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the

@@ -194,8 +194,100 @@ object Pipeline {
        |WHERE cosine >= $HybridCosine
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------- v2: the full pretraining recipe
+  private val SpanBar = 20
+
+  /** The composed MODERN curation recipe over the round-5 operators —
+    * what a pretraining-data job actually runs per ingest: restrict to
+    * the train split (deterministic md5 gate), enforce the quality
+    * bar, drop every benchmark-contaminated doc
+    * (`text_bloom_decontam`: map-side Bloom prefilter + exact confirm
+    * — the broadcast-bitset shape, so this stage adds NO train-side
+    * shuffle), drop heavy verbatim-copy docs (a duplicated-substring
+    * run of ≥ $SpanBar positions from `text_substring_dedup`), and
+    * report the surviving corpus per source. Both drop lists are tiny
+    * relative to the corpus ⇒ broadcast anti-joins; every stage
+    * inherits its gate's pinned plan shape. The oracle recomposes the
+    * same CTEs (Bloom-free — exactness is the operator's contract),
+    * so the hash certifies the WHOLE recipe. */
+  def curateV2(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
+    val base = graft.operators.Tables.t(spark, dir, "documents")
+      .filter(h < 80)
+      .select(col("doc_id"), col("source"))
+    val contaminated = TextOps.textBloomDecontam(spark, dir)
+      .select(col("doc_id"))
+    val spanDrops = TextOps.textSubstringDedup(spark, dir)
+      .filter(col("max_run") >= SpanBar)
+      .select(col("doc_id"))
+    base
+      .join(TextOps.qualityCore(spark, dir), Seq("doc_id"))
+      .filter(col("quality_score") >= QualityBar)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(spanDrops, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars_actual")).as("sum_chars"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("source"))
+  }
+
+  val curateV2Sql: String = {
+    val k5 = TextOps.DecontamN
+    val k8 = TextOps.SubstrK
+    s"""WITH split_docs AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |g5 AS (
+       |  SELECT doc_id, split,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${k5 - 1}], ' ')) AS gram
+       |  FROM (SELECT doc_id, split, STRING_SPLIT(text, ' ') AS ws
+       |        FROM split_docs
+       |        WHERE LEN(STRING_SPLIT(text, ' ')) >= $k5) d,
+       |       UNNEST(RANGE(1, LEN(d.ws) - ${k5 - 2})) AS r(i)),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM g5 t JOIN (SELECT DISTINCT gram FROM g5 WHERE split = 'test') tg
+       |    USING (gram)
+       |  WHERE t.split = 'train'),
+       |g8 AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${k8 - 1}], ' ')) AS gram
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+       |        WHERE LEN(STRING_SPLIT(text, ' ')) >= $k8) d,
+       |       UNNEST(RANGE(1, LEN(d.ws) - ${k8 - 2})) AS r(i)),
+       |dup8 AS (SELECT gram FROM g8 GROUP BY gram HAVING COUNT(*) >= 2),
+       |runs AS (
+       |  SELECT doc_id, grp, COUNT(*) AS n_pos
+       |  FROM (SELECT g.doc_id, g.pos,
+       |          g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+       |        FROM g8 g JOIN dup8 USING (gram))
+       |  GROUP BY doc_id, grp),
+       |span_drops AS (
+       |  SELECT DISTINCT doc_id FROM runs WHERE n_pos >= $SpanBar),
+       |quality AS (${TextOps.qualitySelectSql}),
+       |curated AS (
+       |  SELECT s.doc_id, s.source, q.n_chars_actual, q.quality_score
+       |  FROM split_docs s JOIN quality q ON s.doc_id = q.doc_id
+       |  WHERE s.split = 'train'
+       |    AND q.quality_score >= $QualityBar
+       |    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND s.doc_id NOT IN (SELECT doc_id FROM span_drops))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars_actual) AS BIGINT) AS sum_chars,
+       |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+       |FROM curated
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "pipeline_curate" -> ((curate _, curateSql)),
+    "pipeline_curate_v2" -> ((curateV2 _, curateV2Sql)),
     "pipeline_curate_cc" -> ((curateCc _, curateCcSql)),
     "pipeline_contamination" -> ((contamination _, contaminationSql)),
     "dedup_hybrid" -> ((dedupHybrid _, dedupHybridSql)))

@@ -868,7 +868,7 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------- exact n-gram decontamination
-  private val DecontamN = 5
+  private[operators] val DecontamN = 5
 
   /** GPT-3-style exact n-gram decontamination, complementing
     * `pipeline_contamination` (which flags cross-split NEAR-dups via
@@ -1026,7 +1026,7 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------- exact repeated-substring spans
-  private val SubstrK = 8
+  private[operators] val SubstrK = 8
 
   /** Exact substring-duplication spans — the signal behind
     * suffix-array training-data dedup (find every ≥K-token substring
