@@ -1027,6 +1027,7 @@ object TextOps {
 
   // ------------------------- exact repeated-substring spans
   private[operators] val SubstrK = 8
+  private val SubstrSalt = 16
 
   /** Exact substring-duplication spans — the signal behind
     * suffix-array training-data dedup (find every ≥K-token substring
@@ -1057,13 +1058,30 @@ object TextOps {
         s"""transform(sequence(1, size(ws) - ${SubstrK - 1}),
            |  i -> md5(array_join(slice(ws, i, $SubstrK), ' ')))""".stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    // The join back is SALTED because AQE cannot rescue it: the dup
+    // side's final HashAggregate sits between its exchange and the
+    // join, so OptimizeSkewedJoin's two-clean-shuffle-stages pattern
+    // never matches (verified — an explicit repartition on the dup
+    // side is collapsed into the aggregate's exchange; the same
+    // not-AQE-rescuable verdict as chunk dedup's unfiltered form).
+    // Salting is exact here: the dup side holds exactly one row per
+    // gram, so exploding it ×$SubstrSalt and joining on (gram, salt)
+    // matches every position exactly once while spreading a
+    // boilerplate gram's positions over $SubstrSalt partitions by
+    // construction. Cost: ×$SubstrSalt duplication of the DISTINCT
+    // dup-gram set — far smaller than the positions side it protects.
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("gram"))
+      .withColumn("salt",
+        explode(expr(s"sequence(0, ${SubstrSalt - 1})")))
+    val saltedGrams = grams.withColumn("salt",
+      pmod(xxhash64(col("doc_id"), col("pos")), lit(SubstrSalt.toLong))
+        .cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dupGrams, Seq("gram"))
+    saltedGrams.join(dupGrams, Seq("gram", "salt"))
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("n_pos"), max(col("pos")).as("end_pos"))

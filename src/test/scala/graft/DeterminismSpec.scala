@@ -24,7 +24,14 @@ class DeterminismSpec extends AnyFunSuite {
     // per-partition V-heaps, so a non-total tie-break would select
     // different vocabularies at different partitionings; and the
     // chunk dedup's (ck, chunk) two-level aggregation
-    "text_lm_score", "text_dsir_filter", "text_chunk_dedup")
+    "text_lm_score", "text_dsir_filter", "text_chunk_dedup",
+    // r5 continuation: the bloom build folds per-partition filters
+    // (merge must be order-insensitive — OR is), substring runs and
+    // the incremental-minhash best-match rest on total window
+    // tie-breaks, PQ argmin/top-k tie-break to lower id, and the v2
+    // pipeline composes three of them
+    "text_bloom_decontam", "text_substring_dedup",
+    "dedup_incremental_minhash", "sim_ann_pq", "pipeline_curate_v2")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

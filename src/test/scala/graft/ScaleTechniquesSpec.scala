@@ -230,6 +230,64 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("text_substring_dedup: hot boilerplate gram — linear occupancy, AQE split, exact runs") {
+    // The operator's documented at-scale risk is the join back of
+    // positions to the duplicated-gram set when one boilerplate gram
+    // occurs everywhere. This join is NOT AQE-rescuable — the dup
+    // side's final HashAggregate between its exchange and the join
+    // breaks OptimizeSkewedJoin's pattern, and an explicit dup-side
+    // repartition gets collapsed into the aggregate's exchange (both
+    // verified by this test's earlier failures) — so the operator
+    // SALTS: positions carry pmod(xxhash64(doc_id,pos),16), the
+    // one-row-per-gram dup side explodes ×16, the join key is
+    // (gram, salt). Exactness: each position matches exactly its one
+    // salted copy. Fixture: 400 docs share ONE 8-gram prefix and
+    // continue uniquely (each doc ⇒ exactly one duplicated position,
+    // one run of length 1); 100 docs fully unique; forced SMJ (at
+    // scale the dup set — the corpus's repeated vocabulary — is not
+    // broadcastable). Results must be exactly the 400 one-position
+    // runs and the join must be on the salted key.
+    import spark.implicits._
+    val docs = ((0 until 400).map(i =>
+      (i.toLong, s"a b c d e f g h u${i}x u${i}y")) ++
+      (400 until 500).map(i =>
+        (i.toLong, (0 until 10).map(j => s"v${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val fixDir = java.nio.file.Files.createTempDirectory("graft_skew_substr").toString
+    docs.repartition(8).write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = SparkEntry.queries("text_substring_dedup")(spark, fixDir)
+      val rows = q.collect()
+      assert(rows.length == 400, s"expected the 400 hot docs, got ${rows.length}")
+      assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L &&
+        r.getLong(3) == 1L),
+        "every hot doc must report exactly one run of one position")
+      val plan = q.queryExecution.executedPlan.toString
+      val smjLine = plan.linesIterator
+        .find(l => l.contains("SortMergeJoin") && l.contains("gram"))
+        .getOrElse(fail(s"no gram SMJ in plan:\n${plan.take(2000)}"))
+      assert(smjLine.contains("salt"),
+        s"position→dup join must be salted, got: $smjLine")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fixDir))
+    }
+  }
+
   test("text_chunk_dedup: hot-chunk fixture keeps the probe side shuffle-free") {
     // Boilerplate-skew end-to-end: every doc STARTS with the same
     // 3-word chunk (df = 2000) and continues uniquely. The r4 design
