@@ -114,13 +114,19 @@ object ScaleSoak {
       // duplicated-run answer linear
       val (tB, nb) = timeIt(TextOps.textBloomDecontam(spark, dir))
       val (tU, nu) = timeIt(TextOps.textSubstringDedup(spark, dir))
+      // r5 continuation: incremental minhash (band probe linear in
+      // the delta) and PQ (encode + ADC — fixed codebook/LUT sizes,
+      // so the only linear term is the corpus scan)
+      val (tIM, nim) = timeIt(Dedup.dedupIncrementalMinhash(spark, dir))
+      val (tPQ, npq) = timeIt(Similarity.simAnnPq(spark, edir))
       println(f"SOAK_SUMMARY n=$n docs=$docs exact=$tE%.2f s ($ne groups) " +
         f"minhash=$tM%.2f s ($nm pairs) lm=$tL%.2f s ($nl docs) " +
         f"decontam=$tD%.2f s ($nd docs) | vecs=$vecs embNearDup=$tS%.2f s ($ns pairs) " +
         f"| triangles=$tT%.2f s ($nt nodes) invIndex=$tI%.2f s ($ni terms) " +
         f"kmeans=$tK%.2f s ($nk clusters) chunkDedup=$tC%.2f s ($ncd docs) " +
         f"dsir=$tF%.2f s ($nf kept) bloomDecontam=$tB%.2f s ($nb docs) " +
-        f"substrSpans=$tU%.2f s ($nu docs)")
+        f"substrSpans=$tU%.2f s ($nu docs) incMinhash=$tIM%.2f s ($nim docs) " +
+        f"pq=$tPQ%.2f s ($npq rows)")
     }
 
     // SemDeDup with the gate's FIXED K=8 centroids is deliberately
