@@ -573,6 +573,78 @@ object AlpacaAnalytics {
        |ORDER BY symbol, bar_time""".stripMargin
   }
 
+  // ------------------------------------------ stochastic oscillator
+  private val StochN = 14
+
+  /** Stochastic oscillator: %K = 100·(C − L14)/(H14 − L14) over the
+    * trailing 14-bar high/low channel, %D = 3-bar SMA of %K. Channel
+    * bounds are exact cent mins/maxes; %K is one IEEE division of
+    * exact longs (the 100· factor stays integral in the numerator);
+    * %D is the explicit fixed chain (k + k₋₁ + k₋₂)/3 via lag — an
+    * avg() would hand the accumulation order to the aggregate
+    * internals, the lag chain replays identically in the serial
+    * oracle. Flat channels (H14 = L14) yield NULL %K and poison the
+    * dependent %D to NULL the same way in both engines. */
+  def stochastic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    val wN = w.rowsBetween(-(StochN - 1), 0)
+    barsDf(spark, "1Hour", rsiStart, rsiEnd)
+      .withColumn("c", (col("close") * 100).cast("bigint"))
+      .withColumn("h", (col("high") * 100).cast("bigint"))
+      .withColumn("l", (col("low") * 100).cast("bigint"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("h14", max(col("h")).over(wN))
+      .withColumn("l14", min(col("l")).over(wN))
+      .withColumn("k",
+        when(col("h14") === col("l14"), lit(null).cast("double"))
+          .otherwise((lit(100L) * (col("c") - col("l14"))).cast("double") /
+            (col("h14") - col("l14")).cast("double")))
+      .withColumn("d",
+        (col("k") + lag(col("k"), 1).over(w) + lag(col("k"), 2).over(w)) /
+          lit(3.0))
+      .filter(col("rn") >= StochN + 2) // full %K lookback AND 3 %K values
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("h14"), col("l14"), col("k"), col("d"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def stochasticSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(rsiStart), us(rsiEnd), Hour)
+      val cents = bs.map(b =>
+        ((b.close * 100).toLong, (b.high * 100).toLong, (b.low * 100).toLong))
+      val ks: Seq[Option[Double]] = cents.indices.map { j =>
+        if (j < StochN - 1) None
+        else {
+          val win = cents.slice(j - (StochN - 1), j + 1)
+          val h14 = win.map(_._2).max
+          val l14 = win.map(_._3).min
+          if (h14 == l14) None
+          else Some((100L * (cents(j)._1 - l14)).toDouble / (h14 - l14).toDouble)
+        }
+      }
+      (StochN + 1 until bs.size).map { j =>
+        val win = cents.slice(j - (StochN - 1), j + 1)
+        val h14 = win.map(_._2).max
+        val l14 = win.map(_._3).min
+        val kLit = ks(j).map(fmtDExact).getOrElse("CAST(NULL AS DOUBLE)")
+        // the same fixed chain: k + k-1 + k-2, then one divide
+        val dLit = (ks(j), ks(j - 1), ks(j - 2)) match {
+          case (Some(a), Some(b), Some(c)) => fmtDExact((a + b + c) / 3.0)
+          case _ => "CAST(NULL AS DOUBLE)"
+        }
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(bs(j).timeUs))}, $h14, $l14, $kLit, $dLit)"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(h14 AS BIGINT) AS h14,
+       |  CAST(l14 AS BIGINT) AS l14, CAST(k AS DOUBLE) AS k,
+       |  CAST(d AS DOUBLE) AS d
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, h14, l14, k, d)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_vwap_daily" -> ((vwapDaily _, vwapDailySql)),
@@ -584,5 +656,6 @@ object AlpacaAnalytics {
     "alpaca_rsi" -> ((rsi _, rsiSql)),
     "alpaca_bollinger" -> ((bollinger _, bollingerSql)),
     "alpaca_atr" -> ((atr _, atrSql)),
-    "alpaca_obv" -> ((obv _, obvSql)))
+    "alpaca_obv" -> ((obv _, obvSql)),
+    "alpaca_stochastic" -> ((stochastic _, stochasticSql)))
 }

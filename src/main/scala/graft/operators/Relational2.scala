@@ -445,6 +445,40 @@ object Relational2 {
       |UNION ALL SELECT 'nullsafe_diag', nullsafe_diag FROM counts, diag
       |ORDER BY metric""".stripMargin
 
+  // --------------------------------------------------- lateral join
+  /** Correlated LATERAL table subquery (SQL:2016 / Spark 3.4+): for
+    * each user, the top-2 events by value via a per-row ordered-LIMIT
+    * subquery — the surface the DataFrame API expresses as a ranking
+    * window, exercised through the SQL decorrelator instead (Spark
+    * rewrites the lateral into exactly that window/top-k shape; both
+    * engines share the semantics, DuckDB executes LATERAL natively).
+    * Total ordering (value DESC, event_id) makes the selected pairs
+    * deterministic; values are read untouched, so doubles carry no
+    * arithmetic. spark.sql analyzes eagerly — the temp view is
+    * inlined into the returned plan and dropped before execution. */
+  def q31Lateral(spark: SparkSession, dir: String): DataFrame = {
+    val view = s"graft_ev_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    Tables.events(spark, dir).createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT u.user_id, l.event_type, l.value
+         |FROM (SELECT DISTINCT user_id FROM $view) u,
+         |LATERAL (
+         |  SELECT event_type, value FROM $view e
+         |  WHERE e.user_id = u.user_id
+         |  ORDER BY value DESC, event_id LIMIT 2) l
+         |ORDER BY u.user_id, l.value DESC, l.event_type""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  val q31Sql: String =
+    """SELECT u.user_id, l.event_type, l.value
+      |FROM (SELECT DISTINCT user_id FROM events) u,
+      |LATERAL (
+      |  SELECT event_type, value FROM events e
+      |  WHERE e.user_id = u.user_id
+      |  ORDER BY value DESC, event_id LIMIT 2) l
+      |ORDER BY u.user_id, l.value DESC, l.event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
@@ -457,5 +491,6 @@ object Relational2 {
     "q26_upsert" -> ((q26Upsert _, q26Sql)),
     "q28_rolling_range" -> ((q28RollingRange _, q28Sql)),
     "q29_map_ops" -> ((q29MapOps _, q29Sql)),
-    "q30_null_semantics" -> ((q30NullSemantics _, q30Sql)))
+    "q30_null_semantics" -> ((q30NullSemantics _, q30Sql)),
+    "q31_lateral" -> ((q31Lateral _, q31Sql)))
 }

@@ -31,7 +31,9 @@ class DeterminismSpec extends AnyFunSuite {
     // tie-breaks, PQ argmin/top-k tie-break to lower id, and the v2
     // pipeline composes three of them
     "text_bloom_decontam", "text_substring_dedup",
-    "dedup_incremental_minhash", "sim_ann_pq", "pipeline_curate_v2")
+    "dedup_incremental_minhash", "sim_ann_pq", "pipeline_curate_v2",
+    // %D is a fixed lag-chain of %K doubles — must not notice layout
+    "alpaca_stochastic")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
