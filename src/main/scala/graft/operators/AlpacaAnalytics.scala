@@ -573,6 +573,65 @@ object AlpacaAnalytics {
        |ORDER BY symbol, bar_time""".stripMargin
   }
 
+  // ------------------------------------------- MFI (money flow)
+  /** Money Flow Index — the volume-weighted RSI. Everything stays an
+    * exact integer by working on 3·TP: tp3 = (H+L+C) in cents (the
+    * conventional TP = tp3/3 would round; the ÷3 cancels in every
+    * comparison and ratio, so it is never performed). Raw money flow
+    * = tp3 · volume (exact long), split pos/neg by the tp3 diff sign,
+    * summed over the 14-bar frame, and the index is the rational
+    * single-division form 100·Σpos/(Σpos+Σneg) — flat bars contribute
+    * to neither side (the standard convention), and an all-flat
+    * window NULLs identically in both engines. */
+  def mfi(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    val w14 = w.rowsBetween(-(RsiN - 1), 0)
+    barsDf(spark, "1Hour", rsiStart, rsiEnd)
+      .withColumn("tp3",
+        ((col("high") + col("low") + col("close")) * 100).cast("bigint"))
+      .withColumn("mf", col("tp3") * col("volume"))
+      .withColumn("d", col("tp3") - lag(col("tp3"), 1).over(w))
+      .filter(col("d").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pos_mf", sum(when(col("d") > 0, col("mf")).otherwise(0L)).over(w14))
+      .withColumn("neg_mf", sum(when(col("d") < 0, col("mf")).otherwise(0L)).over(w14))
+      .filter(col("rn") >= RsiN)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        col("pos_mf"), col("neg_mf"),
+        when(col("pos_mf") + col("neg_mf") === 0L, lit(null).cast("double"))
+          .otherwise((col("pos_mf") * 100L).cast("double") /
+            (col("pos_mf") + col("neg_mf")).cast("double")).as("mfi"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def mfiSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(rsiStart), us(rsiEnd), Hour)
+      val tp3s = bs.map(b => ((b.high + b.low + b.close) * 100).toLong)
+      val mfs = bs.zip(tp3s).map { case (b, t) => t * b.volume }
+      // per-diff signed money flow: diff j compares bar j+1 vs j and
+      // carries bar j+1's raw flow
+      val signed = (1 until bs.size).map { i =>
+        val d = tp3s(i) - tp3s(i - 1)
+        (if (d > 0) mfs(i) else 0L, if (d < 0) mfs(i) else 0L)
+      }
+      (RsiN - 1 until signed.size).map { j =>
+        val win = signed.slice(j - (RsiN - 1), j + 1)
+        val pos = win.map(_._1).sum
+        val neg = win.map(_._2).sum
+        val mfiLit = if (pos + neg == 0L) "CAST(NULL AS DOUBLE)"
+        else fmtDExact((pos * 100L).toDouble / (pos + neg).toDouble)
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(bs(j + 1).timeUs))}, $pos, $neg, $mfiLit)"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(pos_mf AS BIGINT) AS pos_mf,
+       |  CAST(neg_mf AS BIGINT) AS neg_mf, CAST(mfi AS DOUBLE) AS mfi
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, pos_mf, neg_mf, mfi)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
   // ------------------------------------------ stochastic oscillator
   private val StochN = 14
 
@@ -657,5 +716,6 @@ object AlpacaAnalytics {
     "alpaca_bollinger" -> ((bollinger _, bollingerSql)),
     "alpaca_atr" -> ((atr _, atrSql)),
     "alpaca_obv" -> ((obv _, obvSql)),
-    "alpaca_stochastic" -> ((stochastic _, stochasticSql)))
+    "alpaca_stochastic" -> ((stochastic _, stochasticSql)),
+    "alpaca_mfi" -> ((mfi _, mfiSql)))
 }
