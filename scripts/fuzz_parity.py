@@ -103,7 +103,10 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # PARITY.md. The EXACT quantile columns held bit parity
                # even on that fixture.
                "q28_rolling_range", "asof_join", "asof_join_forward",
-               "q23_window_ranks", "q30_null_semantics"]
+               "q23_window_ranks", "q30_null_semantics",
+               # r5: correlated LATERAL (per-user ordered LIMIT) —
+               # unique event_ids keep the top-2 selection total
+               "q31_lateral"]
 # r5: multimodal plumbing (payload = documents.text bytes). These run
 # on a DEDICATED single-byte hostile fixture (plus the degenerate
 # runs), not the shared seeds: their DuckDB oracles index code points
