@@ -472,6 +472,12 @@ def main(seeds):
     mm_docs = mm_docs.set_column(
         mm_docs.schema.get_field_index("text"),
         "text", pa.array(mm_texts, pa.string()))
+    # n_chars must track the SUBSTITUTED texts: MM_GATES don't read it
+    # today, but a fixture whose n_chars disagrees with text is a trap
+    # for any gate later added to MM_GATES (advisor r5).
+    mm_docs = mm_docs.set_column(
+        mm_docs.schema.get_field_index("n_chars"),
+        "n_chars", pa.array([len(t) for t in mm_texts], pa.int64()))
     pq.write_table(mm_docs, mm_dir / "documents.parquet")
     for name, t in zip(["lineitem", "events", "embeddings"],
                        single_row_tables()[1:]):

@@ -96,8 +96,11 @@ object Bench {
       // spread = second-best − best, NOT max − min: the max is usually
       // the cold first attempt (codegen/JIT attribution), which would
       // overstate steady-state noise for every query and make the
-      // field useless for regression adjudication
-      val spread = if (ok.size > 1) ok(1) - ok(0) else 0.0
+      // field useless for regression adjudication. None (key omitted)
+      // when <2 attempts succeeded: a lone success has no measured
+      // noise, and a fabricated 0.0 would read as "perfectly stable" —
+      // the opposite of what a mostly-failing query deserves.
+      val spread = if (ok.size > 1) Some(ok(1) - ok(0)) else None
       (name, best._1, spread, best._2)
     }
     // 3-decimal (ms) timings: full Double.toString rendered the
@@ -107,13 +110,18 @@ object Bench {
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val qs = results.collect { case (k, v, _, None) => s"\"${esc(k)}\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val spreads = results.collect { case (k, _, s, None) => s"\"${esc(k)}\":${fmt(s)}" }
+    val spreads = results.collect { case (k, _, Some(s), None) => s"\"${esc(k)}\":${fmt(s)}" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
+    val nOk = results.count(_._4.isEmpty)
+    // total_s/n_queries/n_errors REPEATED as the LAST keys: the driver's
+    // artifact capture keeps only the tail of this (long) line, and both
+    // r4 and r5 BENCH artifacts lost the head-of-line total to that
+    // truncation. Tail keys survive any head-side truncation.
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     // Durable artifact first (stdout-tail capture proved lossy in r3):
     // the full metric JSON always lands in target/bench.json.
     val out = java.nio.file.Paths.get("target/bench.json")

@@ -63,11 +63,19 @@ case class AlpacaScanConfig(
     startMicros: Long,
     endMicros: Long,
     limit: Int,
-    streamStepMicros: Long = AlpacaPartitioning.DayMicros)
+    streamStepMicros: Long = AlpacaPartitioning.DayMicros,
+    clusterBySymbol: Boolean = false)
 
-/** Partition = one symbol × one time interval (`common.py:53-59`). */
+/** Partition = one symbol × one time interval (`common.py:53-59`).
+  * `HasPartitionKey` exposes the symbol as the partition key so a scan
+  * reporting KeyGroupedPartitioning lets Spark group the interval
+  * tiles of a symbol into one read partition — see
+  * [[AlpacaScan.outputPartitioning]]. */
 case class SymbolTimeRangePartition(symbol: String, startMicros: Long, endMicros: Long)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(symbol))
+}
 
 /** Driver-side partition planning (SURVEY §2.2 P1-P3). */
 object AlpacaPartitioning {
@@ -169,7 +177,10 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       endMicros = endUs,
       limit = params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit),
       streamStepMicros = opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
-        .map(Timeframe.parseMicros).getOrElse(AlpacaPartitioning.DayMicros))
+        .map(Timeframe.parseMicros).getOrElse(AlpacaPartitioning.DayMicros),
+      clusterBySymbol = opts.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("cluster_by_symbol") => v.trim.toBoolean
+      }.getOrElse(false))
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -246,7 +257,8 @@ class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
 
 class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     prunedSchema: StructType = null, limitOpt: Option[Int] = None)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with SupportsReportPartitioning with SupportsReportOrdering {
 
   private val outSchema =
     if (prunedSchema == null) sourceDef.schema else prunedSchema
@@ -255,6 +267,52 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
   override def description(): String =
     s"AlpacaScan(${sourceDef.shortName}, symbols=${cfg.symbols.mkString(",")})"
   override def toBatch: Batch = this
+
+  /** Reported only with `cluster_by_symbol=true`: every planned
+    * partition is symbol-pure (one symbol × one interval tile), so the
+    * scan IS KeyGroupedPartitioning on identity(symbol). With
+    * `spark.sql.sources.v2.bucketing.enabled` Spark then groups a
+    * symbol's tiles into one read partition and any downstream
+    * window/groupBy/join clustered on symbol skips its Exchange — at
+    * 100 TB that deletes a full shuffle of the scan output (SCALE.md
+    * "one symbol exchange each"). Opt-in because the grouping is a
+    * real trade: read parallelism drops from symbols × tiles to
+    * symbols, which is the wrong default for plain scan-throughput
+    * queries (and the reason this is a per-scan option, not session
+    * state). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (cfg.clusterBySymbol && outSchema.fieldNames.contains("symbol"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("symbol")),
+        planInputPartitions().length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** Each read partition is one symbol's rows in server time order
+    * (pages chain start→end; grouped tiles concatenate in planning
+    * order, which is time-ascending) — so [symbol, time sortdir] holds
+    * within every partition and Spark can elide the Sort under
+    * symbol-windows. Spark itself drops the claim whenever tile
+    * grouping would break it (outputOrdering guards grouped
+    * multi-tile partitions), so reporting here only asserts the
+    * per-tile page order. Corp-actions (no time column) and pruned
+    * projections report nothing. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection}
+    val dir = cfg.params.get("sort").map(_.toLowerCase) match {
+      case None | Some("asc") => Some(SortDirection.ASCENDING)
+      case Some("desc") => Some(SortDirection.DESCENDING)
+      case _ => None
+    }
+    (sourceDef.timeColumn, dir) match {
+      case (Some(tc), Some(d)) if outSchema.fieldNames.contains("symbol") &&
+          outSchema.fieldNames.contains(tc) =>
+        Array(E.sort(E.column("symbol"), SortDirection.ASCENDING),
+          E.sort(E.column(tc), d))
+      case _ => Array.empty
+    }
+  }
 
   /** Streaming upgrade over the reference (SURVEY §2.11): replay the
     * configured range in `stream_step` micro-batches. The scan's
@@ -265,14 +323,19 @@ class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     new AlpacaMicroBatchStream(sourceDef, cfg, cfg.streamStepMicros,
       outSchema, limitOpt)
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // cached: consulted by both Spark's planning and outputPartitioning()
+  private lazy val plannedPartitions: Array[InputPartition] = {
     if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)
-      return Array.empty
-    val intervalUs = sourceDef.partitionIntervalMicros(
-      cfg.startMicros, cfg.endMicros, cfg.limit, cfg.params)
-    AlpacaPartitioning.plan(cfg.symbols, cfg.startMicros, cfg.endMicros, intervalUs)
-      .toArray[InputPartition]
+      Array.empty
+    else {
+      val intervalUs = sourceDef.partitionIntervalMicros(
+        cfg.startMicros, cfg.endMicros, cfg.limit, cfg.params)
+      AlpacaPartitioning.plan(cfg.symbols, cfg.startMicros, cfg.endMicros, intervalUs)
+        .toArray[InputPartition]
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] = plannedPartitions
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // API page size never needs to exceed a pushed limit

@@ -31,7 +31,8 @@ object AlpacaOptions {
   val DefaultLimit = 10000
   val ConfigOptionNames: Seq[String] =
     Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay",
-      "stream_step") // streaming micro-batch step, not an API param
+      "stream_step", // streaming micro-batch step, not an API param
+      "cluster_by_symbol") // report KeyGroupedPartitioning(symbol) from the scan
 
   /** Builds the endpoint config, requiring both API keys
     * (reference: `common.py:218-232`). Keys are matched

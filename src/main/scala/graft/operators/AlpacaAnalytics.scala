@@ -42,12 +42,23 @@ object AlpacaAnalytics {
     * prices) must go through an exact strtod string→DOUBLE parse. */
   private def fmtDExact(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
 
+  /** Analytics loads opt into the scan-reported symbol partitioning
+    * (`cluster_by_symbol`): every query below windows/aggregates BY
+    * SYMBOL, so the reported KeyGroupedPartitioning deletes the
+    * per-symbol Exchange (and, where the scan order suffices, the
+    * Sort) that each of these gates used to pay — at 100 TB that is
+    * the scan output never shuffling at all. The v2-bucketing flag is
+    * the session switch Spark gates partition grouping behind; it has
+    * no effect on scans that don't report a partitioning. */
   private def barsDf(spark: SparkSession, timeframe: String,
-      start: String, end: String): DataFrame =
+      start: String, end: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.read.format("Alpaca_Stocks_Bars")
       .options(baseOptions(symbols: _*) ++ Map(
-        "timeframe" -> timeframe, "start" -> start, "end" -> end))
+        "timeframe" -> timeframe, "start" -> start, "end" -> end,
+        "cluster_by_symbol" -> "true"))
       .load()
+  }
 
   // ------------------------------------------------------- daily VWAP
   private val vwapStart = "2021-01-04T00:00:00Z"

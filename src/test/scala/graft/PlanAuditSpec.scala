@@ -106,8 +106,11 @@ class PlanAuditSpec extends AnyFunSuite {
       s"confirm join must broadcast the bounded benchmark grams:\n$p")
     // textual tree order: the streamed (probe) branch prints between
     // the join node and its BroadcastExchange build side
-    val probeBranch = p.substring(
-      p.indexOf("BroadcastHashJoin"), p.indexOf("BroadcastExchange"))
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val exchangeIdx = p.indexOf("BroadcastExchange")
+    assert(joinIdx >= 0 && joinIdx < exchangeIdx,
+      s"expected BroadcastHashJoin to print before its BroadcastExchange build:\n$p")
+    val probeBranch = p.substring(joinIdx, exchangeIdx)
     assert(probeBranch.contains("graft_bloom_might_contain"),
       s"bloom probe must sit on the streamed train branch:\n$p")
     assert(!probeBranch.contains("Exchange"),
@@ -234,6 +237,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0, s"no query_id exchange found:\n$p")
     assert(p.indexOf("WindowGroupLimit", exchangeIdx) >= 0,
       s"no partial WindowGroupLimit below the query_id exchange:\n$p")
+  }
+
+  test("alpaca analytics: scan-reported symbol partitioning deletes the window exchange") {
+    // The connector plans symbol-pure partitions and (with
+    // cluster_by_symbol) reports KeyGroupedPartitioning(symbol) plus
+    // [symbol, time] ordering — so every symbol-window/agg gate must
+    // run directly over the BatchScan: no hashpartitioning Exchange,
+    // and no Sort between the Window and the scan. The only exchange
+    // left is the final presentation orderBy (rangepartitioning).
+    // executedPlan: exchanges exist only after EnsureRequirements.
+    Seq("alpaca_vwap_daily", "alpaca_rsi", "alpaca_sma_crossover",
+      "alpaca_bollinger", "alpaca_drawdown").foreach { n =>
+      val p = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$n still pays a symbol shuffle before its window/agg:\n$p")
+      val windowIdx = p.indexOf("Window ")
+      if (windowIdx >= 0)
+        assert(!p.substring(windowIdx).contains("Sort "),
+          s"$n still sorts below its window (scan order should satisfy it):\n$p")
+    }
   }
 
   test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
