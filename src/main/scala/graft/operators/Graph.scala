@@ -40,27 +40,83 @@ object Graph {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
   }
 
-  /** Per-node triangle participation: e(a,b) ⋈ e(b,c) ⋈ e(a,c) with
-    * a < b < c enumerates each triangle exactly once; exploding the
-    * three corners counts participation. Scale notes: with canonical
-    * edges the three-way self-join is the standard distributed
-    * triangle enumeration — each join is an equi-join on node ids
-    * (shuffle carries (a,b) pairs only), and the bucket cap bounds
-    * both the edge count (≤ cap²/2 per bucket) and the join fan-out.
-    * At 100 TB you additionally orient edges by degree (low-degree
-    * node first) so no single vertex fans out on its full degree. */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+  /** Directed edge list under the degree order: each undirected edge
+    * points from its lower-(degree, id) endpoint to the higher one,
+    * carrying the destination's degree so downstream joins can compare
+    * positions in the same total order without re-joining degrees.
+    * This is the classic orientation trick (Cohen's MapReduce triangle
+    * enumeration): wedges form only at a vertex's OUT-neighbors, and
+    * out-degree under the degree order is O(√m) amortized — a
+    * hot vertex (degree D) is everyone's destination, so it centers
+    * zero wedges instead of C(D, 2). Ids are distinct, so
+    * (deg, id) is a strict total order and every edge orients
+    * deterministically. */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // degree relation is linear in |V| — never broadcastable at scale;
+    // merge-pinned like every linear-relation join in the dedup family
+    val withDeg = e
+      .join(deg.hint("merge").select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.hint("merge").select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+  }
+
+  /** Wedges centered on each vertex's out-neighborhood: pairs of
+    * out-edges (x→y, x→z) with y before z in the degree order — each
+    * triangle {x,y,z} (x ≺ y ≺ z) yields exactly one wedge, at its
+    * minimum vertex. Exposed for the skew spec, which counts these
+    * rows to prove the hot-vertex bound empirically. */
+  private[graft] def orientedWedges(d: DataFrame): DataFrame =
+    d.as("e1").join(d.as("e2").hint("merge"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+
+  /** Triangle participation counts from a canonical (a < b) edge list:
+    * orient by degree, form wedges at each minimum vertex, close each
+    * wedge with the directed edge y→z (y ≺ z in the degree order means
+    * the {y,z} edge, if present, is oriented exactly y→z — one lookup,
+    * no disjunction), then explode the three corners. Every join is an
+    * equi-join on ids; the shuffles carry (src, dst, ddeg) triples
+    * only. Unlike the id-ordered three-way self-join, no vertex ever
+    * fans out on its full degree — the 100 TB skew-killer the previous
+    * form acknowledged but didn't implement. */
+  private[graft] def trianglesFromEdges(e: DataFrame): DataFrame = {
+    // The wedge join and the closing join reference the oriented list
+    // THREE times; without materialization each reference re-derives
+    // the full candidate-generation + degree lineage (measured: 40
+    // parquet rescans, 4× wall time at sf0.001) — the same
+    // lineage-blowup clustersCore checkpoints away. Reliable
+    // checkpoint when the cluster configures one, executor-local
+    // otherwise; at 100 TB the oriented edge list is the artifact
+    // you'd persist to a table anyway.
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val d = ckpt(orientByDegree(e))
+    val tri = orientedWedges(d)
+      .join(d.as("e3").hint("merge"),
+        col("y") === col("e3.src") && col("z") === col("e3.dst"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-node triangle participation over the candidate graph. The
+    * oracle SQL keeps the simpler id-ordered enumeration — any correct
+    * once-per-triangle enumeration yields identical counts, so parity
+    * checks the RESULT while the Spark plan carries the scale shape. */
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesFromEdges(edges(spark, dir))
 
   val trianglesSql: String =
     s"""WITH d AS (

@@ -595,4 +595,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(exact.orderBy("source", "rk").collect().toSeq ==
       preCapped.orderBy("source", "rk").collect().toSeq)
   }
+
+  test("degree-oriented triangles: a hot vertex centers zero wedges") {
+    // SCALE.md's graph_triangles orientation note as proof (the
+    // hot-shingle discipline applied to the graph family). Fixture: a
+    // star with hub id 0 — the WORST case for id-ordered enumeration,
+    // where the hub is the canonical minimum of every edge and wedges
+    // at the hub number C(spokes, 2) ≈ 719k — plus a chain across the
+    // first spokes so real triangles exist (hub, i, i+1). Degree
+    // orientation must (a) produce exactly those triangle counts and
+    // (b) generate only O(edges) wedge rows, because every spoke
+    // orients INTO the high-degree hub, which therefore centers no
+    // wedge at all.
+    import spark.implicits._
+    val spokes = 1200
+    val chain = 10 // edges (i, i+1), i = 1..10 → triangles (0, i, i+1)
+    val e = ((1 to spokes).map(i => (0L, i.toLong)) ++
+      (1 to chain).map(i => (i.toLong, (i + 1).toLong)))
+      .toDF("a", "b")
+    val directed = graft.operators.Graph.orientByDegree(e)
+    // every star edge points spoke → hub (deg 1..3 vs 1200)
+    assert(directed.filter($"dst" === 0L).count() == spokes.toLong)
+    assert(directed.filter($"src" === 0L).count() == 0L)
+    val wedges = graft.operators.Graph.orientedWedges(directed)
+    val nWedges = wedges.count()
+    val idOrderedHubWedges = spokes.toLong * (spokes - 1) / 2
+    assert(nWedges <= 2L * (spokes + chain),
+      s"oriented wedge count $nWedges not linear in edges " +
+        s"(id-ordered would center $idOrderedHubWedges at the hub)")
+    val counts = graft.operators.Graph.trianglesFromEdges(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hub joins all 10 triangles; chain interior nodes join 2; ends 1
+    assert(counts(0L) == chain.toLong, s"hub count: $counts")
+    assert(counts(1L) == 1L && counts(chain.toLong + 1) == 1L)
+    (2 to chain).foreach(i => assert(counts(i.toLong) == 2L, s"node $i"))
+    assert(counts.values.sum == 3L * chain)
+  }
 }
