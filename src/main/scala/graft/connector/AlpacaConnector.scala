@@ -64,7 +64,9 @@ case class AlpacaScanConfig(
     endMicros: Long,
     limit: Int,
     streamStepMicros: Long = AlpacaPartitioning.DayMicros,
-    clusterBySymbol: Boolean = false)
+    clusterBySymbol: Boolean = false,
+    timeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
+    maxRetries: Int = AlpacaHttpClient.MaxRetries)
 
 /** Partition = one symbol × one time interval (`common.py:53-59`).
   * `HasPartitionKey` exposes the symbol as the partition key so a scan
@@ -175,12 +177,15 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       symbols = AlpacaOptions.parseSymbols(params.getOrElse("symbols", "")),
       startMicros = startUs,
       endMicros = endUs,
-      limit = params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit),
+      limit = AlpacaOptions.clampLimit(
+        params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit)),
       streamStepMicros = opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
         .map(Timeframe.parseMicros).getOrElse(AlpacaPartitioning.DayMicros),
       clusterBySymbol = opts.collectFirst {
         case (k, v) if k.equalsIgnoreCase("cluster_by_symbol") => v.trim.toBoolean
-      }.getOrElse(false))
+      }.getOrElse(false),
+      timeoutSec = endpointCfg.timeoutSec,
+      maxRetries = endpointCfg.maxRetries)
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -407,7 +412,9 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
       "Content-Type" -> "application/json",
       "APCA-API-KEY-ID" -> cfg.apiKeyId,
       "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
-    pathElements)
+    pathElements,
+    maxRetries = cfg.maxRetries,
+    readTimeoutSec = cfg.timeoutSec)
 
   /** Raw page bodies (prefetched one ahead). */
   lazy val rawPages: Iterator[Array[Byte]] =

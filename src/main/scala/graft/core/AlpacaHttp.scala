@@ -16,7 +16,10 @@ import org.slf4j.LoggerFactory
   * Mirrors the reference's fetch pipeline semantics:
   *  - URL building with encoded params, None values skipped
   *    (`common.py:62-87`)
-  *  - connect timeout 10 s / read timeout 30 s (`common.py:126`)
+  *  - connect timeout 10 s / read timeout 30 s (`common.py:126`);
+  *    unlike the reference, the read timeout and retry count are
+  *    CONFIGURABLE (`timeout`/`retries` — promised by its
+  *    USAGE.md:74-75 but hardcoded in its code)
   *  - retry on HTTP 429/500/502/503/504 with exponential backoff
   *    0.5s/1s/2s, GET only (`common.py:139-163`)
   *  - pagination over `next_page_token` (`common.py:166-205`)
@@ -26,7 +29,8 @@ class AlpacaHttpClient(
     endpoint: String,
     headers: Map[String, String],
     pathElements: Seq[String],
-    maxRetries: Int = AlpacaHttpClient.MaxRetries) {
+    maxRetries: Int = AlpacaHttpClient.MaxRetries,
+    readTimeoutSec: Double = AlpacaOptions.DefaultTimeoutSec) {
 
   private val log = LoggerFactory.getLogger(getClass)
   // JVM-shared: a new HttpClient per partition would open fresh TCP
@@ -52,7 +56,7 @@ class AlpacaHttpClient(
     var attempt = 0
     while (true) {
       val builder = HttpRequest.newBuilder(URI.create(url))
-        .timeout(Duration.ofSeconds(30))
+        .timeout(Duration.ofMillis(math.max(1L, (readTimeoutSec * 1000).toLong)))
         .GET()
       headers.foreach { case (k, v) => builder.header(k, v) }
       val response =

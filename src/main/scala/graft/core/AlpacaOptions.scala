@@ -6,12 +6,18 @@ import java.time.format.DateTimeFormatter
 /** One accepted API option (reference: `common.py:45-50`). */
 case class ApiParam(name: String, required: Boolean)
 
-/** Endpoint/auth configuration (reference: `common.py:35-43`). */
+/** Endpoint/auth configuration (reference: `common.py:35-43`).
+  * `timeoutSec`/`maxRetries` are the reference's DOCUMENTED-but-never-
+  * implemented global options (USAGE.md:74-75 promises both; the code
+  * hardcodes `timeout=(10.0, 30.0)` and `MAX_RETRIES = 3`,
+  * `common.py:25,126`) — here they are real. */
 case class EndpointConfig(
     apiKeyId: String,
     apiKeySecret: String,
     endpoint: String,
-    rateLimitDelaySec: Double)
+    rateLimitDelaySec: Double,
+    timeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
+    maxRetries: Int = AlpacaHttpClient.MaxRetries)
 
 object AlpacaOptions {
   /** reference: `common.py:23-24` */
@@ -29,8 +35,21 @@ object AlpacaOptions {
     trimmed.replaceAll("/v\\d+[a-z0-9]*$", "")
   }
   val DefaultLimit = 10000
+
+  /** The API's documented per-page maximum (USAGE.md:48: "maximum:
+    * 10000"). The server silently truncates larger requests to this,
+    * which would skew the volume-aware partition sizing that divides
+    * by `limit` — so the load-time clamp keeps the planner's `limit`
+    * equal to the page size the server will actually use. */
+  val MaxLimit = 10000
+
+  /** Read timeout default, matching the reference's hardcoded
+    * `timeout=(10.0, 30.0)` read half (`common.py:126`). */
+  val DefaultTimeoutSec = 30.0
+
   val ConfigOptionNames: Seq[String] =
     Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay",
+      "timeout", "retries", // USAGE.md:74-75 globals, implemented here
       "stream_step", // streaming micro-batch step, not an API param
       "cluster_by_symbol") // report KeyGroupedPartitioning(symbol) from the scan
 
@@ -45,7 +64,41 @@ object AlpacaOptions {
       req("APCA-API-KEY-ID"),
       req("APCA-API-SECRET-KEY"),
       lower.getOrElse("endpoint", DefaultEndpoint),
-      lower.get("rate_limit_delay").map(_.toDouble).getOrElse(0.0))
+      lower.get("rate_limit_delay").map(_.toDouble).getOrElse(0.0),
+      timeoutSec = lower.get("timeout").map { v =>
+        val t = try v.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"Invalid 'timeout' option: '$v' is not a number of seconds")
+        }
+        if (t <= 0) throw new IllegalArgumentException(
+          s"Invalid 'timeout' option: must be positive, got '$v'")
+        t
+      }.getOrElse(DefaultTimeoutSec),
+      maxRetries = lower.get("retries").map { v =>
+        val r = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"Invalid 'retries' option: '$v' is not an integer")
+        }
+        if (r < 0) throw new IllegalArgumentException(
+          s"Invalid 'retries' option: must be >= 0, got '$v'")
+        r
+      }.getOrElse(AlpacaHttpClient.MaxRetries))
+  }
+
+  /** Clamps a requested page size to [[MaxLimit]] with a warning
+    * (fail-fast on non-positive). The reference passes oversized
+    * limits straight to the server (`common.py:356-358`), which
+    * truncates silently — its partition sizing then believes pages
+    * are bigger than they are. */
+  def clampLimit(raw: Int): Int = {
+    if (raw <= 0) throw new IllegalArgumentException(
+      s"Invalid 'limit' option: must be positive, got $raw")
+    if (raw > MaxLimit) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"limit $raw exceeds the API's documented page-size maximum $MaxLimit; " +
+          s"clamping (the server would silently truncate to $MaxLimit)")
+      MaxLimit
+    } else raw
   }
 
   /** Required-option check + unknown-option warning + symbols/start/end

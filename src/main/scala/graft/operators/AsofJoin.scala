@@ -20,12 +20,11 @@ import org.apache.spark.sql.functions._
  */
 object AsofJoin {
 
-  /** events with ts as raw epoch-micros long (exact, no tz concerns). */
-  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
-  }
+  /** events with ts as raw epoch-micros long (exact, no tz concerns;
+    * shape-normalized via Tables.events). */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
 
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsUs(spark, dir)

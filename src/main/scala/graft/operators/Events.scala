@@ -12,12 +12,10 @@ import org.apache.spark.sql.functions._
  */
 object Events {
 
-  /** events with exact epoch-micros (ns parquet → floor µs). */
-  private def eventsUs(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000")).drop("ts")
-  }
+  /** events with exact epoch-micros (shape-normalized ts → µs long). */
+  private def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
 
   private val GapUs: Long = 30L * 60L * 1000000L // 30-minute session gap
 

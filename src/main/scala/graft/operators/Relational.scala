@@ -9,13 +9,28 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects outright; read the nanos as long and rebuild a
-    * µs TimestampType column (exact integer division, no drift). */
+  /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) in some
+    * driver data drops (which Spark's parquet reader rejects outright
+    * unless nanos are read as long) and as plain TIMESTAMP(MICROS) in
+    * others; normalize either to a µs TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Rewrites `ts` to µs TimestampType whatever shape it was read in:
+    * nanos-long → exact integer floor-div to µs; µs NTZ → session-tz
+    * cast (sessions pin UTC, so the wall-clock value is preserved and
+    * matches the DuckDB oracle's naive reading); already-LTZ µs
+    * timestamps pass through. Pure schema branch — works identically
+    * on batch and streaming DataFrames. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
 

@@ -57,11 +57,10 @@ object Streaming {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file-stream source wants a directory; glob down to events.
-    val events = spark.readStream
+    val events = Tables.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
 
     val agg = events
       .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
@@ -275,18 +274,17 @@ object Streaming {
     * rule: never sum raw doubles). */
   /** The watermarked click⋈purchase interval-join stream over any
     * parquet directory (shared by the gate and the checkpoint-restart
-    * spec, which stages event halves into a temp dir). `ts` must be
-    * an epoch-nanos LONG column (the nanosAsLong read shape). */
+    * spec, which stages event halves into a temp dir). `ts` may be an
+    * epoch-nanos LONG or a µs timestamp (Tables.normalizeEventTs). */
   private[graft] def attribJoinedStream(spark: SparkSession, streamDir: String,
       glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.option("pathGlobFilter", glob)
       .parquet(streamDir).schema
-    def stream = spark.readStream
+    def stream = Tables.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", glob)
-      .parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir))
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "60 minutes")
@@ -411,12 +409,11 @@ object Streaming {
   }
 
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
-        timestamp_millis(expr("ts div 1000000")).as("ts"))
+        timestamp_millis(expr("unix_micros(ts) div 1000")).as("ts"))
     def sentinel(uid: Long, ms: Long): DataFrame = spark.range(1)
       .select(lit(uid).as("user_id"), timestamp_millis(lit(ms)).as("ts"))
     // unix_millis(ts) recovers exactly the `ts div 1000000` millis the
@@ -464,11 +461,10 @@ object Streaming {
   def streamSlidingBars(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val events = spark.readStream
+    val events = Tables.normalizeEventTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
     val agg = events
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -507,12 +503,10 @@ object Streaming {
     * bounded by |open windows| × |types| (one watermark horizon),
     * which is the 100 TB memory story. */
   def streamEventBarsAppend(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_append_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("event_type"), col("value"))
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
     def sentinel(us: Long): DataFrame = spark.range(1)
       .select(timestamp_micros(lit(us)).as("ts"),
         lit("__sentinel__").as("event_type"), lit(0.0d).as("value"))

@@ -111,6 +111,32 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 6)
   }
 
+  test("retries option is honored: too few retries surfaces the 503") {
+    // Distinct start values per case: the stub's fault counter is keyed
+    // by the partition's start param, so each range sees a fresh
+    // fail-twice-then-succeed sequence.
+    def flaky(extra: (String, String)*) =
+      spark.read.format("Alpaca_Stocks_Bars").options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['FLAKY']", "timeframe" -> "1Hour") ++ extra.toMap)
+    // retries=1 gives up after the second 503 → the scan fails loudly
+    val e = intercept[Exception] {
+      flaky("start" -> "2021-02-01T00:00:00Z", "end" -> "2021-02-01T06:00:00Z",
+        "retries" -> "1").load().count()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("503"), s"expected a surfaced 503, got: $chain")
+    // retries=2 rides out exactly two faults on a fresh counter
+    assert(flaky("start" -> "2021-03-01T00:00:00Z", "end" -> "2021-03-01T06:00:00Z",
+      "retries" -> "2").load().count() == 6)
+  }
+
+  test("oversized limit clamps to the 10000 API max; scan unaffected") {
+    assert(barsReader("limit" -> "99999").load().count() == 96)
+  }
+
   test("malformed record is skipped, not fatal") {
     val df = spark.read.format("Alpaca_Stocks_Bars").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,

@@ -96,6 +96,26 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(times("desc") == expectAsc.reverse)
   }
 
+  test("configurable read timeout: slow response fails fast, default rides it out") {
+    server.createContext("/v2/slow", { ex =>
+      Thread.sleep(700)
+      val b = """{"n": 1, "next_page_token": null}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    })
+    // 0.2 s budget against a 0.7 s server: the request times out and the
+    // IOException surfaces through the network-failure path
+    val fast = new AlpacaHttpClient(endpoint, Map.empty, Seq("slow"),
+      readTimeoutSec = 0.2)
+    val e = intercept[RuntimeException](fast.getPage(Seq("q" -> "1"), None))
+    assert(e.getMessage.contains("Network request failed"), s"unexpected: $e")
+    // an adequate budget succeeds against the same endpoint
+    val ok = new AlpacaHttpClient(endpoint, Map.empty, Seq("slow"),
+      readTimeoutSec = 5.0)
+    assert(ok.getPage(Seq("q" -> "1"), None).get("n").asInt() == 1)
+  }
+
   test("prefetch path surfaces mid-pagination HTTP errors unwrapped") {
     // /pages yields page 1 fine; an unknown-token request 404s. The
     // error happens inside the prefetch future — the consumer must

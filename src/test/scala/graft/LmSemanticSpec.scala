@@ -206,9 +206,8 @@ class LmSemanticSpec extends AnyFunSuite {
   }
 
   test("stream_join_attrib equals its batch interval-join twin") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = operators.Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts_us").as("cts"))
     val p = ev.filter(col("event_type") === "purchase")

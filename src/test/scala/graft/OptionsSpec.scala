@@ -123,6 +123,39 @@ class OptionsSpec extends AnyFunSuite {
     }
   }
 
+  test("timeout/retries: the reference's documented-but-unimplemented globals") {
+    // defaults mirror the reference's hardcoded values
+    val cfg = AlpacaOptions.endpointConfig(Map(
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s"))
+    assert(cfg.timeoutSec == 30.0 && cfg.maxRetries == 3)
+    // explicit values parse (fractional timeout allowed, 0 retries allowed)
+    val cfg2 = AlpacaOptions.endpointConfig(Map(
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "timeout" -> "2.5", "retries" -> "0"))
+    assert(cfg2.timeoutSec == 2.5 && cfg2.maxRetries == 0)
+    // invalid values fail at load-time with option-named messages
+    for (bad <- Seq("timeout" -> "0", "timeout" -> "-1", "timeout" -> "fast",
+        "retries" -> "-1", "retries" -> "many")) {
+      val e = intercept[IllegalArgumentException] {
+        AlpacaOptions.endpointConfig(Map(
+          "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s", bad))
+      }
+      assert(e.getMessage.contains(bad._1), s"message for $bad: ${e.getMessage}")
+    }
+    // both are known config options: no unknown-option path involved
+    assert(AlpacaOptions.ConfigOptionNames.contains("timeout"))
+    assert(AlpacaOptions.ConfigOptionNames.contains("retries"))
+  }
+
+  test("limit clamps to the API page-size maximum; non-positive fails") {
+    assert(AlpacaOptions.clampLimit(1) == 1)
+    assert(AlpacaOptions.clampLimit(10000) == 10000)
+    assert(AlpacaOptions.clampLimit(10001) == 10000) // warn + clamp
+    assert(AlpacaOptions.clampLimit(Int.MaxValue) == 10000)
+    intercept[IllegalArgumentException](AlpacaOptions.clampLimit(0))
+    intercept[IllegalArgumentException](AlpacaOptions.clampLimit(-5))
+  }
+
   test("per-source API version: endpoint base strips one version segment") {
     import graft.connector.{CryptoBarsDef, StockBarsDef}
     assert(AlpacaOptions.stripApiVersion("https://data.alpaca.markets/v2") ==

@@ -177,13 +177,13 @@ class StreamingSpec extends AnyFunSuite {
     val src = Files.createTempDirectory("graft_ssj_src").toString
     val ckpt = Files.createTempDirectory("graft_ssj_ckpt").toString
     val sink = Files.createTempDirectory("graft_ssj_sink").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = operators.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", unix_micros(col("ts")))
       .filter(col("event_type").isin("click", "purchase"))
     // split by TIME at the midpoint so the restart's second half never
     // arrives behind the first run's final watermark (a parity split
     // would feed late data and legitimately drop it)
-    val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val Array(mn, mx) = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
       .toSeq.map(_.asInstanceOf[Long]).toArray
     val mid = mn + (mx - mn) / 2
     def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
@@ -205,9 +205,9 @@ class StreamingSpec extends AnyFunSuite {
     // (clicks near the boundary, still inside the watermark horizon)
     // must carry over so cross-boundary pairs form after the restart
     // without re-emitting run 1's pairs
-    stage(ev.filter(col("ts") <= mid), "h1")
+    stage(ev.filter(col("ts_us") <= mid).drop("ts_us"), "h1")
     run()
-    stage(ev.filter(col("ts") > mid), "h2")
+    stage(ev.filter(col("ts_us") > mid).drop("ts_us"), "h2")
     run()
     val got = spark.read.parquet(sink)
       .select(col("c_user"), unix_micros(col("c_ts")).as("c_us"),
@@ -217,9 +217,9 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
       .toSet
     val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_us"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), expr("ts div 1000").as("p_us"), col("value"))
+      .select(col("user_id").as("p_user"), col("ts_us").as("p_us"), col("value"))
     val expected = c.join(p, col("c_user") === col("p_user") &&
         col("p_us") >= col("c_us") && col("p_us") <= col("c_us") + lit(1800000000L))
       .groupBy(col("c_user"), col("c_us"), col("p_us"), col("value"))
