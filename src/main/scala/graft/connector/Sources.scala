@@ -120,6 +120,34 @@ object StockTradesDef extends AlpacaSourceDef {
   }
 }
 
+/** Tick-by-tick crypto trades — format "Alpaca_Crypto_Trades"
+  * (`/v1beta3/crypto/us/trades`, the next v1beta3 endpoint a
+  * market-data user hits after bars; the reference's crypto module is
+  * empty, `crypto/__init__.py:1`). Slash symbols (BTC/USD) are
+  * URL-encoded by the shared HTTP core; no stock-only feed/currency
+  * options, no condition/tape fields — see Schemas.cryptoTrades. */
+object CryptoTradesDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Crypto_Trades"
+  override val pathElements = Seq("crypto", "us", "trades")
+  override val apiVersion = "v1beta3"
+  override val dataKey = "trades"
+  override def schema: StructType = Schemas.cryptoTrades
+  override def parser: RecordParser = CryptoTradeParser
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit =
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+}
+
 /** Dividends/splits/mergers/spinoffs — format
   * "Alpaca_Corporate_Actions" (reference:
   * `corp_actions/corporate_actions.py:38-175`). */
@@ -169,4 +197,5 @@ class StockBarsDataSource extends AlpacaTableProvider(StockBarsDef)
 class OptionBarsDataSource extends AlpacaTableProvider(OptionBarsDef)
 class CryptoBarsDataSource extends AlpacaTableProvider(CryptoBarsDef)
 class StockTradesDataSource extends AlpacaTableProvider(StockTradesDef)
+class CryptoTradesDataSource extends AlpacaTableProvider(CryptoTradesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)

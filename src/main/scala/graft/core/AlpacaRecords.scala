@@ -18,6 +18,15 @@ object Schemas {
     "symbol STRING, time TIMESTAMP, exchange STRING, price DOUBLE, " +
       "size BIGINT, conditions STRING, id BIGINT, tape STRING")
 
+  /** Crypto trades (v1beta3 family; the reference ships only the
+    * empty crypto module, `crypto/__init__.py:1`). Unlike stock
+    * trades, `size` is a DOUBLE (fractional coin quantities) and the
+    * venue fields (exchange/conditions/tape) are replaced by the
+    * single `taker_side` ("B"/"S"). */
+  val cryptoTrades: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, price DOUBLE, size DOUBLE, " +
+      "id BIGINT, taker_side STRING")
+
   /** reference: `corporate_actions.py:93-104` */
   val corporateActions: StructType = StructType.fromDDL(
     "symbol STRING, ex_date TIMESTAMP, record_date TIMESTAMP, " +
@@ -364,6 +373,91 @@ object TradeParser extends RecordParser with VectorWriteSupport {
     putStr(vecs, fieldToOut(2), row, utf8(x))
     putStr(vecs, fieldToOut(5), row, utf8(conditions))
     putStr(vecs, fieldToOut(7), row, utf8(z))
+  }
+}
+
+/** `{t,p,s,i,tks}` → crypto trade row (public Alpaca v1beta3 crypto
+  * record shape; no reference code exists to mirror —
+  * `crypto/__init__.py:1` is empty). `s` stays a DOUBLE (fractional
+  * sizes), `tks` is the taker side. Token-walk + vector paths follow
+  * the stock TradeParser pattern exactly. */
+object CryptoTradeParser extends RecordParser with VectorWriteSupport {
+  override val schema: StructType = Schemas.cryptoTrades
+
+  private val FieldNames = Array("t", "p", "s", "i", "tks")
+  private val AllSeen = 31
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow =
+    InternalRow(
+      utf8(symbol),
+      isoMicros(rec, "t"),
+      dbl(rec, "p"),
+      dbl(rec, "s"),
+      lng(rec, "i"),
+      utf8(reqNode(rec, "tks").asText()))
+
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L; var p = 0d; var s = 0d; var id = 0L
+    var tks: String = null
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "p" => p = streamDbl(jp, "p"); seen |= 2
+          case "s" => s = streamDbl(jp, "s"); seen |= 4
+          case "i" => id = streamLng(jp, "i"); seen |= 8
+          case "tks" => tks = jp.getText; seen |= 16
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    InternalRow(utf8(symbol), tUs, p, s, id, utf8(tks))
+  }
+
+  /** Vector twin. Schema order: symbol, time, price, size, id,
+    * taker_side; strings written only after the record validates. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var tks: String = null
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "p" => putD(fieldToOut(2), streamDbl(jp, "p")); seen |= 2
+          case "s" => putD(fieldToOut(3), streamDbl(jp, "s")); seen |= 4
+          case "i" => putL(fieldToOut(4), streamLng(jp, "i")); seen |= 8
+          case "tks" => tks = jp.getText; seen |= 16
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    putStr(vecs, fieldToOut(0), row, symbol)
+    putStr(vecs, fieldToOut(5), row, utf8(tks))
   }
 }
 

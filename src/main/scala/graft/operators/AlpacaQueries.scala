@@ -172,6 +172,34 @@ object AlpacaQueries {
   private val tradesEnd = "2021-01-05T00:00:00Z"
   private val tradesSymbols = Seq("AAPL", "MSFT")
 
+  /** Crypto trades through the v1beta3 source: fractional DOUBLE
+    * sizes, taker side instead of venue fields, slash symbols
+    * URL-encoded end-to-end (no reference twin — its crypto module
+    * is empty, `crypto/__init__.py:1`). */
+  def cryptoTradesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Crypto_Trades")
+      .options(baseOptions(cryptoSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("trade_time"),
+        col("price"), col("size"), col("id"), col("taker_side"))
+      .orderBy(col("symbol"), col("trade_time"))
+
+  def cryptoTradesScanSql: String = {
+    val rows = cryptoSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.cryptoTrades(s, us(tradesStart), us(tradesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${sqlStr(fmtTs(t.timeUs))}, ${fmtD(t.price)}, " +
+        s"${fmtD(t.size)}, ${t.id}, ${sqlStr(t.takerSide)})"
+    }
+    s"""SELECT symbol, trade_time, CAST(price AS DOUBLE) AS price,
+       |  CAST(size AS DOUBLE) AS size, CAST(id AS BIGINT) AS id, taker_side
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, trade_time, price, size, id, taker_side)
+       |ORDER BY symbol, trade_time""".stripMargin
+  }
+
   /** Trades scan incl. the conditions array→CSV flatten (E2). */
   def tradesScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("Alpaca_Stocks_Trades")
@@ -406,6 +434,7 @@ object AlpacaQueries {
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
+    "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),

@@ -25,6 +25,8 @@ object AlpacaFixtures {
       low: Double, close: Double, volume: Long, tradeCount: Long, vwap: Double)
   case class Trade(symbol: String, timeUs: Long, exchange: String, price: Double,
       size: Long, conditions: Seq[String], id: Long, tape: String)
+  case class CryptoTrade(symbol: String, timeUs: Long, price: Double,
+      size: Double, id: Long, takerSide: String)
   case class CorpAction(symbol: String, exDateUs: Option[Long],
       recordDateUs: Option[Long], payableDateUs: Option[Long], tpe: String,
       amount: Double, ratio: Double, newSymbol: String, oldSymbol: String)
@@ -78,6 +80,21 @@ object AlpacaFixtures {
         conditions = conds((i % 4).toInt),
         id = 10000L + i,
         tape = ("ABC" (((i % 3)).toInt)).toString)
+    }.toSeq
+  }
+
+  /** Crypto trades every 5 minutes within [startUs, endUs): fractional
+    * sizes on the exact 0.25 grid, alternating taker side. */
+  def cryptoTrades(symbol: String, startUs: Long, endUs: Long): Seq[CryptoTrade] = {
+    val step = 300L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      CryptoTrade(symbol, t,
+        price = symBase(symbol) * 100.0 + (i % 64) * 0.25,
+        size = 0.25 + (i % 16) * 0.25,
+        id = 20000L + i,
+        takerSide = if (i % 2 == 0) "B" else "S")
     }.toSeq
   }
 
@@ -181,6 +198,9 @@ object AlpacaStubServer {
 
   private def tradeJson(t: Trade): String =
     s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(t.timeUs))}, "x": ${jsonStr(t.exchange)}, "p": ${fmtD(t.price)}, "s": ${t.size}, "c": [${t.conditions.map(jsonStr).mkString(",")}], "i": ${t.id}, "z": ${jsonStr(t.tape)}}"""
+
+  private def cryptoTradeJson(t: CryptoTrade): String =
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(t.timeUs))}, "p": ${fmtD(t.price)}, "s": ${fmtD(t.size)}, "i": ${t.id}, "tks": ${jsonStr(t.takerSide)}}"""
 
   private def caJson(c: CorpAction): String = {
     val ex = c.exDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
@@ -313,6 +333,13 @@ object AlpacaStubServer {
       (200, envelope("trades", symbol,
         trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         renderTrade, limit,
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
+    }))
+    server.createContext("/v1beta3/crypto/us/trades", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("trades", symbol,
+        cryptoTrades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        cryptoTradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>

@@ -156,6 +156,25 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(conds == Set("", "@", "@,I", "F,T"))
   }
 
+  test("crypto trades scan: v1beta3 path, fractional sizes, taker side") {
+    val df = spark.read.format("Alpaca_Crypto_Trades").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['BTC/USD','ETH/USD']",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T06:00:00Z")).load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("symbol", "time", "price", "size", "id", "taker_side"))
+    assert(df.count() == 144) // 72 five-minute trades × 2 symbols
+    // slash symbols survive URL-encoding AND prune partitions on pushdown
+    val btc = df.filter(col("symbol") === "BTC/USD")
+    assert(btc.rdd.getNumPartitions == 1 && btc.count() == 72)
+    // fractional coin sizes arrive as exact grid doubles
+    val sizes = df.select("size").distinct().collect().map(_.getDouble(0))
+    assert(sizes.forall(s => s > 0 && s * 4 == (s * 4).toLong.toDouble))
+    assert(df.select("taker_side").distinct().collect()
+      .map(_.getString(0)).toSet == Set("B", "S"))
+  }
+
   test("corporate actions: nullable dates and defaults") {
     val df = spark.read.format("Alpaca_Corporate_Actions").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
