@@ -303,7 +303,18 @@ object Dedup {
 
   // ------------------------------------------------------ ngram jaccard
   /** Exact 3-gram Jaccard for pairs sharing ≥1 shingle: |∩| via a
-    * shingle equi-join, |∪| = |A|+|B|−|∩|; keep J ≥ 0.2. */
+    * shingle equi-join, |∪| = |A|+|B|−|∩|; keep J ≥ 0.2.
+    *
+    * NOT the production default — this uncapped form is retained as
+    * the explicit AQE-skew DEMONSTRATION: per-shingle join cost is
+    * bucket², so a shingle in 5% of docs yields ~2.5e-3·N² candidate
+    * pairs that AQE skew-split spreads across tasks but cannot
+    * shrink. [[dedupNgramJaccardCapped]] is the documented default
+    * shape at scale: the DF cap bounds every bucket BY CONSTRUCTION
+    * (and drops only signal-free near-universal shingles), which no
+    * runtime splitting can guarantee. ScaleTechniquesSpec proves both
+    * halves empirically (hot-shingle fixture: skew=true fires here;
+    * the capped twin never builds the hot bucket at all). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleDf(spark, dir)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
@@ -344,15 +355,16 @@ object Dedup {
   // ------------------------------------- ngram jaccard with a DF cap
   private val DfCapFraction = 0.05
 
-  /** n-gram Jaccard over document-frequency-capped shingles: shingles
-    * occurring in more than 5% of documents are dropped before pair
-    * generation. They carry no dedup signal (near-universal phrases)
-    * and are exactly the hot keys whose join buckets blow up at
-    * 100 TB — capping DF bounds every equi-join bucket at
-    * `DfCapFraction × |docs|` BY CONSTRUCTION, which no salting
-    * scheme can guarantee. The DF pass is a window count on the same
-    * shuffle key the pair join uses, so both sides of the self-join
-    * reuse one exchange. */
+  /** THE DEFAULT n-gram Jaccard shape at scale: shingles occurring in
+    * more than 5% of documents are dropped before pair generation.
+    * They carry no dedup signal (near-universal phrases) and are
+    * exactly the hot keys whose join buckets blow up at 100 TB —
+    * capping DF bounds every equi-join bucket at
+    * `DfCapFraction × |docs|` BY CONSTRUCTION, which no salting or
+    * AQE scheme can guarantee (the uncapped [[dedupNgramJaccard]]
+    * survives only as the AQE-skew demonstration). The DF pass is a
+    * window count on the same shuffle key the pair join uses, so both
+    * sides of the self-join reuse one exchange. */
   def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = t(spark, dir, "documents")
       .groupBy().agg(count(lit(1)).as("n_docs"))
