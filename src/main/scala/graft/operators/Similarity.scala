@@ -198,7 +198,12 @@ object Similarity {
     * engines). Shared by the IVF ANN probe and the SemDeDup pass. */
   private def corpusWithCells(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < IvfK)
+    // 0 <= vec_id < K, not just < K: ids are not guaranteed
+    // non-negative (fuzz corpora carry negatives), and a one-sided
+    // predicate would let every negative-id vector into the broadcast
+    // centroid set — the two-sided bound keeps it ≤ K rows by
+    // construction.
+    val cents = emb.filter(col("vec_id") >= 0 && col("vec_id") < IvfK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"),
         normCol("embedding").as("cnorm"))
     val cscores = emb
@@ -224,7 +229,7 @@ object Similarity {
   private val cellsCtes: String =
     s"""cent AS (
        |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-       |  WHERE vec_id < $IvfK),
+       |  WHERE vec_id >= 0 AND vec_id < $IvfK),
        |cscores AS (
        |  SELECT e.vec_id, cent_id, ${cosineSql("e.embedding", "cvec")} AS cscore
        |  FROM embeddings e, cent),
@@ -617,7 +622,10 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("p0", "v")))
       .select(col("vec_id"), expr(s"p0 DIV $PqSub").as("m"),
         col("p0").as("p"), col("v"))
-    val cb = cv.filter(col("vec_id") < PqK)
+    // two-sided id bound (see corpusWithCells): without `>= 0` every
+    // negative-id vector joins the codebook and the documented
+    // 256-row broadcast bound does not hold on such corpora
+    val cb = cv.filter(col("vec_id") >= 0 && col("vec_id") < PqK)
       .select(col("vec_id").as("j"), col("p").as("cp"), col("v").as("cbv"))
     val encDist = cv.join(broadcast(cb), col("p") === col("cp"))
       .groupBy(col("vec_id"), col("m"), col("j"))
@@ -627,7 +635,7 @@ object Similarity {
     val enc = encDist.withColumn("rk", row_number().over(wEnc))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("m"), col("j").as("code"))
-    val lut = encDist.filter(col("vec_id") < NumQueries)
+    val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("m").as("qm"),
         col("j").as("qj"), col("dist"))
     val adc = enc
@@ -653,7 +661,8 @@ object Similarity {
        |pos AS (SELECT UNNEST(RANGE(1, 65)) AS p),
        |cv AS (SELECT vec_id, p, (p - 1) // $PqSub AS m, codes[p] AS v
        |       FROM codes, pos),
-       |cb AS (SELECT vec_id AS j, p, v FROM cv WHERE vec_id < $PqK),
+       |cb AS (SELECT vec_id AS j, p, v FROM cv
+       |       WHERE vec_id >= 0 AND vec_id < $PqK),
        |enc_dist AS (
        |  SELECT c.vec_id, c.m, b.j, SUM((c.v - b.v) * (c.v - b.v)) AS dist
        |  FROM cv c JOIN cb b ON c.p = b.p
@@ -663,7 +672,7 @@ object Similarity {
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) = 1),
        |lut AS (
        |  SELECT vec_id AS query_id, m, j, dist FROM enc_dist
-       |  WHERE vec_id < $NumQueries),
+       |  WHERE vec_id >= 0 AND vec_id < $NumQueries),
        |adc AS (
        |  SELECT l.query_id, e.vec_id, SUM(l.dist) AS adc_dist
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.j
