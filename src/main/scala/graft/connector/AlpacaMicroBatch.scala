@@ -60,12 +60,18 @@ class AlpacaMicroBatchStream(
     else cfg.symbols.map(SymbolTimeRangePartition(_, s, e)).toArray[InputPartition]
   }
 
-  /** Row-based (columnar = false): stateful streaming plans consume
-    * rows. The scan's pruned schema and pushed limit are honored so
-    * emitted rows always match the scan's declared readSchema(). */
+  /** Columnar, exactly like the batch path: each API page decodes
+    * straight into a ColumnarBatch (token→vector, no InternalRow) and
+    * MicroBatchScanExec reports columnar support per partition.
+    * Stateless pass-through streams (append sinks) consume the
+    * vectors through codegen'd ColumnarToRow; stateful plans are
+    * unaffected because Spark inserts the row transition wherever a
+    * consumer needs rows — the reader does not need to know the
+    * downstream shape. The scan's pruned schema and pushed limit are
+    * honored so emitted batches always match readSchema(). */
   override def createReaderFactory(): PartitionReaderFactory =
     new AlpacaReaderFactory(cfg, sourceDef.versionedPath, sourceDef.dataKey,
-      sourceDef.parser, outSchema, limitOpt, columnar = false)
+      sourceDef.parser, outSchema, limitOpt)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -40,6 +40,42 @@ class MicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
   }
 
+  test("micro-batches flow columnar: ColumnarToRow over the streaming scan") {
+    val stream = spark.readStream.format("Alpaca_Stocks_Bars")
+      .options(opts + ("stream_step" -> "1Day"))
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("mb_columnar").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      // the vectorized reader is only engaged when the scan exec
+      // reports columnar support — then a ColumnarToRow transition
+      // must sit above the MicroBatchScan
+      assert(exec.contains("ColumnarToRow") && exec.contains("MicroBatchScan"),
+        s"expected a columnar micro-batch scan, got:\n$exec")
+    } finally q.stop()
+    assert(spark.table("mb_columnar").count() == 96)
+  }
+
+  test("stateful aggregation over the columnar micro-batch stream is exact") {
+    // Spark must insert the row transition below the stateful agg; the
+    // update-mode per-symbol count over all 8 micro-batches equals the
+    // batch count (proves no batch is lost or double-counted through
+    // the columnar hand-off)
+    val stream = spark.readStream.format("Alpaca_Stocks_Bars")
+      .options(opts + ("stream_step" -> "6Hours"))
+      .load()
+    val agg = stream.groupBy("symbol").count()
+    val q = agg.writeStream.format("memory")
+      .queryName("mb_stateful").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("mb_stateful").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("AAPL" -> 48L, "MSFT" -> 48L), s"got $got")
+  }
+
   test("restart from checkpoint resumes offsets: no duplicates, no gaps") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mb_ckpt").toString
     val sink = java.nio.file.Files.createTempDirectory("graft_mb_sink").toString
