@@ -148,6 +148,31 @@ object CryptoTradesDef extends AlpacaSourceDef {
     }
 }
 
+/** Best-bid/ask crypto quotes — format "Alpaca_Crypto_Quotes"
+  * (`/v1beta3/crypto/us/quotes`; completes the v1beta3 read family
+  * with bars and trades). Same option surface as crypto trades. */
+object CryptoQuotesDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Crypto_Quotes"
+  override val pathElements = Seq("crypto", "us", "quotes")
+  override val apiVersion = "v1beta3"
+  override val dataKey = "quotes"
+  override def schema: StructType = Schemas.cryptoQuotes
+  override def parser: RecordParser = CryptoQuoteParser
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit =
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+}
+
 /** Dividends/splits/mergers/spinoffs — format
   * "Alpaca_Corporate_Actions" (reference:
   * `corp_actions/corporate_actions.py:38-175`). */
@@ -198,4 +223,5 @@ class OptionBarsDataSource extends AlpacaTableProvider(OptionBarsDef)
 class CryptoBarsDataSource extends AlpacaTableProvider(CryptoBarsDef)
 class StockTradesDataSource extends AlpacaTableProvider(StockTradesDef)
 class CryptoTradesDataSource extends AlpacaTableProvider(CryptoTradesDef)
+class CryptoQuotesDataSource extends AlpacaTableProvider(CryptoQuotesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)

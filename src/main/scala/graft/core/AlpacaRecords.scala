@@ -27,6 +27,12 @@ object Schemas {
     "symbol STRING, time TIMESTAMP, price DOUBLE, size DOUBLE, " +
       "id BIGINT, taker_side STRING")
 
+  /** Crypto quotes (v1beta3): best bid/ask snapshot stream. All four
+    * price/size fields are DOUBLEs (fractional coin sizes). */
+  val cryptoQuotes: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, bid_price DOUBLE, bid_size DOUBLE, " +
+      "ask_price DOUBLE, ask_size DOUBLE")
+
   /** reference: `corporate_actions.py:93-104` */
   val corporateActions: StructType = StructType.fromDDL(
     "symbol STRING, ex_date TIMESTAMP, record_date TIMESTAMP, " +
@@ -458,6 +464,85 @@ object CryptoTradeParser extends RecordParser with VectorWriteSupport {
         s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
     putStr(vecs, fieldToOut(0), row, symbol)
     putStr(vecs, fieldToOut(5), row, utf8(tks))
+  }
+}
+
+/** `{t,bp,bs,ap,as}` → crypto quote row (public Alpaca v1beta3 quote
+  * shape). Same token-walk + vector discipline as the trade parsers. */
+object CryptoQuoteParser extends RecordParser with VectorWriteSupport {
+  override val schema: StructType = Schemas.cryptoQuotes
+
+  private val FieldNames = Array("t", "bp", "bs", "ap", "as")
+  private val AllSeen = 31
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow =
+    InternalRow(
+      utf8(symbol),
+      isoMicros(rec, "t"),
+      dbl(rec, "bp"),
+      dbl(rec, "bs"),
+      dbl(rec, "ap"),
+      dbl(rec, "as"))
+
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L; var bp = 0d; var bs = 0d; var ap = 0d; var asz = 0d
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "bp" => bp = streamDbl(jp, "bp"); seen |= 2
+          case "bs" => bs = streamDbl(jp, "bs"); seen |= 4
+          case "ap" => ap = streamDbl(jp, "ap"); seen |= 8
+          case "as" => asz = streamDbl(jp, "as"); seen |= 16
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    InternalRow(utf8(symbol), tUs, bp, bs, ap, asz)
+  }
+
+  /** Vector twin. Schema order: symbol, time, bid_price, bid_size,
+    * ask_price, ask_size. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "bp" => putD(fieldToOut(2), streamDbl(jp, "bp")); seen |= 2
+          case "bs" => putD(fieldToOut(3), streamDbl(jp, "bs")); seen |= 4
+          case "ap" => putD(fieldToOut(4), streamDbl(jp, "ap")); seen |= 8
+          case "as" => putD(fieldToOut(5), streamDbl(jp, "as")); seen |= 16
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    putStr(vecs, fieldToOut(0), row, symbol)
   }
 }
 

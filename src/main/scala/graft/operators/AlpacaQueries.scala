@@ -200,6 +200,41 @@ object AlpacaQueries {
        |ORDER BY symbol, trade_time""".stripMargin
   }
 
+  /** Crypto quotes (v1beta3): scan plus the derived mid/spread the
+    * consumer of a quote stream always computes — all on the exact
+    * 0.25 grid, so the arithmetic is bit-identical in both engines. */
+  private val quotesEnd = "2021-01-04T12:00:00Z"
+  def cryptoQuotesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Crypto_Quotes")
+      .options(baseOptions(cryptoSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesEnd))
+      .load()
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"),
+        col("bid_price"), col("bid_size"), col("ask_price"), col("ask_size"),
+        ((col("bid_price") + col("ask_price")) / 2).as("mid"),
+        (col("ask_price") - col("bid_price")).as("spread"))
+      .orderBy(col("symbol"), col("quote_time"))
+
+  def cryptoQuotesScanSql: String = {
+    val rows = cryptoSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.cryptoQuotes(s, us(tradesStart), us(quotesEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${sqlStr(fmtTs(qt.timeUs))}, ${fmtD(qt.bidPrice)}, " +
+        s"${fmtD(qt.bidSize)}, ${fmtD(qt.askPrice)}, ${fmtD(qt.askSize)})"
+    }
+    s"""SELECT symbol, quote_time,
+       |  CAST(bid_price AS DOUBLE) AS bid_price,
+       |  CAST(bid_size AS DOUBLE) AS bid_size,
+       |  CAST(ask_price AS DOUBLE) AS ask_price,
+       |  CAST(ask_size AS DOUBLE) AS ask_size,
+       |  CAST((bid_price + ask_price) / 2 AS DOUBLE) AS mid,
+       |  CAST(ask_price - bid_price AS DOUBLE) AS spread
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, quote_time, bid_price, bid_size, ask_price, ask_size)
+       |ORDER BY symbol, quote_time""".stripMargin
+  }
+
   /** Trades scan incl. the conditions array→CSV flatten (E2). */
   def tradesScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("Alpaca_Stocks_Trades")
@@ -435,6 +470,7 @@ object AlpacaQueries {
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),
+    "alpaca_crypto_quotes_scan" -> ((cryptoQuotesScan _, cryptoQuotesScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),

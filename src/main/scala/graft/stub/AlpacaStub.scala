@@ -27,6 +27,8 @@ object AlpacaFixtures {
       size: Long, conditions: Seq[String], id: Long, tape: String)
   case class CryptoTrade(symbol: String, timeUs: Long, price: Double,
       size: Double, id: Long, takerSide: String)
+  case class CryptoQuote(symbol: String, timeUs: Long, bidPrice: Double,
+      bidSize: Double, askPrice: Double, askSize: Double)
   case class CorpAction(symbol: String, exDateUs: Option[Long],
       recordDateUs: Option[Long], payableDateUs: Option[Long], tpe: String,
       amount: Double, ratio: Double, newSymbol: String, oldSymbol: String)
@@ -95,6 +97,22 @@ object AlpacaFixtures {
         size = 0.25 + (i % 16) * 0.25,
         id = 20000L + i,
         takerSide = if (i % 2 == 0) "B" else "S")
+    }.toSeq
+  }
+
+  /** Crypto quotes every 2 minutes within [startUs, endUs): spread of
+    * exactly 0.5 around the trade-price walk, sizes on the 0.25 grid. */
+  def cryptoQuotes(symbol: String, startUs: Long, endUs: Long): Seq[CryptoQuote] = {
+    val step = 120L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      val mid = symBase(symbol) * 100.0 + (i % 64) * 0.25
+      CryptoQuote(symbol, t,
+        bidPrice = mid - 0.25,
+        bidSize = 0.5 + (i % 8) * 0.25,
+        askPrice = mid + 0.25,
+        askSize = 0.25 + (i % 12) * 0.25)
     }.toSeq
   }
 
@@ -201,6 +219,9 @@ object AlpacaStubServer {
 
   private def cryptoTradeJson(t: CryptoTrade): String =
     s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(t.timeUs))}, "p": ${fmtD(t.price)}, "s": ${fmtD(t.size)}, "i": ${t.id}, "tks": ${jsonStr(t.takerSide)}}"""
+
+  private def cryptoQuoteJson(qt: CryptoQuote): String =
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(qt.timeUs))}, "bp": ${fmtD(qt.bidPrice)}, "bs": ${fmtD(qt.bidSize)}, "ap": ${fmtD(qt.askPrice)}, "as": ${fmtD(qt.askSize)}}"""
 
   private def caJson(c: CorpAction): String = {
     val ex = c.exDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
@@ -340,6 +361,13 @@ object AlpacaStubServer {
       (200, envelope("trades", symbol,
         cryptoTrades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         cryptoTradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
+    }))
+    server.createContext("/v1beta3/crypto/us/quotes", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("quotes", symbol,
+        cryptoQuotes(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        cryptoQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>

@@ -175,6 +175,19 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSet == Set("B", "S"))
   }
 
+  test("crypto quotes scan: bid/ask fields, positive spread throughout") {
+    val df = spark.read.format("Alpaca_Crypto_Quotes").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['BTC/USD']",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T02:00:00Z")).load()
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("symbol", "time", "bid_price", "bid_size", "ask_price", "ask_size"))
+    assert(df.count() == 60) // 2-minute quotes over 2 hours
+    // the book is never crossed in the fixture: ask > bid on every row
+    assert(df.filter(col("ask_price") <= col("bid_price")).count() == 0)
+  }
+
   test("corporate actions: nullable dates and defaults") {
     val df = spark.read.format("Alpaca_Corporate_Actions").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
