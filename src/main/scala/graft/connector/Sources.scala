@@ -148,6 +148,41 @@ object CryptoTradesDef extends AlpacaSourceDef {
     }
 }
 
+/** Stock NBBO quotes — format "Alpaca_Stocks_Quotes"
+  * (`/v2/stocks/quotes`; no reference twin — it ships only
+  * bars/trades/corporate-actions, and quotes are the next data type a
+  * market-data user requests). Option surface mirrors stock trades
+  * (feed/currency enums included). */
+object StockQuotesDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Stocks_Quotes"
+  override val pathElements = Seq("stocks", "quotes")
+  override val dataKey = "quotes"
+  override def schema: StructType = Schemas.stockQuotes
+  override def parser: RecordParser = StockQuoteParser
+
+  private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false),
+    ApiParam("feed", required = false),
+    ApiParam("currency", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+    params.get("feed").map(_.toLowerCase).foreach { f =>
+      if (f.nonEmpty && !ValidFeeds.contains(f))
+        throw new IllegalArgumentException(s"Invalid 'feed' value: '$f'")
+    }
+  }
+}
+
 /** Best-bid/ask crypto quotes — format "Alpaca_Crypto_Quotes"
   * (`/v1beta3/crypto/us/quotes`; completes the v1beta3 read family
   * with bars and trades). Same option surface as crypto trades. */
@@ -224,4 +259,5 @@ class CryptoBarsDataSource extends AlpacaTableProvider(CryptoBarsDef)
 class StockTradesDataSource extends AlpacaTableProvider(StockTradesDef)
 class CryptoTradesDataSource extends AlpacaTableProvider(CryptoTradesDef)
 class CryptoQuotesDataSource extends AlpacaTableProvider(CryptoQuotesDef)
+class StockQuotesDataSource extends AlpacaTableProvider(StockQuotesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)

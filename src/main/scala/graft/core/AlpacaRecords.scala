@@ -33,6 +33,14 @@ object Schemas {
     "symbol STRING, time TIMESTAMP, bid_price DOUBLE, bid_size DOUBLE, " +
       "ask_price DOUBLE, ask_size DOUBLE")
 
+  /** Stock NBBO quotes (v2; no reference twin — it ships only
+    * bars/trades/corporate-actions). Sizes are integer round lots;
+    * `conditions` flattens to CSV exactly like trades. */
+  val stockQuotes: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, ask_exchange STRING, ask_price DOUBLE, " +
+      "ask_size BIGINT, bid_exchange STRING, bid_price DOUBLE, " +
+      "bid_size BIGINT, conditions STRING, tape STRING")
+
   /** reference: `corporate_actions.py:93-104` */
   val corporateActions: StructType = StructType.fromDDL(
     "symbol STRING, ex_date TIMESTAMP, record_date TIMESTAMP, " +
@@ -464,6 +472,142 @@ object CryptoTradeParser extends RecordParser with VectorWriteSupport {
         s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
     putStr(vecs, fieldToOut(0), row, symbol)
     putStr(vecs, fieldToOut(5), row, utf8(tks))
+  }
+}
+
+/** `{t,ax,ap,as,bx,bp,bs,c,z}` → stock NBBO quote row (public Alpaca
+  * v2 quote shape; the `c` condition array flattens to CSV like
+  * trades, absent/null `c` → empty string). */
+object StockQuoteParser extends RecordParser with VectorWriteSupport {
+  override val schema: StructType = Schemas.stockQuotes
+
+  private val FieldNames = Array("t", "ax", "ap", "as", "bx", "bp", "bs", "z")
+  private val AllSeen = 255
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    val condNode = rec.get("c")
+    val conditions =
+      if (condNode == null || condNode.isNull) ""
+      else {
+        val it = condNode.elements()
+        val sb = new StringBuilder
+        while (it.hasNext) {
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(it.next().asText())
+        }
+        sb.toString
+      }
+    InternalRow(
+      utf8(symbol),
+      isoMicros(rec, "t"),
+      utf8(reqNode(rec, "ax").asText()),
+      dbl(rec, "ap"),
+      lng(rec, "as"),
+      utf8(reqNode(rec, "bx").asText()),
+      dbl(rec, "bp"),
+      lng(rec, "bs"),
+      utf8(conditions),
+      utf8(reqNode(rec, "z").asText()))
+  }
+
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L; var ap = 0d; var bp = 0d
+    var asz = 0L; var bsz = 0L
+    var ax: String = null; var bx: String = null; var z: String = null
+    var conditions = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "ax" => ax = jp.getText; seen |= 2
+          case "ap" => ap = streamDbl(jp, "ap"); seen |= 4
+          case "as" => asz = streamLng(jp, "as"); seen |= 8
+          case "bx" => bx = jp.getText; seen |= 16
+          case "bp" => bp = streamDbl(jp, "bp"); seen |= 32
+          case "bs" => bsz = streamLng(jp, "bs"); seen |= 64
+          case "z" => z = jp.getText; seen |= 128
+          case "c" =>
+            if (vt == JsonToken.START_ARRAY) {
+              val sb = new java.lang.StringBuilder
+              var t2 = jp.nextToken()
+              while (t2 != JsonToken.END_ARRAY) {
+                if (sb.length > 0) sb.append(',')
+                sb.append(jp.getText)
+                t2 = jp.nextToken()
+              }
+              conditions = sb.toString
+            } else if (vt.isStructStart) jp.skipChildren()
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    InternalRow(utf8(symbol), tUs, utf8(ax), ap, asz, utf8(bx), bp, bsz,
+      utf8(conditions), utf8(z))
+  }
+
+  /** Vector twin. Schema order: symbol, time, ask_exchange, ask_price,
+    * ask_size, bid_exchange, bid_price, bid_size, conditions, tape;
+    * strings written only after the record validates. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var ax: String = null; var bx: String = null; var z: String = null
+    var conditions = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "ax" => ax = jp.getText; seen |= 2
+          case "ap" => putD(fieldToOut(3), streamDbl(jp, "ap")); seen |= 4
+          case "as" => putL(fieldToOut(4), streamLng(jp, "as")); seen |= 8
+          case "bx" => bx = jp.getText; seen |= 16
+          case "bp" => putD(fieldToOut(6), streamDbl(jp, "bp")); seen |= 32
+          case "bs" => putL(fieldToOut(7), streamLng(jp, "bs")); seen |= 64
+          case "z" => z = jp.getText; seen |= 128
+          case "c" =>
+            if (vt == JsonToken.START_ARRAY) {
+              val sb = new java.lang.StringBuilder
+              var t2 = jp.nextToken()
+              while (t2 != JsonToken.END_ARRAY) {
+                if (sb.length > 0) sb.append(',')
+                sb.append(jp.getText)
+                t2 = jp.nextToken()
+              }
+              conditions = sb.toString
+            } else if (vt.isStructStart) jp.skipChildren()
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    putStr(vecs, fieldToOut(0), row, symbol)
+    putStr(vecs, fieldToOut(2), row, utf8(ax))
+    putStr(vecs, fieldToOut(5), row, utf8(bx))
+    putStr(vecs, fieldToOut(8), row, utf8(conditions))
+    putStr(vecs, fieldToOut(9), row, utf8(z))
   }
 }
 

@@ -200,6 +200,40 @@ object AlpacaQueries {
        |ORDER BY symbol, trade_time""".stripMargin
   }
 
+  /** Stock NBBO quotes: full scan incl. the conditions flatten (same
+    * CSV discipline as trades) over a 6-hour window. */
+  def stockQuotesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> "2021-01-04T06:00:00Z"))
+      .load()
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"),
+        col("ask_exchange"), col("ask_price"), col("ask_size"),
+        col("bid_exchange"), col("bid_price"), col("bid_size"),
+        col("conditions"), col("tape"))
+      .orderBy(col("symbol"), col("quote_time"))
+
+  def stockQuotesScanSql: String = {
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(tradesStart), us("2021-01-04T06:00:00Z"))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${sqlStr(fmtTs(qt.timeUs))}, ${sqlStr(qt.askExchange)}, " +
+        s"${fmtD(qt.askPrice)}, ${qt.askSize}, ${sqlStr(qt.bidExchange)}, " +
+        s"${fmtD(qt.bidPrice)}, ${qt.bidSize}, " +
+        s"${sqlStr(qt.conditions.mkString(","))}, ${sqlStr(qt.tape)})"
+    }
+    s"""SELECT symbol, quote_time, ask_exchange,
+       |  CAST(ask_price AS DOUBLE) AS ask_price,
+       |  CAST(ask_size AS BIGINT) AS ask_size, bid_exchange,
+       |  CAST(bid_price AS DOUBLE) AS bid_price,
+       |  CAST(bid_size AS BIGINT) AS bid_size, conditions, tape
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, quote_time, ask_exchange, ask_price, ask_size,
+       |       bid_exchange, bid_price, bid_size, conditions, tape)
+       |ORDER BY symbol, quote_time""".stripMargin
+  }
+
   /** Crypto quotes (v1beta3): scan plus the derived mid/spread the
     * consumer of a quote stream always computes — all on the exact
     * 0.25 grid, so the arithmetic is bit-identical in both engines. */
@@ -471,6 +505,7 @@ object AlpacaQueries {
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),
     "alpaca_crypto_quotes_scan" -> ((cryptoQuotesScan _, cryptoQuotesScanSql)),
+    "alpaca_stock_quotes_scan" -> ((stockQuotesScan _, stockQuotesScanSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),

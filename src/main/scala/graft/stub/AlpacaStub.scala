@@ -29,6 +29,9 @@ object AlpacaFixtures {
       size: Double, id: Long, takerSide: String)
   case class CryptoQuote(symbol: String, timeUs: Long, bidPrice: Double,
       bidSize: Double, askPrice: Double, askSize: Double)
+  case class StockQuote(symbol: String, timeUs: Long, askExchange: String,
+      askPrice: Double, askSize: Long, bidExchange: String, bidPrice: Double,
+      bidSize: Long, conditions: Seq[String], tape: String)
   case class CorpAction(symbol: String, exDateUs: Option[Long],
       recordDateUs: Option[Long], payableDateUs: Option[Long], tpe: String,
       amount: Double, ratio: Double, newSymbol: String, oldSymbol: String)
@@ -113,6 +116,28 @@ object AlpacaFixtures {
         bidSize = 0.5 + (i % 8) * 0.25,
         askPrice = mid + 0.25,
         askSize = 0.25 + (i % 12) * 0.25)
+    }.toSeq
+  }
+
+  /** Stock NBBO quotes every 3 minutes within [startUs, endUs):
+    * 0.25-spread book around the symbol walk, round-lot integer
+    * sizes, cycling exchanges/conditions/tapes like trades. */
+  def stockQuotes(symbol: String, startUs: Long, endUs: Long): Seq[StockQuote] = {
+    val step = 180L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    val conds = Seq(Seq.empty[String], Seq("R"), Seq("R", "O"))
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      val mid = symBase(symbol) + (i % 24) * 0.25
+      StockQuote(symbol, t,
+        askExchange = ("VNQ" (((i % 3)).toInt)).toString,
+        askPrice = mid + 0.25,
+        askSize = 100L + (i % 10) * 100L,
+        bidExchange = ("QNV" (((i % 3)).toInt)).toString,
+        bidPrice = mid - 0.25,
+        bidSize = 200L + (i % 8) * 100L,
+        conditions = conds((i % 3).toInt),
+        tape = ("ABC" (((i % 3)).toInt)).toString)
     }.toSeq
   }
 
@@ -219,6 +244,9 @@ object AlpacaStubServer {
 
   private def cryptoTradeJson(t: CryptoTrade): String =
     s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(t.timeUs))}, "p": ${fmtD(t.price)}, "s": ${fmtD(t.size)}, "i": ${t.id}, "tks": ${jsonStr(t.takerSide)}}"""
+
+  private def stockQuoteJson(qt: StockQuote): String =
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(qt.timeUs))}, "ax": ${jsonStr(qt.askExchange)}, "ap": ${fmtD(qt.askPrice)}, "as": ${qt.askSize}, "bx": ${jsonStr(qt.bidExchange)}, "bp": ${fmtD(qt.bidPrice)}, "bs": ${qt.bidSize}, "c": [${qt.conditions.map(jsonStr).mkString(",")}], "z": ${jsonStr(qt.tape)}}"""
 
   private def cryptoQuoteJson(qt: CryptoQuote): String =
     s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(qt.timeUs))}, "bp": ${fmtD(qt.bidPrice)}, "bs": ${fmtD(qt.bidSize)}, "ap": ${fmtD(qt.askPrice)}, "as": ${fmtD(qt.askSize)}}"""
@@ -361,6 +389,13 @@ object AlpacaStubServer {
       (200, envelope("trades", symbol,
         cryptoTrades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         cryptoTradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
+    }))
+    server.createContext("/v2/stocks/quotes", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("quotes", symbol,
+        stockQuotes(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        stockQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v1beta3/crypto/us/quotes", (ex: HttpExchange) => handle(ex, { params =>

@@ -188,6 +188,29 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(col("ask_price") <= col("bid_price")).count() == 0)
   }
 
+  test("stock quotes scan: NBBO fields, conditions CSV, uncrossed book") {
+    val df = spark.read.format("Alpaca_Stocks_Quotes").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['AAPL']",
+      "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T03:00:00Z")).load()
+    assert(df.schema.fieldNames.toSeq == Seq("symbol", "time",
+      "ask_exchange", "ask_price", "ask_size",
+      "bid_exchange", "bid_price", "bid_size", "conditions", "tape"))
+    assert(df.count() == 60) // 3-minute quotes over 3 hours
+    assert(df.filter(col("ask_price") <= col("bid_price")).count() == 0)
+    val conds = df.select("conditions").distinct().collect().map(_.getString(0)).toSet
+    assert(conds == Set("", "R", "R,O"))
+    // feed enum validated at load()
+    intercept[IllegalArgumentException] {
+      spark.read.format("Alpaca_Stocks_Quotes").options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['AAPL']", "feed" -> "bogus",
+        "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T03:00:00Z")).load()
+    }
+  }
+
   test("corporate actions: nullable dates and defaults") {
     val df = spark.read.format("Alpaca_Corporate_Actions").options(Map(
       "endpoint" -> AlpacaStubServer.endpoint,
