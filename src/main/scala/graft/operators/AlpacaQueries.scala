@@ -200,12 +200,33 @@ object AlpacaQueries {
        |ORDER BY symbol, trade_time""".stripMargin
   }
 
+  /** The Alpaca MICRO-BATCH STREAM as a correctness gate: replay the
+    * bars range in 6-hour steps through the columnar streaming reader
+    * and drain append-mode into a table. Equality with the batch
+    * VALUES oracle proves the offset tiling (no duplicates, no gaps
+    * across micro-batches) AND the vectorized stream decode
+    * end-to-end — the same plan a production job runs with a live
+    * endpoint and wall-clock-advancing offsets. */
+  def streamBarsScan(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(barsSymbols: _*) ++ Map(
+        "timeframe" -> "1Hour", "start" -> barsStart, "end" -> barsEnd,
+        "stream_step" -> "6Hours"))
+      .load()
+    barsProjection(Streaming.drainToTable(spark, stream, "append"))
+  }
+
+  def streamBarsScanSql: String =
+    barsValuesSql(barsSymbols, us(barsStart), us(barsEnd), Hour)
+
+  private val quotesScanEnd = "2021-01-04T06:00:00Z"
+
   /** Stock NBBO quotes: full scan incl. the conditions flatten (same
     * CSV discipline as trades) over a 6-hour window. */
   def stockQuotesScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("Alpaca_Stocks_Quotes")
       .options(baseOptions(tradesSymbols: _*) ++ Map(
-        "start" -> tradesStart, "end" -> "2021-01-04T06:00:00Z"))
+        "start" -> tradesStart, "end" -> quotesScanEnd))
       .load()
       .select(col("symbol"),
         date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"),
@@ -216,7 +237,7 @@ object AlpacaQueries {
 
   def stockQuotesScanSql: String = {
     val rows = tradesSymbols.sorted.flatMap { s =>
-      AlpacaFixtures.stockQuotes(s, us(tradesStart), us("2021-01-04T06:00:00Z"))
+      AlpacaFixtures.stockQuotes(s, us(tradesStart), us(quotesScanEnd))
     }.map { qt =>
       s"(${sqlStr(qt.symbol)}, ${sqlStr(fmtTs(qt.timeUs))}, ${sqlStr(qt.askExchange)}, " +
         s"${fmtD(qt.askPrice)}, ${qt.askSize}, ${sqlStr(qt.bidExchange)}, " +
@@ -232,6 +253,56 @@ object AlpacaQueries {
        |  AS v(symbol, quote_time, ask_exchange, ask_price, ask_size,
        |       bid_exchange, bid_price, bid_size, conditions, tape)
        |ORDER BY symbol, quote_time""".stripMargin
+  }
+
+  /** Time-weighted average spread per symbol — the canonical quote
+    * analytic (a plain AVG over quote events is wrong whenever quote
+    * arrival is bursty; each spread must be weighted by how long it
+    * was the standing book). Each quote holds until the next one,
+    * the last until the window end; weights are exact µs longs and
+    * spreads are exact quarter-grid ints (spread×4), so the single
+    * double division at the end is bit-identical in both engines.
+    * One window + one aggregation, both on the symbol shuffle key. */
+  def quoteSpreadTwa(spark: SparkSession, dir: String): DataFrame = {
+    val endUs = us(quotesScanEnd)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("t_us"))
+    spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        ((col("ask_price") - col("bid_price")) * 4).cast("long").as("spread4"))
+      .withColumn("dur",
+        coalesce(lead(col("t_us"), 1).over(w), lit(endUs)) - col("t_us"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_quotes"),
+        (sum(col("spread4") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double") / 4.0).as("twa_spread"),
+        (max(col("spread4")).cast("double") / 4.0).as("max_spread"))
+      .orderBy(col("symbol"))
+  }
+
+  def quoteSpreadTwaSql: String = {
+    val endUs = us(quotesScanEnd)
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(tradesStart), endUs)
+    }.map { qt =>
+      val spread4 = math.round((qt.askPrice - qt.bidPrice) * 4)
+      s"(${sqlStr(qt.symbol)}, ${qt.timeUs}, $spread4)"
+    }
+    s"""WITH v(symbol, t_us, spread4) AS (VALUES ${rows.mkString(",\n  ")}),
+       |d AS (
+       |  SELECT symbol, spread4,
+       |    COALESCE(LEAD(t_us) OVER (PARTITION BY symbol ORDER BY t_us),
+       |             $endUs) - t_us AS dur
+       |  FROM v)
+       |SELECT symbol, COUNT(*) AS n_quotes,
+       |  CAST(SUM(spread4 * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) / 4.0
+       |    AS twa_spread,
+       |  CAST(MAX(spread4) AS DOUBLE) / 4.0 AS max_spread
+       |FROM d GROUP BY symbol
+       |ORDER BY symbol""".stripMargin
   }
 
   /** Crypto quotes (v1beta3): scan plus the derived mid/spread the
@@ -506,6 +577,8 @@ object AlpacaQueries {
     "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),
     "alpaca_crypto_quotes_scan" -> ((cryptoQuotesScan _, cryptoQuotesScanSql)),
     "alpaca_stock_quotes_scan" -> ((stockQuotesScan _, stockQuotesScanSql)),
+    "alpaca_stream_bars_scan" -> ((streamBarsScan _, streamBarsScanSql)),
+    "alpaca_quote_spread_twa" -> ((quoteSpreadTwa _, quoteSpreadTwaSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),

@@ -36,7 +36,7 @@ object Streaming {
     * the join gate at sf0.1). The value bakes into each query's
     * checkpoint at first start, so production sizes it per cluster;
     * the session's 32 is restored for the batch read-back. */
-  private def drainToTable(spark: SparkSession, df: DataFrame,
+  private[operators] def drainToTable(spark: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
     val qname = s"stream_gate_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -120,8 +120,9 @@ object AlpacaFixtures {
   }
 
   /** Stock NBBO quotes every 3 minutes within [startUs, endUs):
-    * 0.25-spread book around the symbol walk, round-lot integer
-    * sizes, cycling exchanges/conditions/tapes like trades. */
+    * a varying 0.5/0.75/1.0 spread (exact 0.25 grid) around the
+    * symbol walk, round-lot integer sizes, cycling
+    * exchanges/conditions/tapes like trades. */
   def stockQuotes(symbol: String, startUs: Long, endUs: Long): Seq[StockQuote] = {
     val step = 180L * Micros
     val first = ((startUs + step - 1) / step) * step
@@ -129,12 +130,13 @@ object AlpacaFixtures {
     Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
       val i = t / step
       val mid = symBase(symbol) + (i % 24) * 0.25
+      val halfSpread = 0.25 + (i % 3) * 0.125
       StockQuote(symbol, t,
         askExchange = ("VNQ" (((i % 3)).toInt)).toString,
-        askPrice = mid + 0.25,
+        askPrice = mid + halfSpread,
         askSize = 100L + (i % 10) * 100L,
         bidExchange = ("QNV" (((i % 3)).toInt)).toString,
-        bidPrice = mid - 0.25,
+        bidPrice = mid - halfSpread,
         bidSize = 200L + (i % 8) * 100L,
         conditions = conds((i % 3).toInt),
         tape = ("ABC" (((i % 3)).toInt)).toString)
