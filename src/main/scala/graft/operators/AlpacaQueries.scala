@@ -305,6 +305,70 @@ object AlpacaQueries {
        |ORDER BY symbol""".stripMargin
   }
 
+  /** Effective spread per symbol: each trade joined AS-OF to the
+    * prevailing NBBO quote (latest quote at-or-before the trade;
+    * a quote landing on the trade's instant counts as prevailing),
+    * then 2·|price − mid| averaged. The as-of is the union-window
+    * trick (one shuffle on symbol, linear within symbol — the same
+    * shape as the asof_join gates, no range-join blowup): quotes and
+    * trades interleave on (t_us, is_trade) with quotes first at ties,
+    * and last_value(ignoreNulls) carries the standing mid forward.
+    * Prices sit on the 1/8 grid so everything is exact ints until
+    * one final double division; the oracle uses DuckDB's native
+    * ASOF JOIN — two independent as-of implementations agreeing. */
+  def effectiveSpread(spark: SparkSession, dir: String): DataFrame = {
+    val trades = spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        (col("price") * 8).cast("long").as("price8"),
+        lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
+    val quotes = spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        lit(null).cast("long").as("price8"), lit(0).as("is_trade"),
+        ((col("bid_price") + col("ask_price")) * 4).cast("long").as("q_mid8"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("t_us"), col("is_trade"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    trades.unionByName(quotes)
+      .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(w))
+      .filter(col("is_trade") === 1 && col("mid8").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        (sum(abs(col("price8") - col("mid8")) * 2).cast("double") /
+          count(lit(1)).cast("double") / 8.0).as("avg_eff_spread"))
+      .orderBy(col("symbol"))
+  }
+
+  def effectiveSpreadSql: String = {
+    val tRows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(tradesStart), us(quotesScanEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)})"
+    }
+    val qRows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(tradesStart), us(quotesScanEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${qt.timeUs}, " +
+        s"${math.round((qt.bidPrice + qt.askPrice) * 4)})"
+    }
+    s"""WITH t(symbol, t_us, price8) AS (VALUES ${tRows.mkString(",\n  ")}),
+       |q(symbol, t_us, mid8) AS (VALUES ${qRows.mkString(",\n  ")}),
+       |j AS (
+       |  SELECT t.symbol, t.price8, q.mid8
+       |  FROM t ASOF JOIN q
+       |    ON t.symbol = q.symbol AND t.t_us >= q.t_us)
+       |SELECT symbol, COUNT(*) AS n_trades,
+       |  CAST(SUM(2 * ABS(price8 - mid8)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) / 8.0 AS avg_eff_spread
+       |FROM j GROUP BY symbol
+       |ORDER BY symbol""".stripMargin
+  }
+
   /** Crypto quotes (v1beta3): scan plus the derived mid/spread the
     * consumer of a quote stream always computes — all on the exact
     * 0.25 grid, so the arithmetic is bit-identical in both engines. */
@@ -579,6 +643,7 @@ object AlpacaQueries {
     "alpaca_stock_quotes_scan" -> ((stockQuotesScan _, stockQuotesScanSql)),
     "alpaca_stream_bars_scan" -> ((streamBarsScan _, streamBarsScanSql)),
     "alpaca_quote_spread_twa" -> ((quoteSpreadTwa _, quoteSpreadTwaSql)),
+    "alpaca_effective_spread" -> ((effectiveSpread _, effectiveSpreadSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
