@@ -316,25 +316,23 @@ object AlpacaQueries {
     * Prices sit on the 1/8 grid so everything is exact ints until
     * one final double division; the oracle uses DuckDB's native
     * ASOF JOIN — two independent as-of implementations agreeing. */
-  def effectiveSpread(spark: SparkSession, dir: String): DataFrame = {
-    val trades = spark.read.format("Alpaca_Stocks_Trades")
-      .options(baseOptions(tradesSymbols: _*) ++ Map(
-        "start" -> tradesStart, "end" -> quotesScanEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        (col("price") * 8).cast("long").as("price8"),
-        lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
-    val quotes = spark.read.format("Alpaca_Stocks_Quotes")
-      .options(baseOptions(tradesSymbols: _*) ++ Map(
-        "start" -> tradesStart, "end" -> quotesScanEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        lit(null).cast("long").as("price8"), lit(0).as("is_trade"),
-        ((col("bid_price") + col("ask_price")) * 4).cast("long").as("q_mid8"))
+  /** Core of the plain form over prepared inputs:
+    * trades(symbol, t_us, price8), quotes(symbol, t_us, mid8).
+    * Exposed for ScaleTechniquesSpec's hot-symbol equivalence proof.
+    * Determinism contract: quote instants must be unique per symbol —
+    * two quotes at the same µs have no defined winner here (real
+    * feeds disambiguate with a sequence number; add it to the window
+    * ordering when ingesting such a feed). */
+  private[graft] def effSpreadPlain(trades: DataFrame, quotes: DataFrame): DataFrame = {
+    val t = trades.select(col("symbol"), col("t_us"), col("price8"),
+      lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
+    val q = quotes.select(col("symbol"), col("t_us"),
+      lit(null).cast("long").as("price8"), lit(0).as("is_trade"),
+      col("mid8").as("q_mid8"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("symbol")).orderBy(col("t_us"), col("is_trade"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    trades.unionByName(quotes)
+    t.unionByName(q)
       .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(w))
       .filter(col("is_trade") === 1 && col("mid8").isNotNull)
       .groupBy(col("symbol"))
@@ -343,6 +341,25 @@ object AlpacaQueries {
           count(lit(1)).cast("double") / 8.0).as("avg_eff_spread"))
       .orderBy(col("symbol"))
   }
+
+  private def tradesPrepared(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        (col("price") * 8).cast("long").as("price8"))
+
+  private def quotesPrepared(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        ((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
+
+  def effectiveSpread(spark: SparkSession, dir: String): DataFrame =
+    effSpreadPlain(tradesPrepared(spark), quotesPrepared(spark))
 
   def effectiveSpreadSql: String = {
     val tRows = tradesSymbols.sorted.flatMap { s =>
@@ -368,6 +385,70 @@ object AlpacaQueries {
        |FROM j GROUP BY symbol
        |ORDER BY symbol""".stripMargin
   }
+
+  /** The SCALE form of the effective-spread as-of: the plain
+    * union-window is linear-but-SERIAL within each symbol (one task
+    * owns a symbol's whole history — the hot-symbol wall at 100 TB).
+    * Here events are bucketed into fixed time windows and the window
+    * runs per (symbol, bucket), so a hot symbol parallelizes across
+    * its buckets. Correctness across bucket boundaries comes from a
+    * SEED relation: the latest quote per (symbol, bucket) is a
+    * partial-aggregable max(struct(t_us, mid)); a running max over
+    * the TINY per-bucket spine (|symbols|×|buckets| rows — the only
+    * serial window left, on a relation ~6 orders smaller than the
+    * data) yields the standing quote entering each bucket, injected
+    * as a pseudo-quote at the bucket's start instant ordered before
+    * real events. Same result set as [[effectiveSpread]] BY GATE
+    * (identical oracle); the two forms cross-prove each other. */
+  /** Core of the bucketed form over the same prepared inputs.
+    * Exposed for ScaleTechniquesSpec's hot-symbol equivalence proof. */
+  private[graft] def effSpreadBucketed(trades0: DataFrame, quotes0: DataFrame,
+      bucketUs: Long): DataFrame = {
+    val W = bucketUs
+    val wExpr = org.apache.spark.sql.expressions.Window
+    val trades = trades0.withColumn("b", expr(s"t_us div $W"))
+    val quotes = quotes0.withColumn("b", expr(s"t_us div $W"))
+    // tiny spine: every (symbol, bucket) either side touches, with the
+    // bucket's own latest quote (null where the bucket has none)
+    val perBucket = quotes.groupBy(col("symbol"), col("b"))
+      .agg(max(struct(col("t_us"), col("mid8"))).as("m"))
+    val spine = trades.select(col("symbol"), col("b"))
+      .union(quotes.select(col("symbol"), col("b"))).distinct()
+      .join(perBucket, Seq("symbol", "b"), "left")
+    val wSpine = wExpr.partitionBy(col("symbol")).orderBy(col("b"))
+      .rowsBetween(wExpr.unboundedPreceding, -1)
+    val seeds = spine
+      .withColumn("entry", max(col("m")).over(wSpine))
+      .filter(col("entry").isNotNull)
+      .select(col("symbol"), col("b"), (col("b") * W).as("t_us"),
+        lit(null).cast("long").as("price8"), lit(-1).as("is_trade"),
+        col("entry.mid8").as("q_mid8"))
+    // heavy relations: window is per (symbol, bucket) — parallel in buckets
+    val tRows = trades.select(col("symbol"), col("b"), col("t_us"),
+      col("price8"), lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
+    val qRows = quotes.select(col("symbol"), col("b"), col("t_us"),
+      lit(null).cast("long").as("price8"), lit(0).as("is_trade"),
+      col("mid8").as("q_mid8"))
+    val wBucket = wExpr.partitionBy(col("symbol"), col("b"))
+      .orderBy(col("t_us"), col("is_trade"))
+      .rowsBetween(wExpr.unboundedPreceding, 0)
+    tRows.unionByName(qRows).unionByName(seeds)
+      .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(wBucket))
+      .filter(col("is_trade") === 1 && col("mid8").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        (sum(abs(col("price8") - col("mid8")) * 2).cast("double") /
+          count(lit(1)).cast("double") / 8.0).as("avg_eff_spread"))
+      .orderBy(col("symbol"))
+  }
+
+  def effectiveSpreadBucketed(spark: SparkSession, dir: String): DataFrame =
+    effSpreadBucketed(tradesPrepared(spark), quotesPrepared(spark),
+      3600L * 1000000L) // 1-hour buckets; 100 TB tunes to taste
+
+  /** Same oracle as the plain form — the bucketed plan must reproduce
+    * it exactly. */
+  def effectiveSpreadBucketedSql: String = effectiveSpreadSql
 
   /** Crypto quotes (v1beta3): scan plus the derived mid/spread the
     * consumer of a quote stream always computes — all on the exact
@@ -644,6 +725,8 @@ object AlpacaQueries {
     "alpaca_stream_bars_scan" -> ((streamBarsScan _, streamBarsScanSql)),
     "alpaca_quote_spread_twa" -> ((quoteSpreadTwa _, quoteSpreadTwaSql)),
     "alpaca_effective_spread" -> ((effectiveSpread _, effectiveSpreadSql)),
+    "alpaca_effective_spread_bucketed" ->
+      ((effectiveSpreadBucketed _, effectiveSpreadBucketedSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),

@@ -631,4 +631,53 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     (2 to chain).foreach(i => assert(counts(i.toLong) == 2L, s"node $i"))
     assert(counts.values.sum == 3L * chain)
   }
+
+  test("bucketed as-of: hot symbol parallelizes across time buckets, exact parity") {
+    // The plain union-window as-of is serial within a symbol (one
+    // task owns the symbol's whole history). effSpreadBucketed runs
+    // the window per (symbol, time-bucket) with a tiny seed spine
+    // carrying the standing quote across boundaries — the hot-symbol
+    // parallelization. Fixture stresses every boundary case: one
+    // symbol holds ~90% of events; quote-less buckets (the seed must
+    // carry across them); quotes exactly ON bucket boundaries (must
+    // override the seed at the same instant); trades before any quote
+    // (dropped by both forms); trades at the same instant as a quote
+    // (the quote prevails). Equality proof is against the PLAIN form
+    // on the identical inputs — the two implementations cross-check.
+    import spark.implicits._
+    val W = 1000L // 1000 µs buckets → hundreds of buckets
+    val rnd = new scala.util.Random(1234)
+    def events(sym: String, n: Int): (Seq[(String, Long, Long)], Seq[(String, Long, Long)]) = {
+      // quote instants are DISTINCT per symbol (two quotes at the same
+      // µs have no defined winner — real feeds disambiguate with a
+      // sequence number) but drawn from a W/4 grid so quotes land
+      // exactly on bucket boundaries and collide with trade instants;
+      // the sparse grid also leaves many buckets quote-less.
+      val qTimes = rnd.shuffle((0 until n * 3).toList).take(n)
+        .map(_.toLong * (W / 4))
+      val qs = qTimes.map(t => (sym, t, 800L + rnd.nextInt(50).toLong)) // mid8
+      val ts = (1 to n / 3).map { _ =>
+        val t = rnd.nextInt(n * 3).toLong * (W / 4)
+        (sym, t, 790L + rnd.nextInt(60).toLong) // price8
+      }
+      (qs, ts)
+    }
+    val (hq, ht) = events("HOT", 3000)
+    val colds = (1 to 5).map(i => events(s"C$i", 60))
+    val quotes = (hq ++ colds.flatMap(_._1)).toDF("symbol", "t_us", "mid8")
+    val trades = (ht ++ colds.flatMap(_._2)).toDF("symbol", "t_us", "price8")
+    val plain = graft.operators.AlpacaQueries
+      .effSpreadPlain(trades, quotes).collect().toSeq
+    val bucketed = graft.operators.AlpacaQueries
+      .effSpreadBucketed(trades, quotes, W).collect().toSeq
+    assert(plain.nonEmpty, "fixture produced no attributed trades")
+    assert(bucketed == plain,
+      s"bucketed as-of diverged from plain:\n  plain=$plain\n  bucketed=$bucketed")
+    // the parallelism claim: the hot symbol's events span many buckets,
+    // so the per-(symbol, bucket) window has that many independent
+    // partitions where the plain form has ONE
+    val hotBuckets = quotes.filter($"symbol" === "HOT")
+      .select(($"t_us" / W).cast("long")).distinct().count()
+    assert(hotBuckets > 100, s"fixture too narrow: $hotBuckets buckets")
+  }
 }
