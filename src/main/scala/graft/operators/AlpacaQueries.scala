@@ -409,20 +409,26 @@ object AlpacaQueries {
     val trades = trades0.withColumn("b", expr(s"t_us div $W"))
     val quotes = quotes0.withColumn("b", expr(s"t_us div $W"))
     // tiny spine: every (symbol, bucket) either side touches, with the
-    // bucket's own latest quote (null where the bucket has none)
+    // bucket's own latest quote (null where the bucket has none).
+    // max_by is a DeclarativeAggregate → HashAggregate with map-side
+    // combine; max(struct) here planned SortAggregate (the anti-
+    // pattern the IVF argmax note records), sorting the quote side.
     val perBucket = quotes.groupBy(col("symbol"), col("b"))
-      .agg(max(struct(col("t_us"), col("mid8"))).as("m"))
+      .agg(max_by(col("mid8"), col("t_us")).as("qm"))
     val spine = trades.select(col("symbol"), col("b"))
       .union(quotes.select(col("symbol"), col("b"))).distinct()
       .join(perBucket, Seq("symbol", "b"), "left")
+    // standing quote entering bucket k = the latest preceding bucket's
+    // qm: buckets are ordered, so last(ignoreNulls) over the spine IS
+    // the cross-bucket carry — no struct ordering needed.
     val wSpine = wExpr.partitionBy(col("symbol")).orderBy(col("b"))
       .rowsBetween(wExpr.unboundedPreceding, -1)
     val seeds = spine
-      .withColumn("entry", max(col("m")).over(wSpine))
+      .withColumn("entry", last(col("qm"), ignoreNulls = true).over(wSpine))
       .filter(col("entry").isNotNull)
       .select(col("symbol"), col("b"), (col("b") * W).as("t_us"),
         lit(null).cast("long").as("price8"), lit(-1).as("is_trade"),
-        col("entry.mid8").as("q_mid8"))
+        col("entry").as("q_mid8"))
     // heavy relations: window is per (symbol, bucket) — parallel in buckets
     val tRows = trades.select(col("symbol"), col("b"), col("t_us"),
       col("price8"), lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
