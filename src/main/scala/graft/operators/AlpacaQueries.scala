@@ -456,6 +456,61 @@ object AlpacaQueries {
     * it exactly. */
   def effectiveSpreadBucketedSql: String = effectiveSpreadSql
 
+  /** Tick→bar resampling: hourly OHLCV bars built from raw trades —
+    * the canonical market-data aggregation, and the scale-perfect
+    * shape: every component (open = earliest price via min_by,
+    * close = latest via max_by, high/low/volume/count) is a
+    * partial-aggregable hash aggregate, so the ticks combine map-side
+    * and only (symbol, hour) groups cross the wire. NO window — a
+    * windowed first/last formulation would serialize per symbol.
+    * Trade instants are unique per symbol in-fixture (the operator's
+    * determinism contract for min_by/max_by ties, as with the as-of
+    * family); oracle via DuckDB's ARG_MIN/ARG_MAX. */
+  def tradeBars(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        col("price"), col("size"))
+      .withColumn("hour_us", expr(s"t_us div $HourUs") * HourUs)
+      .groupBy(col("symbol"), col("hour_us"))
+      .agg(min_by(col("price"), col("t_us")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("t_us")).as("close"),
+        sum(col("size")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .select(col("symbol"),
+        date_format(timestamp_micros(col("hour_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("bar_time"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("n_trades"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def tradeBarsSql: String = {
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${fmtD(t.price)}, ${t.size})"
+    }
+    s"""WITH v(symbol, t_us, price, size) AS (VALUES ${rows.mkString(",\n  ")})
+       |SELECT symbol,
+       |  STRFTIME(MAKE_TIMESTAMP((t_us // 3600000000) * 3600000000),
+       |           '%Y-%m-%d %H:%M:%S') AS bar_time,
+       |  CAST(ARG_MIN(price, t_us) AS DOUBLE) AS open,
+       |  CAST(MAX(price) AS DOUBLE) AS high,
+       |  CAST(MIN(price) AS DOUBLE) AS low,
+       |  CAST(ARG_MAX(price, t_us) AS DOUBLE) AS close,
+       |  CAST(SUM(size) AS BIGINT) AS volume,
+       |  COUNT(*) AS n_trades
+       |FROM v
+       |GROUP BY symbol, t_us // 3600000000
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
   /** Crypto quotes (v1beta3): scan plus the derived mid/spread the
     * consumer of a quote stream always computes — all on the exact
     * 0.25 grid, so the arithmetic is bit-identical in both engines. */
@@ -733,6 +788,7 @@ object AlpacaQueries {
     "alpaca_effective_spread" -> ((effectiveSpread _, effectiveSpreadSql)),
     "alpaca_effective_spread_bucketed" ->
       ((effectiveSpreadBucketed _, effectiveSpreadBucketedSql)),
+    "alpaca_trade_bars" -> ((tradeBars _, tradeBarsSql)),
     "alpaca_trades_scan" -> ((tradesScan _, tradesScanSql)),
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
