@@ -415,9 +415,11 @@ object AlpacaQueries {
     // pattern the IVF argmax note records), sorting the quote side.
     val perBucket = quotes.groupBy(col("symbol"), col("b"))
       .agg(max_by(col("mid8"), col("t_us")).as("qm"))
+    // merge-pinned: perBucket is |symbols|×|buckets| — linear in the
+    // corpus, never broadcastable at scale
     val spine = trades.select(col("symbol"), col("b"))
       .union(quotes.select(col("symbol"), col("b"))).distinct()
-      .join(perBucket, Seq("symbol", "b"), "left")
+      .join(perBucket.hint("merge"), Seq("symbol", "b"), "left")
     // standing quote entering bucket k = the latest preceding bucket's
     // qm: buckets are ordered, so last(ignoreNulls) over the spine IS
     // the cross-bucket carry — no struct ordering needed.

@@ -60,6 +60,58 @@ object AsofJoin {
       |  ON c.user_id = s.user_id AND c.click_us >= s.signup_us
       |ORDER BY c.event_id""".stripMargin
 
+  /** The hot-user SCALE form of [[asofJoin]] (same technique as
+    * AlpacaQueries.effSpreadBucketed, proven portable here): the
+    * as-of window runs per (user, day-bucket) so one user's history
+    * parallelizes across buckets, with the latest signup per bucket
+    * (a plain max — the carried value IS the timestamp) rolled
+    * forward over the tiny per-bucket spine and injected as a seed
+    * row at each bucket's start. LEFT semantics preserved: a click
+    * with no prior signup anywhere keeps a null signup_us. Gated
+    * against the identical DuckDB ASOF LEFT JOIN oracle as the plain
+    * form — the two implementations cross-prove each other. */
+  def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400L * 1000000L // 1-day buckets
+    val ev = eventsUs(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("b", expr(s"ts_us div $W"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("b", expr(s"ts_us div $W"))
+    val perBucket = signups.groupBy(col("user_id"), col("b"))
+      .agg(max(col("ts_us")).as("bucket_s_us"))
+    // merge-pinned: perBucket is |users|×|buckets| — linear in the
+    // corpus, never broadcastable at scale (Spark's cost model
+    // broadcast it at gate size)
+    val spine = clicks.select(col("user_id"), col("b"))
+      .union(signups.select(col("user_id"), col("b"))).distinct()
+      .join(perBucket.hint("merge"), Seq("user_id", "b"), "left")
+    val wSpine = Window.partitionBy(col("user_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = spine
+      .withColumn("entry", last(col("bucket_s_us"), ignoreNulls = true).over(wSpine))
+      .filter(col("entry").isNotNull)
+      .select(col("user_id"), col("b"), (col("b") * W).as("ts_us"),
+        lit(-1).as("is_left"), lit(null).cast("bigint").as("event_id"),
+        col("entry").as("s_us"))
+    val cRows = clicks.select(col("user_id"), col("b"), col("ts_us"),
+      lit(1).as("is_left"), col("event_id"), lit(null).cast("bigint").as("s_us"))
+    val sRows = signups.select(col("user_id"), col("b"), col("ts_us"),
+      lit(0).as("is_left"), lit(null).cast("bigint").as("event_id"),
+      col("ts_us").as("s_us"))
+    val wBucket = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts_us"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cRows.unionByName(sRows).unionByName(seeds)
+      .withColumn("signup_us", last(col("s_us"), ignoreNulls = true).over(wBucket))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
+        col("signup_us"),
+        (col("ts_us") - col("signup_us")).as("us_since_signup"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of: each 'click' matched to the same user's NEXT
     * at-or-after 'purchase' (conversion attribution). Same
     * tag-union + one window pass shape, with a FOLLOWING frame and
@@ -101,5 +153,6 @@ object AsofJoin {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "asof_join" -> ((asofJoin _, asofJoinSql)),
+    "asof_join_bucketed" -> ((asofJoinBucketed _, asofJoinSql)),
     "asof_join_forward" -> ((asofJoinForward _, asofJoinForwardSql)))
 }
