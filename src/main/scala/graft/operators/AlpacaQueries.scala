@@ -406,8 +406,14 @@ object AlpacaQueries {
       bucketUs: Long): DataFrame = {
     val W = bucketUs
     val wExpr = org.apache.spark.sql.expressions.Window
-    val trades = trades0.withColumn("b", expr(s"t_us div $W"))
-    val quotes = quotes0.withColumn("b", expr(s"t_us div $W"))
+    // FLOOR division, not `div` (which truncates toward zero): a
+    // pre-1970 timestamp must land in the bucket BELOW it, or the
+    // injected seed (at b*W) would sort after the bucket's own events
+    // and the cross-bucket carry would be lost. pmod keeps it exact
+    // on longs.
+    val bCol = expr(s"(t_us - pmod(t_us, ${W}L)) DIV ${W}L")
+    val trades = trades0.withColumn("b", bCol)
+    val quotes = quotes0.withColumn("b", bCol)
     // tiny spine: every (symbol, bucket) either side touches, with the
     // bucket's own latest quote (null where the bucket has none).
     // max_by is a DeclarativeAggregate → HashAggregate with map-side

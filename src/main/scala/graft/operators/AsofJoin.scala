@@ -73,12 +73,15 @@ object AsofJoin {
   def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val W = 86400L * 1000000L // 1-day buckets
     val ev = eventsUs(spark, dir)
+    // floor division (see AlpacaQueries.effSpreadBucketed): pre-1970
+    // timestamps must bucket DOWN or the seed ordering breaks
+    val bCol = expr(s"(ts_us - pmod(ts_us, ${W}L)) DIV ${W}L")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"), col("event_id"))
-      .withColumn("b", expr(s"ts_us div $W"))
+      .withColumn("b", bCol)
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("ts_us"))
-      .withColumn("b", expr(s"ts_us div $W"))
+      .withColumn("b", bCol)
     val perBucket = signups.groupBy(col("user_id"), col("b"))
       .agg(max(col("ts_us")).as("bucket_s_us"))
     // merge-pinned: perBucket is |users|×|buckets| — linear in the

@@ -653,11 +653,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       // sequence number) but drawn from a W/4 grid so quotes land
       // exactly on bucket boundaries and collide with trade instants;
       // the sparse grid also leaves many buckets quote-less.
+      // times straddle zero (offset by -n*3/2 grid steps): pre-epoch
+      // timestamps exercise the FLOOR bucketing — truncate-toward-zero
+      // division would misplace the seed row for negative buckets
+      val off = (n * 3 / 2).toLong
       val qTimes = rnd.shuffle((0 until n * 3).toList).take(n)
-        .map(_.toLong * (W / 4))
+        .map(m => (m.toLong - off) * (W / 4))
       val qs = qTimes.map(t => (sym, t, 800L + rnd.nextInt(50).toLong)) // mid8
       val ts = (1 to n / 3).map { _ =>
-        val t = rnd.nextInt(n * 3).toLong * (W / 4)
+        val t = (rnd.nextInt(n * 3).toLong - off) * (W / 4)
         (sym, t, 790L + rnd.nextInt(60).toLong) // price8
       }
       (qs, ts)
