@@ -140,6 +140,43 @@ object ScaleSoak {
       val (tC, nc) = timeIt(Similarity.simSemanticDedup(spark, edir))
       println(f"SOAK_SEMDEDUP n=$n vecs=$vecs fixedK8=$tC%.2f s ($nc kept)")
     }
+
+    // r6: plain vs bucketed as-of under TOTAL symbol skew — one
+    // symbol holds every event, so the plain union-window runs its
+    // whole history in ONE task while the bucketed form spreads it
+    // across (symbol, time-bucket) partitions. Work is linear in both;
+    // the wall-clock gap on local[32] is the parallelism evidence.
+    // Materialized to parquet first so neither side pays range()
+    // generation inside its timing.
+    def asofFixture(n: Int): (DataFrame, DataFrame) = {
+      val events = 200000L * n
+      val dir = s"/tmp/graft_soak/asof_x$n"
+      spark.range(events).select(
+        lit("HOT").as("symbol"), (col("id") * 250L).as("t_us"),
+        (lit(800L) + pmod(col("id"), lit(50L))).as("mid8"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/quotes.parquet")
+      spark.range(events / 4).select(
+        lit("HOT").as("symbol"), (col("id") * 1000L + 125L).as("t_us"),
+        (lit(790L) + pmod(col("id"), lit(60L))).as("price8"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/trades.parquet")
+      (spark.read.parquet(s"$dir/trades.parquet"),
+        spark.read.parquet(s"$dir/quotes.parquet"))
+    }
+    Seq(1, factor / 2, factor).foreach { n =>
+      val (tr, qu) = asofFixture(n)
+      val w = 200000L // 0.2 s buckets → ~250·n buckets for the hot symbol
+      val (tP, rp) = timeIt(AlpacaQueries.effSpreadPlain(tr, qu))
+      val (tB2, rb) = timeIt(AlpacaQueries.effSpreadBucketed(tr, qu, w))
+      require(rp == rb, s"plain/bucketed row counts diverged: $rp vs $rb")
+      // untimed VALUE equality (counts alone can't see a wrong mid)
+      val pv = AlpacaQueries.effSpreadPlain(tr, qu).collect().toSeq
+      val bv = AlpacaQueries.effSpreadBucketed(tr, qu, w).collect().toSeq
+      require(pv == bv, s"plain/bucketed values diverged: $pv vs $bv")
+      println(f"SOAK_ASOF n=$n quotes=${200000L * n} plain=$tP%.2f s " +
+        f"bucketed=$tB2%.2f s (rows=$rp)")
+    }
     spark.stop()
   }
 }
