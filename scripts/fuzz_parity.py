@@ -105,7 +105,7 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r6: the bucketed hot-user as-of must agree with the
                # same ASOF oracle on every hostile event fixture too
                "q28_rolling_range", "asof_join", "asof_join_bucketed",
-               "asof_join_forward",
+               "asof_join_forward", "asof_join_forward_bucketed",
                "q23_window_ranks", "q30_null_semantics",
                # r5: correlated LATERAL (per-user ordered LIMIT) —
                # unique event_ids keep the top-2 selection total

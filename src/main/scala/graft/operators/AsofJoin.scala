@@ -141,6 +141,57 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Forward twin of [[asofJoinBucketed]]: per-(user, day-bucket)
+    * windows with a FOLLOWING frame; the earliest purchase per bucket
+    * (plain min) is rolled BACKWARD over the spine and injected as a
+    * seed ordered after the bucket's own events, so a click whose
+    * next purchase lives in a later bucket still finds it. Same
+    * oracle as the plain forward form. */
+  def asofJoinForwardBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400L * 1000000L
+    val ev = eventsUs(spark, dir)
+    val bCol = expr(s"(ts_us - pmod(ts_us, ${W}L)) DIV ${W}L")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("b", bCol)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"))
+      .withColumn("b", bCol)
+    val perBucket = purchases.groupBy(col("user_id"), col("b"))
+      .agg(min(col("ts_us")).as("bucket_p_us"))
+    val spine = clicks.select(col("user_id"), col("b"))
+      .union(purchases.select(col("user_id"), col("b"))).distinct()
+      .join(perBucket.hint("merge"), Seq("user_id", "b"), "left")
+    // earliest purchase in any LATER bucket: first(ignoreNulls) over
+    // the forward-looking spine frame
+    val wSpine = Window.partitionBy(col("user_id")).orderBy(col("b"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val seeds = spine
+      .withColumn("entry", first(col("bucket_p_us"), ignoreNulls = true).over(wSpine))
+      .filter(col("entry").isNotNull)
+      // seed sorts after every in-bucket event: strictly past the
+      // bucket's last possible instant (partition key is b, so the
+      // out-of-range ts only orders, never re-buckets)
+      .select(col("user_id"), col("b"), ((col("b") + 1) * W).as("ts_us"),
+        lit(2).as("side"), lit(null).cast("bigint").as("event_id"),
+        col("entry").as("p_us"))
+    val cRows = clicks.select(col("user_id"), col("b"), col("ts_us"),
+      lit(0).as("side"), col("event_id"), lit(null).cast("bigint").as("p_us"))
+    val pRows = purchases.select(col("user_id"), col("b"), col("ts_us"),
+      lit(1).as("side"), lit(null).cast("bigint").as("event_id"),
+      col("ts_us").as("p_us"))
+    val wBucket = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts_us"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cRows.unionByName(pRows).unionByName(seeds)
+      .withColumn("purchase_us", first(col("p_us"), ignoreNulls = true).over(wBucket))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
+        col("purchase_us"),
+        (col("purchase_us") - col("ts_us")).as("us_until_purchase"))
+      .orderBy(col("event_id"))
+  }
+
   val asofJoinForwardSql: String =
     """WITH clicks AS (
       |  SELECT event_id, user_id, EPOCH_US(ts) AS click_us
@@ -157,5 +208,7 @@ object AsofJoin {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "asof_join" -> ((asofJoin _, asofJoinSql)),
     "asof_join_bucketed" -> ((asofJoinBucketed _, asofJoinSql)),
-    "asof_join_forward" -> ((asofJoinForward _, asofJoinForwardSql)))
+    "asof_join_forward" -> ((asofJoinForward _, asofJoinForwardSql)),
+    "asof_join_forward_bucketed" ->
+      ((asofJoinForwardBucketed _, asofJoinForwardSql)))
 }
