@@ -76,6 +76,26 @@ class MicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("AAPL" -> 48L, "MSFT" -> 48L), s"got $got")
   }
 
+  test("crypto micro-batch: slash symbols and v1beta3 path stream correctly") {
+    val copts = Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['BTC/USD','ETH/USD']",
+      "timeframe" -> "1Hour",
+      "start" -> "2021-01-04T00:00:00Z",
+      "end" -> "2021-01-05T00:00:00Z")
+    val stream = spark.readStream.format("Alpaca_Crypto_Bars")
+      .options(copts + ("stream_step" -> "8Hours"))
+      .load()
+    val q = stream.writeStream.format("memory")
+      .queryName("mb_crypto").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("mb_crypto").orderBy("symbol", "time").collect()
+    val batch = spark.read.format("Alpaca_Crypto_Bars").options(copts)
+      .load().orderBy("symbol", "time").collect()
+    assert(streamed.length == 48 && streamed.toSeq == batch.toSeq)
+  }
+
   test("restart from checkpoint resumes offsets: no duplicates, no gaps") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mb_ckpt").toString
     val sink = java.nio.file.Files.createTempDirectory("graft_mb_sink").toString
