@@ -263,16 +263,12 @@ object AlpacaQueries {
     * spreads are exact quarter-grid ints (spread×4), so the single
     * double division at the end is bit-identical in both engines.
     * One window + one aggregation, both on the symbol shuffle key. */
-  def quoteSpreadTwa(spark: SparkSession, dir: String): DataFrame = {
-    val endUs = us(quotesScanEnd)
+  /** Plain TWA core over prepared quotes(symbol, t_us, spread4).
+    * Exposed for the hot-symbol equivalence spec. */
+  private[graft] def twaPlain(quotes: DataFrame, endUs: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("symbol")).orderBy(col("t_us"))
-    spark.read.format("Alpaca_Stocks_Quotes")
-      .options(baseOptions(tradesSymbols: _*) ++ Map(
-        "start" -> tradesStart, "end" -> quotesScanEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        ((col("ask_price") - col("bid_price")) * 4).cast("long").as("spread4"))
+    quotes
       .withColumn("dur",
         coalesce(lead(col("t_us"), 1).over(w), lit(endUs)) - col("t_us"))
       .groupBy(col("symbol"))
@@ -282,6 +278,57 @@ object AlpacaQueries {
         (max(col("spread4")).cast("double") / 4.0).as("max_spread"))
       .orderBy(col("symbol"))
   }
+
+  /** Bucketed TWA core: the duration-stitching instance of the
+    * hot-key technique. Each quote's reign ends at the NEXT quote
+    * (or the window end); within a (symbol, time-bucket) that is an
+    * in-bucket lead, and only each bucket's LAST quote needs
+    * cross-bucket information — the first quote instant of the
+    * nearest later non-empty bucket, which is a per-bucket min rolled
+    * backward over the tiny spine (bucket time-ordering makes the
+    * nearest later bucket's min the global next). Σ spread·dur is
+    * invariant to how durations are grouped, so the final per-symbol
+    * aggregate is bit-identical to the plain form. */
+  private[graft] def twaBucketed(quotes0: DataFrame, endUs: Long,
+      bucketUs: Long): DataFrame = {
+    val W = bucketUs
+    val wExpr = org.apache.spark.sql.expressions.Window
+    val quotes = quotes0
+      .withColumn("b", expr(s"(t_us - pmod(t_us, ${W}L)) DIV ${W}L"))
+    val perBucket = quotes.groupBy(col("symbol"), col("b"))
+      .agg(min(col("t_us")).as("first_us"))
+    val wNext = wExpr.partitionBy(col("symbol")).orderBy(col("b"))
+      .rowsBetween(1, wExpr.unboundedFollowing)
+    val nextFirst = perBucket
+      .withColumn("next_first", first(col("first_us"), ignoreNulls = true).over(wNext))
+      .select(col("symbol"), col("b"), col("next_first"))
+    val wB = wExpr.partitionBy(col("symbol"), col("b")).orderBy(col("t_us"))
+    quotes
+      .join(nextFirst.hint("merge"), Seq("symbol", "b")) // linear spine, never broadcast
+      .withColumn("dur",
+        coalesce(lead(col("t_us"), 1).over(wB), col("next_first"), lit(endUs))
+          - col("t_us"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_quotes"),
+        (sum(col("spread4") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double") / 4.0).as("twa_spread"),
+        (max(col("spread4")).cast("double") / 4.0).as("max_spread"))
+      .orderBy(col("symbol"))
+  }
+
+  private def twaQuotesPrepared(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        ((col("ask_price") - col("bid_price")) * 4).cast("long").as("spread4"))
+
+  def quoteSpreadTwa(spark: SparkSession, dir: String): DataFrame =
+    twaPlain(twaQuotesPrepared(spark), us(quotesScanEnd))
+
+  def quoteSpreadTwaBucketed(spark: SparkSession, dir: String): DataFrame =
+    twaBucketed(twaQuotesPrepared(spark), us(quotesScanEnd), 3600L * 1000000L)
 
   def quoteSpreadTwaSql: String = {
     val endUs = us(quotesScanEnd)
@@ -793,6 +840,8 @@ object AlpacaQueries {
     "alpaca_stock_quotes_scan" -> ((stockQuotesScan _, stockQuotesScanSql)),
     "alpaca_stream_bars_scan" -> ((streamBarsScan _, streamBarsScanSql)),
     "alpaca_quote_spread_twa" -> ((quoteSpreadTwa _, quoteSpreadTwaSql)),
+    "alpaca_quote_spread_twa_bucketed" ->
+      ((quoteSpreadTwaBucketed _, quoteSpreadTwaSql)),
     "alpaca_effective_spread" -> ((effectiveSpread _, effectiveSpreadSql)),
     "alpaca_effective_spread_bucketed" ->
       ((effectiveSpreadBucketed _, effectiveSpreadBucketedSql)),

@@ -683,5 +683,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val hotBuckets = quotes.filter($"symbol" === "HOT")
       .select(($"t_us" / W).cast("long")).distinct().count()
     assert(hotBuckets > 100, s"fixture too narrow: $hotBuckets buckets")
+
+    // the TWA duration-stitching variant of the same technique, on the
+    // same hostile fixture (hot symbol, epoch-straddling times, sparse
+    // buckets): Σ spread·dur is grouping-invariant, so plain and
+    // bucketed must agree bit-for-bit
+    val spreads = quotes.withColumnRenamed("mid8", "spread4")
+    val endUs = spreads.agg(max($"t_us")).head.getLong(0) + W
+    val twaP = graft.operators.AlpacaQueries
+      .twaPlain(spreads, endUs).collect().toSeq
+    val twaB = graft.operators.AlpacaQueries
+      .twaBucketed(spreads, endUs, W).collect().toSeq
+    assert(twaP.nonEmpty && twaB == twaP,
+      s"bucketed TWA diverged:\n  plain=$twaP\n  bucketed=$twaB")
   }
 }
