@@ -178,7 +178,13 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       startMicros = startUs,
       endMicros = endUs,
       limit = AlpacaOptions.clampLimit(
-        params.get("limit").map(_.toInt).getOrElse(AlpacaOptions.DefaultLimit)),
+        params.get("limit").map { v =>
+          try v.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"Invalid 'limit' option: '$v' is not an integer")
+          }
+        }.getOrElse(AlpacaOptions.DefaultLimit)),
       streamStepMicros = opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
         .map(Timeframe.parseMicros).getOrElse(AlpacaPartitioning.DayMicros),
       clusterBySymbol = opts.collectFirst {
@@ -260,7 +266,14 @@ class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
     new AlpacaScan(sourceDef, cfg, prunedSchema, limitOpt)
 }
 
-class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
+/** case class: Scan value equality is what lets two plan occurrences
+  * of the same read canonicalize equal, so ReuseExchange / AQE stage
+  * reuse can collapse a re-consumed scan subtree (the bucketed as-of
+  * family's spine branch) onto one physical scan — with reference
+  * equality every occurrence would be its own HTTP-issuing scan. The
+  * fields cover everything that determines the output: source, full
+  * scan config (symbols/range/params/auth), pruned schema, limit. */
+case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     prunedSchema: StructType = null, limitOpt: Option[Int] = None)
   extends Scan with Batch
   with SupportsReportPartitioning with SupportsReportOrdering {

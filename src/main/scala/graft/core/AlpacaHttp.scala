@@ -89,7 +89,11 @@ class AlpacaHttpClient(
             s"HTTP $code with empty body for $url — malformed API response")
         return body
       } else if (AlpacaHttpClient.RetryStatuses.contains(code) && attempt < maxRetries) {
-        val backoffMs = (500L << attempt) // 0.5s, 1s, 2s
+        // 0.5s, 1s, 2s, … capped at 2 min: `retries` is user-settable
+        // now, and an uncapped shift both over-sleeps (retries=30 →
+        // multi-day waits) and overflows negative past attempt 62
+        // (Thread.sleep would throw instead of retrying)
+        val backoffMs = math.min(500L << math.min(attempt, 8), 120000L)
         log.warn(s"HTTP $code for $url; retry ${attempt + 1}/$maxRetries in ${backoffMs}ms")
         Thread.sleep(backoffMs)
         attempt += 1

@@ -295,19 +295,43 @@ object AlpacaQueries {
     val wExpr = org.apache.spark.sql.expressions.Window
     val quotes = quotes0
       .withColumn("b", expr(s"(t_us - pmod(t_us, ${W}L)) DIV ${W}L"))
-    val perBucket = quotes.groupBy(col("symbol"), col("b"))
-      .agg(min(col("t_us")).as("first_us"))
+      .filter(col("symbol").isNotNull && col("b").isNotNull) // see effSpreadBucketed
+    // ONE window pass computes the in-bucket lead AND nominates a
+    // representative row per (symbol, bucket) — the rn==1 rows ARE
+    // the spine carrying each bucket's first quote instant, so the
+    // quotes relation is scanned ONCE (the spine branch re-consumes
+    // the identical shuffle; ReuseExchange collapses it). spread4
+    // joins the ordering as a never-reached tiebreak so both
+    // consumers prune to the same columns — unequal pruning would
+    // break exchange canonical equality and resurrect the r6
+    // verdict's "second spine scan".
+    val wB = wExpr.partitionBy(col("symbol"), col("b"))
+      .orderBy(col("t_us"), col("spread4"))
+    // bucket_first as a full-partition window value (not read off the
+    // rn==1 row): a row_number-ONLY window under an rn==1 filter
+    // triggers Spark's WindowGroupLimit rewrite, which inserts a
+    // partial limit BELOW the shuffle on the spine branch only —
+    // breaking the exchange equality that deduplicates the scan. The
+    // aggregate window expression blocks that rewrite; saving a whole
+    // scan beats saving the spine branch's shuffle rows.
+    val winRows = quotes
+      .withColumn("lead_us", lead(col("t_us"), 1).over(wB))
+      .withColumn("bucket_first", first(col("t_us"))
+        .over(wB.rowsBetween(wExpr.unboundedPreceding, wExpr.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wB))
+    // nearest later non-empty bucket's first instant, rolled backward
+    // over the tiny spine (bucket time-ordering makes it the global
+    // next); the only serial window, on |symbols|×|buckets| rows
     val wNext = wExpr.partitionBy(col("symbol")).orderBy(col("b"))
       .rowsBetween(1, wExpr.unboundedFollowing)
-    val nextFirst = perBucket
+    val nextFirst = winRows.filter(col("rn") === 1)
+      .select(col("symbol"), col("b"), col("bucket_first").as("first_us"))
       .withColumn("next_first", first(col("first_us"), ignoreNulls = true).over(wNext))
       .select(col("symbol"), col("b"), col("next_first"))
-    val wB = wExpr.partitionBy(col("symbol"), col("b")).orderBy(col("t_us"))
-    quotes
+    winRows
       .join(nextFirst.hint("merge"), Seq("symbol", "b")) // linear spine, never broadcast
       .withColumn("dur",
-        coalesce(lead(col("t_us"), 1).over(wB), col("next_first"), lit(endUs))
-          - col("t_us"))
+        coalesce(col("lead_us"), col("next_first"), lit(endUs)) - col("t_us"))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_quotes"),
         (sum(col("spread4") * col("dur")).cast("double") /
@@ -322,7 +346,7 @@ object AlpacaQueries {
         "start" -> tradesStart, "end" -> quotesScanEnd))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        ((col("ask_price") - col("bid_price")) * 4).cast("long").as("spread4"))
+        round((col("ask_price") - col("bid_price")) * 4).cast("long").as("spread4"))
 
   def quoteSpreadTwa(spark: SparkSession, dir: String): DataFrame =
     twaPlain(twaQuotesPrepared(spark), us(quotesScanEnd))
@@ -394,8 +418,12 @@ object AlpacaQueries {
       .options(baseOptions(tradesSymbols: _*) ++ Map(
         "start" -> tradesStart, "end" -> quotesScanEnd))
       .load()
+      // round(), not a raw long cast: the cast truncates toward zero,
+      // which is only exact while prices sit on the fixture's dyadic
+      // 1/8 grid — off-grid real data must round to the nearest grid
+      // point to stay consistent with the round()-based oracles
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        (col("price") * 8).cast("long").as("price8"))
+        round(col("price") * 8).cast("long").as("price8"))
 
   private def quotesPrepared(spark: SparkSession): DataFrame =
     spark.read.format("Alpaca_Stocks_Quotes")
@@ -403,7 +431,7 @@ object AlpacaQueries {
         "start" -> tradesStart, "end" -> quotesScanEnd))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        ((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
+        round((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
 
   def effectiveSpread(spark: SparkSession, dir: String): DataFrame =
     effSpreadPlain(tradesPrepared(spark), quotesPrepared(spark))
@@ -455,46 +483,59 @@ object AlpacaQueries {
     val wExpr = org.apache.spark.sql.expressions.Window
     // FLOOR division, not `div` (which truncates toward zero): a
     // pre-1970 timestamp must land in the bucket BELOW it, or the
-    // injected seed (at b*W) would sort after the bucket's own events
-    // and the cross-bucket carry would be lost. pmod keeps it exact
-    // on longs.
+    // cross-bucket carry ordering breaks. pmod keeps it exact on longs.
     val bCol = expr(s"(t_us - pmod(t_us, ${W}L)) DIV ${W}L")
-    val trades = trades0.withColumn("b", bCol)
-    val quotes = quotes0.withColumn("b", bCol)
-    // tiny spine: every (symbol, bucket) either side touches, with the
-    // bucket's own latest quote (null where the bucket has none).
-    // max_by is a DeclarativeAggregate → HashAggregate with map-side
-    // combine; max(struct) here planned SortAggregate (the anti-
-    // pattern the IVF argmax note records), sorting the quote side.
-    val perBucket = quotes.groupBy(col("symbol"), col("b"))
-      .agg(max_by(col("mid8"), col("t_us")).as("qm"))
-    // merge-pinned: perBucket is |symbols|×|buckets| — linear in the
-    // corpus, never broadcastable at scale
-    val spine = trades.select(col("symbol"), col("b"))
-      .union(quotes.select(col("symbol"), col("b"))).distinct()
-      .join(perBucket.hint("merge"), Seq("symbol", "b"), "left")
-    // standing quote entering bucket k = the latest preceding bucket's
-    // qm: buckets are ordered, so last(ignoreNulls) over the spine IS
-    // the cross-bucket carry — no struct ordering needed.
-    val wSpine = wExpr.partitionBy(col("symbol")).orderBy(col("b"))
-      .rowsBetween(wExpr.unboundedPreceding, -1)
-    val seeds = spine
-      .withColumn("entry", last(col("qm"), ignoreNulls = true).over(wSpine))
-      .filter(col("entry").isNotNull)
-      .select(col("symbol"), col("b"), (col("b") * W).as("t_us"),
-        lit(null).cast("long").as("price8"), lit(-1).as("is_trade"),
-        col("entry").as("q_mid8"))
-    // heavy relations: window is per (symbol, bucket) — parallel in buckets
-    val tRows = trades.select(col("symbol"), col("b"), col("t_us"),
+    // heavy relations: tag-union once; window is per (symbol, bucket)
+    // — parallel in buckets
+    val tRows = trades0.select(col("symbol"), col("t_us"),
       col("price8"), lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
-    val qRows = quotes.select(col("symbol"), col("b"), col("t_us"),
+    val qRows = quotes0.select(col("symbol"), col("t_us"),
       lit(null).cast("long").as("price8"), lit(0).as("is_trade"),
       col("mid8").as("q_mid8"))
+    // explicit non-null symbol contract (the API never emits one, and
+    // keeping the filter on the shared subtree — rather than letting
+    // the join infer it on one branch only — keeps both consumers
+    // plan-identical for ReuseExchange)
+    val rows = tRows.unionByName(qRows).withColumn("b", bCol)
+      .filter(col("symbol").isNotNull && col("b").isNotNull)
+    // ONE window pass computes, per row, the in-bucket standing mid
+    // (PRECEDING frame; quotes sort before trades at equal instants →
+    // a same-instant quote counts as prevailing) AND, per bucket, its
+    // closing mid (full-partition frame; quote instants are unique per
+    // the determinism contract, so "last non-null q_mid8 in time
+    // order" IS max_by(mid8, t_us)) plus a row number nominating one
+    // representative row per bucket. The rn==1 rows ARE the
+    // (symbol, bucket) spine — no separate aggregate/distinct pass, so
+    // each input relation is scanned ONCE: the spine branch
+    // re-consumes the identical shuffle and ReuseExchange collapses it
+    // onto the first. price8 joins the ordering as a never-reached
+    // tiebreak precisely so both consumers prune to the same columns —
+    // unequal pruning would break exchange canonical equality and
+    // resurrect the r6 verdict's "second spine scan".
     val wBucket = wExpr.partitionBy(col("symbol"), col("b"))
-      .orderBy(col("t_us"), col("is_trade"))
-      .rowsBetween(wExpr.unboundedPreceding, 0)
-    tRows.unionByName(qRows).unionByName(seeds)
-      .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(wBucket))
+      .orderBy(col("t_us"), col("is_trade"), col("price8"))
+    val winRows = rows
+      .withColumn("in_mid8", last(col("q_mid8"), ignoreNulls = true)
+        .over(wBucket.rowsBetween(wExpr.unboundedPreceding, 0)))
+      .withColumn("bucket_qm", last(col("q_mid8"), ignoreNulls = true)
+        .over(wBucket.rowsBetween(wExpr.unboundedPreceding, wExpr.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wBucket))
+    // standing quote entering bucket k = the latest preceding bucket's
+    // close: buckets are ordered, so last(ignoreNulls) over the spine
+    // IS the cross-bucket carry — the only serial window left, on a
+    // relation |symbols|×|buckets|, orders of magnitude below the data
+    val wSpine = wExpr.partitionBy(col("symbol")).orderBy(col("b"))
+      .rowsBetween(wExpr.unboundedPreceding, -1)
+    val entries = winRows.filter(col("rn") === 1)
+      .select(col("symbol"), col("b"), col("bucket_qm"))
+      .withColumn("entry", last(col("bucket_qm"), ignoreNulls = true).over(wSpine))
+      .select(col("symbol"), col("b"), col("entry"))
+    // merge-pinned: entries is |symbols|×|buckets| — linear in the
+    // corpus, never broadcastable at scale. INNER ≡ left here (rn==1
+    // guarantees a spine row per non-empty group) and keeps
+    // null-inference symmetric across branches for ReuseExchange.
+    winRows.join(entries.hint("merge"), Seq("symbol", "b"))
+      .withColumn("mid8", coalesce(col("in_mid8"), col("entry")))
       .filter(col("is_trade") === 1 && col("mid8").isNotNull)
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_trades"),

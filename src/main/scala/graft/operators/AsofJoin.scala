@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 /**
  * As-of join — the canonical market-data operator (bars-as-of-trades)
  * the reference delegates to users. Implemented Spark-first by
- * composition (preference (a) of the build rules): tag-and-union both
- * sides, one window pass per key ordered by time carrying the last
- * right-side value forward, then keep left rows. ONE shuffle on the
+ * composition (preference (a) of the build rules): tag both sides in
+ * ONE conditional projection over the shared events scan (clicks and
+ * signups are disjoint `event_type` filters of the same table, so a
+ * union of two scans would read the file twice for nothing), then one
+ * window pass per key ordered by time carrying the last right-side
+ * value forward, then keep left rows. ONE scan, ONE shuffle on the
  * key, linear scan within each key — this is the 100 TB-safe shape
  * (a naive `t1.ts >= t2.ts` range join would be quadratic per key).
  *
@@ -26,21 +29,38 @@ object AsofJoin {
     Tables.events(spark, dir)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
 
+  /** Tagged rows for a (left=click, right=`rightType`) as-of, from a
+    * single scan: `side` flags the side, `event_id` survives only
+    * on left rows, `r_us` (the carried value) only on right rows.
+    * The side flag values control tie order at equal instants
+    * (lower sorts first). */
+  private def taggedRows(spark: SparkSession, dir: String,
+      rightType: String, leftFlag: Int, rightFlag: Int): DataFrame = {
+    val isLeft = col("event_type") === "click"
+    // explicit non-null key contract: an as-of matches on key EQUALITY,
+    // so a null user_id can never match (and a window partition would
+    // wrongly group all null users together); dropping them up front
+    // also keeps the bucketed form's two consumers of the shared scan
+    // plan-identical (an inferred-only IsNotNull on one branch would
+    // break ReuseExchange)
+    eventsUs(spark, dir)
+      .filter(col("event_type").isin("click", rightType) &&
+        col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_us"),
+        when(isLeft, leftFlag).otherwise(rightFlag).as("side"),
+        when(isLeft, col("event_id")).as("event_id"),
+        when(!isLeft, col("ts_us")).as("r_us"))
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsUs(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), lit(1).as("is_left"),
-        col("event_id"), lit(null).cast("bigint").as("s_us"))
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts_us"), lit(0).as("is_left"),
-        lit(null).cast("bigint").as("event_id"), col("ts_us").as("s_us"))
     // right rows sort before left at equal ts_us → ties count as prior
+    val rows = taggedRows(spark, dir, "signup", leftFlag = 1, rightFlag = 0)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("is_left"))
+      .orderBy(col("ts_us"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(signups)
-      .withColumn("signup_us", last(col("s_us"), ignoreNulls = true).over(w))
-      .filter(col("is_left") === 1)
+    rows
+      .withColumn("signup_us", last(col("r_us"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
         col("signup_us"),
         (col("ts_us") - col("signup_us")).as("us_since_signup"))
@@ -63,52 +83,58 @@ object AsofJoin {
   /** The hot-user SCALE form of [[asofJoin]] (same technique as
     * AlpacaQueries.effSpreadBucketed, proven portable here): the
     * as-of window runs per (user, day-bucket) so one user's history
-    * parallelizes across buckets, with the latest signup per bucket
-    * (a plain max — the carried value IS the timestamp) rolled
-    * forward over the tiny per-bucket spine and injected as a seed
-    * row at each bucket's start. LEFT semantics preserved: a click
-    * with no prior signup anywhere keeps a null signup_us. Gated
-    * against the identical DuckDB ASOF LEFT JOIN oracle as the plain
-    * form — the two implementations cross-prove each other. */
+    * parallelizes across buckets. ONE window pass computes, per row,
+    * the in-bucket carry AND, per bucket, its latest signup
+    * (full-partition frame) plus a row number nominating one
+    * representative row per bucket. The rn==1 rows ARE the
+    * (user, bucket) spine — no separate distinct/aggregate pass, so
+    * each input relation is scanned ONCE: the spine branch re-consumes
+    * the identical shuffle and ReuseExchange collapses it onto the
+    * first (`event_id` joins the window ordering as a never-reached
+    * tiebreak precisely so both consumers prune to the same columns —
+    * unequal pruning would break exchange canonical equality and
+    * resurrect the second scan). The spine's cross-bucket running
+    * carry is the only serial window left, on a relation
+    * |users|×|buckets| — orders of magnitude smaller than the data.
+    * LEFT semantics preserved: a click with no prior signup anywhere
+    * keeps a null signup_us (both carries null → coalesce null).
+    * Gated against the identical DuckDB ASOF LEFT JOIN oracle as the
+    * plain form — the two implementations cross-prove each other. */
   def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val W = 86400L * 1000000L // 1-day buckets
-    val ev = eventsUs(spark, dir)
-    // floor division (see AlpacaQueries.effSpreadBucketed): pre-1970
-    // timestamps must bucket DOWN or the seed ordering breaks
-    val bCol = expr(s"(ts_us - pmod(ts_us, ${W}L)) DIV ${W}L")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), col("event_id"))
-      .withColumn("b", bCol)
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts_us"))
-      .withColumn("b", bCol)
-    val perBucket = signups.groupBy(col("user_id"), col("b"))
-      .agg(max(col("ts_us")).as("bucket_s_us"))
-    // merge-pinned: perBucket is |users|×|buckets| — linear in the
-    // corpus, never broadcastable at scale (Spark's cost model
-    // broadcast it at gate size)
-    val spine = clicks.select(col("user_id"), col("b"))
-      .union(signups.select(col("user_id"), col("b"))).distinct()
-      .join(perBucket.hint("merge"), Seq("user_id", "b"), "left")
+    // floor division: pre-1970 timestamps must bucket DOWN or the
+    // cross-bucket carry ordering breaks
+    val rows = taggedRows(spark, dir, "signup", leftFlag = 1, rightFlag = 0)
+      .withColumn("b", expr(s"(ts_us - pmod(ts_us, ${W}L)) DIV ${W}L"))
+      // b is a join key below; the explicit IsNotNull on the SHARED
+      // subtree keeps both consumers' pushed filters identical (the
+      // join would infer it, but the inference pushes past the data
+      // window on one branch only, breaking ReuseExchange)
+      .filter(col("b").isNotNull)
+    val wB = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+    val winRows = rows
+      .withColumn("in_carry", last(col("r_us"), ignoreNulls = true)
+        .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bucket_s", last(col("r_us"), ignoreNulls = true)
+        .over(wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wB))
+    // standing signup ENTERING bucket k = latest preceding bucket's
+    // bucket_s: last(ignoreNulls) over the tiny ordered spine
     val wSpine = Window.partitionBy(col("user_id")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val seeds = spine
-      .withColumn("entry", last(col("bucket_s_us"), ignoreNulls = true).over(wSpine))
-      .filter(col("entry").isNotNull)
-      .select(col("user_id"), col("b"), (col("b") * W).as("ts_us"),
-        lit(-1).as("is_left"), lit(null).cast("bigint").as("event_id"),
-        col("entry").as("s_us"))
-    val cRows = clicks.select(col("user_id"), col("b"), col("ts_us"),
-      lit(1).as("is_left"), col("event_id"), lit(null).cast("bigint").as("s_us"))
-    val sRows = signups.select(col("user_id"), col("b"), col("ts_us"),
-      lit(0).as("is_left"), lit(null).cast("bigint").as("event_id"),
-      col("ts_us").as("s_us"))
-    val wBucket = Window.partitionBy(col("user_id"), col("b"))
-      .orderBy(col("ts_us"), col("is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cRows.unionByName(sRows).unionByName(seeds)
-      .withColumn("signup_us", last(col("s_us"), ignoreNulls = true).over(wBucket))
-      .filter(col("is_left") === 1)
+    val entries = winRows.filter(col("rn") === 1)
+      .select(col("user_id"), col("b"), col("bucket_s"))
+      .withColumn("entry", last(col("bucket_s"), ignoreNulls = true).over(wSpine))
+      .select(col("user_id"), col("b"), col("entry"))
+    // merge-pinned: entries is |users|×|buckets| — linear in the
+    // corpus, never broadcastable at scale (Spark's cost model would
+    // broadcast it at gate size). INNER join ≡ left here (rn==1
+    // guarantees a spine row for every non-empty group) and keeps
+    // null-inference symmetric across both branches for ReuseExchange.
+    winRows.join(entries.hint("merge"), Seq("user_id", "b"))
+      .withColumn("signup_us", coalesce(col("in_carry"), col("entry")))
+      .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
         col("signup_us"),
         (col("ts_us") - col("signup_us")).as("us_since_signup"))
@@ -116,24 +142,18 @@ object AsofJoin {
   }
 
   /** Forward as-of: each 'click' matched to the same user's NEXT
-    * at-or-after 'purchase' (conversion attribution). Same
-    * tag-union + one window pass shape, with a FOLLOWING frame and
+    * at-or-after 'purchase' (conversion attribution). Same single-scan
+    * tag + one window pass shape, with a FOLLOWING frame and
     * first(ignoreNulls); right rows sort after left at equal ts so
     * a same-instant purchase counts as the next one — matching
     * DuckDB's `ASOF LEFT JOIN ... ON c.ts <= p.ts` direction. */
   def asofJoinForward(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsUs(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
-        col("event_id"), lit(null).cast("bigint").as("p_us"))
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), lit(1).as("side"),
-        lit(null).cast("bigint").as("event_id"), col("ts_us").as("p_us"))
+    val rows = taggedRows(spark, dir, "purchase", leftFlag = 0, rightFlag = 1)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    clicks.unionByName(purchases)
-      .withColumn("purchase_us", first(col("p_us"), ignoreNulls = true).over(w))
+    rows
+      .withColumn("purchase_us", first(col("r_us"), ignoreNulls = true).over(w))
       .filter(col("side") === 0)
       .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
         col("purchase_us"),
@@ -141,50 +161,37 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
-  /** Forward twin of [[asofJoinBucketed]]: per-(user, day-bucket)
-    * windows with a FOLLOWING frame; the earliest purchase per bucket
-    * (plain min) is rolled BACKWARD over the spine and injected as a
-    * seed ordered after the bucket's own events, so a click whose
-    * next purchase lives in a later bucket still finds it. Same
-    * oracle as the plain forward form. */
+  /** Forward twin of [[asofJoinBucketed]], same single-scan shape with
+    * FOLLOWING frames: the in-bucket forward carry and the bucket's
+    * earliest purchase come from one window pass; the rn==1 spine rows
+    * roll the per-bucket min BACKWARD (frame 1..unboundedFollowing →
+    * nearest later non-empty bucket's earliest purchase), so a click
+    * whose next purchase lives in a later bucket still finds it.
+    * Same oracle as the plain forward form. */
   def asofJoinForwardBucketed(spark: SparkSession, dir: String): DataFrame = {
     val W = 86400L * 1000000L
-    val ev = eventsUs(spark, dir)
-    val bCol = expr(s"(ts_us - pmod(ts_us, ${W}L)) DIV ${W}L")
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts_us"), col("event_id"))
-      .withColumn("b", bCol)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"))
-      .withColumn("b", bCol)
-    val perBucket = purchases.groupBy(col("user_id"), col("b"))
-      .agg(min(col("ts_us")).as("bucket_p_us"))
-    val spine = clicks.select(col("user_id"), col("b"))
-      .union(purchases.select(col("user_id"), col("b"))).distinct()
-      .join(perBucket.hint("merge"), Seq("user_id", "b"), "left")
+    val rows = taggedRows(spark, dir, "purchase", leftFlag = 0, rightFlag = 1)
+      .withColumn("b", expr(s"(ts_us - pmod(ts_us, ${W}L)) DIV ${W}L"))
+      .filter(col("b").isNotNull) // see asofJoinBucketed
+    val wB = Window.partitionBy(col("user_id"), col("b"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+    val winRows = rows
+      .withColumn("in_carry", first(col("r_us"), ignoreNulls = true)
+        .over(wB.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("bucket_p", first(col("r_us"), ignoreNulls = true)
+        .over(wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(wB))
     // earliest purchase in any LATER bucket: first(ignoreNulls) over
-    // the forward-looking spine frame
+    // the forward-looking spine frame (bucket time-ordering makes the
+    // nearest later bucket's min the global next)
     val wSpine = Window.partitionBy(col("user_id")).orderBy(col("b"))
       .rowsBetween(1, Window.unboundedFollowing)
-    val seeds = spine
-      .withColumn("entry", first(col("bucket_p_us"), ignoreNulls = true).over(wSpine))
-      .filter(col("entry").isNotNull)
-      // seed sorts after every in-bucket event: strictly past the
-      // bucket's last possible instant (partition key is b, so the
-      // out-of-range ts only orders, never re-buckets)
-      .select(col("user_id"), col("b"), ((col("b") + 1) * W).as("ts_us"),
-        lit(2).as("side"), lit(null).cast("bigint").as("event_id"),
-        col("entry").as("p_us"))
-    val cRows = clicks.select(col("user_id"), col("b"), col("ts_us"),
-      lit(0).as("side"), col("event_id"), lit(null).cast("bigint").as("p_us"))
-    val pRows = purchases.select(col("user_id"), col("b"), col("ts_us"),
-      lit(1).as("side"), lit(null).cast("bigint").as("event_id"),
-      col("ts_us").as("p_us"))
-    val wBucket = Window.partitionBy(col("user_id"), col("b"))
-      .orderBy(col("ts_us"), col("side"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cRows.unionByName(pRows).unionByName(seeds)
-      .withColumn("purchase_us", first(col("p_us"), ignoreNulls = true).over(wBucket))
+    val entries = winRows.filter(col("rn") === 1)
+      .select(col("user_id"), col("b"), col("bucket_p"))
+      .withColumn("entry", first(col("bucket_p"), ignoreNulls = true).over(wSpine))
+      .select(col("user_id"), col("b"), col("entry"))
+    winRows.join(entries.hint("merge"), Seq("user_id", "b"))
+      .withColumn("purchase_us", coalesce(col("in_carry"), col("entry")))
       .filter(col("side") === 0)
       .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
         col("purchase_us"),

@@ -19,16 +19,22 @@ object Tables {
   }
 
   /** Rewrites `ts` to µs TimestampType whatever shape it was read in:
-    * nanos-long → exact integer floor-div to µs; µs NTZ → session-tz
-    * cast (sessions pin UTC, so the wall-clock value is preserved and
-    * matches the DuckDB oracle's naive reading); already-LTZ µs
-    * timestamps pass through. Pure schema branch — works identically
-    * on batch and streaming DataFrames. */
+    * nanos-long → exact integer floor-div to µs; µs NTZ → its
+    * wall-clock read AS UTC (matching the DuckDB oracle's naive
+    * reading) regardless of the session timezone: convert_timezone
+    * shifts the NTZ wall-clock from UTC into the session zone, so the
+    * subsequent LTZ cast (which interprets in the session zone) lands
+    * on the UTC instant — under a UTC session both steps are no-ops;
+    * already-LTZ µs timestamps pass through. Pure schema branch —
+    * works identically on batch and streaming DataFrames. */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast("timestamp"))
       case _ => df
     }
   }

@@ -31,6 +31,10 @@ object PlanGolden {
     * also count WindowGroupLimit; Exchange variants are split because
     * a range↔hash flip is a real plan change. */
   private val markers: Seq[(String, scala.util.matching.Regex)] = Seq(
+    // source scans (DSv2 BatchScan = the Alpaca connector, FileScan =
+    // parquet): at 100 TB an extra scan of an input relation is a
+    // whole extra pass over the data, so the count is pinned per gate
+    "scan" -> "(BatchScan|FileScan)".r,
     "xchgHash" -> "Exchange hashpartitioning".r,
     "xchgRange" -> "Exchange rangepartitioning".r,
     "xchgSingle" -> "Exchange SinglePartition".r,
@@ -60,11 +64,19 @@ object PlanGolden {
     graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("stream_") || n.startsWith("sink_"))
 
-  def signatures(spark: SparkSession, dir: String): Seq[(String, String)] =
-    auditableGates.map { n =>
+  /** Signatures are computed with AQE disabled: the static
+    * ReuseExchange rule then runs at plan time, so the golden pins
+    * scan dedup (`reused=`/`scan=`) exactly as AQE's runtime stage
+    * reuse will execute it — under AQE the pre-execution plan hides
+    * both. The initial plan is otherwise identical. */
+  def signatures(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try auditableGates.map { n =>
       n -> signature(graft.SparkEntry.queries(n)(spark, dir)
         .queryExecution.executedPlan.toString)
-    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
