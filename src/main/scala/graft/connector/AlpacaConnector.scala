@@ -52,6 +52,14 @@ trait AlpacaSourceDef extends Serializable {
   def timeColumn: Option[String] = Some("time")
 }
 
+object AlpacaScanConfig {
+  /** Sentinel endMicros for a stream opened without a fixed `end`
+    * (LIVE mode): each trigger clamps its high-water mark to the wall
+    * clock instead of a configured bound. Batch scans reject it at
+    * partition-planning time. */
+  val LiveEnd: Long = Long.MaxValue
+}
+
 /** Everything a scan needs, shipped driver → executors. */
 case class AlpacaScanConfig(
     endpoint: String,
@@ -166,8 +174,12 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
     sourceDef.extraValidate(params)
     val startUs = AlpacaOptions.parseIsoMicros(params.getOrElse("start", ""))
       .getOrElse(throw new IllegalArgumentException("Invalid 'start' option"))
-    val endUs = AlpacaOptions.parseIsoMicros(params.getOrElse("end", ""))
-      .getOrElse(throw new IllegalArgumentException("Invalid 'end' option"))
+    // absent end = LIVE mode (streaming only; batch planning rejects it)
+    val endUs = params.get("end") match {
+      case Some(e) => AlpacaOptions.parseIsoMicros(e)
+        .getOrElse(throw new IllegalArgumentException("Invalid 'end' option"))
+      case None => AlpacaScanConfig.LiveEnd
+    }
     val cfg = AlpacaScanConfig(
       endpoint = AlpacaOptions.stripApiVersion(endpointCfg.endpoint),
       apiKeyId = endpointCfg.apiKeyId,
@@ -343,6 +355,9 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
 
   // cached: consulted by both Spark's planning and outputPartitioning()
   private lazy val plannedPartitions: Array[InputPartition] = {
+    if (cfg.endMicros == AlpacaScanConfig.LiveEnd)
+      throw new IllegalArgumentException(
+        "'end' is required for batch reads; omit it only with readStream (live mode)")
     if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)
       Array.empty
     else {

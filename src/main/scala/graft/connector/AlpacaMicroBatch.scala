@@ -11,6 +11,18 @@ case class TimeOffset(micros: Long) extends Offset {
   override def json(): String = micros.toString
 }
 
+/** Wall clock for LIVE streams (no fixed `end`): each trigger's
+  * high-water mark clamps to `nowMicros()`. Driver-side only —
+  * latestOffset runs on the driver, so a process-local override is
+  * sound. Overridable for deterministic tests; production leaves the
+  * default. */
+object AlpacaWallClock {
+  @volatile private[graft] var nowMicros: () => Long =
+    () => System.currentTimeMillis() * 1000L
+  private[graft] def reset(): Unit =
+    nowMicros = () => System.currentTimeMillis() * 1000L
+}
+
 /**
  * Micro-batch streaming over the Alpaca endpoints — the natural
  * extension the reference lacks (SURVEY §2.11). Each trigger advances
@@ -20,9 +32,18 @@ case class TimeOffset(micros: Long) extends Offset {
  * behavior is identical to the batch path.
  *
  * Intervals are half-open and contiguous (matching the batch partition
- * tiling), so no bar is ever emitted twice across micro-batches. In a
- * live deployment `end` would be replaced by wall-clock now() per
- * trigger; here it is bounded by the option for determinism.
+ * tiling), so no bar is ever emitted twice across micro-batches.
+ *
+ * Two bounding modes:
+ *  - `end` configured: replay mode — offsets step toward the fixed
+ *    bound and the stream drains dry there (deterministic; what the
+ *    correctness gates exercise).
+ *  - `end` omitted: LIVE mode — each trigger clamps to
+ *    [[AlpacaWallClock.nowMicros]] (wall clock; stub-injectable for
+ *    tests), so the stream follows real time forever. Offsets stay
+ *    self-describing, so a checkpoint restart resumes exactly at the
+ *    committed high-water mark in either mode, and a replay checkpoint
+ *    restarted without `end` upgrades to live seamlessly.
  *
  * The stream is STATELESS: it implements `SupportsAdmissionControl`
  * so each trigger's high-water mark is `restored start + step`,
@@ -47,7 +68,13 @@ class AlpacaMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TimeOffset].micros
-    TimeOffset(math.min(cfg.endMicros, Math.addExact(s, stepMicros)))
+    val cap =
+      if (cfg.endMicros == AlpacaScanConfig.LiveEnd) AlpacaWallClock.nowMicros()
+      else cfg.endMicros
+    // never step past the cap; never step BACKWARD either (a live
+    // clock behind the committed mark — clock skew, or a start in the
+    // future — must yield an empty trigger, not a regressing offset)
+    TimeOffset(math.max(s, math.min(cap, Math.addExact(s, stepMicros))))
   }
 
   override def deserializeOffset(json: String): Offset =

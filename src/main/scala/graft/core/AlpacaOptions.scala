@@ -126,15 +126,20 @@ object AlpacaOptions {
       if (parseSymbols(s).isEmpty)
         throw new IllegalArgumentException(s"Symbols must be a non-empty list: '$s'")
     }
-    // start/end are de-facto required: the reference unconditionally
-    // ISO-parses both (common.py:269-285), so absence fails there too.
+    // start is de-facto required: the reference unconditionally
+    // ISO-parses it (common.py:269-285), so absence fails there too.
+    // 'end' may be OMITTED for live streaming (readStream without a
+    // fixed end — each trigger clamps to the wall clock instead); when
+    // present it must parse and order, and batch reads without it fail
+    // at partition-planning time with a named error.
     val startRaw = get("start").getOrElse("")
-    val endRaw = get("end").getOrElse("")
     val startT = parseIsoMicros(startRaw).getOrElse(throw new IllegalArgumentException(
       s"Invalid 'start' option: '$startRaw' is not a valid ISO format datetime"))
-    val endT = parseIsoMicros(endRaw).getOrElse(throw new IllegalArgumentException(
-      s"Invalid 'end' option: '$endRaw' is not a valid ISO format datetime"))
-    if (startT > endT) throw new IllegalArgumentException(s"start time is after end time")
+    get("end").foreach { endRaw =>
+      val endT = parseIsoMicros(endRaw).getOrElse(throw new IllegalArgumentException(
+        s"Invalid 'end' option: '$endRaw' is not a valid ISO format datetime"))
+      if (startT > endT) throw new IllegalArgumentException(s"start time is after end time")
+    }
 
     apiParams.flatMap(p => get(p.name).map(p.name -> _)).toMap
   }

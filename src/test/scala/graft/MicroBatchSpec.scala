@@ -119,4 +119,75 @@ class MicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exactly-once across the restart: every (symbol, time) key unique
     assert(rows.select("symbol", "time").distinct().count() == 96L)
   }
+
+  // ------------------------------------------------------------ LIVE mode
+  private val baseUs =
+    java.time.Instant.parse("2021-01-04T00:00:00Z").getEpochSecond * 1000000L
+
+  private def clockAtHours(h: Long): Unit =
+    graft.connector.AlpacaWallClock.nowMicros =
+      () => baseUs + h * 3600L * 1000000L
+
+  test("live mode (no end): the stream follows the injected wall clock") {
+    try {
+      clockAtHours(6)
+      val stream = spark.readStream.format("Alpaca_Stocks_Bars")
+        .options(opts - "end" + ("stream_step" -> "2Hours"))
+        .load()
+      val q = stream.writeStream.format("memory")
+        .queryName("mb_live").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // clock at +6h, 2h steps → 3 triggers so far, hourly bars ×2 symbols
+        assert(spark.table("mb_live").count() == 12L)
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+        // clock advances mid-query: the SAME running stream catches up
+        clockAtHours(12)
+        q.processAllAvailable()
+        assert(spark.table("mb_live").count() == 24L)
+        // exactly-once across all triggers
+        assert(spark.table("mb_live").select("symbol", "time")
+          .distinct().count() == 24L)
+        // and the realized window equals the batch read over [start, clock)
+        val batch = spark.read.format("Alpaca_Stocks_Bars")
+          .options(opts + ("end" -> "2021-01-04T12:00:00Z")).load()
+        assert(spark.table("mb_live").orderBy("symbol", "time").collect().toSeq ==
+          batch.orderBy("symbol", "time").collect().toSeq)
+      } finally q.stop()
+    } finally graft.connector.AlpacaWallClock.reset()
+  }
+
+  test("live mode restart: checkpoint resumes at the committed clock mark") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_live_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_live_sink").toString
+    def run(hours: Long): Unit = {
+      clockAtHours(hours)
+      val stream = spark.readStream.format("Alpaca_Stocks_Bars")
+        .options(opts - "end" + ("stream_step" -> "2Hours"))
+        .load()
+      val q = stream.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      run(4)
+      assert(spark.read.parquet(sink).count() == 8L)
+      // restart with the clock further along: resumes at +4h, no refetch
+      run(8)
+      val rows = spark.read.parquet(sink)
+      assert(rows.count() == 16L, s"after restart: ${rows.count()}")
+      assert(rows.select("symbol", "time").distinct().count() == 16L)
+    } finally graft.connector.AlpacaWallClock.reset()
+  }
+
+  test("batch read without 'end' fails with a named error (live is streaming-only)") {
+    val ex = intercept[Throwable] {
+      spark.read.format("Alpaca_Stocks_Bars").options(opts - "end").load().count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("'end' is required for batch reads")),
+      s"unexpected error chain: ${messages(ex)}")
+  }
 }
