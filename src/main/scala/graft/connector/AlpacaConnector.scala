@@ -74,7 +74,17 @@ case class AlpacaScanConfig(
     streamStepMicros: Long = AlpacaPartitioning.DayMicros,
     clusterBySymbol: Boolean = false,
     timeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
-    maxRetries: Int = AlpacaHttpClient.MaxRetries)
+    maxRetries: Int = AlpacaHttpClient.MaxRetries,
+    symbolBatch: Int = 1) {
+
+  /** Request-grid symbol axis: with `symbol_batch` > 1 the symbols are
+    * batched into comma-joined groups (alphabetical, matching the real
+    * API's combined-stream pagination order), so a 5 000-symbol scan
+    * plans ~5 000/batch HTTP request chains instead of 5 000. */
+  def groupedSymbols: Seq[String] =
+    if (symbolBatch <= 1) symbols
+    else symbols.sorted.grouped(symbolBatch).map(_.mkString(",")).toSeq
+}
 
 /** Partition = one symbol × one time interval (`common.py:53-59`).
   * `HasPartitionKey` exposes the symbol as the partition key so a scan
@@ -151,9 +161,11 @@ abstract class AlpacaTableProvider(sourceDef: AlpacaSourceDef)
     val params = AlpacaOptions.validateParams(opts, sourceDef.apiParams)
     sourceDef.extraValidate(params)
     // scan building is deferred for streaming reads — surface a bad
-    // stream_step here so it still fails at load() on the driver
+    // stream_step / symbol_batch here so they still fail at load() on
+    // the driver
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
       .foreach(Timeframe.validate)
+    AlpacaOptions.parseSymbolBatch(opts)
     sourceDef.schema
   }
 
@@ -203,7 +215,8 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
         case (k, v) if k.equalsIgnoreCase("cluster_by_symbol") => v.trim.toBoolean
       }.getOrElse(false),
       timeoutSec = endpointCfg.timeoutSec,
-      maxRetries = endpointCfg.maxRetries)
+      maxRetries = endpointCfg.maxRetries,
+      symbolBatch = AlpacaOptions.parseSymbolBatch(opts))
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -363,7 +376,7 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     else {
       val intervalUs = sourceDef.partitionIntervalMicros(
         cfg.startMicros, cfg.endMicros, cfg.limit, cfg.params)
-      AlpacaPartitioning.plan(cfg.symbols, cfg.startMicros, cfg.endMicros, intervalUs)
+      AlpacaPartitioning.plan(cfg.groupedSymbols, cfg.startMicros, cfg.endMicros, intervalUs)
         .toArray[InputPartition]
     }
   }

@@ -84,7 +84,7 @@ class AlpacaMicroBatchStream(
     val s = start.asInstanceOf[TimeOffset].micros
     val e = end.asInstanceOf[TimeOffset].micros
     if (e <= s) Array.empty
-    else cfg.symbols.map(SymbolTimeRangePartition(_, s, e)).toArray[InputPartition]
+    else cfg.groupedSymbols.map(SymbolTimeRangePartition(_, s, e)).toArray[InputPartition]
   }
 
   /** Columnar, exactly like the batch path: each API page decodes

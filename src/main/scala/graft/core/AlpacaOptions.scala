@@ -51,7 +51,8 @@ object AlpacaOptions {
     Seq("endpoint", "APCA-API-KEY-ID", "APCA-API-SECRET-KEY", "rate_limit_delay",
       "timeout", "retries", // USAGE.md:74-75 globals, implemented here
       "stream_step", // streaming micro-batch step, not an API param
-      "cluster_by_symbol") // report KeyGroupedPartitioning(symbol) from the scan
+      "cluster_by_symbol", // report KeyGroupedPartitioning(symbol) from the scan
+      "symbol_batch") // symbols per HTTP request (multi-symbol batching)
 
   /** Builds the endpoint config, requiring both API keys
     * (reference: `common.py:218-232`). Keys are matched
@@ -99,6 +100,34 @@ object AlpacaOptions {
           s"clamping (the server would silently truncate to $MaxLimit)")
       MaxLimit
     } else raw
+  }
+
+  /** Parses + validates the `symbol_batch` config option (symbols per
+    * HTTP request, SURVEY-beyond: multi-symbol batching); 1 when
+    * absent. Rejects the `cluster_by_symbol` combination — batched
+    * partitions are not symbol-pure, so the scan could not honestly
+    * report KeyGroupedPartitioning(symbol). */
+  def parseSymbolBatch(opts: Map[String, String]): Int = {
+    val n = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("symbol_batch") =>
+        val parsed = try v.trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"Invalid 'symbol_batch' option: '$v' is not an integer")
+        }
+        if (parsed < 1) throw new IllegalArgumentException(
+          s"Invalid 'symbol_batch' option: must be >= 1, got $parsed")
+        parsed
+    }.getOrElse(1)
+    val clustered = opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("cluster_by_symbol") => v.trim.toBoolean
+    }.getOrElse(false)
+    if (n > 1 && clustered)
+      throw new IllegalArgumentException(
+        "'symbol_batch' > 1 and 'cluster_by_symbol' are mutually exclusive: " +
+          "batched partitions are not symbol-pure, so the scan cannot report " +
+          "KeyGroupedPartitioning(symbol)")
+    n
   }
 
   /** Required-option check + unknown-option warning + symbols/start/end

@@ -94,6 +94,24 @@ object AlpacaQueries {
   def barsScanSql: String =
     barsValuesSql(barsSymbols, us(barsStart), us(barsEnd), Hour)
 
+  /** Multi-symbol batched requests (`symbol_batch`): 6 symbols ride in
+    * 2 comma-joined request chains (3 symbols each) instead of 6 — the
+    * connector-side fix for the 5 000-symbols × short-range shape,
+    * where one-symbol-per-request turns the partition grid into 5 000
+    * HTTP round-trips when ~50 would do. The stub paginates the
+    * combined stream symbol-major with pages spanning symbol
+    * boundaries (the real API's multi-symbol behavior), and the
+    * low `limit` forces that spanning to actually happen. Hash parity
+    * with the same per-symbol VALUES oracle proves batched ∪ ==
+    * unbatched. */
+  private val multiSymbols = Seq("AAPL", "MSFT", "GOOG", "AMZN", "TSLA", "NVDA")
+  def barsMultiSymbol(spark: SparkSession, dir: String): DataFrame =
+    barsProjection(barsDf(spark,
+      Map("symbol_batch" -> "3", "limit" -> "17"), symbols = multiSymbols))
+
+  def barsMultiSymbolSql: String =
+    barsValuesSql(multiSymbols, us(barsStart), us(barsEnd), Hour)
+
   /** Same scan with symbol + time predicates: exercises
     * SupportsPushDownFilters partition pruning (fewer planned API
     * calls) with identical results. */
@@ -870,6 +888,7 @@ object AlpacaQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_bars_trades_join" -> ((barsTradesJoin _, barsTradesJoinSql)),
     "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
+    "alpaca_bars_multisymbol" -> ((barsMultiSymbol _, barsMultiSymbolSql)),
     "alpaca_bars_pushdown" -> ((barsPushdown _, barsPushdownSql)),
     "alpaca_bars_pushdown_le" -> ((barsPushdownLe _, barsPushdownLeSql)),
     "alpaca_bars_sorted" -> ((barsSortedDesc _, barsSortedDescSql)),

@@ -178,6 +178,12 @@ object AlpacaStubServer {
   @volatile private var port: Int = -1
   private val flakyHits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Total HTTP requests served — lets tests assert the request-grid
+    * shrink from multi-symbol batching (and REFBENCH report request
+    * counts) without packet capture. */
+  private val requestCount = new java.util.concurrent.atomic.AtomicLong
+  def requestsServed: Long = requestCount.get()
+
   def endpoint: String = synchronized {
     if (server == null) start()
     s"http://127.0.0.1:$port/v2"
@@ -204,29 +210,51 @@ object AlpacaStubServer {
   private def fmtD(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString + ".0" else d.toString
 
-  /** Paginates `records` and renders the envelope. Slices BEFORE
-    * rendering so each page request pays O(limit) JSON work, not
-    * O(interval) — with volume-aware multi-page partitions the old
+  /** Paginates per-symbol records and renders the envelope. Slices
+    * BEFORE rendering so each page request pays O(limit) JSON work,
+    * not O(interval) — with volume-aware multi-page partitions the old
     * render-then-slice shape re-rendered the whole interval per page
     * and dominated benchmark timings. Honors `sort=desc` (the real
     * API's server-side ordering, `stocks/trades.py:54-57`) by
-    * reversing the naturally-ascending fixture records first. */
-  private def envelope[T](dataKey: String, symbol: String, records0: Seq[T],
-      render: T => String, limit: Int, pageToken: String,
-      sort: String = "asc"): String = {
-    val records = if (sort == "desc") records0.reverse else records0
+    * reversing the naturally-ascending fixture records first.
+    *
+    * `symbolsParam` may be a comma-separated list (the real API's
+    * multi-symbol request form): records stream symbol-major in
+    * alphabetical order — the real combined-stream pagination — with
+    * pages spanning symbol boundaries and the envelope carrying one
+    * key per contiguous symbol run. */
+  private def envelope[T](dataKey: String, symbolsParam: String,
+      fetch: String => Seq[T], render: T => String, limit: Int,
+      pageToken: String, sort: String = "asc"): String = {
+    val syms = symbolsParam.split(',').map(_.trim).filter(_.nonEmpty).toSeq.sorted
+    val combined: Seq[(String, T)] = syms.flatMap { s =>
+      val rs = fetch(s)
+      (if (sort == "desc") rs.reverse else rs).map(s -> _)
+    }
     val offset = if (pageToken.isEmpty) 0 else pageToken.toInt
-    val page = records.slice(offset, offset + limit).map(render)
+    val page = combined.slice(offset, offset + limit)
     val nextTok =
-      if (offset + limit < records.size) jsonStr((offset + limit).toString)
+      if (offset + limit < combined.size) jsonStr((offset + limit).toString)
       else "null"
-    val body =
-      if (page.isEmpty) s"""{"$dataKey": {}, "next_page_token": null}"""
-      else s"""{"$dataKey": {${jsonStr(symbol)}: [${page.mkString(",")}]}, "next_page_token": $nextTok}"""
-    body
+    if (page.isEmpty) s"""{"$dataKey": {}, "next_page_token": null}"""
+    else {
+      val sb = new StringBuilder(s"""{"$dataKey": {""")
+      var cur: String = null
+      page.foreach { case (s, r) =>
+        if (s != cur) {
+          if (cur != null) sb.append("], ")
+          sb.append(jsonStr(s)).append(": [")
+          cur = s
+        } else sb.append(",")
+        sb.append(render(r))
+      }
+      sb.append(s"""]}, "next_page_token": $nextTok}""")
+      sb.toString
+    }
   }
 
   private def handle(ex: HttpExchange, render: Map[String, String] => (Int, String)): Unit = {
+    requestCount.incrementAndGet()
     val (code, body) = render(parseQuery(ex))
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -319,7 +347,7 @@ object AlpacaStubServer {
       // first record lacks h/l/c/v/n/vw → parser must warn + skip it.
       // Tiny fixture range, so pre-rendering the full list here is fine.
       (200, envelope("bars", symbol,
-        s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(isoToUs(q(params, "start"))))}, "o": 1.0}""" +:
+        _ => s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(isoToUs(q(params, "start"))))}, "o": 1.0}""" +:
           bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs).map(barJson),
         identity[String], limit, tok, sort))
     else {
@@ -327,20 +355,37 @@ object AlpacaStubServer {
       // weeks of minute bars (≈50k records over 5 pages), and
       // materializing the whole interval per page request made the
       // stub — not the engine under test — the benchmark bottleneck.
+      // Multi-symbol requests stream symbol-major (alphabetical) with
+      // the page token spanning symbol boundaries, like the real API's
+      // combined stream — all still O(page), never O(symbols×interval).
+      val syms = symbol.split(',').map(_.trim).filter(_.nonEmpty).toSeq.sorted
       val startUs = isoToUs(q(params, "start"))
       val endUs = isoToUs(q(params, "end"))
       val first = gridFirst(startUs, tfUs)
-      val total = gridCount(startUs, endUs, tfUs)
-      val offset = if (tok.isEmpty) 0 else tok.toInt
-      val hi = math.min(offset + limit, total)
-      val page = (offset until hi).map { k =>
-        val idx = if (sort == "desc") total - 1 - k else k
-        barJson(barAt(symbol, first + idx.toLong * tfUs, tfUs))
-      }
-      val nextTok = if (hi < total) jsonStr(hi.toString) else "null"
+      val total = gridCount(startUs, endUs, tfUs).toLong // per symbol
+      val combinedTotal = total * syms.length
+      val offset = if (tok.isEmpty) 0L else tok.toLong
+      val hi = math.min(offset + limit, combinedTotal)
+      val nextTok = if (hi < combinedTotal) jsonStr(hi.toString) else "null"
       val body =
-        if (page.isEmpty) """{"bars": {}, "next_page_token": null}"""
-        else s"""{"bars": {${jsonStr(symbol)}: [${page.mkString(",")}]}, "next_page_token": $nextTok}"""
+        if (hi <= offset) """{"bars": {}, "next_page_token": null}"""
+        else {
+          val sb = new StringBuilder("""{"bars": {""")
+          var cur: String = null
+          (offset until hi).foreach { k =>
+            val sym = syms((k / total).toInt)
+            val inIdx = k % total
+            val idx = if (sort == "desc") total - 1 - inIdx else inIdx
+            if (sym != cur) {
+              if (cur != null) sb.append("], ")
+              sb.append(jsonStr(sym)).append(": [")
+              cur = sym
+            } else sb.append(",")
+            sb.append(barJson(barAt(sym, first + idx * tfUs, tfUs)))
+          }
+          sb.append(s"""]}, "next_page_token": $nextTok}""")
+          sb.toString
+        }
       (200, body)
     }
   }
@@ -382,35 +427,35 @@ object AlpacaStubServer {
           }
         } else tradeJson
       (200, envelope("trades", symbol,
-        trades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        s => trades(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         renderTrade, limit,
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v1beta3/crypto/us/trades", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("trades", symbol,
-        cryptoTrades(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        s => cryptoTrades(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         cryptoTradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/quotes", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("quotes", symbol,
-        stockQuotes(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        s => stockQuotes(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         stockQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v1beta3/crypto/us/quotes", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("quotes", symbol,
-        cryptoQuotes(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        s => cryptoQuotes(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         cryptoQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("corporate_actions", symbol,
-        corpActions(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        s => corpActions(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         caJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token")))
     }))

@@ -366,4 +366,47 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-04T00:00:00Z")).load()
     assert(df.count() == 0)
   }
+
+  test("symbol_batch: identical rows with fewer HTTP round-trips") {
+    val syms = "['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA']"
+    def scan(extra: (String, String)*) =
+      barsReader((Seq("symbols" -> syms) ++ extra): _*).load()
+        .orderBy("symbol", "time").collect().toSeq
+    val before1 = AlpacaStubServer.requestsServed
+    val unbatched = scan()
+    val unbatchedReqs = AlpacaStubServer.requestsServed - before1
+    val before2 = AlpacaStubServer.requestsServed
+    val batched = scan("symbol_batch" -> "6")
+    val batchedReqs = AlpacaStubServer.requestsServed - before2
+    assert(batched == unbatched && batched.size == 6 * 48)
+    // 6 symbols × 1 interval unbatched vs 1 grouped request chain:
+    // the combined stream still fits one page (288 rows < limit), so
+    // the batched scan is a single HTTP request
+    assert(unbatchedReqs >= 6 && batchedReqs < unbatchedReqs,
+      s"unbatched=$unbatchedReqs batched=$batchedReqs")
+  }
+
+  test("symbol_batch: pages span symbol boundaries (small limit) without loss") {
+    val syms = "['AAPL','MSFT','GOOG']"
+    // 3 symbols × 48 bars = 144 combined rows; limit 25 → 6 pages, 5 of
+    // which straddle a symbol boundary mid-page
+    val df = barsReader("symbols" -> syms, "symbol_batch" -> "3",
+      "limit" -> "25").load()
+    val plain = barsReader("symbols" -> syms).load()
+    assert(df.orderBy("symbol", "time").collect().toSeq ==
+      plain.orderBy("symbol", "time").collect().toSeq)
+  }
+
+  test("symbol_batch validation: non-integer, <1, and cluster_by_symbol conflict") {
+    intercept[IllegalArgumentException] {
+      barsReader("symbol_batch" -> "many").load()
+    }
+    intercept[IllegalArgumentException] {
+      barsReader("symbol_batch" -> "0").load()
+    }
+    val ex = intercept[IllegalArgumentException] {
+      barsReader("symbol_batch" -> "2", "cluster_by_symbol" -> "true").load()
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
+  }
 }

@@ -58,4 +58,33 @@ class PartitionMathSpec extends AnyFunSuite {
     // and small ranges collapse to a single interval
     assert(AlpacaPartitioning.barsIntervalMicros(0L, Day, Hour, 10000) == Day)
   }
+
+  test("symbol_batch: batched plan covers exactly the unbatched grid (300 random cases)") {
+    val rnd = new scala.util.Random(7)
+    val pool = ('A' to 'Z').map(_.toString)
+    (1 to 300).foreach { _ =>
+      val syms = rnd.shuffle(pool).take(1 + rnd.nextInt(12)).toSeq
+      val batch = 1 + rnd.nextInt(5)
+      val start = rnd.nextLong(100L * Day)
+      val end = start + 1L + rnd.nextLong(40L * Day)
+      val interval = Hour + rnd.nextLong(3L * Day)
+      val cfg = graft.connector.AlpacaScanConfig(
+        endpoint = "", apiKeyId = "", apiKeySecret = "", rateLimitDelaySec = 0,
+        params = Map.empty, symbols = syms, startMicros = start, endMicros = end,
+        limit = 10000, symbolBatch = batch)
+      val batched = AlpacaPartitioning.plan(cfg.groupedSymbols, start, end, interval)
+      // split each comma-group back into per-symbol tiles: the union
+      // must equal the unbatched plan's tile set exactly (no symbol
+      // lost, none duplicated, identical time bounds)
+      val flattened = batched.flatMap(p =>
+        p.symbol.split(',').map(s => (s, p.startMicros, p.endMicros))).toSet
+      val unbatched = AlpacaPartitioning.plan(syms, start, end, interval)
+        .map(p => (p.symbol, p.startMicros, p.endMicros)).toSet
+      assert(flattened == unbatched,
+        s"syms=$syms batch=$batch start=$start end=$end interval=$interval")
+      // request-grid shrink: ceil(|syms|/batch) groups per interval
+      val expectGroups = (syms.size + batch - 1) / batch
+      assert(batched.map(_.symbol).distinct.size == expectGroups)
+    }
+  }
 }
