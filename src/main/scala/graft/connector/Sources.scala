@@ -208,6 +208,55 @@ object CryptoQuotesDef extends AlpacaSourceDef {
     }
 }
 
+/** Tick-by-tick option-contract trades — format
+  * "Alpaca_Options_Trades" (`/v2/options/trades`; the reference's
+  * options family is bars-only, `options/bars.py:17-48` — trades and
+  * quotes complete it). OCC symbols ride the shared symbol handling;
+  * no stock-only feed/currency options. */
+object OptionTradesDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Options_Trades"
+  override val pathElements = Seq("options", "trades")
+  override val dataKey = "trades"
+  override def schema: StructType = Schemas.optionTrades
+  override def parser: RecordParser = OptionTradeParser
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit =
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+}
+
+/** Option-contract NBBO quotes — format "Alpaca_Options_Quotes"
+  * (`/v2/options/quotes`). Same option surface as option trades. */
+object OptionQuotesDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Options_Quotes"
+  override val pathElements = Seq("options", "quotes")
+  override val dataKey = "quotes"
+  override def schema: StructType = Schemas.optionQuotes
+  override def parser: RecordParser = OptionQuoteParser
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit =
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+}
+
 /** Dividends/splits/mergers/spinoffs — format
   * "Alpaca_Corporate_Actions" (reference:
   * `corp_actions/corporate_actions.py:38-175`). */
@@ -260,4 +309,6 @@ class StockTradesDataSource extends AlpacaTableProvider(StockTradesDef)
 class CryptoTradesDataSource extends AlpacaTableProvider(CryptoTradesDef)
 class CryptoQuotesDataSource extends AlpacaTableProvider(CryptoQuotesDef)
 class StockQuotesDataSource extends AlpacaTableProvider(StockQuotesDef)
+class OptionTradesDataSource extends AlpacaTableProvider(OptionTradesDef)
+class OptionQuotesDataSource extends AlpacaTableProvider(OptionQuotesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)

@@ -41,6 +41,23 @@ object Schemas {
       "ask_size BIGINT, bid_exchange STRING, bid_price DOUBLE, " +
       "bid_size BIGINT, conditions STRING, tape STRING")
 
+  /** Option-contract trades (v2 options family; the reference's only
+    * options surface is bars, `options/bars.py:17-48` — trades/quotes
+    * complete the family against the public endpoint shape). Sizes are
+    * integer contract counts; `condition` is the single-character
+    * option sale condition (a scalar in the API, unlike the stock
+    * trades condition ARRAY), absent → empty string. */
+  val optionTrades: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, exchange STRING, price DOUBLE, " +
+      "size BIGINT, condition STRING")
+
+  /** Option-contract NBBO quotes (v2 options family): integer contract
+    * sizes, single scalar `condition` like option trades. */
+  val optionQuotes: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, ask_exchange STRING, ask_price DOUBLE, " +
+      "ask_size BIGINT, bid_exchange STRING, bid_price DOUBLE, " +
+      "bid_size BIGINT, condition STRING")
+
   /** reference: `corporate_actions.py:93-104` */
   val corporateActions: StructType = StructType.fromDDL(
     "symbol STRING, ex_date TIMESTAMP, record_date TIMESTAMP, " +
@@ -687,6 +704,200 @@ object CryptoQuoteParser extends RecordParser with VectorWriteSupport {
       throw new IllegalArgumentException(
         s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
     putStr(vecs, fieldToOut(0), row, symbol)
+  }
+}
+
+/** `{t,x,p,s,c}` → option trade row (public Alpaca v2 options trade
+  * shape; the reference's options family has bars only,
+  * `options/bars.py:17-48`). Unlike stock trades the `c` condition is
+  * a SCALAR string, not an array — absent/null → empty string — and
+  * there is no id/tape. */
+object OptionTradeParser extends RecordParser with VectorWriteSupport {
+  override val schema: StructType = Schemas.optionTrades
+
+  private val FieldNames = Array("t", "x", "p", "s")
+  private val AllSeen = 15
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    val condNode = rec.get("c")
+    val condition =
+      if (condNode == null || condNode.isNull) "" else condNode.asText()
+    InternalRow(
+      utf8(symbol),
+      isoMicros(rec, "t"),
+      utf8(reqNode(rec, "x").asText()),
+      dbl(rec, "p"),
+      lng(rec, "s"),
+      utf8(condition))
+  }
+
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L; var p = 0d; var s = 0L
+    var x: String = null; var condition = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "x" => x = jp.getText; seen |= 2
+          case "p" => p = streamDbl(jp, "p"); seen |= 4
+          case "s" => s = streamLng(jp, "s"); seen |= 8
+          case "c" =>
+            if (vt.isStructStart) jp.skipChildren() else condition = jp.getText
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    InternalRow(utf8(symbol), tUs, utf8(x), p, s, utf8(condition))
+  }
+
+  /** Vector twin. Schema order: symbol, time, exchange, price, size,
+    * condition; strings written only after the record validates. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var x: String = null; var condition = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "x" => x = jp.getText; seen |= 2
+          case "p" => putD(fieldToOut(3), streamDbl(jp, "p")); seen |= 4
+          case "s" => putL(fieldToOut(4), streamLng(jp, "s")); seen |= 8
+          case "c" =>
+            if (vt.isStructStart) jp.skipChildren() else condition = jp.getText
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    putStr(vecs, fieldToOut(0), row, symbol)
+    putStr(vecs, fieldToOut(2), row, utf8(x))
+    putStr(vecs, fieldToOut(5), row, utf8(condition))
+  }
+}
+
+/** `{t,ax,ap,as,bx,bp,bs,c}` → option NBBO quote row (public Alpaca
+  * v2 options quote shape): integer contract sizes, scalar `c`
+  * condition (absent/null → empty string), no tape. */
+object OptionQuoteParser extends RecordParser with VectorWriteSupport {
+  override val schema: StructType = Schemas.optionQuotes
+
+  private val FieldNames = Array("t", "ax", "ap", "as", "bx", "bp", "bs")
+  private val AllSeen = 127
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    val condNode = rec.get("c")
+    val condition =
+      if (condNode == null || condNode.isNull) "" else condNode.asText()
+    InternalRow(
+      utf8(symbol),
+      isoMicros(rec, "t"),
+      utf8(reqNode(rec, "ax").asText()),
+      dbl(rec, "ap"),
+      lng(rec, "as"),
+      utf8(reqNode(rec, "bx").asText()),
+      dbl(rec, "bp"),
+      lng(rec, "bs"),
+      utf8(condition))
+  }
+
+  override def parseStream(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser): InternalRow = {
+    import com.fasterxml.jackson.core.JsonToken
+    var tUs = 0L; var ap = 0d; var bp = 0d
+    var asz = 0L; var bsz = 0L
+    var ax: String = null; var bx: String = null; var condition = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => tUs = streamTs(jp, "t"); seen |= 1
+          case "ax" => ax = jp.getText; seen |= 2
+          case "ap" => ap = streamDbl(jp, "ap"); seen |= 4
+          case "as" => asz = streamLng(jp, "as"); seen |= 8
+          case "bx" => bx = jp.getText; seen |= 16
+          case "bp" => bp = streamDbl(jp, "bp"); seen |= 32
+          case "bs" => bsz = streamLng(jp, "bs"); seen |= 64
+          case "c" =>
+            if (vt.isStructStart) jp.skipChildren() else condition = jp.getText
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    InternalRow(utf8(symbol), tUs, utf8(ax), ap, asz, utf8(bx), bp, bsz,
+      utf8(condition))
+  }
+
+  /** Vector twin. Schema order: symbol, time, ask_exchange, ask_price,
+    * ask_size, bid_exchange, bid_price, bid_size, condition. */
+  override def parseIntoVectors(symbol: UTF8String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
+      fieldToOut: Array[Int], row: Int): Unit = {
+    import com.fasterxml.jackson.core.JsonToken
+    def putD(out: Int, v: Double): Unit = if (out >= 0) vecs(out).putDouble(row, v)
+    def putL(out: Int, v: Long): Unit = if (out >= 0) vecs(out).putLong(row, v)
+    var ax: String = null; var bx: String = null; var condition = ""
+    var seen = 0
+    try {
+      var tk = jp.nextToken()
+      while (tk == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val vt = jp.nextToken()
+        if (vt == JsonToken.VALUE_NULL) ()
+        else name match {
+          case "t" => putL(fieldToOut(1), streamTs(jp, "t")); seen |= 1
+          case "ax" => ax = jp.getText; seen |= 2
+          case "ap" => putD(fieldToOut(3), streamDbl(jp, "ap")); seen |= 4
+          case "as" => putL(fieldToOut(4), streamLng(jp, "as")); seen |= 8
+          case "bx" => bx = jp.getText; seen |= 16
+          case "bp" => putD(fieldToOut(6), streamDbl(jp, "bp")); seen |= 32
+          case "bs" => putL(fieldToOut(7), streamLng(jp, "bs")); seen |= 64
+          case "c" =>
+            if (vt.isStructStart) jp.skipChildren() else condition = jp.getText
+          case _ => if (vt.isStructStart) jp.skipChildren()
+        }
+        tk = jp.nextToken()
+      }
+    } catch { case e: Throwable => skipRecord(jp); throw e }
+    if (seen != AllSeen)
+      throw new IllegalArgumentException(
+        s"missing field '${FieldNames(Integer.numberOfTrailingZeros(~seen))}'")
+    putStr(vecs, fieldToOut(0), row, symbol)
+    putStr(vecs, fieldToOut(2), row, utf8(ax))
+    putStr(vecs, fieldToOut(5), row, utf8(bx))
+    putStr(vecs, fieldToOut(8), row, utf8(condition))
   }
 }
 

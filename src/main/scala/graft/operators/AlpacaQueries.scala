@@ -660,6 +660,75 @@ object AlpacaQueries {
        |ORDER BY symbol, quote_time""".stripMargin
   }
 
+  // ------------------------------------------ option trades / quotes
+  private val occSymbols = Seq("AAPL210115C00150000", "AAPL210115P00150000")
+
+  /** Option trades scan (the reference's options family is bars-only,
+    * `options/bars.py:17-48`): scalar `c` condition with the absent-key
+    * default exercised live — every third fixture record omits `c`
+    * entirely and must land as the empty string. */
+  def optionTradesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Options_Trades")
+      .options(baseOptions(occSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("trade_time"),
+        col("exchange"), col("price"), col("size"), col("condition"))
+      .orderBy(col("symbol"), col("trade_time"))
+
+  def optionTradesScanSql: String = {
+    val rows = occSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.optionTrades(s, us(tradesStart), us(tradesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${sqlStr(fmtTs(t.timeUs))}, ${sqlStr(t.exchange)}, " +
+        s"${fmtD(t.price)}, ${t.size}, ${sqlStr(t.condition)})"
+    }
+    s"""SELECT symbol, trade_time, exchange, CAST(price AS DOUBLE) AS price,
+       |  CAST(size AS BIGINT) AS size, condition
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, trade_time, exchange, price, size, condition)
+       |ORDER BY symbol, trade_time""".stripMargin
+  }
+
+  /** Option NBBO quotes scan: integer contract sizes, scalar condition
+    * (absent-key default exercised), plus the derived mid/spread every
+    * quote consumer computes — all on the exact 0.25 grid. */
+  def optionQuotesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Options_Quotes")
+      .options(baseOptions(occSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"),
+        col("ask_exchange"), col("ask_price"), col("ask_size"),
+        col("bid_exchange"), col("bid_price"), col("bid_size"),
+        col("condition"),
+        ((col("bid_price") + col("ask_price")) / 2).as("mid"),
+        (col("ask_price") - col("bid_price")).as("spread"))
+      .orderBy(col("symbol"), col("quote_time"))
+
+  def optionQuotesScanSql: String = {
+    val rows = occSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.optionQuotes(s, us(tradesStart), us(quotesScanEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${sqlStr(fmtTs(qt.timeUs))}, ${sqlStr(qt.askExchange)}, " +
+        s"${fmtD(qt.askPrice)}, ${qt.askSize}, ${sqlStr(qt.bidExchange)}, " +
+        s"${fmtD(qt.bidPrice)}, ${qt.bidSize}, ${sqlStr(qt.condition)})"
+    }
+    s"""SELECT symbol, quote_time, ask_exchange,
+       |  CAST(ask_price AS DOUBLE) AS ask_price,
+       |  CAST(ask_size AS BIGINT) AS ask_size, bid_exchange,
+       |  CAST(bid_price AS DOUBLE) AS bid_price,
+       |  CAST(bid_size AS BIGINT) AS bid_size, condition,
+       |  CAST((bid_price + ask_price) / 2 AS DOUBLE) AS mid,
+       |  CAST(ask_price - bid_price AS DOUBLE) AS spread
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, quote_time, ask_exchange, ask_price, ask_size,
+       |       bid_exchange, bid_price, bid_size, condition)
+       |ORDER BY symbol, quote_time""".stripMargin
+  }
+
   /** Trades scan incl. the conditions array→CSV flatten (E2). */
   def tradesScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("Alpaca_Stocks_Trades")
@@ -894,6 +963,8 @@ object AlpacaQueries {
     "alpaca_bars_sorted" -> ((barsSortedDesc _, barsSortedDescSql)),
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
+    "alpaca_option_trades_scan" -> ((optionTradesScan _, optionTradesScanSql)),
+    "alpaca_option_quotes_scan" -> ((optionQuotesScan _, optionQuotesScanSql)),
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),
     "alpaca_crypto_quotes_scan" -> ((cryptoQuotesScan _, cryptoQuotesScanSql)),

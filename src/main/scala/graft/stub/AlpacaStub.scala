@@ -32,6 +32,11 @@ object AlpacaFixtures {
   case class StockQuote(symbol: String, timeUs: Long, askExchange: String,
       askPrice: Double, askSize: Long, bidExchange: String, bidPrice: Double,
       bidSize: Long, conditions: Seq[String], tape: String)
+  case class OptionTrade(symbol: String, timeUs: Long, exchange: String,
+      price: Double, size: Long, condition: String)
+  case class OptionQuote(symbol: String, timeUs: Long, askExchange: String,
+      askPrice: Double, askSize: Long, bidExchange: String, bidPrice: Double,
+      bidSize: Long, condition: String)
   case class CorpAction(symbol: String, exDateUs: Option[Long],
       recordDateUs: Option[Long], payableDateUs: Option[Long], tpe: String,
       amount: Double, ratio: Double, newSymbol: String, oldSymbol: String)
@@ -140,6 +145,46 @@ object AlpacaFixtures {
         bidSize = 200L + (i % 8) * 100L,
         conditions = conds((i % 3).toInt),
         tape = ("ABC" (((i % 3)).toInt)).toString)
+    }.toSeq
+  }
+
+  /** Option trades every 15 minutes within [startUs, endUs): premium
+    * walk on the 0.25 grid, integer contract sizes, a scalar sale
+    * condition cycling through ""/"I"/"S" (empty third omits the `c`
+    * key entirely when rendered — exercises optional-key defaulting). */
+  def optionTrades(symbol: String, startUs: Long, endUs: Long): Seq[OptionTrade] = {
+    val step = 900L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    val conds = Seq("", "I", "S")
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      OptionTrade(symbol, t,
+        exchange = ("ACB" (((i % 3)).toInt)).toString,
+        price = 2.0 + (math.abs(symbol.hashCode) % 16) * 0.25 + (i % 20) * 0.25,
+        size = 1L + (i % 10),
+        condition = conds((i % 3).toInt))
+    }.toSeq
+  }
+
+  /** Option NBBO quotes every 5 minutes within [startUs, endUs): a
+    * 0.25/0.5 half-spread around the premium walk, small integer
+    * contract sizes, scalar condition cycling ""/"A"/"B"/"O". */
+  def optionQuotes(symbol: String, startUs: Long, endUs: Long): Seq[OptionQuote] = {
+    val step = 300L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    val conds = Seq("", "A", "B", "O")
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      val mid = 2.5 + (math.abs(symbol.hashCode) % 16) * 0.25 + (i % 12) * 0.25
+      val halfSpread = 0.25 + (i % 2) * 0.25
+      OptionQuote(symbol, t,
+        askExchange = ("ACB" (((i % 3)).toInt)).toString,
+        askPrice = mid + halfSpread,
+        askSize = 5L + (i % 20),
+        bidExchange = ("BCA" (((i % 3)).toInt)).toString,
+        bidPrice = mid - halfSpread,
+        bidSize = 3L + (i % 15),
+        condition = conds((i % 4).toInt))
     }.toSeq
   }
 
@@ -280,6 +325,18 @@ object AlpacaStubServer {
 
   private def cryptoQuoteJson(qt: CryptoQuote): String =
     s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(qt.timeUs))}, "bp": ${fmtD(qt.bidPrice)}, "bs": ${fmtD(qt.bidSize)}, "ap": ${fmtD(qt.askPrice)}, "as": ${fmtD(qt.askSize)}}"""
+
+  // empty condition omits the `c` key entirely (the API's optional
+  // scalar), so the parsers' absent-key default path is exercised live
+  private def optionTradeJson(t: OptionTrade): String = {
+    val cond = if (t.condition.isEmpty) "" else s""", "c": ${jsonStr(t.condition)}"""
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(t.timeUs))}, "x": ${jsonStr(t.exchange)}, "p": ${fmtD(t.price)}, "s": ${t.size}$cond}"""
+  }
+
+  private def optionQuoteJson(qt: OptionQuote): String = {
+    val cond = if (qt.condition.isEmpty) "" else s""", "c": ${jsonStr(qt.condition)}"""
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(qt.timeUs))}, "ax": ${jsonStr(qt.askExchange)}, "ap": ${fmtD(qt.askPrice)}, "as": ${qt.askSize}, "bx": ${jsonStr(qt.bidExchange)}, "bp": ${fmtD(qt.bidPrice)}, "bs": ${qt.bidSize}$cond}"""
+  }
 
   private def caJson(c: CorpAction): String = {
     val ex = c.exDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
@@ -450,6 +507,20 @@ object AlpacaStubServer {
       (200, envelope("quotes", symbol,
         s => cryptoQuotes(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         cryptoQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
+    }))
+    server.createContext("/v2/options/trades", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("trades", symbol,
+        s => optionTrades(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        optionTradeJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
+    }))
+    server.createContext("/v2/options/quotes", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      (200, envelope("quotes", symbol,
+        s => optionQuotes(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        optionQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
