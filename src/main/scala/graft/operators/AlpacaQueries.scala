@@ -729,6 +729,99 @@ object AlpacaQueries {
        |ORDER BY symbol, quote_time""".stripMargin
   }
 
+  // ---------------------------------- storage-partitioned joins (SPJ)
+  /** Storage-partitioned join between TWO connector scans: both sides
+    * load with `cluster_by_symbol`, so each reports
+    * KeyGroupedPartitioning(identity(symbol)) and plans symbol-pure
+    * partitions. With v2 bucketing on, the per-symbol aggregates run
+    * directly over each scan AND the join of the two aggregates
+    * satisfies its distribution from storage — ZERO shuffle exchanges
+    * in the whole plan (asserted in PlanAuditSpec). At 100 TB this is
+    * the bars⋈trades reconciliation running without either corpus
+    * ever shuffling: the network cost is exactly the API fetch. */
+  def spjBarsTrades(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val bars = spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(barsSymbols: _*) ++ Map(
+        "timeframe" -> "1Hour", "start" -> barsStart, "end" -> barsEnd,
+        "cluster_by_symbol" -> "true"))
+      .load()
+    val trades = spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(barsSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd,
+        "cluster_by_symbol" -> "true"))
+      .load()
+    bars.groupBy(col("symbol"))
+      .agg(sum(col("volume")).as("bar_volume"), count(lit(1)).as("n_bars"))
+      .join(trades.groupBy(col("symbol"))
+        .agg(sum(col("size")).as("trade_size"), count(lit(1)).as("n_trades")),
+        "symbol")
+      .orderBy(col("symbol"))
+  }
+
+  def spjBarsTradesSql: String = {
+    val rows = barsSymbols.sorted.map { s =>
+      val bs = AlpacaFixtures.bars(s, us(barsStart), us(barsEnd), Hour)
+      val ts = AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+      s"(${sqlStr(s)}, ${bs.map(_.volume).sum}, ${bs.size}, " +
+        s"${ts.map(_.size).sum}, ${ts.size})"
+    }
+    s"""SELECT symbol, CAST(bar_volume AS BIGINT) AS bar_volume,
+       |  CAST(n_bars AS BIGINT) AS n_bars,
+       |  CAST(trade_size AS BIGINT) AS trade_size,
+       |  CAST(n_trades AS BIGINT) AS n_trades
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_volume, n_bars, trade_size, n_trades)
+       |ORDER BY symbol""".stripMargin
+  }
+
+  /** Connector scan ⋈ parquet with the shuffle on the PARQUET side
+    * only: `v2.bucketing.shuffle.enabled` lets Spark shuffle the
+    * non-key-grouped side INTO the scan's KeyGroupedPartitioning
+    * (`Exchange keygroupedpartitioning(symbol, …)` over the FileScan;
+    * asserted in PlanAuditSpec), so the SCAN side never exchanges.
+    * At scale this is the fact-side-never-moves enrichment join: the
+    * 100 TB API corpus stays put and only the (comparatively tiny)
+    * lake-side dimension pays a shuffle. The merge hint pins SMJ so
+    * the plan proves the shuffle routing rather than broadcasting
+    * around it. */
+  private val spjSectors = Seq(("AAPL", "hardware", 2L), ("MSFT", "software", 3L))
+  def spjParquetEnrich(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_spj_dim_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    import spark.implicits._
+    spjSectors.toDF("symbol", "sector", "weight")
+      .write.mode("overwrite").parquet(dimPath)
+    val bars = spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(barsSymbols: _*) ++ Map(
+        "timeframe" -> "1Hour", "start" -> barsStart, "end" -> barsEnd,
+        "cluster_by_symbol" -> "true"))
+      .load()
+    bars.groupBy(col("symbol"))
+      .agg(sum(col("volume")).as("bar_volume"))
+      .join(spark.read.parquet(dimPath).hint("merge"), "symbol")
+      .select(col("symbol"), col("sector"),
+        col("bar_volume"), (col("bar_volume") * col("weight")).as("weighted_volume"))
+      .orderBy(col("symbol"))
+  }
+
+  def spjParquetEnrichSql: String = {
+    val rows = spjSectors.sortBy(_._1).map { case (s, sector, w) =>
+      val vol = AlpacaFixtures.bars(s, us(barsStart), us(barsEnd), Hour)
+        .map(_.volume).sum
+      s"(${sqlStr(s)}, ${sqlStr(sector)}, $vol, ${vol * w})"
+    }
+    s"""SELECT symbol, sector, CAST(bar_volume AS BIGINT) AS bar_volume,
+       |  CAST(weighted_volume AS BIGINT) AS weighted_volume
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, sector, bar_volume, weighted_volume)
+       |ORDER BY symbol""".stripMargin
+  }
+
   /** Trades scan incl. the conditions array→CSV flatten (E2). */
   def tradesScan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("Alpaca_Stocks_Trades")
@@ -964,6 +1057,8 @@ object AlpacaQueries {
     "alpaca_bars_paginated" -> ((barsPaginated _, barsPaginatedSql)),
     "alpaca_option_bars_scan" -> ((optionBarsScan _, optionBarsScanSql)),
     "alpaca_option_trades_scan" -> ((optionTradesScan _, optionTradesScanSql)),
+    "alpaca_spj_bars_trades" -> ((spjBarsTrades _, spjBarsTradesSql)),
+    "alpaca_spj_parquet_enrich" -> ((spjParquetEnrich _, spjParquetEnrichSql)),
     "alpaca_option_quotes_scan" -> ((optionQuotesScan _, optionQuotesScanSql)),
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),

@@ -259,6 +259,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("alpaca_spj_bars_trades: storage-partitioned join, zero shuffle exchanges") {
+    // Both scans report KeyGroupedPartitioning(symbol); with v2
+    // bucketing on, the per-symbol aggregates AND the join satisfy
+    // their distributions straight from storage. The ONLY exchange
+    // allowed is the final presentation orderBy (rangepartitioning).
+    val p = SparkEntry.queries("alpaca_spj_bars_trades")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange keygroupedpartitioning"),
+      s"SPJ bars⋈trades pays a join-side shuffle:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a non-broadcast join proving SPJ:\n$p")
+  }
+
+  test("alpaca_spj_parquet_enrich: only the parquet side shuffles, into the scan's key grouping") {
+    val p = SparkEntry.queries("alpaca_spj_parquet_enrich")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"expected no hash exchange anywhere (scan side must not move):\n$p")
+    val kg = "Exchange keygroupedpartitioning".r.findAllIn(p).size
+    assert(kg == 1, s"expected exactly one keygrouped exchange (parquet side), got $kg:\n$p")
+    // the keygrouped exchange must sit over the FileScan, not the BatchScan
+    val kgIdx = p.indexOf("Exchange keygroupedpartitioning")
+    assert(p.indexOf("FileScan parquet", kgIdx) >= 0 &&
+      (p.indexOf("BatchScan", kgIdx) < 0 ||
+        p.indexOf("FileScan parquet", kgIdx) < p.indexOf("BatchScan", kgIdx)),
+      s"keygrouped exchange is not over the parquet side:\n$p")
+  }
+
   test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
     assert(planOf("q3_join_agg").contains("BroadcastHashJoin"))
     assert(planOf("q4_topk").contains("TakeOrderedAndProject"))
