@@ -686,6 +686,127 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  // --------------------------------------------- hybrid IVF-PQ ANN
+  private val IvfPqCand = 8 // ADC candidates per query before re-rank
+
+  /** The production ANN stack composed end-to-end: IVF route (the
+    * query probes ONE cell) → PQ ADC scoring inside the cell (integer
+    * LUT sums, no float work per candidate) → exact cosine re-rank of
+    * the top-[[IvfPqCand]] ADC survivors. This is the standard
+    * billion-vector retrieval shape (FAISS IVFPQ + refine): the cell
+    * equi-join bounds candidate generation, ADC bounds per-candidate
+    * cost, and the exact re-rank touches only candidates — at 100 TB
+    * no stage ever scores the full corpus per query.
+    *
+    * Plan shape: cells and codes are both corpus-linear relations
+    * joined on vec_id (shuffle equi-join); queries/LUT broadcast
+    * (Q×M×K rows); both rankings are Partial+Final WindowGroupLimit.
+    * Recall ≥ the pure-PQ gate's by construction of the re-rank
+    * (asserted in LmSemanticSpec on the same queries). */
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val corpus = corpusWithCells(spark, dir)
+    // PQ encode — the sim_ann_pq kernel verbatim
+    val codes = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(kmCodes).as("codes"))
+    val cv = codes
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("p0", "v")))
+      .select(col("vec_id"), expr(s"p0 DIV $PqSub").as("m"),
+        col("p0").as("p"), col("v"))
+    val cb = cv.filter(col("vec_id") >= 0 && col("vec_id") < PqK)
+      .select(col("vec_id").as("j"), col("p").as("cp"), col("v").as("cbv"))
+    val encDist = cv.join(broadcast(cb), col("p") === col("cp"))
+      .groupBy(col("vec_id"), col("m"), col("j"))
+      .agg(sum((col("v") - col("cbv")) * (col("v") - col("cbv"))).as("dist"))
+    val wEnc = w.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("j"))
+    val enc = encDist.withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"),
+        col("j").as("qj"), col("dist"))
+    // IVF route: only codes of vectors in the query's cell survive
+    val cells = corpus.select(col("vec_id").as("c_vec"), col("cell"))
+    val qRoute = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("rq_id"), col("cell").as("qcell"))
+    val candEnc = enc.join(cells, col("vec_id") === col("c_vec"))
+      .join(broadcast(qRoute),
+        col("cell") === col("qcell") && col("vec_id") =!= col("rq_id"))
+    // ADC over routed candidates only
+    val adc = candEnc.join(broadcast(lut),
+        col("rq_id") === col("query_id") &&
+          col("m") === col("qm") && col("code") === col("qj"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val cand = adc.withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rk") <= IvfPqCand)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the survivors
+    val qe = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("rr_id"), col("embedding").as("qemb"),
+        col("vnorm").as("qnorm"))
+    val rerank = cand.join(corpus, "vec_id")
+      .join(broadcast(qe), col("query_id") === col("rr_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineOf(dotCol("embedding", "qemb"), col("vnorm"), col("qnorm")).as("cosine"))
+    rerank.withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= IvfTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  val simAnnIvfPqSql: String = {
+    val codesDuck =
+      """LIST_TRANSFORM(embedding, x ->
+        |    GREATEST(0, LEAST(255, CAST(FLOOR((CAST(x AS DOUBLE) + 1.0) * 127.5) AS BIGINT))))""".stripMargin
+    s"""WITH $cellsCtes,
+       |codes AS (
+       |  SELECT vec_id, $codesDuck AS codes
+       |  FROM embeddings),
+       |pos AS (SELECT UNNEST(RANGE(1, 65)) AS p),
+       |cvq AS (SELECT vec_id, p, (p - 1) // $PqSub AS m, codes[p] AS v
+       |        FROM codes, pos),
+       |cbq AS (SELECT vec_id AS j, p, v FROM cvq
+       |        WHERE vec_id >= 0 AND vec_id < $PqK),
+       |enc_dist AS (
+       |  SELECT c.vec_id, c.m, b.j, SUM((c.v - b.v) * (c.v - b.v)) AS dist
+       |  FROM cvq c JOIN cbq b ON c.p = b.p
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM enc_dist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, j, dist FROM enc_dist
+       |  WHERE vec_id >= 0 AND vec_id < $NumQueries),
+       |q_route AS (
+       |  SELECT vec_id AS rq_id, cell AS qcell FROM corpus
+       |  WHERE vec_id < $NumQueries),
+       |adc AS (
+       |  SELECT l.query_id, e.vec_id, SUM(l.dist) AS adc_dist
+       |  FROM enc e
+       |  JOIN cells cl ON e.vec_id = cl.vec_id
+       |  JOIN q_route q ON cl.cell = q.qcell AND e.vec_id <> q.rq_id
+       |  JOIN lut l ON l.query_id = q.rq_id AND e.m = l.m AND e.code = l.j
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM adc
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, vec_id) <= $IvfPqCand),
+       |rerank AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cosineSql("c.embedding", "q.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN corpus c ON cand.vec_id = c.vec_id
+       |  JOIN corpus q ON cand.query_id = q.vec_id)
+       |SELECT query_id, vec_id, cosine FROM rerank
+       |QUALIFY ROW_NUMBER() OVER (
+       |  PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= $IvfTopK
+       |ORDER BY query_id, vec_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
@@ -695,5 +816,6 @@ object Similarity {
     "sim_quantized" -> ((simQuantized _, simQuantizedSql)),
     "sim_kmeans" -> ((simKmeans _, simKmeansSql)),
     "sim_ann_recall" -> ((simAnnRecall _, simAnnRecallSql)),
-    "sim_ann_pq" -> ((simAnnPq _, simAnnPqSql)))
+    "sim_ann_pq" -> ((simAnnPq _, simAnnPqSql)),
+    "sim_ann_ivfpq" -> ((simAnnIvfPq _, simAnnIvfPqSql)))
 }

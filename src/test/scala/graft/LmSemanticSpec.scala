@@ -222,4 +222,30 @@ class LmSemanticSpec extends AnyFunSuite {
       .collect().toSeq
     assert(stream == batch)
   }
+
+  test("sim_ann_ivfpq: exact re-rank lifts recall to at least pure-PQ's on the same queries") {
+    // ground truth: exact cosine top-3 per query (sim_cosine_topk is
+    // top-5 ranked by cosine desc, vec_id — take the first 3)
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(name: String, trimTo3: Boolean): Double = {
+      var df = SparkEntry.queries(name)(spark, dir)
+      if (trimTo3) df = df.filter(col("rk") <= 3)
+      val got = df.select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val hits = exact.map { case (q, truth) =>
+        (truth intersect got.getOrElse(q, Set.empty)).size
+      }.sum
+      hits.toDouble / exact.values.map(_.size).sum
+    }
+    val pq = recallOf("sim_ann_pq", trimTo3 = true)
+    val ivfpq = recallOf("sim_ann_ivfpq", trimTo3 = false)
+    assert(ivfpq >= pq,
+      s"IVF-PQ recall $ivfpq fell below pure-PQ recall $pq")
+  }
 }
