@@ -83,7 +83,36 @@ def main():
         rows = agg.collect()
         return len(rows), sum(r["n_trades"] for r in rows)
 
-    for label, fn in (("trades", workload), ("bars", bars_workload)):
+    # Large grid (round 7): 10 symbols x 5 years of minute bars
+    # (~26.3M records; per symbol the volume-aware planner caps
+    # partitions at limit*5 = 50k rows -> 53 intervals/symbol = 530
+    # partitions x ~5 pages of 10k). Proves the ratio holds past the
+    # 1M-row workload.
+    LARGE_SYMBOLS = "['AAPL','MSFT','GOOG','AMZN','TSLA','NVDA','META','AMD','INTC','CRM']"
+
+    def bars_large_workload():
+        df = (spark.read.format("Alpaca_Stocks_Bars")
+              .options(**{
+                  "symbols": LARGE_SYMBOLS,
+                  "start": "2021-01-01T00:00:00Z",
+                  "end": "2026-01-01T00:00:00Z",
+                  "timeframe": "1Min",
+                  "APCA-API-KEY-ID": "test-key",
+                  "APCA-API-SECRET-KEY": "test-secret",
+                  "endpoint": endpoint,
+              })
+              .load())
+        agg = (df.groupBy(F.col("symbol"),
+                          F.date_format(F.col("time"), "yyyy").alias("year"))
+               .agg(F.count(F.lit(1)).alias("n_bars"),
+                    F.sum(F.col("volume")).alias("sum_volume")))
+        rows = agg.collect()
+        return len(rows), sum(r["n_bars"] for r in rows)
+
+    workloads = [("trades", workload), ("bars", bars_workload)]
+    if os.environ.get("REFBENCH_LARGE", "") == "1":
+        workloads.append(("bars_large", bars_large_workload))
+    for label, fn in workloads:
         results = []
         for i in range(runs):
             t0 = time.monotonic()

@@ -698,14 +698,19 @@ object Similarity {
     * cost, and the exact re-rank touches only candidates — at 100 TB
     * no stage ever scores the full corpus per query.
     *
-    * Plan shape: cells and codes are both corpus-linear relations
-    * joined on vec_id (shuffle equi-join); queries/LUT broadcast
-    * (Q×M×K rows); both rankings are Partial+Final WindowGroupLimit.
-    * Recall ≥ the pure-PQ gate's by construction of the re-rank
-    * (asserted in LmSemanticSpec on the same queries). */
+    * Plan shape: the INDEX — cell assignments and PQ code distances —
+    * is built ONCE and materialized (localCheckpoint, the Dedup-CC
+    * pattern); the probe plan reads the materialized index instead of
+    * re-deriving the assignment subtree at every use (unchecked, the
+    * composition re-expanded the corpus scan 14×). At 100 TB the
+    * index is a persisted table (bucketed on cell) and this gate's
+    * probe plan is exactly what queries pay: cell equi-join + LUT
+    * broadcast (Q×M×K rows) + Partial+Final WindowGroupLimit
+    * rankings. Recall ≥ the pure-PQ gate's by construction of the
+    * re-rank (asserted in LmSemanticSpec on the same queries). */
   def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val corpus = corpusWithCells(spark, dir)
+    val corpus = corpusWithCells(spark, dir).localCheckpoint()
     // PQ encode — the sim_ann_pq kernel verbatim
     val codes = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr(kmCodes).as("codes"))
@@ -718,6 +723,7 @@ object Similarity {
     val encDist = cv.join(broadcast(cb), col("p") === col("cp"))
       .groupBy(col("vec_id"), col("m"), col("j"))
       .agg(sum((col("v") - col("cbv")) * (col("v") - col("cbv"))).as("dist"))
+      .localCheckpoint() // feeds both enc and lut — one build pass
     val wEnc = w.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("j"))
     val enc = encDist.withColumn("rk", row_number().over(wEnc))
