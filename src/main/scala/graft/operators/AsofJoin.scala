@@ -199,6 +199,65 @@ object AsofJoin {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest as-of (pandas merge_asof direction='nearest'): each
+    * 'click' matched to the same user's temporally NEAREST 'signup'
+    * in EITHER direction, ties to the prior one. Both directional
+    * carries come from ONE window operator (same partition/order,
+    * backward and forward frames share the physical Window), so the
+    * cost is identical to a single-direction as-of: one scan, one
+    * shuffle on the key, linear within the key. At equal instants the
+    * backward carry already holds the same-instant signup (distance
+    * 0, wins the tie), so the forward frame's excluding it is
+    * immaterial. Oracle: two DuckDB ASOF joins + the same tie CASE. */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val rows = taggedRows(spark, dir, "signup", leftFlag = 1, rightFlag = 0)
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("side"))
+    rows
+      .withColumn("b_us", last(col("r_us"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("f_us", first(col("r_us"), ignoreNulls = true)
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("side") === 1)
+      .withColumn("signup_us",
+        when(col("b_us").isNull, col("f_us"))
+          .when(col("f_us").isNull, col("b_us"))
+          .when(col("ts_us") - col("b_us") <= col("f_us") - col("ts_us"),
+            col("b_us"))
+          .otherwise(col("f_us")))
+      .select(col("event_id"), col("user_id"), col("ts_us").as("click_us"),
+        col("signup_us"),
+        (col("signup_us") - col("ts_us")).as("us_to_signup"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, EPOCH_US(ts) AS click_us
+      |  FROM events WHERE event_type = 'click'),
+      |signups AS (
+      |  SELECT user_id, EPOCH_US(ts) AS signup_us
+      |  FROM events WHERE event_type = 'signup'),
+      |bwd AS (
+      |  SELECT c.event_id, c.user_id, c.click_us, s.signup_us AS b_us
+      |  FROM clicks c ASOF LEFT JOIN signups s
+      |    ON c.user_id = s.user_id AND c.click_us >= s.signup_us),
+      |fwd AS (
+      |  SELECT c.event_id, s.signup_us AS f_us
+      |  FROM clicks c ASOF LEFT JOIN signups s
+      |    ON c.user_id = s.user_id AND c.click_us <= s.signup_us)
+      |SELECT b.event_id, b.user_id, b.click_us,
+      |  CASE WHEN b_us IS NULL THEN f_us
+      |       WHEN f_us IS NULL THEN b_us
+      |       WHEN (click_us - b_us) <= (f_us - click_us) THEN b_us
+      |       ELSE f_us END AS signup_us,
+      |  CASE WHEN b_us IS NULL THEN f_us
+      |       WHEN f_us IS NULL THEN b_us
+      |       WHEN (click_us - b_us) <= (f_us - click_us) THEN b_us
+      |       ELSE f_us END - click_us AS us_to_signup
+      |FROM bwd b JOIN fwd f USING (event_id)
+      |ORDER BY b.event_id""".stripMargin
+
   val asofJoinForwardSql: String =
     """WITH clicks AS (
       |  SELECT event_id, user_id, EPOCH_US(ts) AS click_us
@@ -215,6 +274,7 @@ object AsofJoin {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "asof_join" -> ((asofJoin _, asofJoinSql)),
     "asof_join_bucketed" -> ((asofJoinBucketed _, asofJoinSql)),
+    "asof_join_nearest" -> ((asofJoinNearest _, asofJoinNearestSql)),
     "asof_join_forward" -> ((asofJoinForward _, asofJoinForwardSql)),
     "asof_join_forward_bucketed" ->
       ((asofJoinForwardBucketed _, asofJoinForwardSql)))
