@@ -729,6 +729,68 @@ object AlpacaQueries {
        |ORDER BY symbol, quote_time""".stripMargin
   }
 
+  /** Option-chain summary with OCC symbol PARSING — the piece every
+    * options workflow needs and the reference leaves entirely to the
+    * user (its options family just passes OCC strings through,
+    * `options/bars.py:17-48`). The OCC format is positional from the
+    * RIGHT (root is variable-width): …ROOT + YYMMDD + C/P + 8-digit
+    * strike×1000. Parsed with pure codegen'd string functions in the
+    * scan projection (no UDF), then rolled up per (underlying, expiry,
+    * right): contracts, strike range, total volume. Both engines run
+    * the identical substring arithmetic and the same IEEE /1000.0, so
+    * parity is structural. */
+  private val chainSymbols = Seq(
+    "AAPL210115C00150000", "AAPL210115P00150000",
+    "AAPL210115C00152500", "AAPL210115P00152500",
+    "MSFT210219C00220000", "MSFT210219P00220000")
+  def optionChain(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = barsDf(spark, Map.empty, format = "Alpaca_Options_Bars",
+      symbols = chainSymbols)
+      .select(
+        expr("substring(symbol, 1, length(symbol) - 15)").as("underlying"),
+        to_date(expr("substring(symbol, length(symbol) - 14, 6)"), "yyMMdd")
+          .as("expiry"),
+        expr("substring(symbol, length(symbol) - 8, 1)").as("right"),
+        (expr("cast(substring(symbol, length(symbol) - 7, 8) AS BIGINT)") / 1000.0)
+          .as("strike"),
+        col("volume"))
+    parsed.groupBy(col("underlying"), col("expiry"), col("right"))
+      .agg(count(lit(1)).as("n_bars"),
+        min(col("strike")).as("min_strike"),
+        max(col("strike")).as("max_strike"),
+        sum(col("volume")).as("total_volume"))
+      .select(col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry_d"),
+        col("right"), col("n_bars"), col("min_strike"), col("max_strike"),
+        col("total_volume"))
+      .orderBy(col("underlying"), col("expiry_d"), col("right"))
+  }
+
+  def optionChainSql: String = {
+    val rows = chainSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(barsStart), us(barsEnd), Hour)
+    }.map { b => s"(${sqlStr(b.symbol)}, ${b.volume})" }
+    s"""WITH raw AS (
+       |  SELECT symbol, volume
+       |  FROM (VALUES ${rows.mkString(",\n  ")}) AS v(symbol, volume)),
+       |parsed AS (
+       |  SELECT
+       |    SUBSTR(symbol, 1, LENGTH(symbol) - 15) AS underlying,
+       |    STRPTIME(SUBSTR(symbol, LENGTH(symbol) - 14, 6), '%y%m%d') AS expiry,
+       |    SUBSTR(symbol, LENGTH(symbol) - 8, 1) AS "right",
+       |    CAST(SUBSTR(symbol, LENGTH(symbol) - 7, 8) AS BIGINT) / 1000.0 AS strike,
+       |    volume
+       |  FROM raw)
+       |SELECT underlying, STRFTIME(expiry, '%Y-%m-%d') AS expiry_d, "right",
+       |  COUNT(*) AS n_bars,
+       |  CAST(MIN(strike) AS DOUBLE) AS min_strike,
+       |  CAST(MAX(strike) AS DOUBLE) AS max_strike,
+       |  CAST(SUM(volume) AS BIGINT) AS total_volume
+       |FROM parsed
+       |GROUP BY underlying, expiry_d, "right"
+       |ORDER BY underlying, expiry_d, "right"""".stripMargin
+  }
+
   // ---------------------------------- storage-partitioned joins (SPJ)
   /** Storage-partitioned join between TWO connector scans: both sides
     * load with `cluster_by_symbol`, so each reports
@@ -1060,6 +1122,7 @@ object AlpacaQueries {
     "alpaca_spj_bars_trades" -> ((spjBarsTrades _, spjBarsTradesSql)),
     "alpaca_spj_parquet_enrich" -> ((spjParquetEnrich _, spjParquetEnrichSql)),
     "alpaca_option_quotes_scan" -> ((optionQuotesScan _, optionQuotesScanSql)),
+    "alpaca_option_chain" -> ((optionChain _, optionChainSql)),
     "alpaca_crypto_bars_scan" -> ((cryptoBarsScan _, cryptoBarsScanSql)),
     "alpaca_crypto_trades_scan" -> ((cryptoTradesScan _, cryptoTradesScanSql)),
     "alpaca_crypto_quotes_scan" -> ((cryptoQuotesScan _, cryptoQuotesScanSql)),
