@@ -947,6 +947,74 @@ object AlpacaQueries {
        |ORDER BY symbol, ex_d""".stripMargin
   }
 
+  /** Client-side split adjustment — the cross-source workflow the
+    * corporate-actions source exists FOR (the reference ships the
+    * source, `corporate_actions.py:38-175`, and leaves applying it to
+    * users): raw daily bars joined to later splits, adjusted close =
+    * close / Π(ratio of splits with ex_date strictly after the bar).
+    * The factor is an EXACT integer product — ratios are integral,
+    * folded as BIGINTs over collect_list (commutative, so the
+    * nondeterministic list order cannot change the product) — and the
+    * adjustment is one IEEE division of identical operands in both
+    * engines, so parity is structural, never a tolerance.
+    *
+    * Scale shape: splits stay tiny relative to bars at ANY corpus
+    * size (thousands of rows against 100 TB of bars), so the
+    * broadcast is genuinely bounded — the bars side never shuffles
+    * for the join; the per-bar aggregation shuffles (symbol, day)
+    * groups only. */
+  def splitAdjusted(spark: SparkSession, dir: String): DataFrame = {
+    val bars = barsDf(spark, Map("start" -> caStart, "end" -> caEnd),
+      symbols = caSymbols, timeframe = "1Day")
+      .select(col("symbol"), col("time"), col("close"))
+    val splits = spark.read.format("Alpaca_Corporate_Actions")
+      .options(baseOptions(caSymbols: _*) ++ Map(
+        "start" -> caStart, "end" -> caEnd, "types" -> "split"))
+      .load()
+      .filter(col("type") === "split")
+      .select(col("symbol").as("s_sym"), col("ex_date"),
+        col("ratio").cast("bigint").as("ratio_l"))
+    bars.join(broadcast(splits),
+        col("symbol") === col("s_sym") && col("ex_date") > col("time"), "left")
+      .groupBy(col("symbol"), col("time"), col("close"))
+      .agg(collect_list(col("ratio_l")).as("rl"))
+      .withColumn("factor",
+        expr("aggregate(rl, CAST(1 AS BIGINT), (a, x) -> a * x)"))
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("close"), col("factor"),
+        (col("close") / col("factor").cast("double")).as("adj_close"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def splitAdjustedSql: String = {
+    val barRows = caSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(caStart), us(caEnd), Day)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, ${sqlStr(fmtTs(b.timeUs).take(10))}, ${fmtD(b.close)})"
+    }
+    val splitRows = caSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.corpActions(s, us(caStart), us(caEnd))
+    }.filter(_.tpe == "split").map { c =>
+      s"(${sqlStr(c.symbol)}, ${sqlStr(fmtTs(c.exDateUs.get).take(10))}, ${fmtD(c.ratio)})"
+    }
+    s"""WITH bars AS (
+       |  SELECT * FROM (VALUES ${barRows.mkString(",\n  ")})
+       |    AS v(symbol, day, close)),
+       |splits AS (
+       |  SELECT * FROM (VALUES ${splitRows.mkString(",\n  ")})
+       |    AS s(symbol, ex_day, ratio))
+       |SELECT b.symbol, b.day, CAST(b.close AS DOUBLE) AS close,
+       |  CAST(COALESCE((SELECT PRODUCT(s.ratio) FROM splits s
+       |    WHERE s.symbol = b.symbol AND s.ex_day > b.day), 1.0) AS BIGINT)
+       |    AS factor,
+       |  CAST(b.close AS DOUBLE) / CAST(CAST(COALESCE((SELECT PRODUCT(s.ratio)
+       |    FROM splits s WHERE s.symbol = b.symbol AND s.ex_day > b.day), 1.0)
+       |    AS BIGINT) AS DOUBLE) AS adj_close
+       |FROM bars b
+       |ORDER BY b.symbol, b.day""".stripMargin
+  }
+
   /** Malformed-record tolerance (E4): the stub injects one bad record;
     * the scan must return exactly the well-formed rows. */
   def barsMalformedSkip(spark: SparkSession, dir: String): DataFrame =
@@ -1139,5 +1207,6 @@ object AlpacaQueries {
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
+    "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }
