@@ -947,6 +947,63 @@ object AlpacaQueries {
        |ORDER BY symbol, ex_d""".stripMargin
   }
 
+  /** Calendar-spine gap fill — the time-series regularization step
+    * between ingestion and any fixed-step model input: rebuild the
+    * full hourly grid per symbol (`sequence` between the observed
+    * bounds), left-join the observed bars back, and carry the last
+    * close forward over gaps (LOCF). Gaps are carved deterministically
+    * from the dense fixture (hours ≡ 2 mod 5 dropped) so the fill
+    * path is exercised at every SF. Closes sit on the 0.25 grid —
+    * carried values are bit-exact in both engines.
+    *
+    * Scale shape — SINGLE PASS, no spine join: lead() finds each
+    * bar's successor, and one explode generates exactly the grid
+    * stamps in the gap up to it, inheriting the bar's close — LOCF by
+    * construction, so there is no separate bounds aggregate, no spine
+    * relation, no (symbol, hour) join, and the bars relation is
+    * scanned ONCE (a spine + left-join + LOCF-window formulation read
+    * it twice; the oracle keeps that formulation, so the two shapes
+    * cross-prove each other). One shuffle on the symbol key, one
+    * window, one generate. */
+  def barsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("time"))
+    barsDf(spark, Map.empty, symbols = Seq("AAPL"))
+      .select(col("symbol"), col("time"), col("close"))
+      .filter(hour(col("time")) % 5 =!= 2)
+      .withColumn("next_t", lead(col("time"), 1).over(w))
+      .withColumn("t", explode(expr(
+        "sequence(time, coalesce(next_t - interval 1 hour, time), interval 1 hour)")))
+      .select(col("symbol"),
+        date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        (col("t") =!= col("time")).as("is_gap"),
+        col("close").as("close_filled"))
+      .orderBy(col("symbol"), col("hour_ts"))
+  }
+
+  def barsGapfillSql: String = {
+    val rows = AlpacaFixtures.bars("AAPL", us(barsStart), us(barsEnd), Hour)
+      .filter(b => (b.timeUs / Hour) % 24 % 5 != 2)
+      .map(b => s"(${sqlStr(b.symbol)}, ${sqlStr(fmtTs(b.timeUs))}, ${fmtD(b.close)})")
+    s"""WITH bars AS (
+       |  SELECT symbol, CAST(ts AS TIMESTAMP) AS ts, close
+       |  FROM (VALUES ${rows.mkString(",\n  ")}) AS v(symbol, ts, close)),
+       |spine AS (
+       |  SELECT symbol, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS t
+       |  FROM (SELECT symbol, MIN(ts) AS mn, MAX(ts) AS mx
+       |        FROM bars GROUP BY symbol))
+       |SELECT s.symbol, STRFTIME(s.t, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       |  b.close IS NULL AS is_gap,
+       |  CAST(LAST_VALUE(b.close IGNORE NULLS) OVER (
+       |    PARTITION BY s.symbol ORDER BY s.t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS close_filled
+       |FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.t = b.ts
+       |ORDER BY s.symbol, hour_ts""".stripMargin
+  // (the oracle keeps the spine+LOCF formulation on purpose — equality
+  // with the single-pass lead()+explode plan proves both correct)
+  }
+
   /** Client-side split adjustment — the cross-source workflow the
     * corporate-actions source exists FOR (the reference ships the
     * source, `corporate_actions.py:38-175`, and leaves applying it to
@@ -1208,5 +1265,6 @@ object AlpacaQueries {
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
+    "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }
