@@ -970,7 +970,10 @@ object AlpacaQueries {
       .partitionBy(col("symbol")).orderBy(col("time"))
     barsDf(spark, Map.empty, symbols = Seq("AAPL"))
       .select(col("symbol"), col("time"), col("close"))
-      .filter(hour(col("time")) % 5 =!= 2)
+      // UTC-hour-of-day via epoch arithmetic, NOT hour(): hour() reads
+      // the session timezone and a non-UTC session would carve
+      // different gaps than the UTC-based oracle
+      .filter(expr(s"(unix_micros(time) DIV ${Hour}L) % 24 % 5") =!= 2)
       .withColumn("next_t", lead(col("time"), 1).over(w))
       .withColumn("t", explode(expr(
         "sequence(time, coalesce(next_t - interval 1 hour, time), interval 1 hour)")))

@@ -211,7 +211,80 @@ object Graph {
        |FROM reach WHERE node <> src
        |GROUP BY src ORDER BY doc_id""".stripMargin
 
+  private val PrScale = 1000000L
+  private val PrBase = 150000L // floor(0.15 * scale)
+  private val PrIters = 3
+
+  /** PageRank over the (bidirectional) candidate graph in EXACT
+    * fixed-point integer arithmetic: ranks are scaled by 10⁶ and each
+    * contribution is `floor(85·rank / (100·deg))` — integer ops only,
+    * so the per-node sums are order-independent BIGINTs and two
+    * engines agree structurally (float PageRank sums would be
+    * shuffle-order-dependent). $PrIters unrolled iterations; the
+    * damping remainder (0.15) enters as the integer base.
+    *
+    * Scale shape: the degree-annotated edge list is materialized once
+    * (the triangles discipline) and each iteration is one equi-join +
+    * one partial-aggregable integer sum on the dst key — the textbook
+    * distributed PageRank step. Rank relations are |V|-linear and
+    * merge-pinned (never broadcast). Unrolled because the iteration
+    * count is a constant of the gate; an open-ended convergence loop
+    * would checkpoint per round like clustersCore. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val eb = e.select(col("a").as("s"), col("b").as("dst"))
+      .union(e.select(col("b").as("s"), col("a").as("dst")))
+    val deg = eb.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val g = ckpt(eb.join(deg.hint("merge"), Seq("s")))
+    val nodes = ckpt(g.select(col("s").as("node")).distinct())
+    var rank = nodes.withColumn("rank", lit(PrScale))
+    (1 to PrIters).foreach { _ =>
+      val contribs = g.join(rank.hint("merge"), col("s") === col("node"))
+        .select(col("dst"),
+          expr(s"(85 * rank) DIV (100 * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+      rank = nodes.join(contribs.hint("merge"), col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(PrBase) + coalesce(col("c"), lit(0L))).as("rank"))
+    }
+    rank.select(col("node").as("doc_id"), col("rank").as("pr_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pagerankSql: String = {
+    val iters = (1 to PrIters).map { k =>
+      s"""c$k AS (
+         |  SELECT eb.dst AS node, SUM((85 * r${k - 1}.rank) // (100 * dg.deg)) AS c
+         |  FROM eb JOIN r${k - 1} ON eb.s = r${k - 1}.node
+         |  JOIN dg ON eb.s = dg.s
+         |  GROUP BY eb.dst),
+         |r$k AS (
+         |  SELECT n.node, $PrBase + COALESCE(c$k.c, 0) AS rank
+         |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT md5(SUBSTR(text, 1, $PrefixLen)) AS h, doc_id FROM documents),
+       |sizes AS (
+       |  SELECT h, COUNT(*) AS bucket_n FROM d GROUP BY h
+       |  HAVING COUNT(*) <= $BucketCap),
+       |b AS (SELECT d.h, d.doc_id FROM d JOIN sizes USING (h)),
+       |e AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM b x JOIN b y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |eb AS (SELECT a AS s, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+       |dg AS (SELECT s, COUNT(*) AS deg FROM eb GROUP BY s),
+       |nodes AS (SELECT DISTINCT s AS node FROM eb),
+       |r0 AS (SELECT node, $PrScale AS rank FROM nodes),
+       |$iters
+       |SELECT node AS doc_id, CAST(rank AS BIGINT) AS pr_rank
+       |FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "graph_triangles" -> ((triangles _, trianglesSql)),
-    "graph_reachability" -> ((reachability _, reachabilitySql)))
+    "graph_reachability" -> ((reachability _, reachabilitySql)),
+    "graph_pagerank" -> ((pagerank _, pagerankSql)))
 }
