@@ -48,6 +48,14 @@ trait AlpacaSourceDef extends Serializable {
   def partitionIntervalMicros(startUs: Long, endUs: Long, limit: Int,
       params: Map[String, String]): Long = AlpacaPartitioning.DayMicros
 
+  /** Expected rows for ONE symbol over [startUs, endUs), if this
+    * source can bound it a priori. Bars can (at most one bar per
+    * timeframe grid step); tick sources (trades/quotes) cannot —
+    * they return None and the scan reports no statistics, which
+    * Spark treats as large (safe: never a wrong broadcast). */
+  def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] = None
+
   /** Column usable for time-range predicate pushdown, if any. */
   def timeColumn: Option[String] = Some("time")
 }
@@ -301,7 +309,8 @@ class AlpacaScanBuilder(sourceDef: AlpacaSourceDef, cfg0: AlpacaScanConfig)
 case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     prunedSchema: StructType = null, limitOpt: Option[Int] = None)
   extends Scan with Batch
-  with SupportsReportPartitioning with SupportsReportOrdering {
+  with SupportsReportPartitioning with SupportsReportOrdering
+  with SupportsReportStatistics {
 
   private val outSchema =
     if (prunedSchema == null) sourceDef.schema else prunedSchema
@@ -354,6 +363,34 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
         Array(E.sort(E.column("symbol"), SortDirection.ASCENDING),
           E.sort(E.column(tc), d))
       case _ => Array.empty
+    }
+  }
+
+  /** Cost-model statistics from the PRUNED scan config (SURVEY §2.6
+    * upgrade): sources that can bound their output a priori (bars —
+    * at most one record per timeframe grid step) report
+    * rows = grid × |symbols| AFTER filter pushdown narrowed both, so
+    * `WHERE symbol = 'AAPL' AND time < …` yields a small-stats scan
+    * that Catalyst auto-broadcasts with NO hint — at 100 TB that is
+    * dimension-side scans joining shuffle-free by cost model alone.
+    * Tick sources (no a-priori density) report nothing and default
+    * to "large" — an over-estimate can only miss a broadcast, never
+    * plan a wrong one. A pushed LIMIT caps the estimate. */
+  override def estimateStatistics(): Statistics = {
+    val rowsOpt =
+      if (cfg.endMicros == AlpacaScanConfig.LiveEnd) None
+      else sourceDef.estimatedRowsPerSymbol(cfg.startMicros, cfg.endMicros, cfg.params)
+        .map { perSym =>
+          val total = perSym * math.max(0, cfg.symbols.size)
+          limitOpt.fold(total)(l => math.min(total, l.toLong))
+        }
+    val rowWidth = outSchema.defaultSize.toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        rowsOpt.fold(java.util.OptionalLong.empty())(r =>
+          java.util.OptionalLong.of(r * rowWidth))
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
     }
   }
 

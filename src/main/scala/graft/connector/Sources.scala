@@ -33,6 +33,15 @@ trait BarsSourceDef extends AlpacaSourceDef {
       params: Map[String, String]): Long =
     AlpacaPartitioning.barsIntervalMicros(startUs, endUs,
       Timeframe.parseMicros(params("timeframe")), limit)
+
+  /** At most one bar per timeframe grid step — the a-priori density
+    * bound that powers SupportsReportStatistics. */
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] =
+    params.get("timeframe").map { tf =>
+      val tfUs = Timeframe.parseMicros(tf)
+      math.max(0L, (endUs - startUs + tfUs - 1) / tfUs)
+    }
 }
 
 /** Stock OHLCV bars — format "Alpaca_Stocks_Bars"

@@ -814,8 +814,12 @@ object AlpacaQueries {
         "start" -> tradesStart, "end" -> tradesEnd,
         "cluster_by_symbol" -> "true"))
       .load()
+    // merge-pinned for the same reason as barsTradesJoin: accurate
+    // scan stats would broadcast at gate scale, hiding exactly the
+    // exchange-free SPJ this gate exists to prove
     bars.groupBy(col("symbol"))
       .agg(sum(col("volume")).as("bar_volume"), count(lit(1)).as("n_bars"))
+      .hint("merge")
       .join(trades.groupBy(col("symbol"))
         .agg(sum(col("size")).as("trade_size"), count(lit(1)).as("n_trades")),
         "symbol")
@@ -1105,7 +1109,12 @@ object AlpacaQueries {
       .load()
       .select(col("symbol").as("t_symbol"), col("time").as("t_time"),
         col("price"), col("size"))
-    bars.join(trades,
+    // merge-pinned: with SupportsReportStatistics the gate-scale bars
+    // side reports a few KB and cost-model-broadcasts — correct at THIS
+    // size, but the gate pins the at-scale shape (5y × 10k symbols of
+    // bars reports large and shuffles), so the hint keeps the compound
+    // shuffle key auditable
+    bars.hint("merge").join(trades,
         col("symbol") === col("t_symbol") &&
           date_trunc("hour", col("t_time")) === col("bar_time") &&
           col("t_time") >= col("bar_time") &&

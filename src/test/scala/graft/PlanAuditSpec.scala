@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Structural plan-shape regression guard. The perf work of rounds
@@ -286,6 +287,34 @@ class PlanAuditSpec extends AnyFunSuite {
       (p.indexOf("BatchScan", kgIdx) < 0 ||
         p.indexOf("FileScan parquet", kgIdx) < p.indexOf("BatchScan", kgIdx)),
       s"keygrouped exchange is not over the parquet side:\n$p")
+  }
+
+  test("scan-reported statistics: small bars scan auto-broadcasts, 5-year minute scan reports large") {
+    def barsScan(timeframe: String, end: String) =
+      spark.read.format("Alpaca_Stocks_Bars").options(Map(
+        "endpoint" -> graft.stub.AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['AAPL']", "timeframe" -> timeframe,
+        "start" -> "2021-01-04T00:00:00Z", "end" -> end)).load()
+    // grid bound: 48 hourly bars → a few KB; 5y of minute bars → >100 MB
+    val small = barsScan("1Hour", "2021-01-06T00:00:00Z")
+    val big = barsScan("1Min", "2026-01-04T00:00:00Z")
+    val smallStats = small.queryExecution.optimizedPlan.stats
+    val bigStats = big.queryExecution.optimizedPlan.stats
+    assert(smallStats.sizeInBytes < BigInt(1000000),
+      s"small scan should report small: ${smallStats.sizeInBytes}")
+    assert(bigStats.sizeInBytes > BigInt(100000000),
+      s"big scan should report large: ${bigStats.sizeInBytes}")
+    // and the cost model acts on it: equi-join with NO hint broadcasts
+    // the scan side (the BatchScan sits under the BroadcastExchange)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val p = docs.join(small, col("doc_id") === col("volume"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected auto-broadcast:\n$p")
+    val bcastIdx = p.indexOf("BroadcastExchange")
+    assert(bcastIdx >= 0 && p.indexOf("BatchScan", bcastIdx) >= 0,
+      s"expected the Alpaca scan under the BroadcastExchange:\n$p")
   }
 
   test("q3 broadcasts its dimension side; q4 plans TakeOrderedAndProject") {
