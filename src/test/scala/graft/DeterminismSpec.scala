@@ -33,7 +33,13 @@ class DeterminismSpec extends AnyFunSuite {
     "text_bloom_decontam", "text_substring_dedup",
     "dedup_incremental_minhash", "sim_ann_pq", "pipeline_curate_v2",
     // %D is a fixed lag-chain of %K doubles — must not notice layout
-    "alpaca_stochastic")
+    "alpaca_stochastic",
+    // r7: collect_list product (order-proof only because BIGINT
+    // multiplication commutes), dual-frame nearest window tie-breaks,
+    // ADC integer sums + re-rank ties, fixed-point PageRank sums,
+    // and the lead()+explode gap spine
+    "alpaca_split_adjusted", "asof_join_nearest", "sim_ann_ivfpq",
+    "graph_pagerank", "alpaca_bars_gapfill")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
