@@ -951,6 +951,71 @@ object AlpacaQueries {
        |ORDER BY symbol, ex_d""".stripMargin
   }
 
+  /** Tick-rule trade classification (the Lee–Ready tick test): each
+    * trade is a BUY if it printed above the previous different price,
+    * a SELL below; a trade at the SAME price inherits the last
+    * nonzero direction (zero-tick rule). Directions are exact
+    * integers (sign of a 0.25-grid difference) and the carry is a
+    * last(ignoreNulls) window — the same LOCF primitive as the as-of
+    * family — so both engines classify identically, including the
+    * leading unclassified run before the first price change. Output:
+    * per-symbol signed flow (buy/sell volume and counts).
+    *
+    * Scale shape: one shuffle on the symbol key, two window passes on
+    * the same clustering (lag + carry), one partial-aggregable sum —
+    * order flow at 100 TB never pays more than the symbol window. */
+  def tickRule(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("time"))
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(col("symbol"), col("time"), col("price"), col("size"))
+      .withColumn("tick", signum(col("price") - lag(col("price"), 1).over(w))
+        .cast("int"))
+      .withColumn("dir", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("symbol"))
+      .agg(sum(when(col("dir") === 1, col("size")).otherwise(0L)).as("buy_volume"),
+        sum(when(col("dir") === -1, col("size")).otherwise(0L)).as("sell_volume"),
+        count(when(col("dir") === 1, 1)).as("n_buys"),
+        count(when(col("dir") === -1, 1)).as("n_sells"),
+        count(when(col("dir").isNull, 1)).as("n_unclassified"))
+      .orderBy(col("symbol"))
+  }
+
+  def tickRuleSql: String = {
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${fmtD(t.price)}, ${t.size})"
+    }
+    s"""WITH tr AS (
+       |  SELECT * FROM (VALUES ${rows.mkString(",\n  ")})
+       |    AS v(symbol, t_us, price, size)),
+       |ticked AS (
+       |  SELECT symbol, t_us, size,
+       |    CAST(SIGN(price - LAG(price) OVER (
+       |      PARTITION BY symbol ORDER BY t_us)) AS INTEGER) AS tick
+       |  FROM tr),
+       |classified AS (
+       |  SELECT symbol, size,
+       |    LAST_VALUE(NULLIF(tick, 0) IGNORE NULLS) OVER (
+       |      PARTITION BY symbol ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+       |  FROM ticked)
+       |SELECT symbol,
+       |  CAST(SUM(CASE WHEN dir = 1 THEN size ELSE 0 END) AS BIGINT) AS buy_volume,
+       |  CAST(SUM(CASE WHEN dir = -1 THEN size ELSE 0 END) AS BIGINT) AS sell_volume,
+       |  COUNT(CASE WHEN dir = 1 THEN 1 END) AS n_buys,
+       |  COUNT(CASE WHEN dir = -1 THEN 1 END) AS n_sells,
+       |  COUNT(CASE WHEN dir IS NULL THEN 1 END) AS n_unclassified
+       |FROM classified
+       |GROUP BY symbol ORDER BY symbol""".stripMargin
+  }
+
   /** Calendar-spine gap fill — the time-series regularization step
     * between ingestion and any fixed-step model input: rebuild the
     * full hourly grid per symbol (`sequence` between the observed
@@ -1278,5 +1343,6 @@ object AlpacaQueries {
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
+    "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }
