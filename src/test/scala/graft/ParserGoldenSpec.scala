@@ -90,6 +90,32 @@ class ParserGoldenSpec extends AnyFunSuite {
     assert(bare.getUTF8String(7).toString == "" && bare.getUTF8String(8).toString == "")
   }
 
+  test("option trade/quote golden tuples: scalar condition, absent-key default, malformed skip") {
+    import graft.core.{OptionQuoteParser, OptionTradeParser}
+    val t1 = OptionTradeParser.parse("AAPL210115C00150000", js(
+      """{"t": "2021-01-01T09:30:00Z", "x": "A", "p": 2.25, "s": 3, "c": "I"}"""))
+    assert(t1.getUTF8String(0).toString == "AAPL210115C00150000")
+    assert(t1.getLong(1) == T0)
+    assert(t1.getUTF8String(2).toString == "A")
+    assert(t1.getDouble(3) == 2.25 && t1.getLong(4) == 3L)
+    assert(t1.getUTF8String(5).toString == "I")
+    // absent scalar `c` → empty string (the API's optional condition)
+    val t2 = OptionTradeParser.parse("X", js(
+      """{"t": "2021-01-01T09:30:00Z", "x": "C", "p": 1.0, "s": 1}"""))
+    assert(t2.getUTF8String(5).toString == "")
+    // missing required price → skip-and-log contract
+    intercept[IllegalArgumentException] {
+      OptionTradeParser.parse("X", js(
+        """{"t": "2021-01-01T09:30:00Z", "x": "C", "s": 1}"""))
+    }
+    val q = OptionQuoteParser.parse("AAPL210115C00150000", js(
+      """{"t": "2021-01-01T09:30:00Z", "ax": "A", "ap": 2.75, "as": 7,
+        |"bx": "B", "bp": 2.25, "bs": 4}""".stripMargin))
+    assert(q.getDouble(3) == 2.75 && q.getLong(4) == 7L)
+    assert(q.getDouble(6) == 2.25 && q.getLong(7) == 4L)
+    assert(q.getUTF8String(8).toString == "") // absent condition
+  }
+
   test("timestamps with offsets and sub-µs precision normalize to UTC µs") {
     val row = BarParser.parse("AAPL", js(
       """{"t": "2021-01-01T10:30:00.123456789+01:00", "o": 1.0, "h": 1.0,
