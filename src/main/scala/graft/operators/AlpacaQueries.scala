@@ -951,6 +951,66 @@ object AlpacaQueries {
        |ORDER BY symbol, ex_d""".stripMargin
   }
 
+  /** NBBO consolidation — the consolidated-tape computation: at each
+    * instant, the best bid is the max across venues and the best
+    * offer the min (the "MV" fixture emits one quote per venue V/N/Q
+    * at the SAME timestamp, venue offsets rotating so the best venue
+    * changes and ties occur on schedule). Rather than an argmax venue
+    * (whose tie rule every tape provider defines differently), the
+    * output counts venues AT the best on each side — deterministic
+    * with no tie convention, and the liquidity-fragmentation signal a
+    * consolidated feed actually publishes. All prices on the 0.25
+    * grid; one shuffle on (symbol, instant), window + aggregate on
+    * the same clustering. */
+  private val mvSymbols = Seq("MVAAPL", "MVMSFT")
+  def nbbo(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), col("time"))
+    spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(mvSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd))
+      .load()
+      .select(col("symbol"), col("time"),
+        col("bid_price"), col("ask_price"))
+      .withColumn("nbb", max(col("bid_price")).over(w))
+      .withColumn("nbo", min(col("ask_price")).over(w))
+      .groupBy(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"))
+      .agg(max(col("nbb")).as("nbb"), min(col("nbo")).as("nbo"),
+        (min(col("nbo")) - max(col("nbb"))).as("nbbo_spread"),
+        sum(when(col("bid_price") === col("nbb"), 1L).otherwise(0L)).as("n_at_bid"),
+        sum(when(col("ask_price") === col("nbo"), 1L).otherwise(0L)).as("n_at_ask"),
+        count(lit(1)).as("n_quotes"))
+      .orderBy(col("symbol"), col("quote_time"))
+  }
+
+  def nbboSql: String = {
+    val rows = mvSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotesMulti(s, us(tradesStart), us(quotesScanEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${sqlStr(fmtTs(qt.timeUs))}, " +
+        s"${fmtD(qt.bidPrice)}, ${fmtD(qt.askPrice)})"
+    }
+    s"""WITH q AS (
+       |  SELECT * FROM (VALUES ${rows.mkString(",\n  ")})
+       |    AS v(symbol, quote_time, bid, ask)),
+       |w AS (
+       |  SELECT symbol, quote_time, bid, ask,
+       |    MAX(bid) OVER (PARTITION BY symbol, quote_time) AS nbb,
+       |    MIN(ask) OVER (PARTITION BY symbol, quote_time) AS nbo
+       |  FROM q)
+       |SELECT symbol, quote_time,
+       |  CAST(MAX(nbb) AS DOUBLE) AS nbb,
+       |  CAST(MIN(nbo) AS DOUBLE) AS nbo,
+       |  CAST(MIN(nbo) - MAX(nbb) AS DOUBLE) AS nbbo_spread,
+       |  CAST(SUM(CASE WHEN bid = nbb THEN 1 ELSE 0 END) AS BIGINT) AS n_at_bid,
+       |  CAST(SUM(CASE WHEN ask = nbo THEN 1 ELSE 0 END) AS BIGINT) AS n_at_ask,
+       |  COUNT(*) AS n_quotes
+       |FROM w
+       |GROUP BY symbol, quote_time
+       |ORDER BY symbol, quote_time""".stripMargin
+  }
+
   /** Tick-rule trade classification (the Lee–Ready tick test): each
     * trade is a BUY if it printed above the previous different price,
     * a SELL below; a trade at the SAME price inherits the last
@@ -1344,5 +1404,6 @@ object AlpacaQueries {
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
     "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),
+    "alpaca_nbbo" -> ((nbbo _, nbboSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }

@@ -188,6 +188,33 @@ object AlpacaFixtures {
     }.toSeq
   }
 
+  /** Multi-venue stock quotes (symbols prefixed "MV"): every 3-minute
+    * step emits one quote per venue V/N/Q at the SAME instant, with
+    * venue-dependent bid/ask offsets on the 0.25 grid — the
+    * consolidated-tape shape an NBBO computation needs (the
+    * single-venue fixture above never has two quotes per instant).
+    * Offsets cycle so the best venue rotates and bid/ask ties occur
+    * on a known schedule. */
+  def stockQuotesMulti(symbol: String, startUs: Long, endUs: Long): Seq[StockQuote] = {
+    val step = 180L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).flatMap { t =>
+      val i = t / step
+      val mid = symBase(symbol) + (i % 24) * 0.25
+      (0 until 3).map { v =>
+        StockQuote(symbol, t,
+          askExchange = ("VNQ" (v)).toString,
+          askPrice = mid + 0.25 * (1 + ((i + 2 * v) % 3)),
+          askSize = 100L + v * 100L,
+          bidExchange = ("VNQ" (v)).toString,
+          bidPrice = mid - 0.25 * (1 + ((i + v) % 3)),
+          bidSize = 200L + v * 100L,
+          conditions = Seq("R"),
+          tape = ("ABC" (((i % 3)).toInt)).toString)
+      }
+    }.toSeq
+  }
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -497,8 +524,12 @@ object AlpacaStubServer {
     }))
     server.createContext("/v2/stocks/quotes", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
+      // "MV…" symbols get the multi-venue fixture (same instant, three
+      // venues) — the consolidated-tape input for the NBBO gate
       (200, envelope("quotes", symbol,
-        s => stockQuotes(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        s => if (s.startsWith("MV"))
+          stockQuotesMulti(s, isoToUs(q(params, "start")), isoToUs(q(params, "end")))
+        else stockQuotes(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
         stockQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
