@@ -974,13 +974,19 @@ object AlpacaQueries {
         col("bid_price"), col("ask_price"))
       .withColumn("nbb", max(col("bid_price")).over(w))
       .withColumn("nbo", min(col("ask_price")).over(w))
-      .groupBy(col("symbol"),
-        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"))
+      // group on the RAW instant (the window's own partition keys, so
+      // the aggregate reuses the window's clustering — no second
+      // exchange); the presentation string is projected after
+      .groupBy(col("symbol"), col("time"))
       .agg(max(col("nbb")).as("nbb"), min(col("nbo")).as("nbo"),
         (min(col("nbo")) - max(col("nbb"))).as("nbbo_spread"),
         sum(when(col("bid_price") === col("nbb"), 1L).otherwise(0L)).as("n_at_bid"),
         sum(when(col("ask_price") === col("nbo"), 1L).otherwise(0L)).as("n_at_ask"),
         count(lit(1)).as("n_quotes"))
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"),
+        col("nbb"), col("nbo"), col("nbbo_spread"),
+        col("n_at_bid"), col("n_at_ask"), col("n_quotes"))
       .orderBy(col("symbol"), col("quote_time"))
   }
 
