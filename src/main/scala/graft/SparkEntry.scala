@@ -11,7 +11,7 @@ object SparkEntry {
 
   private def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     operators.Relational.all ++ operators.AlpacaQueries.all ++
-      operators.AlpacaAnalytics.all ++
+      operators.AlpacaAnalytics.all ++ operators.Microstructure.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.TextOps.all ++ operators.Multimodal.all ++ operators.Streaming.all ++
       operators.AsofJoin.all ++ operators.Events.all ++ operators.Relational2.all ++ operators.Pipeline.all ++

@@ -1017,6 +1017,43 @@ object AlpacaQueries {
        |ORDER BY symbol, quote_time""".stripMargin
   }
 
+  /** Streaming NBBO — the batch consolidation above run through the
+    * connector's micro-batch stream: per-venue quotes arrive in
+    * stream_step slices, and each (symbol, instant) consolidates to
+    * best bid / best offer / venues-at-the-best. Windows don't exist
+    * on streams, so the per-instant venue comparison folds through
+    * collect_list + array HOFs instead — sound because the list is
+    * bounded by the VENUE COUNT (3 here, ~16 on a real tape), never
+    * by data volume, and order-free because max/min/count-equal are
+    * commutative. Complete mode keeps every instant so the batch
+    * oracle matches exactly; production runs the same plan in append
+    * mode with a watermark (the state key (symbol, instant) then ages
+    * out at the watermark, exactly like `stream_event_bars_append`).
+    * Shares `nbboSql` with the batch gate — stream and batch
+    * cross-prove each other against one oracle. */
+  def streamNbbo(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(mvSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> quotesScanEnd,
+        "stream_step" -> "2Hours"))
+      .load()
+      .select(col("symbol"), col("time"), col("bid_price"), col("ask_price"))
+      .groupBy(col("symbol"), col("time"))
+      .agg(collect_list(col("bid_price")).as("bids"),
+        collect_list(col("ask_price")).as("asks"))
+    Streaming.drainToTable(spark, stream, "complete")
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("quote_time"),
+        array_max(col("bids")).as("nbb"), array_min(col("asks")).as("nbo"),
+        (array_min(col("asks")) - array_max(col("bids"))).as("nbbo_spread"),
+        size(filter(col("bids"), _ === array_max(col("bids"))))
+          .cast("long").as("n_at_bid"),
+        size(filter(col("asks"), _ === array_min(col("asks"))))
+          .cast("long").as("n_at_ask"),
+        size(col("bids")).cast("long").as("n_quotes"))
+      .orderBy(col("symbol"), col("quote_time"))
+  }
+
   /** Tick-rule trade classification (the Lee–Ready tick test): each
     * trade is a BUY if it printed above the previous different price,
     * a SELL below; a trade at the SAME price inherits the last
@@ -1411,5 +1448,6 @@ object AlpacaQueries {
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
     "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),
     "alpaca_nbbo" -> ((nbbo _, nbboSql)),
+    "alpaca_stream_nbbo" -> ((streamNbbo _, nbboSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }

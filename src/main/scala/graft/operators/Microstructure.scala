@@ -1,0 +1,432 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.stub.AlpacaFixtures
+
+/**
+ * Market-microstructure analytics over the connector sources — the
+ * research workloads a quote/trade feed exists to power (the reference
+ * ships the sources, `stocks/trades.py` / `stocks/quotes.py`, and
+ * leaves the microstructure layer to users). Every estimator keeps its
+ * moments as EXACT integers on the fixture's dyadic price grids
+ * (price8 = 8ths, mid8 = 8ths from a 4ths midpoint sum, amount4 =
+ * 4ths) and spends at most a handful of IEEE operations, applied in
+ * the same order by both engines, at the very end — parity is
+ * structural, never a tolerance.
+ *
+ * Scale shapes (the recurring ones, noted per-gate below):
+ *  - prevailing-quote attachment is the tag-union + one-window LOCF
+ *    form (see AsofJoin.scala) — never a range join;
+ *  - per-symbol serial statistics are lag()/window passes on ONE
+ *    (symbol) clustering, then partial-aggregable integer sums;
+ *  - tiny reference relations (a benchmark series, the dividend
+ *    calendar) broadcast because they are BOUNDED — per-symbol×day
+ *    rows, never corpus-sized.
+ */
+object Microstructure {
+  import AlpacaQueries.{baseOptions, us, fmtTs, sqlStr, fmtD}
+
+  private val Hour = AlpacaFixtures.HourUs
+  private val Day = AlpacaFixtures.DayUs
+
+  private val msSymbols = Seq("AAPL", "MSFT")
+  private val msStart = "2021-01-04T00:00:00Z"
+  private val msEnd = "2021-01-05T00:00:00Z"
+  private val quotesEnd = "2021-01-04T06:00:00Z"
+
+  // ------------------------------------------------ Lee–Ready (quote rule)
+  /** Lee–Ready trade classification — the full algorithm, not just the
+    * tick test (`alpaca_tick_rule` is the fallback half): each trade
+    * is compared to the prevailing quote midpoint (strictly above →
+    * BUY, strictly below → SELL); trades AT the midpoint — where the
+    * quote rule is silent — fall back to the tick rule (sign of the
+    * last nonzero price change). Trades before any quote also fall to
+    * the tick rule, the standard practical choice.
+    *
+    * Scale shape: quotes attach by the tag-union + one-window LOCF
+    * form (one shuffle on symbol, never a range join); the tick
+    * fallback is two more window passes on the SAME clustering; the
+    * final per-symbol flow aggregate is partial-aggregable integer
+    * sums. At 100 TB of prints this costs exactly one symbol-keyed
+    * exchange. Imbalance is one IEEE division of exact BIGINTs. */
+  def leeReady(spark: SparkSession, dir: String): DataFrame = {
+    val trades = spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> quotesEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round(col("price") * 8).cast("long").as("price8"),
+        col("size"),
+        lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
+    val quotes = spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> quotesEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        lit(null).cast("long").as("price8"), lit(null).cast("long").as("size"),
+        lit(0).as("is_trade"),
+        round((col("bid_price") + col("ask_price")) * 4).cast("long").as("q_mid8"))
+    val wUnion = Window.partitionBy(col("symbol"))
+      .orderBy(col("t_us"), col("is_trade"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTrades = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
+    val wCarry = wTrades.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trades.unionByName(quotes)
+      .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(wUnion))
+      .filter(col("is_trade") === 1)
+      .withColumn("tick",
+        signum(col("price8") - lag(col("price8"), 1).over(wTrades)).cast("int"))
+      .withColumn("tdir",
+        last(nullif(col("tick"), lit(0)), ignoreNulls = true).over(wCarry))
+      .withColumn("qdir",
+        when(col("mid8").isNotNull,
+          signum(col("price8") - col("mid8")).cast("int")))
+      .withColumn("lr_dir",
+        when(col("qdir").isNotNull && col("qdir") =!= 0, col("qdir"))
+          .otherwise(col("tdir")))
+      .groupBy(col("symbol"))
+      .agg(
+        sum(when(col("lr_dir") === 1, col("size")).otherwise(0L)).as("buy_volume"),
+        sum(when(col("lr_dir") === -1, col("size")).otherwise(0L)).as("sell_volume"),
+        count(when(col("lr_dir") === 1, 1)).as("n_buys"),
+        count(when(col("lr_dir") === -1, 1)).as("n_sells"),
+        count(when(col("qdir").isNotNull && col("qdir") =!= 0, 1)).as("n_quote_rule"),
+        count(when((col("qdir").isNull || col("qdir") === 0) &&
+          col("lr_dir").isNotNull, 1)).as("n_tick_fallback"),
+        count(when(col("lr_dir").isNull, 1)).as("n_unclassified"))
+      .withColumn("imbalance",
+        (col("buy_volume") - col("sell_volume")).cast("double") /
+          (col("buy_volume") + col("sell_volume")).cast("double"))
+      .orderBy(col("symbol"))
+  }
+
+  def leeReadySql: String = {
+    val tRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(quotesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)}, ${t.size})"
+    }
+    val qRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(msStart), us(quotesEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${qt.timeUs}, " +
+        s"${math.round((qt.bidPrice + qt.askPrice) * 4)})"
+    }
+    s"""WITH t(symbol, t_us, price8, size) AS (VALUES ${tRows.mkString(",\n  ")}),
+       |q(symbol, t_us, mid8) AS (VALUES ${qRows.mkString(",\n  ")}),
+       |j AS (
+       |  SELECT t.symbol, t.t_us, t.price8, t.size, q.mid8
+       |  FROM t ASOF LEFT JOIN q
+       |    ON t.symbol = q.symbol AND t.t_us >= q.t_us),
+       |ticked AS (
+       |  SELECT *, CAST(SIGN(price8 - LAG(price8) OVER w) AS INTEGER) AS tick
+       |  FROM j WINDOW w AS (PARTITION BY symbol ORDER BY t_us)),
+       |classified AS (
+       |  SELECT symbol, size,
+       |    CASE WHEN mid8 IS NOT NULL
+       |      THEN CAST(SIGN(price8 - mid8) AS INTEGER) END AS qdir,
+       |    LAST_VALUE(NULLIF(tick, 0) IGNORE NULLS) OVER (
+       |      PARTITION BY symbol ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tdir
+       |  FROM ticked),
+       |dirs AS (
+       |  SELECT symbol, size, qdir,
+       |    CASE WHEN qdir IS NOT NULL AND qdir <> 0 THEN qdir ELSE tdir END
+       |      AS lr_dir
+       |  FROM classified)
+       |SELECT symbol,
+       |  CAST(SUM(CASE WHEN lr_dir = 1 THEN size ELSE 0 END) AS BIGINT)
+       |    AS buy_volume,
+       |  CAST(SUM(CASE WHEN lr_dir = -1 THEN size ELSE 0 END) AS BIGINT)
+       |    AS sell_volume,
+       |  COUNT(CASE WHEN lr_dir = 1 THEN 1 END) AS n_buys,
+       |  COUNT(CASE WHEN lr_dir = -1 THEN 1 END) AS n_sells,
+       |  COUNT(CASE WHEN qdir IS NOT NULL AND qdir <> 0 THEN 1 END)
+       |    AS n_quote_rule,
+       |  COUNT(CASE WHEN (qdir IS NULL OR qdir = 0) AND lr_dir IS NOT NULL
+       |    THEN 1 END) AS n_tick_fallback,
+       |  COUNT(CASE WHEN lr_dir IS NULL THEN 1 END) AS n_unclassified,
+       |  CAST(SUM(CASE WHEN lr_dir = 1 THEN size ELSE 0 END) -
+       |       SUM(CASE WHEN lr_dir = -1 THEN size ELSE 0 END) AS DOUBLE) /
+       |  CAST(SUM(CASE WHEN lr_dir = 1 THEN size ELSE 0 END) +
+       |       SUM(CASE WHEN lr_dir = -1 THEN size ELSE 0 END) AS DOUBLE)
+       |    AS imbalance
+       |FROM dirs GROUP BY symbol ORDER BY symbol""".stripMargin
+  }
+
+  // ------------------------------------------------ Roll implied spread
+  /** Roll's implied-spread estimator: s = 2·√(−cov(Δpₜ, Δpₜ₊₁)) when
+    * the serial covariance of successive price changes is negative
+    * (bid-ask bounce), else 0. The covariance never leaves integer
+    * space: with Δ on the 1/8 grid, cov·n² = n·Σxy − Σx·Σy is an
+    * exact BIGINT; the estimator is then three IEEE ops (divide,
+    * sqrt, scale by the exact power-of-two 2/8).
+    *
+    * Scale shape: one symbol-keyed shuffle, two lag() passes on that
+    * clustering, then partial-aggregable sums — identical cost
+    * profile to the tick rule at any corpus size. */
+  def rollSpread(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> msEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round(col("price") * 8).cast("long").as("price8"))
+      .withColumn("d", col("price8") - lag(col("price8"), 1).over(w))
+      .withColumn("x", lag(col("d"), 1).over(w))
+      .filter(col("d").isNotNull && col("x").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x") * col("d")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("d")).as("sy"))
+      .withColumn("cov_num",
+        col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("roll_spread",
+        when(col("cov_num") < 0,
+          lit(2.0) * sqrt((-col("cov_num")).cast("double") /
+            (col("n_pairs") * col("n_pairs")).cast("double")) / lit(8.0))
+          .otherwise(lit(0.0)))
+      .select(col("symbol"), col("n_pairs"), col("cov_num"), col("roll_spread"))
+      .orderBy(col("symbol"))
+  }
+
+  def rollSpreadSql: String = {
+    val rows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(msEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)})"
+    }
+    s"""WITH tr(symbol, t_us, price8) AS (VALUES ${rows.mkString(",\n  ")}),
+       |d1 AS (
+       |  SELECT symbol, t_us,
+       |    price8 - LAG(price8) OVER w AS d
+       |  FROM tr WINDOW w AS (PARTITION BY symbol ORDER BY t_us)),
+       |pairs AS (
+       |  SELECT symbol, LAG(d) OVER w AS x, d
+       |  FROM d1 WINDOW w AS (PARTITION BY symbol ORDER BY t_us)),
+       |m AS (
+       |  SELECT symbol, COUNT(*) AS n_pairs,
+       |    SUM(x * d) AS sxy, SUM(x) AS sx, SUM(d) AS sy
+       |  FROM pairs WHERE d IS NOT NULL AND x IS NOT NULL
+       |  GROUP BY symbol)
+       |SELECT symbol, n_pairs,
+       |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+       |  CASE WHEN n_pairs * sxy - sx * sy < 0
+       |    THEN 2.0 * SQRT(CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE) /
+       |      CAST(n_pairs * n_pairs AS DOUBLE)) / 8.0
+       |    ELSE 0.0 END AS roll_spread
+       |FROM m ORDER BY symbol""".stripMargin
+  }
+
+  // ------------------------------------------------ Amihud illiquidity
+  private val amStart = "2021-01-04T00:00:00Z"
+  private val amEnd = "2021-02-03T00:00:00Z"
+
+  /** Amihud per-day illiquidity: |Δclose| / dollar volume, ×10⁶ — the
+    * standard price-impact proxy, emitted per (symbol, day) so every
+    * row is independently exact (a cross-day average would sum
+    * doubles in nondeterministic order; consumers aggregate the
+    * per-day series however they like). |Δclose8| is an exact BIGINT
+    * on the 1/8 grid; dollar volume vwap4·volume an exact BIGINT on
+    * the 1/4 grid; the ratio is four IEEE ops in a fixed order.
+    *
+    * Scale shape: daily bars are already tiny relative to ticks, one
+    * symbol window for the lag, no joins. */
+  def amihud(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "timeframe" -> "1Day", "start" -> amStart, "end" -> amEnd))
+      .load()
+      .select(col("symbol"), col("time"),
+        round(col("close") * 8).cast("long").as("close8"),
+        round(col("vwap") * 4).cast("long").as("vwap4"), col("volume"))
+      .withColumn("abs_d8",
+        abs(col("close8") - lag(col("close8"), 1).over(w)))
+      .filter(col("abs_d8").isNotNull)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("abs_d8"),
+        (col("vwap4") * col("volume")).as("dollar_vol4"),
+        ((col("abs_d8").cast("double") / lit(8.0)) * lit(1000000.0) /
+          ((col("vwap4") * col("volume")).cast("double") / lit(4.0)))
+          .as("illiq_e6"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def amihudSql: String = {
+    val rows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(amStart), us(amEnd), Day)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, ${sqlStr(fmtTs(b.timeUs).take(10))}, " +
+        s"${math.round(b.close * 8)}, ${math.round(b.vwap * 4)}, ${b.volume})"
+    }
+    s"""WITH bars(symbol, day, close8, vwap4, volume) AS
+       |  (VALUES ${rows.mkString(",\n  ")}),
+       |d AS (
+       |  SELECT symbol, day,
+       |    ABS(close8 - LAG(close8) OVER (
+       |      PARTITION BY symbol ORDER BY day)) AS abs_d8,
+       |    vwap4 * volume AS dollar_vol4
+       |  FROM bars)
+       |SELECT symbol, day, CAST(abs_d8 AS BIGINT) AS abs_d8,
+       |  CAST(dollar_vol4 AS BIGINT) AS dollar_vol4,
+       |  (CAST(abs_d8 AS DOUBLE) / 8.0) * 1000000.0 /
+       |    (CAST(dollar_vol4 AS DOUBLE) / 4.0) AS illiq_e6
+       |FROM d WHERE abs_d8 IS NOT NULL
+       |ORDER BY symbol, day""".stripMargin
+  }
+
+  // ------------------------------------------------ beta vs benchmark
+  private val betaEnd = "2021-01-06T00:00:00Z"
+  private val betaBenchmark = "SPY"
+
+  /** Price-change beta vs a benchmark series: for each symbol,
+    * cov(Δclose, Δclose_bench)/var(Δclose_bench) over hourly bars,
+    * kept exact as the two BIGINT moment combinations n·Σxy − Σx·Σy
+    * and n·Σyy − (Σy)², with ONE final IEEE division.
+    *
+    * Scale shape: the benchmark series is BOUNDED (one symbol × the
+    * window's bar count — thousands of rows at any corpus size), so
+    * broadcasting it is genuinely safe and the fact side never
+    * shuffles for the join; the moment sums are partial-aggregable.
+    * This is the shape factor-model pipelines use: a 100 TB bar store
+    * joins a kilobyte factor series. */
+  def beta(spark: SparkSession, dir: String): DataFrame = {
+    def deltas(symbols: Seq[String]): DataFrame = {
+      val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+      spark.read.format("Alpaca_Stocks_Bars")
+        .options(baseOptions(symbols: _*) ++ Map(
+          "timeframe" -> "1Hour", "start" -> msStart, "end" -> betaEnd))
+        .load()
+        .select(col("symbol"), col("time"),
+          round(col("close") * 8).cast("long").as("close8"))
+        .withColumn("d", col("close8") - lag(col("close8"), 1).over(w))
+        .filter(col("d").isNotNull)
+    }
+    val bench = deltas(Seq(betaBenchmark))
+      .select(col("time").as("b_time"), col("d").as("dm"))
+    deltas(msSymbols)
+      .join(broadcast(bench), col("time") === col("b_time"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d") * col("dm")).as("sxy"),
+        sum(col("d")).as("sx"), sum(col("dm")).as("sm"),
+        sum(col("dm") * col("dm")).as("smm"))
+      .withColumn("beta_num", col("n") * col("sxy") - col("sx") * col("sm"))
+      .withColumn("beta_den", col("n") * col("smm") - col("sm") * col("sm"))
+      .select(col("symbol"), col("n"), col("beta_num"), col("beta_den"),
+        (col("beta_num").cast("double") / col("beta_den").cast("double"))
+          .as("beta"))
+      .orderBy(col("symbol"))
+  }
+
+  def betaSql: String = {
+    def rows(symbols: Seq[String]) = symbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(msStart), us(betaEnd), Hour)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, ${b.timeUs}, ${math.round(b.close * 8)})"
+    }
+    s"""WITH bars(symbol, t_us, close8) AS
+       |  (VALUES ${rows(msSymbols :+ betaBenchmark).mkString(",\n  ")}),
+       |d AS (
+       |  SELECT symbol, t_us,
+       |    close8 - LAG(close8) OVER (PARTITION BY symbol ORDER BY t_us) AS d
+       |  FROM bars),
+       |fact AS (SELECT * FROM d WHERE d IS NOT NULL AND symbol <> '$betaBenchmark'),
+       |bench AS (SELECT t_us, d AS dm FROM d
+       |  WHERE d IS NOT NULL AND symbol = '$betaBenchmark'),
+       |m AS (
+       |  SELECT f.symbol, COUNT(*) AS n, SUM(f.d * b.dm) AS sxy,
+       |    SUM(f.d) AS sx, SUM(b.dm) AS sm, SUM(b.dm * b.dm) AS smm
+       |  FROM fact f JOIN bench b ON f.t_us = b.t_us
+       |  GROUP BY f.symbol)
+       |SELECT symbol, n,
+       |  CAST(n * sxy - sx * sm AS BIGINT) AS beta_num,
+       |  CAST(n * smm - sm * sm AS BIGINT) AS beta_den,
+       |  CAST(n * sxy - sx * sm AS DOUBLE) / CAST(n * smm - sm * sm AS DOUBLE)
+       |    AS beta
+       |FROM m ORDER BY symbol""".stripMargin
+  }
+
+  // ------------------------------------------------ dividend adjustment
+  private val divStart = "2021-01-01T00:00:00Z"
+  private val divEnd = "2021-03-01T00:00:00Z"
+
+  /** Dividend total-return adjustment — the cash-distribution twin of
+    * `alpaca_split_adjusted`: adjusted close = close − Σ(amounts of
+    * dividends with ex_date strictly after the bar). The additive
+    * back-adjustment keeps everything EXACT: amounts sit on the 1/4
+    * grid, so the per-bar adjustment is a BIGINT sum of amount4 —
+    * order-free, unlike a multiplicative factor chain of arbitrary
+    * doubles — and the final subtraction is one exact-operand IEEE op.
+    *
+    * Scale shape: the dividend calendar is bounded (per symbol×quarter
+    * rows at any corpus size) → broadcast; bars never shuffle for the
+    * join; the per-bar sum is a partial-aggregable BIGINT. */
+  def dividendAdjusted(spark: SparkSession, dir: String): DataFrame = {
+    val bars = spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "timeframe" -> "1Day", "start" -> divStart, "end" -> divEnd))
+      .load()
+      .select(col("symbol"), col("time"), col("close"))
+    val divs = spark.read.format("Alpaca_Corporate_Actions")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> divStart, "end" -> divEnd, "types" -> "dividend"))
+      .load()
+      .filter(col("type") === "dividend")
+      .select(col("symbol").as("d_sym"), col("ex_date"),
+        round(col("amount") * 4).cast("long").as("amount4"))
+    bars.join(broadcast(divs),
+        col("symbol") === col("d_sym") && col("ex_date") > col("time"), "left")
+      .groupBy(col("symbol"), col("time"), col("close"))
+      .agg(coalesce(sum(col("amount4")), lit(0L)).as("div4_after"))
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd").as("day"),
+        col("close"), col("div4_after"),
+        (col("close") - col("div4_after").cast("double") / lit(4.0))
+          .as("adj_close_tr"))
+      .orderBy(col("symbol"), col("day"))
+  }
+
+  def dividendAdjustedSql: String = {
+    val barRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(divStart), us(divEnd), Day)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, ${sqlStr(fmtTs(b.timeUs).take(10))}, ${fmtD(b.close)})"
+    }
+    val divRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.corpActions(s, us(divStart), us(divEnd))
+    }.filter(_.tpe == "dividend").map { c =>
+      s"(${sqlStr(c.symbol)}, ${sqlStr(fmtTs(c.exDateUs.get).take(10))}, " +
+        s"${math.round(c.amount * 4)})"
+    }
+    s"""WITH bars AS (
+       |  SELECT * FROM (VALUES ${barRows.mkString(",\n  ")})
+       |    AS v(symbol, day, close)),
+       |divs AS (
+       |  SELECT * FROM (VALUES ${divRows.mkString(",\n  ")})
+       |    AS s(symbol, ex_day, amount4))
+       |SELECT b.symbol, b.day, CAST(b.close AS DOUBLE) AS close,
+       |  CAST(COALESCE((SELECT SUM(d.amount4) FROM divs d
+       |    WHERE d.symbol = b.symbol AND d.ex_day > b.day), 0) AS BIGINT)
+       |    AS div4_after,
+       |  CAST(b.close AS DOUBLE) -
+       |    CAST(COALESCE((SELECT SUM(d.amount4) FROM divs d
+       |      WHERE d.symbol = b.symbol AND d.ex_day > b.day), 0) AS DOUBLE)
+       |    / 4.0 AS adj_close_tr
+       |FROM bars b
+       |ORDER BY b.symbol, b.day""".stripMargin
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "alpaca_lee_ready" -> ((leeReady _, leeReadySql)),
+    "alpaca_roll_spread" -> ((rollSpread _, rollSpreadSql)),
+    "alpaca_amihud" -> ((amihud _, amihudSql)),
+    "alpaca_beta" -> ((beta _, betaSql)),
+    "alpaca_dividend_adjusted" -> ((dividendAdjusted _, dividendAdjustedSql)))
+}

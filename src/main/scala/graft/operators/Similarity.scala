@@ -196,7 +196,8 @@ object Similarity {
     * each vector mapped to its nearest of the K fixed centroids
     * (argmax cosine; ties break to the larger cent_id in BOTH
     * engines). Shared by the IVF ANN probe and the SemDeDup pass. */
-  private def corpusWithCells(spark: SparkSession, dir: String): DataFrame = {
+  private def corpusWithCells(spark: SparkSession, dir: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     // 0 <= vec_id < K, not just < K: ids are not guaranteed
     // non-negative (fuzz corpora carry negatives), and a one-sided
@@ -218,7 +219,8 @@ object Similarity {
       .join(best, col("vec_id") === col("b_vec") && col("cscore") === col("ms"))
       .groupBy(col("vec_id"))
       .agg(max(col("cent_id")).as("cell"))
-    emb.select(col("vec_id"), col("embedding"), normCol("embedding").as("vnorm"))
+    emb.select(col("vec_id") +: col("embedding") +:
+        normCol("embedding").as("vnorm") +: extraCols.map(col): _*)
       .join(cells, "vec_id")
   }
 
@@ -273,6 +275,56 @@ object Similarity {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT query_id, vec_id, cosine FROM ranked WHERE rn <= $IvfTopK
+       |ORDER BY query_id, vec_id""".stripMargin
+
+  // ------------------------------------------------------ filtered ANN
+  /** Filtered ANN — the retrieval shape RAG serving actually runs:
+    * top-k nearest neighbors SUBJECT TO a metadata predicate (here
+    * `label % 2 = 0`). The filter is applied INSIDE the cell probe —
+    * after routing, before scoring — which is the scale-correct
+    * placement: post-filtering a fixed top-k under-returns when the
+    * predicate is selective, and pre-filtering would rebuild the
+    * index per predicate. The index (cell assignment) is built once
+    * on the FULL corpus and the label column rides it, so the probe
+    * is one equi-join with a pushed predicate on the build side —
+    * same cost as the unfiltered probe at any corpus size. */
+  def simAnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithCells(spark, dir, extraCols = Seq("label"))
+    val queries = corpus.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("vnorm").as("qnorm"), col("cell").as("qcell"))
+    val scored = corpus
+      .filter(col("label") % 2 === 0)
+      .join(broadcast(queries), col("cell") === col("qcell") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosineOf(dotCol("embedding", "qe"), col("vnorm"), col("qnorm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= IvfTopK)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  val simAnnFilteredSql: String =
+    s"""WITH $cellsCtes,
+       |corpusl AS (
+       |  SELECT c.vec_id, c.embedding, c.cell, e.label
+       |  FROM corpus c JOIN embeddings e ON c.vec_id = e.vec_id),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cell AS qcell
+       |  FROM corpusl WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, c.vec_id, c.label,
+       |    ${cosineSql("c.embedding", "qe")} AS cosine
+       |  FROM corpusl c JOIN q ON c.cell = q.qcell AND c.vec_id <> query_id
+       |  WHERE c.label % 2 = 0),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, cosine FROM ranked WHERE rn <= $IvfTopK
        |ORDER BY query_id, vec_id""".stripMargin
 
   // ------------------------------------------- embedding near-dup pairs
@@ -817,6 +869,7 @@ object Similarity {
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
     "sim_ann_ivf" -> ((simAnnIvf _, simAnnIvfSql)),
+    "sim_ann_filtered" -> ((simAnnFiltered _, simAnnFilteredSql)),
     "sim_emb_neardup" -> ((simEmbNearDup _, simEmbNearDupSql)),
     "sim_semantic_dedup" -> ((simSemanticDedup _, simSemanticDedupSql)),
     "sim_quantized" -> ((simQuantized _, simQuantizedSql)),
