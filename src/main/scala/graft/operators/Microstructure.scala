@@ -52,23 +52,38 @@ object Microstructure {
     * final per-symbol flow aggregate is partial-aggregable integer
     * sums. At 100 TB of prints this costs exactly one symbol-keyed
     * exchange. Imbalance is one IEEE division of exact BIGINTs. */
-  def leeReady(spark: SparkSession, dir: String): DataFrame = {
-    val trades = spark.read.format("Alpaca_Stocks_Trades")
+  /** Connector-read inputs shared by the plain and bucketed forms:
+    * trades(symbol, t_us, price8, size) / quotes(symbol, t_us, mid8). */
+  private def lrTrades(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Stocks_Trades")
       .options(baseOptions(msSymbols: _*) ++ Map(
         "start" -> msStart, "end" -> quotesEnd))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        round(col("price") * 8).cast("long").as("price8"),
-        col("size"),
-        lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
-    val quotes = spark.read.format("Alpaca_Stocks_Quotes")
+        round(col("price") * 8).cast("long").as("price8"), col("size"))
+
+  private def lrQuotes(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Stocks_Quotes")
       .options(baseOptions(msSymbols: _*) ++ Map(
         "start" -> msStart, "end" -> quotesEnd))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        lit(null).cast("long").as("price8"), lit(null).cast("long").as("size"),
-        lit(0).as("is_trade"),
-        round((col("bid_price") + col("ask_price")) * 4).cast("long").as("q_mid8"))
+        round((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
+
+  def leeReady(spark: SparkSession, dir: String): DataFrame =
+    leeReadyCore(lrTrades(spark), lrQuotes(spark))
+
+  /** Core over prepared trades(symbol, t_us, price8, size) and
+    * quotes(symbol, t_us, mid8). Exposed for MicrostructureSpec's
+    * hostile-series equivalence proof against the bucketed core.
+    * Determinism contract (as the as-of family): instants unique per
+    * symbol within each relation. */
+  private[graft] def leeReadyCore(tradesIn: DataFrame, quotesIn: DataFrame): DataFrame = {
+    val trades = tradesIn.select(col("symbol"), col("t_us"), col("price8"),
+      col("size"), lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
+    val quotes = quotesIn.select(col("symbol"), col("t_us"),
+      lit(null).cast("long").as("price8"), lit(null).cast("long").as("size"),
+      lit(0).as("is_trade"), col("mid8").as("q_mid8"))
     val wUnion = Window.partitionBy(col("symbol"))
       .orderBy(col("t_us"), col("is_trade"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -155,6 +170,296 @@ object Microstructure {
        |       SUM(CASE WHEN lr_dir = -1 THEN size ELSE 0 END) AS DOUBLE)
        |    AS imbalance
        |FROM dirs GROUP BY symbol ORDER BY symbol""".stripMargin
+  }
+
+  /** Hot-symbol SCALE twin of [[leeReady]] (same seed-spine technique
+    * as `asof_join_bucketed` / `alpaca_effective_spread_bucketed`,
+    * proven portable to a THREE-carry operator): all windows run per
+    * (symbol, 2-hour bucket) so one symbol's print stream
+    * parallelizes across buckets instead of serializing through one
+    * task. Three values cross the bucket boundary, each resolved on
+    * the tiny (symbol × bucket) spine with one LOCF apiece:
+    *   1. the prevailing quote mid (entry_mid — as in the as-of twin);
+    *   2. the previous trade PRICE (prevp — the first in-bucket trade's
+    *      tick needs it);
+    *   3. the standing tick DIRECTION (entry_r): per bucket, the last
+    *      in-bucket price change, or failing that the boundary change
+    *      vs the prior bucket's last price — coalesce of the two is
+    *      the bucket's "direction event", and LOCF over those events
+    *      is exactly the last-price-change recursion, linearized.
+    * In-bucket, the previous-trade price is last(price8 ignoreNulls)
+    * over the EXCLUSIVE preceding frame (lag() would trip over
+    * interleaved quote rows). Shares [[leeReadySql]] with the plain
+    * form — the two implementations cross-prove each other against
+    * one DuckDB oracle. */
+  def leeReadyBucketed(spark: SparkSession, dir: String): DataFrame =
+    leeReadyBucketedCore(lrTrades(spark), lrQuotes(spark), 2L * Hour)
+
+  /** Bucketed core over the same prepared inputs as [[leeReadyCore]];
+    * `bucketUs` is the time-bucket width (hostile spec drives it down
+    * to one row per bucket — maximal boundary stress). */
+  private[graft] def leeReadyBucketedCore(tradesIn: DataFrame,
+      quotesIn: DataFrame, bucketUs: Long): DataFrame = {
+    val W = bucketUs
+    val trades = tradesIn.select(col("symbol"), col("t_us"), col("price8"),
+      col("size"), lit(1).as("is_trade"), lit(null).cast("long").as("q_mid8"))
+    val quotes = quotesIn.select(col("symbol"), col("t_us"),
+      lit(null).cast("long").as("price8"), lit(null).cast("long").as("size"),
+      lit(0).as("is_trade"), col("mid8").as("q_mid8"))
+    val rows = trades.unionByName(quotes)
+      // floor division (pre-1970-safe, same as the as-of twins)
+      .withColumn("b", expr(s"(t_us - pmod(t_us, ${W}L)) DIV ${W}L"))
+      .filter(col("b").isNotNull)
+    // `size` joins the ordering as a never-reached tiebreak ((t_us,
+    // is_trade) is already unique per the determinism contract): it is
+    // the one base column the join-back branch needs and the spine
+    // branch doesn't, and unequal pruning below the shared shuffle
+    // would break exchange canonical equality and resurrect a second
+    // scan of BOTH connector sources (the asof_join_bucketed trick)
+    val wB = Window.partitionBy(col("symbol"), col("b"))
+      .orderBy(col("t_us"), col("is_trade"), col("size"))
+    val full = wB.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val toCur = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pass1 = rows
+      .withColumn("prevp_in", last(col("price8"), ignoreNulls = true)
+        .over(wB.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("tick_in", when(col("is_trade") === 1,
+        nullif(signum(col("price8") - col("prevp_in")).cast("int"), lit(0))))
+      .withColumn("in_mid", last(col("q_mid8"), ignoreNulls = true).over(toCur))
+      .withColumn("local_d", last(col("tick_in"), ignoreNulls = true).over(full))
+      .withColumn("bucket_mid", last(col("q_mid8"), ignoreNulls = true).over(full))
+      .withColumn("firstp", first(col("price8"), ignoreNulls = true).over(full))
+      .withColumn("lastp", last(col("price8"), ignoreNulls = true).over(full))
+      .withColumn("rn", row_number().over(wB))
+    val wPrior = Window.partitionBy(col("symbol")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = pass1.filter(col("rn") === 1)
+      .select(col("symbol"), col("b"), col("bucket_mid"), col("firstp"),
+        col("lastp"), col("local_d"))
+      .withColumn("entry_mid", last(col("bucket_mid"), ignoreNulls = true).over(wPrior))
+      .withColumn("prevp", last(col("lastp"), ignoreNulls = true).over(wPrior))
+      .withColumn("e", coalesce(col("local_d"),
+        nullif(signum(col("firstp") - col("prevp")).cast("int"), lit(0))))
+      .withColumn("entry_r", last(col("e"), ignoreNulls = true).over(wPrior))
+      .select(col("symbol"), col("b"), col("entry_mid"), col("prevp"),
+        col("entry_r"))
+    // merge-pinned: the spine is |symbols|×|buckets| — linear in the
+    // corpus, never broadcastable at scale
+    pass1.join(spine.hint("merge"), Seq("symbol", "b"))
+      .withColumn("tick_full", when(col("is_trade") === 1,
+        nullif(signum(col("price8") -
+          coalesce(col("prevp_in"), col("prevp"))).cast("int"), lit(0))))
+      .withColumn("in_d", last(col("tick_full"), ignoreNulls = true).over(toCur))
+      .filter(col("is_trade") === 1)
+      .withColumn("mid", coalesce(col("in_mid"), col("entry_mid")))
+      .withColumn("qdir", when(col("mid").isNotNull,
+        signum(col("price8") - col("mid")).cast("int")))
+      .withColumn("lr_dir",
+        when(col("qdir").isNotNull && col("qdir") =!= 0, col("qdir"))
+          .otherwise(coalesce(col("in_d"), col("entry_r"))))
+      .groupBy(col("symbol"))
+      .agg(
+        sum(when(col("lr_dir") === 1, col("size")).otherwise(0L)).as("buy_volume"),
+        sum(when(col("lr_dir") === -1, col("size")).otherwise(0L)).as("sell_volume"),
+        count(when(col("lr_dir") === 1, 1)).as("n_buys"),
+        count(when(col("lr_dir") === -1, 1)).as("n_sells"),
+        count(when(col("qdir").isNotNull && col("qdir") =!= 0, 1)).as("n_quote_rule"),
+        count(when((col("qdir").isNull || col("qdir") === 0) &&
+          col("lr_dir").isNotNull, 1)).as("n_tick_fallback"),
+        count(when(col("lr_dir").isNull, 1)).as("n_unclassified"))
+      .withColumn("imbalance",
+        (col("buy_volume") - col("sell_volume")).cast("double") /
+          (col("buy_volume") + col("sell_volume")).cast("double"))
+      .orderBy(col("symbol"))
+  }
+
+  // ------------------------------------------------ Kyle's lambda
+  private val KyleIntervalUs = 1800L * 1000000L
+
+  /** Kyle's lambda — the price-impact slope: regress the 30-minute
+    * change in quote midpoint on the interval's signed (tick-rule)
+    * order flow; λ = cov(Δmid, q)/var(q), kept exact as BIGINT moment
+    * combinations with ONE final IEEE division. The interval mid is
+    * the LAST quote mid in the interval (max_by on the unique quote
+    * instant — deterministic in both engines).
+    *
+    * Scale shape: the tick rule costs its one symbol exchange; both
+    * interval aggregations are partial-aggregable and land on
+    * (symbol, interval) keys; the interval join and the Δmid lag act
+    * on |symbols|×|intervals| rows — orders of magnitude below the
+    * print volume; the final moments are partial-aggregable sums. */
+  def kyleLambda(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
+    val flow = spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> quotesEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round(col("price") * 8).cast("long").as("price8"), col("size"))
+      .withColumn("tick",
+        signum(col("price8") - lag(col("price8"), 1).over(w)).cast("int"))
+      .withColumn("dir", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("dir").isNotNull)
+      .withColumn("iv", expr(s"t_us DIV ${KyleIntervalUs}L"))
+      .groupBy(col("symbol"), col("iv"))
+      .agg(sum(col("dir") * col("size")).as("q"))
+    val mids = spark.read.format("Alpaca_Stocks_Quotes")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> quotesEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
+      .withColumn("iv", expr(s"t_us DIV ${KyleIntervalUs}L"))
+      .groupBy(col("symbol"), col("iv"))
+      .agg(max_by(col("mid8"), col("t_us")).as("mid_end"))
+    val wIv = Window.partitionBy(col("symbol")).orderBy(col("iv"))
+    flow.join(mids, Seq("symbol", "iv"))
+      .withColumn("dm", col("mid_end") - lag(col("mid_end"), 1).over(wIv))
+      .filter(col("dm").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dm") * col("q")).as("sxy"),
+        sum(col("dm")).as("sx"), sum(col("q")).as("sy"),
+        sum(col("q") * col("q")).as("syy"))
+      .withColumn("lambda_num", col("n_intervals") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("lambda_den", col("n_intervals") * col("syy") - col("sy") * col("sy"))
+      .select(col("symbol"), col("n_intervals"), col("lambda_num"),
+        col("lambda_den"),
+        (col("lambda_num").cast("double") / col("lambda_den").cast("double"))
+          .as("kyle_lambda"))
+      .orderBy(col("symbol"))
+  }
+
+  def kyleLambdaSql: String = {
+    val tRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(quotesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)}, ${t.size})"
+    }
+    val qRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(msStart), us(quotesEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${qt.timeUs}, " +
+        s"${math.round((qt.bidPrice + qt.askPrice) * 4)})"
+    }
+    s"""WITH t(symbol, t_us, price8, size) AS (VALUES ${tRows.mkString(",\n  ")}),
+       |q(symbol, t_us, mid8) AS (VALUES ${qRows.mkString(",\n  ")}),
+       |ticked AS (
+       |  SELECT symbol, t_us, size,
+       |    CAST(SIGN(price8 - LAG(price8) OVER (
+       |      PARTITION BY symbol ORDER BY t_us)) AS INTEGER) AS tick
+       |  FROM t),
+       |classified AS (
+       |  SELECT symbol, t_us, size,
+       |    LAST_VALUE(NULLIF(tick, 0) IGNORE NULLS) OVER (
+       |      PARTITION BY symbol ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+       |  FROM ticked),
+       |flow AS (
+       |  SELECT symbol, t_us // $KyleIntervalUs AS iv, SUM(dir * size) AS fq
+       |  FROM classified WHERE dir IS NOT NULL GROUP BY 1, 2),
+       |mids AS (
+       |  SELECT symbol, t_us // $KyleIntervalUs AS iv,
+       |    MAX_BY(mid8, t_us) AS mid_end
+       |  FROM q GROUP BY 1, 2),
+       |iv AS (
+       |  SELECT f.symbol, f.iv,
+       |    m.mid_end - LAG(m.mid_end) OVER (
+       |      PARTITION BY f.symbol ORDER BY f.iv) AS dm,
+       |    f.fq
+       |  FROM flow f JOIN mids m ON f.symbol = m.symbol AND f.iv = m.iv),
+       |m AS (
+       |  SELECT symbol, COUNT(*) AS n_intervals, SUM(dm * fq) AS sxy,
+       |    SUM(dm) AS sx, SUM(fq) AS sy, SUM(fq * fq) AS syy
+       |  FROM iv WHERE dm IS NOT NULL GROUP BY symbol)
+       |SELECT symbol, n_intervals,
+       |  CAST(n_intervals * sxy - sx * sy AS BIGINT) AS lambda_num,
+       |  CAST(n_intervals * syy - sy * sy AS BIGINT) AS lambda_den,
+       |  CAST(n_intervals * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n_intervals * syy - sy * sy AS DOUBLE) AS kyle_lambda
+       |FROM m ORDER BY symbol""".stripMargin
+  }
+
+  // ------------------------------------------------ VPIN toxicity buckets
+  private val VpinBucketVol = 2000L
+
+  /** VPIN volume buckets — order-flow toxicity: classified volume
+    * fills fixed-size volume buckets (V = $VpinBucketVol shares); per
+    * bucket, the absolute buy/sell imbalance is the toxicity series
+    * feeding VPIN. A whole trade lands in the bucket its PRE-trade
+    * cumulative volume falls in (the common discrete simplification
+    * of Easley–López de Prado–O'Hara's split-fill; documented, both
+    * engines identical). Pre-classification prints (no tick direction
+    * yet) are excluded before bucketing.
+    *
+    * Scale shape: one symbol exchange for tick rule + exclusive-frame
+    * cumulative volume; the bucket aggregation is partial-aggregable
+    * BIGINT sums on (symbol, bucket) keys. The cumulative sum is the
+    * one genuinely serial pass — per symbol, like every running-total
+    * in the book (alpaca_obv, drawdown); a hot symbol splits by the
+    * same seed-spine technique as leeReadyBucketed if it ever walls. */
+  def vpin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> msEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round(col("price") * 8).cast("long").as("price8"), col("size"))
+      .withColumn("tick",
+        signum(col("price8") - lag(col("price8"), 1).over(w)).cast("int"))
+      .withColumn("dir", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("dir").isNotNull)
+      .withColumn("cum", coalesce(sum(col("size"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bucket", expr(s"cum DIV ${VpinBucketVol}L"))
+      .groupBy(col("symbol"), col("bucket"))
+      .agg(
+        sum(when(col("dir") === 1, col("size")).otherwise(0L)).as("buy_volume"),
+        sum(when(col("dir") === -1, col("size")).otherwise(0L)).as("sell_volume"))
+      .select(col("symbol"), col("bucket"), col("buy_volume"), col("sell_volume"),
+        abs(col("buy_volume") - col("sell_volume")).as("abs_imbalance"),
+        (col("buy_volume") + col("sell_volume")).as("bucket_volume"))
+      .orderBy(col("symbol"), col("bucket"))
+  }
+
+  def vpinSql: String = {
+    val rows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(msEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)}, ${t.size})"
+    }
+    s"""WITH t(symbol, t_us, price8, size) AS (VALUES ${rows.mkString(",\n  ")}),
+       |ticked AS (
+       |  SELECT symbol, t_us, size,
+       |    CAST(SIGN(price8 - LAG(price8) OVER (
+       |      PARTITION BY symbol ORDER BY t_us)) AS INTEGER) AS tick
+       |  FROM t),
+       |classified AS (
+       |  SELECT symbol, t_us, size,
+       |    LAST_VALUE(NULLIF(tick, 0) IGNORE NULLS) OVER (
+       |      PARTITION BY symbol ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+       |  FROM ticked),
+       |cummed AS (
+       |  SELECT symbol, size, dir,
+       |    COALESCE(SUM(size) OVER (
+       |      PARTITION BY symbol ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM classified WHERE dir IS NOT NULL),
+       |b AS (
+       |  SELECT symbol, cum // $VpinBucketVol AS bucket,
+       |    SUM(CASE WHEN dir = 1 THEN size ELSE 0 END) AS buy_volume,
+       |    SUM(CASE WHEN dir = -1 THEN size ELSE 0 END) AS sell_volume
+       |  FROM cummed GROUP BY 1, 2)
+       |SELECT symbol, bucket,
+       |  CAST(buy_volume AS BIGINT) AS buy_volume,
+       |  CAST(sell_volume AS BIGINT) AS sell_volume,
+       |  CAST(ABS(buy_volume - sell_volume) AS BIGINT) AS abs_imbalance,
+       |  CAST(buy_volume + sell_volume AS BIGINT) AS bucket_volume
+       |FROM b ORDER BY symbol, bucket""".stripMargin
   }
 
   // ------------------------------------------------ Roll implied spread
@@ -425,6 +730,9 @@ object Microstructure {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_lee_ready" -> ((leeReady _, leeReadySql)),
+    "alpaca_lee_ready_bucketed" -> ((leeReadyBucketed _, leeReadySql)),
+    "alpaca_kyle_lambda" -> ((kyleLambda _, kyleLambdaSql)),
+    "alpaca_vpin" -> ((vpin _, vpinSql)),
     "alpaca_roll_spread" -> ((rollSpread _, rollSpreadSql)),
     "alpaca_amihud" -> ((amihud _, amihudSql)),
     "alpaca_beta" -> ((beta _, betaSql)),

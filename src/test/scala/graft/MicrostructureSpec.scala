@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Microstructure
+
+/** Hostile-series equivalence proof for the bucketed Lee–Ready core:
+  * the gate fixture never exercises zero-tick runs that cross bucket
+  * boundaries (its prices strictly walk), so this spec drives both
+  * cores over series built to hit every carry path — constant-price
+  * runs spanning buckets (entry_r), trades before any quote
+  * (unclassified + tick-only), quote-less buckets (entry_mid), and
+  * empty buckets — at bucket widths down to one row per bucket
+  * (maximal boundary stress) and up to one bucket total (degenerate =
+  * plain). Bit-identical output required at every width. */
+class MicrostructureSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (symbol, t_us, price8, size): AAA holds a constant-price run over
+  // many would-be buckets after a single up-tick (its zero-tick carry
+  // must survive arbitrarily many boundaries), then a down-tick;
+  // BBB's first trades precede any quote and never change price
+  // (unclassified run); CCC trades exactly AT the mid (quote rule
+  // silent everywhere — pure tick classification).
+  private val trades = Seq(
+    ("AAA", 1000L, 800L, 10L), ("AAA", 2000L, 801L, 10L),
+    ("AAA", 3000L, 801L, 10L), ("AAA", 4000L, 801L, 10L),
+    ("AAA", 9000L, 801L, 10L), ("AAA", 15000L, 801L, 20L),
+    ("AAA", 21000L, 800L, 30L),
+    ("BBB", 500L, 400L, 5L), ("BBB", 1500L, 400L, 5L),
+    ("BBB", 2500L, 400L, 5L),
+    ("CCC", 1000L, 600L, 7L), ("CCC", 5000L, 600L, 7L),
+    ("CCC", 9000L, 602L, 7L), ("CCC", 13000L, 602L, 7L))
+
+  // (symbol, t_us, mid8): AAA quoted from the start; BBB's first quote
+  // arrives only at 2000 (trades before it fall to the tick rule —
+  // price never changes, so they stay unclassified); CCC's mid tracks
+  // the trade price exactly (qdir = 0 on every print).
+  private val quotes = Seq(
+    ("AAA", 1000L, 800L), ("AAA", 8000L, 802L), ("AAA", 20000L, 801L),
+    ("BBB", 2000L, 399L),
+    ("CCC", 1000L, 600L), ("CCC", 8000L, 602L))
+
+  test("bucketed Lee-Ready core == plain core on hostile series, all widths") {
+    val t = trades.toDF("symbol", "t_us", "price8", "size")
+    val q = quotes.toDF("symbol", "t_us", "mid8")
+    val expected = Microstructure.leeReadyCore(t, q).collect().toSeq
+    assert(expected.nonEmpty)
+    // 1µs: every row its own bucket; primes stress unaligned
+    // boundaries; 1_000_000µs: a single bucket (degenerate = plain)
+    for (w <- Seq(1L, 7L, 999L, 4001L, 30000L, 1000000L)) {
+      val got = Microstructure.leeReadyBucketedCore(t, q, w).collect().toSeq
+      assert(got == expected, s"bucket width $w diverged:\n$got\nvs\n$expected")
+    }
+  }
+
+  test("plain core classifies the hostile series as designed") {
+    val t = trades.toDF("symbol", "t_us", "price8", "size")
+    val q = quotes.toDF("symbol", "t_us", "mid8")
+    val rows = Microstructure.leeReadyCore(t, q).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // BBB: constant price, first trades unquoted -> tick rule never
+    // fires, the quoted trade at 2500 is above mid 399 -> one buy
+    assert(rows("BBB").getAs[Long]("buy_volume") == 5L)
+    assert(rows("BBB").getAs[Long]("n_unclassified") == 2L)
+    // CCC: every print at the mid -> all classification via tick rule
+    assert(rows("CCC").getAs[Long]("n_quote_rule") == 0L)
+    assert(rows("CCC").getAs[Long]("n_tick_fallback") >= 2L)
+  }
+}
