@@ -527,6 +527,168 @@ object Microstructure {
        |FROM m ORDER BY symbol""".stripMargin
   }
 
+  // ------------------------------------------------ markout decomposition
+  private val MarkoutUs = 300L * 1000000L
+
+  /** Markout (effective → realized → impact) spread decomposition —
+    * the execution-quality report TCA desks run: per trade, the
+    * prevailing mid at t AND at t+5min, giving effective spread
+    * 2·dir·(p−mid_t), realized spread 2·dir·(p−mid_{t+5}), and price
+    * impact (their difference). dir is the quote rule (at-mid prints
+    * excluded — no tick fallback here, so the decomposition is pure).
+    *
+    * Scale shape — BOTH mids from ONE window pass: each trade
+    * explodes into two evaluation instants (t and t+H) that ride the
+    * same quotes-union LOCF the as-of family uses, then fold back by
+    * trade key with conditional max — quotes are scanned ONCE and no
+    * range join exists (the naive formulation is two as-of joins =
+    * two quote scans). Moments stay BIGINT on the 1/8 grid; the
+    * per-symbol averages are two IEEE divisions each, fixed order. */
+  def markout(spark: SparkSession, dir: String): DataFrame = {
+    val evals = lrTrades(spark)
+      .select(col("symbol"), col("t_us"), col("price8"),
+        explode(array(
+          struct(col("t_us").as("eval_us"), lit(1).as("kind")),
+          struct((col("t_us") + lit(MarkoutUs)).as("eval_us"), lit(2).as("kind"))
+        )).as("ev"))
+      .select(col("symbol"), col("t_us"), col("price8"),
+        col("ev.eval_us").as("eval_us"), col("ev.kind").as("kind"),
+        lit(1).as("is_eval"), lit(null).cast("long").as("q_mid8"))
+    val quotes = lrQuotes(spark)
+      .select(col("symbol"), lit(null).cast("long").as("t_us"),
+        lit(null).cast("long").as("price8"),
+        col("t_us").as("eval_us"), lit(0).as("kind"),
+        lit(0).as("is_eval"), col("mid8").as("q_mid8"))
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("eval_us"), col("is_eval"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evals.unionByName(quotes)
+      .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(w))
+      .filter(col("is_eval") === 1)
+      .groupBy(col("symbol"), col("t_us"), col("price8"))
+      .agg(max(when(col("kind") === 1, col("mid8"))).as("mid_at"),
+        max(when(col("kind") === 2, col("mid8"))).as("mid_fwd"))
+      .filter(col("mid_at").isNotNull && col("mid_fwd").isNotNull)
+      .withColumn("tdir", signum(col("price8") - col("mid_at")).cast("long"))
+      .filter(col("tdir") =!= 0)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("tdir") * (col("price8") - col("mid_at")) * 2).as("eff2_sum"),
+        sum(col("tdir") * (col("price8") - col("mid_fwd")) * 2).as("real2_sum"),
+        sum(col("tdir") * (col("mid_fwd") - col("mid_at")) * 2).as("impact2_sum"))
+      .select(col("symbol"), col("n_trades"),
+        col("eff2_sum"), col("real2_sum"), col("impact2_sum"),
+        (col("eff2_sum").cast("double") / col("n_trades").cast("double") / lit(8.0))
+          .as("avg_eff_spread"),
+        (col("real2_sum").cast("double") / col("n_trades").cast("double") / lit(8.0))
+          .as("avg_realized_spread"),
+        (col("impact2_sum").cast("double") / col("n_trades").cast("double") / lit(8.0))
+          .as("avg_price_impact"))
+      .orderBy(col("symbol"))
+  }
+
+  def markoutSql: String = {
+    val tRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(quotesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)})"
+    }
+    val qRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(msStart), us(quotesEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${qt.timeUs}, " +
+        s"${math.round((qt.bidPrice + qt.askPrice) * 4)})"
+    }
+    s"""WITH t(symbol, t_us, price8) AS (VALUES ${tRows.mkString(",\n  ")}),
+       |q(symbol, t_us, mid8) AS (VALUES ${qRows.mkString(",\n  ")}),
+       |at_t AS (
+       |  SELECT t.symbol, t.t_us, t.price8, q.mid8 AS mid_at
+       |  FROM t ASOF LEFT JOIN q
+       |    ON t.symbol = q.symbol AND t.t_us >= q.t_us),
+       |fwd AS (
+       |  SELECT t.symbol, t.t_us, q.mid8 AS mid_fwd
+       |  FROM t ASOF LEFT JOIN q
+       |    ON t.symbol = q.symbol AND t.t_us + $MarkoutUs >= q.t_us),
+       |j AS (
+       |  SELECT a.symbol, a.price8, a.mid_at, f.mid_fwd,
+       |    CAST(SIGN(a.price8 - a.mid_at) AS BIGINT) AS tdir
+       |  FROM at_t a JOIN fwd f ON a.symbol = f.symbol AND a.t_us = f.t_us
+       |  WHERE a.mid_at IS NOT NULL AND f.mid_fwd IS NOT NULL
+       |    AND a.price8 <> a.mid_at)
+       |SELECT symbol, COUNT(*) AS n_trades,
+       |  CAST(SUM(tdir * (price8 - mid_at) * 2) AS BIGINT) AS eff2_sum,
+       |  CAST(SUM(tdir * (price8 - mid_fwd) * 2) AS BIGINT) AS real2_sum,
+       |  CAST(SUM(tdir * (mid_fwd - mid_at) * 2) AS BIGINT) AS impact2_sum,
+       |  CAST(SUM(tdir * (price8 - mid_at) * 2) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) / 8.0 AS avg_eff_spread,
+       |  CAST(SUM(tdir * (price8 - mid_fwd) * 2) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) / 8.0 AS avg_realized_spread,
+       |  CAST(SUM(tdir * (mid_fwd - mid_at) * 2) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) / 8.0 AS avg_price_impact
+       |FROM j GROUP BY symbol ORDER BY symbol""".stripMargin
+  }
+
+  // ------------------------------------------------ variance ratio
+  private val VrQ = 4
+
+  /** Lo–MacKinlay variance ratio VR(q): Var(q-period Δclose) /
+    * (q·Var(1-period Δclose)) over hourly bars — the standard
+    * random-walk/microstructure-noise diagnostic (VR < 1 ⇒ mean
+    * reversion ⇒ bid-ask bounce). Both variances use overlapping
+    * differences and stay EXACT: n·Σd² − (Σd)² as BIGINTs from ONE
+    * window pass (lag 1 and lag q share the symbol clustering) and
+    * ONE conditional aggregate; the ratio is four IEEE ops in fixed
+    * order. */
+  def varianceRatio(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "timeframe" -> "1Hour", "start" -> msStart, "end" -> betaEnd))
+      .load()
+      .select(col("symbol"), col("time"),
+        round(col("close") * 8).cast("long").as("close8"))
+      .withColumn("d1", col("close8") - lag(col("close8"), 1).over(w))
+      .withColumn("dq", col("close8") - lag(col("close8"), VrQ).over(w))
+      .groupBy(col("symbol"))
+      .agg(count(col("d1")).as("n1"),
+        sum(col("d1")).as("s1"), sum(col("d1") * col("d1")).as("s11"),
+        count(col("dq")).as("nq"),
+        sum(col("dq")).as("sq"), sum(col("dq") * col("dq")).as("sqq"))
+      .withColumn("v1_num", col("n1") * col("s11") - col("s1") * col("s1"))
+      .withColumn("vq_num", col("nq") * col("sqq") - col("sq") * col("sq"))
+      .select(col("symbol"), col("n1"), col("nq"), col("v1_num"), col("vq_num"),
+        ((col("vq_num").cast("double") / (col("nq") * col("nq")).cast("double")) /
+          (lit(VrQ.toDouble) *
+            (col("v1_num").cast("double") / (col("n1") * col("n1")).cast("double"))))
+          .as("variance_ratio"))
+      .orderBy(col("symbol"))
+  }
+
+  def varianceRatioSql: String = {
+    val rows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(msStart), us(betaEnd), Hour)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, ${b.timeUs}, ${math.round(b.close * 8)})"
+    }
+    s"""WITH bars(symbol, t_us, close8) AS (VALUES ${rows.mkString(",\n  ")}),
+       |d AS (
+       |  SELECT symbol,
+       |    close8 - LAG(close8, 1) OVER w AS d1,
+       |    close8 - LAG(close8, $VrQ) OVER w AS dq
+       |  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY t_us)),
+       |m AS (
+       |  SELECT symbol, COUNT(d1) AS n1, SUM(d1) AS s1, SUM(d1 * d1) AS s11,
+       |    COUNT(dq) AS nq, SUM(dq) AS sq, SUM(dq * dq) AS sqq
+       |  FROM d GROUP BY symbol)
+       |SELECT symbol, n1, nq,
+       |  CAST(n1 * s11 - s1 * s1 AS BIGINT) AS v1_num,
+       |  CAST(nq * sqq - sq * sq AS BIGINT) AS vq_num,
+       |  (CAST(nq * sqq - sq * sq AS DOUBLE) / CAST(nq * nq AS DOUBLE)) /
+       |    ($VrQ.0 * (CAST(n1 * s11 - s1 * s1 AS DOUBLE) /
+       |      CAST(n1 * n1 AS DOUBLE))) AS variance_ratio
+       |FROM m ORDER BY symbol""".stripMargin
+  }
+
   // ------------------------------------------------ Amihud illiquidity
   private val amStart = "2021-01-04T00:00:00Z"
   private val amEnd = "2021-02-03T00:00:00Z"
@@ -733,6 +895,8 @@ object Microstructure {
     "alpaca_lee_ready_bucketed" -> ((leeReadyBucketed _, leeReadySql)),
     "alpaca_kyle_lambda" -> ((kyleLambda _, kyleLambdaSql)),
     "alpaca_vpin" -> ((vpin _, vpinSql)),
+    "alpaca_markout" -> ((markout _, markoutSql)),
+    "alpaca_variance_ratio" -> ((varianceRatio _, varianceRatioSql)),
     "alpaca_roll_spread" -> ((rollSpread _, rollSpreadSql)),
     "alpaca_amihud" -> ((amihud _, amihudSql)),
     "alpaca_beta" -> ((beta _, betaSql)),
