@@ -3,8 +3,18 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.stub.AlpacaFixtures
+
+/** Cross-batch tick-rule state: the last trade price and the standing
+  * nonzero direction — the two values the zero-tick rule carries. */
+case class TickState(lastPrice: Long, lastDir: Int)
+
+/** Per-trade streaming classification row (dir 0 = not yet classified,
+  * projected to NULL at readback to match the batch rule). */
+case class TickOut(symbol: String, t_us: Long, price8: Long, size: Long,
+    dir: Int)
 
 /**
  * Market-microstructure analytics over the connector sources — the
@@ -527,6 +537,73 @@ object Microstructure {
        |FROM m ORDER BY symbol""".stripMargin
   }
 
+  // ------------------------------------------------ streaming tick rule
+  /** Streaming tick-rule classification — the per-print incremental
+    * twin of `alpaca_tick_rule`, and the pattern every stateful
+    * market-data stream reduces to: `flatMapGroupsWithState` keyed by
+    * symbol, whose state is EXACTLY the values the batch window
+    * carries (last price, standing nonzero direction), so micro-batch
+    * boundaries are invisible in the output — the drained stream
+    * matches the batch per-print classification row-for-row against
+    * one DuckDB oracle.
+    *
+    * Scale notes: state is one (long, int) pair per symbol — bounded
+    * by symbol cardinality, independent of print volume; input
+    * shuffles once on symbol, the same key the batch form windows on.
+    * Within a micro-batch the group iterator's order is undefined, so
+    * the handler sorts its batch slice by instant — bounded by
+    * per-symbol-per-trigger volume, the quantity a real deployment
+    * already bounds via trigger intervals. */
+  def streamTickRule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> msEnd, "stream_step" -> "6Hours"))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round(col("price") * 8).cast("long").as("price8"), col("size"))
+      .as[(String, Long, Long, Long)]
+    val classified = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[TickState, TickOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        val sorted = rows.toArray.sortBy(_._2)
+        var st = state.getOption.getOrElse(TickState(Long.MinValue, 0))
+        val out = sorted.map { case (s, t, p, sz) =>
+          val tick =
+            if (st.lastPrice == Long.MinValue) 0
+            else java.lang.Long.signum(p - st.lastPrice)
+          val d = if (tick != 0) tick else st.lastDir
+          st = TickState(p, d)
+          TickOut(s, t, p, sz, d)
+        }
+        state.update(st)
+        out.iterator
+      }
+    Streaming.drainToTable(spark, classified.toDF(), "append")
+      .select(col("symbol"), col("t_us"), col("price8"), col("size"),
+        nullif(col("dir"), lit(0)).as("dir"))
+      .orderBy(col("symbol"), col("t_us"))
+  }
+
+  def streamTickRuleSql: String = {
+    val rows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(msEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)}, ${t.size})"
+    }
+    s"""WITH tr(symbol, t_us, price8, size) AS (VALUES ${rows.mkString(",\n  ")}),
+       |ticked AS (
+       |  SELECT symbol, t_us, price8, size,
+       |    CAST(SIGN(price8 - LAG(price8) OVER (
+       |      PARTITION BY symbol ORDER BY t_us)) AS INTEGER) AS tick
+       |  FROM tr)
+       |SELECT symbol, t_us, price8, size,
+       |  LAST_VALUE(NULLIF(tick, 0) IGNORE NULLS) OVER (
+       |    PARTITION BY symbol ORDER BY t_us
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dir
+       |FROM ticked ORDER BY symbol, t_us""".stripMargin
+  }
+
   // ------------------------------------------------ markout decomposition
   private val MarkoutUs = 300L * 1000000L
 
@@ -544,17 +621,24 @@ object Microstructure {
     * range join exists (the naive formulation is two as-of joins =
     * two quote scans). Moments stay BIGINT on the 1/8 grid; the
     * per-symbol averages are two IEEE divisions each, fixed order. */
-  def markout(spark: SparkSession, dir: String): DataFrame = {
-    val evals = lrTrades(spark)
+  def markout(spark: SparkSession, dir: String): DataFrame =
+    markoutCore(lrTrades(spark), lrQuotes(spark), MarkoutUs)
+
+  /** Core over prepared trades(symbol, t_us, price8, size) and
+    * quotes(symbol, t_us, mid8); exposed for MicrostructureSpec's
+    * hostile-path cases (pre-quote trades, at-mid prints). */
+  private[graft] def markoutCore(tradesIn: DataFrame, quotesIn: DataFrame,
+      horizonUs: Long): DataFrame = {
+    val evals = tradesIn
       .select(col("symbol"), col("t_us"), col("price8"),
         explode(array(
           struct(col("t_us").as("eval_us"), lit(1).as("kind")),
-          struct((col("t_us") + lit(MarkoutUs)).as("eval_us"), lit(2).as("kind"))
+          struct((col("t_us") + lit(horizonUs)).as("eval_us"), lit(2).as("kind"))
         )).as("ev"))
       .select(col("symbol"), col("t_us"), col("price8"),
         col("ev.eval_us").as("eval_us"), col("ev.kind").as("kind"),
         lit(1).as("is_eval"), lit(null).cast("long").as("q_mid8"))
-    val quotes = lrQuotes(spark)
+    val quotes = quotesIn
       .select(col("symbol"), lit(null).cast("long").as("t_us"),
         lit(null).cast("long").as("price8"),
         col("t_us").as("eval_us"), lit(0).as("kind"),
@@ -897,6 +981,7 @@ object Microstructure {
     "alpaca_vpin" -> ((vpin _, vpinSql)),
     "alpaca_markout" -> ((markout _, markoutSql)),
     "alpaca_variance_ratio" -> ((varianceRatio _, varianceRatioSql)),
+    "alpaca_stream_tick_rule" -> ((streamTickRule _, streamTickRuleSql)),
     "alpaca_roll_spread" -> ((rollSpread _, rollSpreadSql)),
     "alpaca_amihud" -> ((amihud _, amihudSql)),
     "alpaca_beta" -> ((beta _, betaSql)),

@@ -177,6 +177,52 @@ object ScaleSoak {
       println(f"SOAK_ASOF n=$n quotes=${200000L * n} plain=$tP%.2f s " +
         f"bucketed=$tB2%.2f s (rows=$rp)")
     }
+
+    // r7: plain vs bucketed Lee-Ready under the same TOTAL symbol
+    // skew — the three-carry operator (mid, previous price, standing
+    // direction) must spread one symbol's prints across time buckets
+    // exactly like the single-carry as-of does. Prices run in
+    // constant-price triples ((id div 3) cycles) so zero-tick carries
+    // cross bucket boundaries constantly — the hostile path, soaked
+    // at volume. Value equality required at every point.
+    def lrFixture(n: Int): (DataFrame, DataFrame) = {
+      val events = 200000L * n
+      val dir = s"/tmp/graft_soak/lr_x$n"
+      spark.range(events).select(
+        lit("HOT").as("symbol"), (col("id") * 250L).as("t_us"),
+        (lit(800L) + pmod(col("id"), lit(50L))).as("mid8"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/quotes.parquet")
+      spark.range(events / 4).select(
+        lit("HOT").as("symbol"), (col("id") * 1000L + 125L).as("t_us"),
+        (lit(790L) + pmod(col("id") / 3L, lit(60L))).as("price8"),
+        (lit(100L) + pmod(col("id"), lit(9L))).as("size"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/trades.parquet")
+      (spark.read.parquet(s"$dir/trades.parquet"),
+        spark.read.parquet(s"$dir/quotes.parquet"))
+    }
+    // noop-write timing, NOT count(): count() after groupBy(symbol)
+    // lets Catalyst prune every aggregate expression and with them the
+    // windows — the first sweep "measured" the plain form at a flat
+    // 0.4 s regardless of volume. The noop sink forces the full plan.
+    def timeWrite(df: => DataFrame): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(1, factor / 2, factor).foreach { n =>
+      val (tr, qu) = lrFixture(n)
+      val w = 200000L // 0.2 s buckets, as the as-of soak
+      val tP = timeWrite(Microstructure.leeReadyCore(tr, qu))
+      val tB2 = timeWrite(Microstructure.leeReadyBucketedCore(tr, qu, w))
+      val pv = Microstructure.leeReadyCore(tr, qu).collect().toSeq
+      val bv = Microstructure.leeReadyBucketedCore(tr, qu, w).collect().toSeq
+      require(pv == bv, s"plain/bucketed values diverged: $pv vs $bv")
+      println(f"SOAK_LEEREADY n=$n trades=${50000L * n} plain=$tP%.2f s " +
+        f"bucketed=$tB2%.2f s (rows=${pv.size})")
+    }
     spark.stop()
   }
 }

@@ -56,6 +56,30 @@ class MicrostructureSpec extends AnyFunSuite {
     }
   }
 
+  test("markout core: pre-quote and at-mid prints excluded, decomposition exact") {
+    val t = Seq(
+      ("AAA", 500L, 802L, 1L),  // before any quote -> excluded
+      ("AAA", 2000L, 802L, 1L), // buy above mid 800; fwd mid 804
+      ("AAA", 4000L, 804L, 1L), // exactly at the (same-instant) mid -> excluded
+      ("AAA", 5000L, 800L, 1L), // sell below mid 804; fwd mid 810
+      ("BBB", 1000L, 505L, 1L), // pre-quote -> excluded
+      ("BBB", 4000L, 500L, 1L)  // at mid -> excluded; BBB emits NO row
+    ).toDF("symbol", "t_us", "price8", "size")
+    val q = Seq(("AAA", 1000L, 800L), ("AAA", 4000L, 804L),
+      ("AAA", 9000L, 810L), ("BBB", 3000L, 500L))
+      .toDF("symbol", "t_us", "mid8")
+    val rows = Microstructure.markoutCore(t, q, 5000L).collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "AAA")
+    val r = rows.head
+    assert(r.getAs[Long]("n_trades") == 2L)
+    assert(r.getAs[Long]("eff2_sum") == 12L)     // 4 + 8
+    assert(r.getAs[Long]("real2_sum") == 16L)    // -4 + 20
+    assert(r.getAs[Long]("impact2_sum") == -4L)  // 8 - 12
+    assert(r.getAs[Double]("avg_eff_spread") == 0.75)
+    assert(r.getAs[Double]("avg_realized_spread") == 1.0)
+    assert(r.getAs[Double]("avg_price_impact") == -0.25)
+  }
+
   test("plain core classifies the hostile series as designed") {
     val t = trades.toDF("symbol", "t_us", "price8", "size")
     val q = quotes.toDF("symbol", "t_us", "mid8")
