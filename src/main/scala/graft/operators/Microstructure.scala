@@ -604,6 +604,87 @@ object Microstructure {
        |FROM ticked ORDER BY symbol, t_us""".stripMargin
   }
 
+  // ------------------------------------------- tick-rule validation (crypto)
+  private val ctaSymbols = Seq("BTC/USD", "ETH/USD")
+
+  /** Tick-rule accuracy scored against ground truth — the validation
+    * study the crypto feed uniquely enables: its prints carry the TRUE
+    * aggressor (`taker_side`), so classifying them with the tick rule
+    * and diffing against the label measures how much to trust
+    * inferred order flow on the equity feed (which has no label).
+    * Emits the per-symbol confusion counts and accuracy; volumes stay
+    * exact via size4 BIGINTs (crypto sizes are fractional doubles on
+    * the 0.25 grid — summing them raw would be shuffle-order-
+    * dependent).
+    *
+    * Scale shape: identical to the tick rule — one symbol-keyed
+    * exchange, two window passes on that clustering, partial-
+    * aggregable counts. */
+  def cryptoTickAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
+    spark.read.format("Alpaca_Crypto_Trades")
+      .options(baseOptions(ctaSymbols: _*) ++ Map(
+        "start" -> msStart, "end" -> msEnd))
+      .load()
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        round(col("price") * 4).cast("long").as("price4"),
+        round(col("size") * 4).cast("long").as("size4"), col("taker_side"))
+      .withColumn("tick",
+        signum(col("price4") - lag(col("price4"), 1).over(w)).cast("int"))
+      .withColumn("pred", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pred_side",
+        when(col("pred") === 1, "B").when(col("pred") === -1, "S"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_trades"),
+        count(col("pred_side")).as("n_classified"),
+        count(when(col("pred_side") === col("taker_side"), 1)).as("n_correct"),
+        count(when(col("pred_side") === "B" && col("taker_side") === "S", 1))
+          .as("n_false_buys"),
+        count(when(col("pred_side") === "S" && col("taker_side") === "B", 1))
+          .as("n_false_sells"),
+        sum(when(col("pred_side") === col("taker_side"), col("size4"))
+          .otherwise(0L)).as("correct_vol4"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_classified").cast("double"))
+      .orderBy(col("symbol"))
+  }
+
+  def cryptoTickAccuracySql: String = {
+    val rows = ctaSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.cryptoTrades(s, us(msStart), us(msEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 4)}, " +
+        s"${math.round(t.size * 4)}, ${sqlStr(t.takerSide)})"
+    }
+    s"""WITH tr(symbol, t_us, price4, size4, taker_side) AS
+       |  (VALUES ${rows.mkString(",\n  ")}),
+       |ticked AS (
+       |  SELECT symbol, t_us, size4, taker_side,
+       |    CAST(SIGN(price4 - LAG(price4) OVER (
+       |      PARTITION BY symbol ORDER BY t_us)) AS INTEGER) AS tick
+       |  FROM tr),
+       |classified AS (
+       |  SELECT symbol, size4, taker_side,
+       |    CASE LAST_VALUE(NULLIF(tick, 0) IGNORE NULLS) OVER (
+       |      PARTITION BY symbol ORDER BY t_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      WHEN 1 THEN 'B' WHEN -1 THEN 'S' END AS pred_side
+       |  FROM ticked)
+       |SELECT symbol, COUNT(*) AS n_trades,
+       |  COUNT(pred_side) AS n_classified,
+       |  COUNT(CASE WHEN pred_side = taker_side THEN 1 END) AS n_correct,
+       |  COUNT(CASE WHEN pred_side = 'B' AND taker_side = 'S' THEN 1 END)
+       |    AS n_false_buys,
+       |  COUNT(CASE WHEN pred_side = 'S' AND taker_side = 'B' THEN 1 END)
+       |    AS n_false_sells,
+       |  CAST(SUM(CASE WHEN pred_side = taker_side THEN size4 ELSE 0 END)
+       |    AS BIGINT) AS correct_vol4,
+       |  CAST(COUNT(CASE WHEN pred_side = taker_side THEN 1 END) AS DOUBLE) /
+       |    CAST(COUNT(pred_side) AS DOUBLE) AS accuracy
+       |FROM classified GROUP BY symbol ORDER BY symbol""".stripMargin
+  }
+
   // ------------------------------------------------ markout decomposition
   private val MarkoutUs = 300L * 1000000L
 
@@ -982,6 +1063,8 @@ object Microstructure {
     "alpaca_markout" -> ((markout _, markoutSql)),
     "alpaca_variance_ratio" -> ((varianceRatio _, varianceRatioSql)),
     "alpaca_stream_tick_rule" -> ((streamTickRule _, streamTickRuleSql)),
+    "alpaca_crypto_tick_accuracy" ->
+      ((cryptoTickAccuracy _, cryptoTickAccuracySql)),
     "alpaca_roll_spread" -> ((rollSpread _, rollSpreadSql)),
     "alpaca_amihud" -> ((amihud _, amihudSql)),
     "alpaca_beta" -> ((beta _, betaSql)),
