@@ -985,6 +985,83 @@ object Microstructure {
        |FROM m ORDER BY symbol""".stripMargin
   }
 
+  // ------------------------------------------------ event study
+  private val esStart = "2021-01-01T00:00:00Z"
+  private val esEnd = "2021-03-01T00:00:00Z"
+  private val EsWin = 3
+
+  /** Corporate-action event study — mean close-to-close move at each
+    * relative day in [−3, +3] around ex-dates, split by action type
+    * (the dividend-capture / split-drift chart every event study
+    * draws). The event window is an EQUI-join: each tiny event row
+    * explodes into its 7 (event, offset) rows and joins bars on
+    * (symbol, day) — never a range join, and the bars side never
+    * shuffles for it (events×7 stays bounded by the action calendar
+    * at any corpus size → broadcast). Per-day moves come from one
+    * symbol-clustered lag window on the bars; sums stay BIGINT with
+    * one final IEEE division per cell. */
+  def eventStudy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("day"))
+    val bars = spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "timeframe" -> "1Day", "start" -> esStart, "end" -> esEnd))
+      .load()
+      .select(col("symbol"), to_date(col("time")).as("day"),
+        round(col("close") * 8).cast("long").as("close8"))
+      .withColumn("d8", col("close8") - lag(col("close8"), 1).over(w))
+      .filter(col("d8").isNotNull)
+    val eventDays = spark.read.format("Alpaca_Corporate_Actions")
+      .options(baseOptions(msSymbols: _*) ++ Map(
+        "start" -> esStart, "end" -> esEnd, "types" -> "dividend,split"))
+      .load()
+      .select(col("symbol").as("e_sym"), col("type"),
+        to_date(col("ex_date")).as("ex_day"),
+        explode(sequence(lit(-EsWin), lit(EsWin))).as("offset"))
+      .select(col("e_sym"), col("type"), col("offset").cast("int").as("offset"),
+        date_add(col("ex_day"), col("offset")).as("obs_day"))
+    bars.join(broadcast(eventDays),
+        col("symbol") === col("e_sym") && col("day") === col("obs_day"))
+      .groupBy(col("type"), col("offset"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("d8")).as("sum_d8"))
+      .select(col("type"), col("offset"), col("n_obs"), col("sum_d8"),
+        (col("sum_d8").cast("double") / col("n_obs").cast("double") / lit(8.0))
+          .as("mean_move"))
+      .orderBy(col("type"), col("offset"))
+  }
+
+  def eventStudySql: String = {
+    val barRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.bars(s, us(esStart), us(esEnd), Day)
+    }.map { b =>
+      s"(${sqlStr(b.symbol)}, DATE ${sqlStr(fmtTs(b.timeUs).take(10))}, " +
+        s"${math.round(b.close * 8)})"
+    }
+    val evRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.corpActions(s, us(esStart), us(esEnd))
+    }.map { c =>
+      s"(${sqlStr(c.symbol)}, ${sqlStr(c.tpe)}, " +
+        s"DATE ${sqlStr(fmtTs(c.exDateUs.get).take(10))})"
+    }
+    s"""WITH bars(symbol, day, close8) AS (VALUES ${barRows.mkString(",\n  ")}),
+       |moves AS (
+       |  SELECT symbol, day,
+       |    close8 - LAG(close8) OVER (PARTITION BY symbol ORDER BY day) AS d8
+       |  FROM bars),
+       |ev(symbol, type, ex_day) AS (VALUES ${evRows.mkString(",\n  ")}),
+       |evx AS (
+       |  SELECT e.symbol, e.type, CAST(o.offset AS INTEGER) AS offset,
+       |    e.ex_day + CAST(o.offset AS INTEGER) AS obs_day
+       |  FROM ev e, (SELECT UNNEST(generate_series(-$EsWin, $EsWin)) AS offset) o)
+       |SELECT x.type, x.offset, COUNT(*) AS n_obs,
+       |  CAST(SUM(m.d8) AS BIGINT) AS sum_d8,
+       |  CAST(SUM(m.d8) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 8.0 AS mean_move
+       |FROM moves m JOIN evx x
+       |  ON m.symbol = x.symbol AND m.day = x.obs_day
+       |WHERE m.d8 IS NOT NULL
+       |GROUP BY x.type, x.offset
+       |ORDER BY x.type, x.offset""".stripMargin
+  }
+
   // ------------------------------------------------ dividend adjustment
   private val divStart = "2021-01-01T00:00:00Z"
   private val divEnd = "2021-03-01T00:00:00Z"
@@ -1065,6 +1142,7 @@ object Microstructure {
     "alpaca_stream_tick_rule" -> ((streamTickRule _, streamTickRuleSql)),
     "alpaca_crypto_tick_accuracy" ->
       ((cryptoTickAccuracy _, cryptoTickAccuracySql)),
+    "alpaca_event_study" -> ((eventStudy _, eventStudySql)),
     "alpaca_roll_spread" -> ((rollSpread _, rollSpreadSql)),
     "alpaca_amihud" -> ((amihud _, amihudSql)),
     "alpaca_beta" -> ((beta _, betaSql)),
