@@ -65,9 +65,14 @@ object Microstructure {
   /** Connector-read inputs shared by the plain and bucketed forms:
     * trades(symbol, t_us, price8, size) / quotes(symbol, t_us, mid8). */
   private def lrTrades(spark: SparkSession): DataFrame =
+    lrTradesForSpec(spark, quotesEnd)
+
+  /** Batch trade projection with a caller-chosen end (spec ground
+    * truth for the streaming restart case). */
+  private[graft] def lrTradesForSpec(spark: SparkSession, endIso: String): DataFrame =
     spark.read.format("Alpaca_Stocks_Trades")
       .options(baseOptions(msSymbols: _*) ++ Map(
-        "start" -> msStart, "end" -> quotesEnd))
+        "start" -> msStart, "end" -> endIso))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
         round(col("price") * 8).cast("long").as("price8"), col("size"))
@@ -554,16 +559,18 @@ object Microstructure {
     * the handler sorts its batch slice by instant — bounded by
     * per-symbol-per-trigger volume, the quantity a real deployment
     * already bounds via trigger intervals. */
-  def streamTickRule(spark: SparkSession, dir: String): DataFrame = {
+  /** The classified stream pre-drain — parameterized end so
+    * MicrostructureSpec can run it checkpointed across a restart. */
+  private[graft] def tickRuleStream(spark: SparkSession, endIso: String): DataFrame = {
     import spark.implicits._
     val stream = spark.readStream.format("Alpaca_Stocks_Trades")
       .options(baseOptions(msSymbols: _*) ++ Map(
-        "start" -> msStart, "end" -> msEnd, "stream_step" -> "6Hours"))
+        "start" -> msStart, "end" -> endIso, "stream_step" -> "6Hours"))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
         round(col("price") * 8).cast("long").as("price8"), col("size"))
       .as[(String, Long, Long, Long)]
-    val classified = stream.groupByKey(_._1)
+    stream.groupByKey(_._1)
       .flatMapGroupsWithState[TickState, TickOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
         val sorted = rows.toArray.sortBy(_._2)
@@ -578,8 +585,11 @@ object Microstructure {
         }
         state.update(st)
         out.iterator
-      }
-    Streaming.drainToTable(spark, classified.toDF(), "append")
+      }.toDF()
+  }
+
+  def streamTickRule(spark: SparkSession, dir: String): DataFrame = {
+    Streaming.drainToTable(spark, tickRuleStream(spark, msEnd), "append")
       .select(col("symbol"), col("t_us"), col("price8"), col("size"),
         nullif(col("dir"), lit(0)).as("dir"))
       .orderBy(col("symbol"), col("t_us"))

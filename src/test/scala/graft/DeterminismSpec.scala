@@ -39,7 +39,15 @@ class DeterminismSpec extends AnyFunSuite {
     // ADC integer sums + re-rank ties, fixed-point PageRank sums,
     // and the lead()+explode gap spine
     "alpaca_split_adjusted", "asof_join_nearest", "sim_ann_ivfpq",
-    "graph_pagerank", "alpaca_bars_gapfill")
+    "graph_pagerank", "alpaca_bars_gapfill",
+    // r7 microstructure: every estimator rests on BIGINT moment sums
+    // + a fixed IEEE tail — the three-carry bucketed Lee-Ready, the
+    // exploded dual-eval markout fold-back, the exclusive-frame VPIN
+    // cumsum, and the filtered ANN's top-k tie-breaks are the
+    // layout-sensitive candidates
+    "alpaca_lee_ready", "alpaca_lee_ready_bucketed", "alpaca_markout",
+    "alpaca_vpin", "alpaca_kyle_lambda", "alpaca_event_study",
+    "sim_ann_filtered")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

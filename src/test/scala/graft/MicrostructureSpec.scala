@@ -80,6 +80,42 @@ class MicrostructureSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_price_impact") == -0.25)
   }
 
+  test("streaming tick rule: restart mid-stream carries state, exactly-once") {
+    import org.apache.spark.sql.functions._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tick_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_tick_sink").toString
+    def run(end: String): Unit = {
+      val q = Microstructure.tickRuleStream(spark, end)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // half-day (2 micro-batches at 6h steps), then restart extending to
+    // the full day — the first print after the restart must classify
+    // against the CHECKPOINTED (lastPrice, lastDir), not from scratch
+    run("2021-01-04T12:00:00Z")
+    run("2021-01-05T00:00:00Z")
+    val got = spark.read.parquet(sink)
+      .select(col("symbol"), col("t_us"), col("dir"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    // exactly-once across the restart
+    assert(got.map(x => (x._1, x._2)).distinct.length == got.length)
+    // batch ground truth over the full day through the same connector
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("t_us"))
+    val expected = Microstructure.lrTradesForSpec(spark, "2021-01-05T00:00:00Z")
+      .withColumn("tick",
+        signum(col("price8") - lag(col("price8"), 1).over(w)).cast("int"))
+      .withColumn("dir", coalesce(
+        last(nullif(col("tick"), lit(0)), ignoreNulls = true)
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)), lit(0)))
+      .select(col("symbol"), col("t_us"), col("dir"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(expected.nonEmpty && got.toSeq == expected.toSeq)
+  }
+
   test("plain core classifies the hostile series as designed") {
     val t = trades.toDF("symbol", "t_us", "price8", "size")
     val q = quotes.toDF("symbol", "t_us", "mid8")
