@@ -85,6 +85,19 @@ object Microstructure {
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
         round((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
 
+  /** Tick + standing-direction columns — the zero-tick idiom shared
+    * by Kyle's lambda, VPIN, and the crypto accuracy gate: tick =
+    * sign of the price change vs the previous print; dir = last
+    * nonzero tick carried forward (NULL until the first change). One
+    * symbol-clustered window pair. */
+  private def withTickDir(df: DataFrame, priceCol: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
+    df.withColumn("tick",
+        signum(col(priceCol) - lag(col(priceCol), 1).over(w)).cast("int"))
+      .withColumn("dir", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   def leeReady(spark: SparkSession, dir: String): DataFrame =
     leeReadyCore(lrTrades(spark), lrQuotes(spark))
 
@@ -224,6 +237,12 @@ object Microstructure {
     val rows = trades.unionByName(quotes)
       // floor division (pre-1970-safe, same as the as-of twins)
       .withColumn("b", expr(s"(t_us - pmod(t_us, ${W}L)) DIV ${W}L"))
+      // NOT a null guard (t_us is non-null by contract): the explicit
+      // IsNotNull on the SHARED subtree keeps both join consumers'
+      // pushed filters identical — the inferred join-key filter pushes
+      // past the windows on one branch only, which breaks exchange
+      // canonical equality and resurrects the second connector scan
+      // (the asof_join_bucketed device)
       .filter(col("b").isNotNull)
     // `size` joins the ordering as a never-reached tiebreak ((t_us,
     // is_trade) is already unique per the determinism contract): it is
@@ -304,27 +323,12 @@ object Microstructure {
     * on |symbols|×|intervals| rows — orders of magnitude below the
     * print volume; the final moments are partial-aggregable sums. */
   def kyleLambda(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
-    val flow = spark.read.format("Alpaca_Stocks_Trades")
-      .options(baseOptions(msSymbols: _*) ++ Map(
-        "start" -> msStart, "end" -> quotesEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        round(col("price") * 8).cast("long").as("price8"), col("size"))
-      .withColumn("tick",
-        signum(col("price8") - lag(col("price8"), 1).over(w)).cast("int"))
-      .withColumn("dir", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val flow = withTickDir(lrTrades(spark), "price8")
       .filter(col("dir").isNotNull)
       .withColumn("iv", expr(s"t_us DIV ${KyleIntervalUs}L"))
       .groupBy(col("symbol"), col("iv"))
       .agg(sum(col("dir") * col("size")).as("q"))
-    val mids = spark.read.format("Alpaca_Stocks_Quotes")
-      .options(baseOptions(msSymbols: _*) ++ Map(
-        "start" -> msStart, "end" -> quotesEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        round((col("bid_price") + col("ask_price")) * 4).cast("long").as("mid8"))
+    val mids = lrQuotes(spark)
       .withColumn("iv", expr(s"t_us DIV ${KyleIntervalUs}L"))
       .groupBy(col("symbol"), col("iv"))
       .agg(max_by(col("mid8"), col("t_us")).as("mid_end"))
@@ -416,16 +420,7 @@ object Microstructure {
     * same seed-spine technique as leeReadyBucketed if it ever walls. */
   def vpin(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
-    spark.read.format("Alpaca_Stocks_Trades")
-      .options(baseOptions(msSymbols: _*) ++ Map(
-        "start" -> msStart, "end" -> msEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        round(col("price") * 8).cast("long").as("price8"), col("size"))
-      .withColumn("tick",
-        signum(col("price8") - lag(col("price8"), 1).over(w)).cast("int"))
-      .withColumn("dir", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withTickDir(lrTradesForSpec(spark, msEnd), "price8")
       .filter(col("dir").isNotNull)
       .withColumn("cum", coalesce(sum(col("size"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -490,12 +485,7 @@ object Microstructure {
     * profile to the tick rule at any corpus size. */
   def rollSpread(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
-    spark.read.format("Alpaca_Stocks_Trades")
-      .options(baseOptions(msSymbols: _*) ++ Map(
-        "start" -> msStart, "end" -> msEnd))
-      .load()
-      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
-        round(col("price") * 8).cast("long").as("price8"))
+    lrTradesForSpec(spark, msEnd)
       .withColumn("d", col("price8") - lag(col("price8"), 1).over(w))
       .withColumn("x", lag(col("d"), 1).over(w))
       .filter(col("d").isNotNull && col("x").isNotNull)
@@ -631,20 +621,16 @@ object Microstructure {
     * exchange, two window passes on that clustering, partial-
     * aggregable counts. */
   def cryptoTickAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("symbol")).orderBy(col("t_us"))
-    spark.read.format("Alpaca_Crypto_Trades")
+    val trades = spark.read.format("Alpaca_Crypto_Trades")
       .options(baseOptions(ctaSymbols: _*) ++ Map(
         "start" -> msStart, "end" -> msEnd))
       .load()
       .select(col("symbol"), unix_micros(col("time")).as("t_us"),
         round(col("price") * 4).cast("long").as("price4"),
         round(col("size") * 4).cast("long").as("size4"), col("taker_side"))
-      .withColumn("tick",
-        signum(col("price4") - lag(col("price4"), 1).over(w)).cast("int"))
-      .withColumn("pred", last(nullif(col("tick"), lit(0)), ignoreNulls = true)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withTickDir(trades, "price4")
       .withColumn("pred_side",
-        when(col("pred") === 1, "B").when(col("pred") === -1, "S"))
+        when(col("dir") === 1, "B").when(col("dir") === -1, "S"))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_trades"),
         count(col("pred_side")).as("n_classified"),
@@ -760,6 +746,121 @@ object Microstructure {
         (col("impact2_sum").cast("double") / col("n_trades").cast("double") / lit(8.0))
           .as("avg_price_impact"))
       .orderBy(col("symbol"))
+  }
+
+  private val MarkoutHorizons = Seq(60L, 300L, 1800L).map(_ * 1000000L)
+
+  /** Multi-horizon markout — the full TCA curve (1min / 5min / 30min)
+    * proving the single-window claim by construction: k horizons are
+    * k extra array elements in the SAME explode, riding the SAME
+    * quotes-union LOCF window and the same per-trade fold-back; a
+    * second explode pivots the folded mids into per-horizon rows.
+    * Plan cost vs the single-horizon gate: identical shape — one data
+    * exchange, one window, two Generates — regardless of k. The
+    * oracle runs k independent DuckDB ASOF joins, one per horizon. */
+  def markoutMulti(spark: SparkSession, dir: String): DataFrame =
+    markoutMultiCore(lrTrades(spark), lrQuotes(spark), MarkoutHorizons)
+
+  private[graft] def markoutMultiCore(tradesIn: DataFrame, quotesIn: DataFrame,
+      horizons: Seq[Long]): DataFrame = {
+    val evalStructs =
+      struct(col("t_us").as("eval_us"), lit(0).as("kind")) +:
+        horizons.zipWithIndex.map { case (h, i) =>
+          struct((col("t_us") + lit(h)).as("eval_us"), lit(i + 1).as("kind"))
+        }
+    val evals = tradesIn
+      .select(col("symbol"), col("t_us"), col("price8"),
+        explode(array(evalStructs: _*)).as("ev"))
+      .select(col("symbol"), col("t_us"), col("price8"),
+        col("ev.eval_us").as("eval_us"), col("ev.kind").as("kind"),
+        lit(1).as("is_eval"), lit(null).cast("long").as("q_mid8"))
+    val quotes = quotesIn
+      .select(col("symbol"), lit(null).cast("long").as("t_us"),
+        lit(null).cast("long").as("price8"),
+        col("t_us").as("eval_us"), lit(0).as("kind"),
+        lit(0).as("is_eval"), col("mid8").as("q_mid8"))
+    val w = Window.partitionBy(col("symbol"))
+      .orderBy(col("eval_us"), col("is_eval"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = evals.unionByName(quotes)
+      .withColumn("mid8", last(col("q_mid8"), ignoreNulls = true).over(w))
+      .filter(col("is_eval") === 1)
+      .groupBy(col("symbol"), col("t_us"), col("price8"))
+      .agg(max(when(col("kind") === 0, col("mid8"))).as("mid_at"),
+        array(horizons.indices.map { i =>
+          struct(lit(horizons(i)).as("horizon_us"),
+            max(when(col("kind") === i + 1, col("mid8"))).as("mid_fwd"))
+        }: _*).as("fwd"))
+      .filter(col("mid_at").isNotNull)
+      .withColumn("tdir", signum(col("price8") - col("mid_at")).cast("long"))
+      .filter(col("tdir") =!= 0)
+      .select(col("symbol"), col("price8"), col("mid_at"), col("tdir"),
+        explode(col("fwd")).as("f"))
+      .select(col("symbol"), col("price8"), col("mid_at"), col("tdir"),
+        col("f.horizon_us").as("horizon_us"), col("f.mid_fwd").as("mid_fwd"))
+      .filter(col("mid_fwd").isNotNull)
+    folded.groupBy(col("symbol"), col("horizon_us"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("tdir") * (col("price8") - col("mid_at")) * 2).as("eff2_sum"),
+        sum(col("tdir") * (col("price8") - col("mid_fwd")) * 2).as("real2_sum"),
+        sum(col("tdir") * (col("mid_fwd") - col("mid_at")) * 2).as("impact2_sum"))
+      .select(col("symbol"), col("horizon_us"), col("n_trades"),
+        col("eff2_sum"), col("real2_sum"), col("impact2_sum"),
+        (col("real2_sum").cast("double") / col("n_trades").cast("double") / lit(8.0))
+          .as("avg_realized_spread"),
+        (col("impact2_sum").cast("double") / col("n_trades").cast("double") / lit(8.0))
+          .as("avg_price_impact"))
+      .orderBy(col("symbol"), col("horizon_us"))
+  }
+
+  def markoutMultiSql: String = {
+    val tRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.trades(s, us(msStart), us(quotesEnd))
+    }.map { t =>
+      s"(${sqlStr(t.symbol)}, ${t.timeUs}, ${math.round(t.price * 8)})"
+    }
+    val qRows = msSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.stockQuotes(s, us(msStart), us(quotesEnd))
+    }.map { qt =>
+      s"(${sqlStr(qt.symbol)}, ${qt.timeUs}, " +
+        s"${math.round((qt.bidPrice + qt.askPrice) * 4)})"
+    }
+    val fwdCtes = MarkoutHorizons.zipWithIndex.map { case (h, i) =>
+      s"""fwd$i AS (
+         |  SELECT t.symbol, t.t_us, q.mid8 AS mid_fwd
+         |  FROM t ASOF LEFT JOIN q
+         |    ON t.symbol = q.symbol AND t.t_us + $h >= q.t_us)""".stripMargin
+    }.mkString(",\n")
+    val unions = MarkoutHorizons.zipWithIndex.map { case (h, i) =>
+      s"""  SELECT a.symbol, CAST($h AS BIGINT) AS horizon_us, a.price8,
+         |    a.mid_at, f.mid_fwd
+         |  FROM at_t a JOIN fwd$i f ON a.symbol = f.symbol AND a.t_us = f.t_us""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH t(symbol, t_us, price8) AS (VALUES ${tRows.mkString(",\n  ")}),
+       |q(symbol, t_us, mid8) AS (VALUES ${qRows.mkString(",\n  ")}),
+       |at_t AS (
+       |  SELECT t.symbol, t.t_us, t.price8, q.mid8 AS mid_at
+       |  FROM t ASOF LEFT JOIN q
+       |    ON t.symbol = q.symbol AND t.t_us >= q.t_us),
+       |$fwdCtes,
+       |u AS (
+       |$unions),
+       |j AS (
+       |  SELECT symbol, horizon_us, price8, mid_at, mid_fwd,
+       |    CAST(SIGN(price8 - mid_at) AS BIGINT) AS tdir
+       |  FROM u
+       |  WHERE mid_at IS NOT NULL AND mid_fwd IS NOT NULL
+       |    AND price8 <> mid_at)
+       |SELECT symbol, horizon_us, COUNT(*) AS n_trades,
+       |  CAST(SUM(tdir * (price8 - mid_at) * 2) AS BIGINT) AS eff2_sum,
+       |  CAST(SUM(tdir * (price8 - mid_fwd) * 2) AS BIGINT) AS real2_sum,
+       |  CAST(SUM(tdir * (mid_fwd - mid_at) * 2) AS BIGINT) AS impact2_sum,
+       |  CAST(SUM(tdir * (price8 - mid_fwd) * 2) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) / 8.0 AS avg_realized_spread,
+       |  CAST(SUM(tdir * (mid_fwd - mid_at) * 2) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) / 8.0 AS avg_price_impact
+       |FROM j GROUP BY symbol, horizon_us
+       |ORDER BY symbol, horizon_us""".stripMargin
   }
 
   def markoutSql: String = {
@@ -1148,6 +1249,7 @@ object Microstructure {
     "alpaca_kyle_lambda" -> ((kyleLambda _, kyleLambdaSql)),
     "alpaca_vpin" -> ((vpin _, vpinSql)),
     "alpaca_markout" -> ((markout _, markoutSql)),
+    "alpaca_markout_multi" -> ((markoutMulti _, markoutMultiSql)),
     "alpaca_variance_ratio" -> ((varianceRatio _, varianceRatioSql)),
     "alpaca_stream_tick_rule" -> ((streamTickRule _, streamTickRuleSql)),
     "alpaca_crypto_tick_accuracy" ->

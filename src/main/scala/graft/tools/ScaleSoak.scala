@@ -195,7 +195,10 @@ object ScaleSoak {
         .write.mode("overwrite").parquet(s"$dir/quotes.parquet")
       spark.range(events / 4).select(
         lit("HOT").as("symbol"), (col("id") * 1000L + 125L).as("t_us"),
-        (lit(790L) + pmod(col("id") / 3L, lit(60L))).as("price8"),
+        // integer DIV, not Column./ (which is floating division and
+        // would dissolve the constant-price triples into a strict ramp
+        // — no zero ticks, no boundary carries, nothing to stress)
+        (lit(790L) + pmod(expr("id DIV 3"), lit(60L))).as("price8"),
         (lit(100L) + pmod(col("id"), lit(9L))).as("size"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dir/trades.parquet")
