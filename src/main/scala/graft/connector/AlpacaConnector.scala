@@ -533,6 +533,23 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
             } else if (t2.isStructStart) jp.skipChildren()
             t2 = jp.nextToken()
           }
+        } else if (name == dataKey && tk == JsonToken.START_ARRAY) {
+          // FLAT envelope (the news endpoint): records arrive in one
+          // un-keyed array — the partition's own symbol is the `symbol`
+          // column (cross-listed articles arrive once per requested
+          // symbol; consumers dedup by id)
+          var t3 = jp.nextToken()
+          while (t3 != JsonToken.END_ARRAY) {
+            if (t3 == JsonToken.START_OBJECT) {
+              try out += parser.parseStream(partition.symbol, jp)
+              catch {
+                case e: IllegalArgumentException =>
+                  log.warn(s"Skipping malformed record for ${partition.symbol}: " +
+                    e.getMessage)
+              }
+            } else if (t3.isStructStart) jp.skipChildren()
+            t3 = jp.nextToken()
+          }
         } else if (tk != null && tk.isStructStart) jp.skipChildren()
         tk = jp.nextToken()
       }

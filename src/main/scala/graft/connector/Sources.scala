@@ -266,6 +266,46 @@ object OptionQuotesDef extends AlpacaSourceDef {
     }
 }
 
+/** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
+  * twin — the public API's TEXT endpoint, and the bridge from the
+  * market-data connector to the text-curation operator family). The
+  * envelope is a FLAT article array, not a per-symbol map (the one
+  * such shape in the API) — the page source's array branch assigns
+  * the partition's requested symbol, so cross-listed articles arrive
+  * once per requested symbol and consumers dedup by `id` (gated by
+  * `alpaca_news_dedup`). */
+object NewsDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_News"
+  override val pathElements = Seq("news")
+  override val apiVersion = "v1beta1"
+  override val dataKey = "news"
+  override def schema: StructType = Schemas.news
+  override def parser: RecordParser = NewsParser
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false),
+    ApiParam("include_content", required = false),
+    ApiParam("exclude_contentless", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+    Seq("include_content", "exclude_contentless").foreach { k =>
+      params.get(k).map(_.toLowerCase).foreach { v =>
+        if (v.nonEmpty && v != "true" && v != "false")
+          throw new IllegalArgumentException(
+            s"Invalid '$k' value: '$v' (expected true/false)")
+      }
+    }
+  }
+}
+
 /** Dividends/splits/mergers/spinoffs — format
   * "Alpaca_Corporate_Actions" (reference:
   * `corp_actions/corporate_actions.py:38-175`). */
@@ -321,3 +361,4 @@ class StockQuotesDataSource extends AlpacaTableProvider(StockQuotesDef)
 class OptionTradesDataSource extends AlpacaTableProvider(OptionTradesDef)
 class OptionQuotesDataSource extends AlpacaTableProvider(OptionQuotesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)
+class NewsDataSource extends AlpacaTableProvider(NewsDef)

@@ -63,6 +63,19 @@ object Schemas {
     "symbol STRING, ex_date TIMESTAMP, record_date TIMESTAMP, " +
       "payable_date TIMESTAMP, type STRING, amount DOUBLE, ratio DOUBLE, " +
       "new_symbol STRING, old_symbol STRING")
+
+  /** News articles (v1beta1; no reference twin — the public API's
+    * text endpoint, and the bridge from the market-data connector to
+    * the text-curation operators). `symbol` is the REQUESTED symbol:
+    * the news envelope is a FLAT array, not a per-symbol map, so a
+    * cross-listed article arrives once per requested-symbol partition
+    * — consumers dedup by `id` (gated). `symbols` flattens the
+    * article's full ticker list to CSV exactly like trade conditions;
+    * `updated_at` is nullable (absent on never-revised articles). */
+  val news: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, updated_at TIMESTAMP, id BIGINT, " +
+      "headline STRING, author STRING, summary STRING, content STRING, " +
+      "symbols STRING, source STRING, url STRING")
 }
 
 /** Per-record projection of an API JSON object into an InternalRow
@@ -937,4 +950,50 @@ object CorporateActionParser extends RecordParser {
       dblDefault(rec, "ratio", 0.0),
       strDefault(rec, "new_symbol", ""),
       strDefault(rec, "old_symbol", ""))
+}
+
+/** Flat-envelope news article (v1beta1 `/news`): full-name keys
+  * (`created_at`, `headline`, …), `symbols` array → CSV like trade
+  * conditions, nullable `updated_at`. DOM parse like corporate
+  * actions — news records are large text blobs, dozens per page, so
+  * the streaming byte walk buys nothing here (the hot tick parsers
+  * keep it); required fields are id/created_at/headline, everything
+  * else defaults (record-shape tolerance, E4 discipline). */
+object NewsParser extends RecordParser {
+  override val schema: StructType = Schemas.news
+
+  private def strDefault(rec: JsonNode, key: String): UTF8String = {
+    val n = rec.get(key)
+    utf8(if (n == null || n.isNull) "" else n.asText())
+  }
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    val symsNode = rec.get("symbols")
+    val syms =
+      if (symsNode == null || symsNode.isNull) ""
+      else {
+        val it = symsNode.elements()
+        val sb = new StringBuilder
+        while (it.hasNext) {
+          if (sb.nonEmpty) sb.append(',')
+          sb.append(it.next().asText())
+        }
+        sb.toString
+      }
+    val upd = rec.get("updated_at")
+    InternalRow(
+      utf8(symbol),
+      isoMicros(rec, "created_at"),
+      if (upd == null || upd.isNull || upd.asText().isEmpty) null
+      else AlpacaOptions.parseIsoMicros(upd.asText()).getOrElse(
+        throw new IllegalArgumentException("bad timestamp in 'updated_at'")),
+      lng(rec, "id"),
+      utf8(reqNode(rec, "headline").asText()),
+      strDefault(rec, "author"),
+      strDefault(rec, "summary"),
+      strDefault(rec, "content"),
+      utf8(syms),
+      strDefault(rec, "source"),
+      strDefault(rec, "url"))
+  }
 }

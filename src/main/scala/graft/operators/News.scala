@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.stub.AlpacaFixtures
+
+/**
+ * News-source gates — the text side of the connector (SURVEY §2.13:
+ * `Alpaca_News`, v1beta1, no reference twin). The news envelope is the
+ * API's one FLAT page shape, so these gates also pin the flat-array
+ * parse branch and its per-requested-symbol fan-out semantics; the
+ * dedup and quality gates then run the text-curation discipline over
+ * connector-fetched text — the bridge between the repo's two halves.
+ */
+object News {
+  import AlpacaQueries.{baseOptions, us, fmtTs, sqlStr}
+
+  private val newsSymbols = Seq("AAPL", "MSFT")
+  private val newsStart = "2021-01-04T00:00:00Z"
+  private val newsScanEnd = "2021-01-04T06:00:00Z"
+  private val newsEnd = "2021-01-05T00:00:00Z"
+
+  private def newsDf(spark: SparkSession, symbols: Seq[String],
+      end: String): DataFrame =
+    spark.read.format("Alpaca_News")
+      .options(baseOptions(symbols: _*) ++ Map(
+        "start" -> newsStart, "end" -> end))
+      .load()
+
+  /** Full-scan projection, single symbol (12 articles over 6h:
+    * macro stories, nullable updated_at, contentless articles all
+    * appear on schedule). */
+  def newsScan(spark: SparkSession, dir: String): DataFrame =
+    newsDf(spark, Seq("AAPL"), newsScanEnd)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("created"),
+        date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated"),
+        col("id"), col("headline"), col("author"), col("summary"),
+        col("content"), col("symbols"), col("source"), col("url"))
+      .orderBy(col("id"))
+
+  private def newsRowsSql(symbols: Seq[String], endIso: String,
+      dedup: Boolean): String = {
+    var seen = Set.empty[Long]
+    val rows = symbols.sorted.flatMap { s =>
+      AlpacaFixtures.newsArticles(s, us(newsStart), us(endIso)).flatMap { a =>
+        if (dedup && seen.contains(a.id)) None
+        else {
+          seen += a.id
+          val upd = a.updatedUs.map(u => sqlStr(fmtTs(u))).getOrElse("NULL")
+          Some(s"(${sqlStr(s)}, ${sqlStr(fmtTs(a.timeUs))}, $upd, ${a.id}, " +
+            s"${sqlStr(a.headline)}, ${sqlStr(a.author)}, ${sqlStr(a.summary)}, " +
+            s"${sqlStr(a.content)}, ${sqlStr(a.symbols.mkString(","))}, " +
+            s"${sqlStr(a.source)}, ${sqlStr(a.url)})")
+        }
+      }
+    }
+    s"""(VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, created, updated, id, headline, author, summary,
+       |       content, symbols, source, url)""".stripMargin
+  }
+
+  def newsScanSql: String =
+    s"""SELECT symbol, created, updated, CAST(id AS BIGINT) AS id, headline,
+       |  author, summary, content, symbols, source, url
+       |FROM ${newsRowsSql(Seq("AAPL"), newsScanEnd, dedup = false)}
+       |ORDER BY id""".stripMargin
+
+  /** The same scan through the connector's micro-batch stream (the
+    * flat envelope rides the identical page source) — shares the
+    * batch oracle. */
+  def newsStreamScan(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.format("Alpaca_News")
+      .options(baseOptions("AAPL") ++ Map(
+        "start" -> newsStart, "end" -> newsScanEnd, "stream_step" -> "2Hours"))
+      .load()
+    Streaming.drainToTable(spark, stream, "append")
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("created"),
+        date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated"),
+        col("id"), col("headline"), col("author"), col("summary"),
+        col("content"), col("symbols"), col("source"), col("url"))
+      .orderBy(col("id"))
+  }
+
+  /** Dedup-by-id over the per-symbol fan-out: querying BOTH symbols
+    * fetches each MACRO article once per requested-symbol partition
+    * (the documented flat-envelope semantic); the gate groups by id,
+    * counts the copies, and keeps one row — exact-dedup discipline
+    * (`dedup_exact`) applied at the connector boundary. Copy counts
+    * are part of the output so the fan-out itself is verified: macro
+    * ids must show 2 copies, single-listed ids 1. */
+  def newsDedup(spark: SparkSession, dir: String): DataFrame =
+    newsDf(spark, newsSymbols, newsEnd)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("symbol")).as("first_symbol"),
+        max(col("headline")).as("headline"),
+        max(col("symbols")).as("symbols"))
+      .orderBy(col("id"))
+
+  def newsDedupSql: String = {
+    val all = newsSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.newsArticles(s, us(newsStart), us(newsEnd)).map(s -> _)
+    }
+    val rows = all.map { case (s, a) =>
+      s"(${sqlStr(s)}, ${a.id}, ${sqlStr(a.headline)}, " +
+        s"${sqlStr(a.symbols.mkString(","))})"
+    }
+    s"""SELECT id, COUNT(*) AS n_copies, MIN(symbol) AS first_symbol,
+       |  MAX(headline) AS headline, MAX(symbols) AS symbols
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, id, headline, symbols)
+       |GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  private val NewsStops = Seq("the", "and", "is", "it")
+
+  /** Text-quality ratios over connector-fetched summaries — the
+    * curation bridge: dedup by id first (min-symbol copy wins), then
+    * the same ratio discipline as `text_quality` (word count, mean
+    * word length, stopword ratio; integer-derived single divisions).
+    * At scale this is the exact shape of a news-ingest curation pass:
+    * dedup on the article key, score, filter downstream. */
+  def newsQuality(spark: SparkSession, dir: String): DataFrame = {
+    val inList = NewsStops.map(s => s"'$s'").mkString(", ")
+    val deduped = newsDf(spark, newsSymbols, newsEnd)
+      .groupBy(col("id"))
+      .agg(min(col("symbol")).as("symbol"), max(col("summary")).as("summary"))
+    val len = length(col("summary")).cast("double")
+    val nWords = size(split(col("summary"), " ")).cast("double")
+    val nStop = size(expr(
+      s"filter(split(summary, ' '), x -> lower(x) IN ($inList))")).cast("double")
+    deduped.select(
+        col("id"), col("symbol"),
+        nWords.cast("bigint").as("n_words"),
+        ((len - (nWords - 1)) / nWords).as("mean_word_len"),
+        (nStop / nWords).as("stop_ratio"))
+      .orderBy(col("id"))
+  }
+
+  def newsQualitySql: String = {
+    val inList = NewsStops.map(s => s"'$s'").mkString(", ")
+    var seen = Set.empty[Long]
+    val rows = newsSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.newsArticles(s, us(newsStart), us(newsEnd)).flatMap { a =>
+        if (seen.contains(a.id)) None
+        else { seen += a.id; Some(s"(${a.id}, ${sqlStr(s)}, ${sqlStr(a.summary)})") }
+      }
+    }
+    val len = "CAST(LENGTH(summary) AS DOUBLE)"
+    val nWords = "CAST(LEN(STRING_SPLIT(summary, ' ')) AS DOUBLE)"
+    val nStop =
+      s"CAST(LEN(LIST_FILTER(STRING_SPLIT(summary, ' '), x -> LOWER(x) IN ($inList))) AS DOUBLE)"
+    s"""SELECT CAST(id AS BIGINT) AS id, symbol,
+       |  CAST($nWords AS BIGINT) AS n_words,
+       |  ($len - ($nWords - 1)) / $nWords AS mean_word_len,
+       |  $nStop / $nWords AS stop_ratio
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(id, symbol, summary)
+       |ORDER BY id""".stripMargin
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "alpaca_news_scan" -> ((newsScan _, newsScanSql)),
+    "alpaca_news_stream_scan" -> ((newsStreamScan _, newsScanSql)),
+    "alpaca_news_dedup" -> ((newsDedup _, newsDedupSql)),
+    "alpaca_news_quality" -> ((newsQuality _, newsQualitySql)))
+}

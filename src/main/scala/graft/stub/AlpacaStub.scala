@@ -215,6 +215,49 @@ object AlpacaFixtures {
     }.toSeq
   }
 
+  case class NewsArticle(timeUs: Long, updatedUs: Option[Long], id: Long,
+      headline: String, author: String, summary: String, content: String,
+      symbols: Seq[String], source: String, url: String)
+
+  private val NewsVerbs = Seq("beats", "misses", "raises", "cuts", "holds", "reviews")
+  private val NewsObjects = Seq("guidance", "estimates", "the outlook", "targets")
+  private val NewsAuthors = Seq("A. Chen", "B. Rivera", "C. Okafor")
+
+  /** One article per 30 minutes within [startUs, endUs). Every 6th
+    * slot (i % 6 == 0) is a MACRO story whose id/headline/symbols do
+    * NOT depend on the requested symbol and whose ticker list carries
+    * both fixture symbols — querying N symbols returns it once PER
+    * requested symbol through the per-symbol partition grid,
+    * exercising the flat-envelope dedup-by-id contract. Every 5th has
+    * no updated_at (nullable path); every 7th an empty content
+    * (contentless path). Summaries carry stopwords on purpose — the
+    * text-quality gate runs real ratios over them. */
+  def newsArticles(symbol: String, startUs: Long, endUs: Long): Seq[NewsArticle] = {
+    val step = 1800L * Micros
+    val first = ((startUs + step - 1) / step) * step
+    Iterator.iterate(first)(_ + step).takeWhile(_ < endUs).map { t =>
+      val i = t / step
+      val isMacro = i % 6 == 0
+      val subject = if (isMacro) "Markets" else symbol
+      val id =
+        if (isMacro) 900000L + i
+        else 100000L + (math.abs(symbol.hashCode) % 97).toLong * 10000L + i
+      val headline = s"$subject ${NewsVerbs((i % 6).toInt)} ${NewsObjects((i % 4).toInt)}"
+      val summary = s"The $subject story: it ${NewsVerbs((i % 6).toInt)} " +
+        s"${NewsObjects((i % 4).toInt)} and the street is watching closely."
+      NewsArticle(t,
+        updatedUs = if (i % 5 == 0) None else Some(t + 600L * Micros),
+        id = id,
+        headline = headline,
+        author = NewsAuthors((i % 3).toInt),
+        summary = summary,
+        content = if (i % 7 == 0) "" else s"<p>$summary</p><p>$headline.</p>",
+        symbols = if (isMacro) Seq("AAPL", "MSFT") else Seq(symbol),
+        source = "benzinga",
+        url = s"https://example.com/news/$id")
+    }.toSeq
+  }
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -370,6 +413,44 @@ object AlpacaStubServer {
     val rd = c.recordDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
     val pd = c.payableDateUs.map(u => jsonStr(AlpacaOptions.microsToIso(u))).getOrElse("null")
     s"""{"ex_date": $ex, "record_date": $rd, "payable_date": $pd, "type": ${jsonStr(c.tpe)}, "amount": ${fmtD(c.amount)}, "ratio": ${fmtD(c.ratio)}, "new_symbol": ${jsonStr(c.newSymbol)}, "old_symbol": ${jsonStr(c.oldSymbol)}}"""
+  }
+
+  private def newsJson(a: NewsArticle): String = {
+    val upd = a.updatedUs
+      .map(u => s""""updated_at": ${jsonStr(AlpacaOptions.microsToIso(u))}, """)
+      .getOrElse("")
+    s"""{"id": ${a.id}, "headline": ${jsonStr(a.headline)}, """ +
+      s""""author": ${jsonStr(a.author)}, """ +
+      s""""created_at": ${jsonStr(AlpacaOptions.microsToIso(a.timeUs))}, $upd""" +
+      s""""summary": ${jsonStr(a.summary)}, "content": ${jsonStr(a.content)}, """ +
+      s""""symbols": [${a.symbols.map(jsonStr).mkString(",")}], """ +
+      s""""source": ${jsonStr(a.source)}, "url": ${jsonStr(a.url)}}"""
+  }
+
+  /** Flat-array envelope (`{"news": [...]}`): the one un-keyed page
+    * shape in the API. Multi-symbol requests dedup by id exactly like
+    * the real endpoint (a cross-listed article appears once per
+    * RESPONSE, not per symbol). */
+  private def newsHandler(params: Map[String, String]): (Int, String) = {
+    val syms = q(params, "symbols").split(',').map(_.trim).filter(_.nonEmpty)
+      .toSeq.sorted
+    val startUs = isoToUs(q(params, "start"))
+    val endUs = isoToUs(q(params, "end"))
+    val limit = params.get("limit").map(_.toInt).getOrElse(10000)
+    val sort = params.getOrElse("sort", "asc")
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    val base = syms.flatMap(newsArticles(_, startUs, endUs))
+      .filter(a => seen.add(a.id))
+      .sortBy(a => (a.timeUs, a.id))
+    val all = if (sort == "desc") base.reverse else base
+    val tok = q(params, "page_token")
+    val offset = if (tok.isEmpty) 0 else tok.toInt
+    val page = all.slice(offset, offset + limit)
+    val nextTok =
+      if (offset + limit < all.size) jsonStr((offset + limit).toString)
+      else "null"
+    (200,
+      s"""{"news": [${page.map(newsJson).mkString(",")}], "next_page_token": $nextTok}""")
   }
 
   private def barsHandler(params: Map[String, String]): (Int, String) = {
@@ -554,6 +635,8 @@ object AlpacaStubServer {
         optionQuoteJson, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
+    server.createContext("/v1beta1/news",
+      (ex: HttpExchange) => handle(ex, newsHandler))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("corporate_actions", symbol,

@@ -122,4 +122,30 @@ class ParserGoldenSpec extends AnyFunSuite {
         |"l": 1.0, "c": 1.0, "v": 1, "n": 1, "vw": 1.0}""".stripMargin))
     assert(row.getLong(1) == T0 + 123456L) // offset folded, ns truncated
   }
+
+  test("news record golden: symbols CSV, nullable updated_at, defaults") {
+    import graft.core.NewsParser
+    val full = NewsParser.parse("AAPL", js(
+      """{"id": 24843171, "headline": "Apple Beats Estimates",
+        |"author": "B. Rivera", "created_at": "2021-01-01T09:30:00Z",
+        |"updated_at": "2021-01-01T09:40:00Z", "summary": "A summary.",
+        |"content": "<p>Body</p>", "symbols": ["AAPL", "MSFT"],
+        |"source": "benzinga", "url": "https://example.com/n/1",
+        |"images": [{"size": "large", "url": "x"}]}""".stripMargin))
+    assert(full.getUTF8String(0).toString == "AAPL")
+    assert(full.getLong(1) == T0)
+    assert(full.getLong(2) == T0 + 600000000L)
+    assert(full.getLong(3) == 24843171L)
+    assert(full.getUTF8String(4).toString == "Apple Beats Estimates")
+    assert(full.getUTF8String(8).toString == "AAPL,MSFT") // array -> CSV
+    // minimal record: absent updated_at -> NULL, absent text -> ""
+    val min = NewsParser.parse("AAPL", js(
+      """{"id": 1, "headline": "H", "created_at": "2021-01-01T09:30:00Z"}"""))
+    assert(min.isNullAt(2))
+    assert(min.getUTF8String(6).toString == "")
+    // malformed: missing created_at throws for warn-and-skip
+    intercept[IllegalArgumentException] {
+      NewsParser.parse("AAPL", js("""{"id": 2, "headline": "H"}"""))
+    }
+  }
 }

@@ -45,10 +45,15 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("no gate plans a SortAggregate (all aggregation buffers stay hash-able)") {
-    // q25_profile: min/max over STRING columns can never hash-agg
-    // (var-length buffer); its dedicated test below pins the sort to
-    // the tiny distinct-value sets instead of the scan.
-    val offenders = auditableGates.filterNot(_ == "q25_profile")
+    // q25_profile + the news dedup/quality pair: min/max over STRING
+    // columns can never hash-agg (var-length buffer); q25's dedicated
+    // test below pins the sort to the tiny distinct-value sets, and
+    // the news gates sort-agg per article id because they carry the
+    // headline/summary payload through min/max — |articles| rows on
+    // the id clustering, not a scan-sized sort.
+    val stringAggGates = Set("q25_profile", "alpaca_news_dedup",
+      "alpaca_news_quality")
+    val offenders = auditableGates.filterNot(stringAggGates)
       .filter(n => planOf(n).contains("SortAggregate"))
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
