@@ -522,7 +522,9 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
               var t3 = jp.nextToken()
               while (t3 != JsonToken.END_ARRAY) {
                 if (t3 == JsonToken.START_OBJECT) {
-                  try out += parser.parseStream(sym, jp)
+                  // parseStreamMulti: 1:1 for every source except the
+                  // fan-out shapes (auctions: daily record → N prints)
+                  try parser.parseStreamMulti(sym, jp, out += _)
                   catch {
                     case e: IllegalArgumentException =>
                       log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
@@ -541,7 +543,7 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
           var t3 = jp.nextToken()
           while (t3 != JsonToken.END_ARRAY) {
             if (t3 == JsonToken.START_OBJECT) {
-              try out += parser.parseStream(partition.symbol, jp)
+              try parser.parseStreamMulti(partition.symbol, jp, out += _)
               catch {
                 case e: IllegalArgumentException =>
                   log.warn(s"Skipping malformed record for ${partition.symbol}: " +

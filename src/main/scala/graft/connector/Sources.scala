@@ -266,6 +266,51 @@ object OptionQuotesDef extends AlpacaSourceDef {
     }
 }
 
+/** Opening/closing auction prints — format "Alpaca_Stocks_Auctions"
+  * (`/v2/stocks/auctions`; the reference's stocks family is
+  * bars/trades only — auctions complete the daily-lifecycle surface).
+  * The endpoint's record is a DAILY envelope (`d` + `o`/`c` print
+  * arrays), the one fan-out record shape in the API: the parser
+  * flattens each daily record to one row per print via
+  * parseStreamMulti. Pagination counts daily records (the API's own
+  * unit), so the default 1-day partition interval gives at most a
+  * handful of records per request — estimatedRowsPerSymbol bounds the
+  * scan for the cost model at 8 prints/day. */
+object StockAuctionsDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Stocks_Auctions"
+  override val pathElements = Seq("stocks", "auctions")
+  override val dataKey = "auctions"
+  override def schema: StructType = Schemas.auctions
+  override def parser: RecordParser = AuctionParser
+
+  private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("start", required = false),
+    ApiParam("end", required = false),
+    ApiParam("limit", required = false),
+    ApiParam("sort", required = false),
+    ApiParam("feed", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit = {
+    params.get("sort").map(_.toLowerCase).foreach { s =>
+      if (s.nonEmpty && s != "asc" && s != "desc")
+        throw new IllegalArgumentException(s"Invalid 'sort' value: '$s'")
+    }
+    params.get("feed").map(_.toLowerCase).foreach { f =>
+      if (f.nonEmpty && !ValidFeeds.contains(f))
+        throw new IllegalArgumentException(s"Invalid 'feed' value: '$f'")
+    }
+  }
+
+  /** ≤ ~8 auction prints per symbol-day (open + close + reopenings). */
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] =
+    Some(8L * math.max(1L,
+      (endUs - startUs + AlpacaPartitioning.DayMicros - 1) / AlpacaPartitioning.DayMicros))
+}
+
 /** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
   * twin — the public API's TEXT endpoint, and the bridge from the
   * market-data connector to the text-curation operator family). The
@@ -362,3 +407,4 @@ class OptionTradesDataSource extends AlpacaTableProvider(OptionTradesDef)
 class OptionQuotesDataSource extends AlpacaTableProvider(OptionQuotesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)
 class NewsDataSource extends AlpacaTableProvider(NewsDef)
+class StockAuctionsDataSource extends AlpacaTableProvider(StockAuctionsDef)

@@ -76,6 +76,18 @@ object Schemas {
     "symbol STRING, time TIMESTAMP, updated_at TIMESTAMP, id BIGINT, " +
       "headline STRING, author STRING, summary STRING, content STRING, " +
       "symbols STRING, source STRING, url STRING")
+
+  /** Opening/closing auction prints (v2 `/stocks/auctions`; no
+    * reference twin — the daily-auction endpoint completes the stocks
+    * family). The API groups prints into one record PER TRADING DAY
+    * (`d` + `o`/`c` print arrays); the source flattens each daily
+    * record into one row per print — `auction_date` is the record's
+    * day (midnight UTC, like corporate-action dates), `auction_type`
+    * is 'O'/'C' for the array the print came from. */
+  val auctions: StructType = StructType.fromDDL(
+    "symbol STRING, auction_date TIMESTAMP, auction_type STRING, " +
+      "time TIMESTAMP, exchange STRING, price DOUBLE, size BIGINT, " +
+      "condition STRING")
 }
 
 /** Per-record projection of an API JSON object into an InternalRow
@@ -97,6 +109,17 @@ trait RecordParser extends Serializable {
     val node = jp.readValueAsTree[JsonNode]()
     parse(symbol, node)
   }
+
+  /** One API record → N output rows. Most sources are 1:1 (default
+    * delegates to [[parseStream]]); fan-out sources (auctions: one
+    * daily record holds arrays of prints) override. Same positioning
+    * contract as parseStream; on failure NOTHING may have been emitted
+    * via `out` (validate the whole record before the first emit) so
+    * the caller's warn+skip drops the record atomically. */
+  def parseStreamMulti(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      out: InternalRow => Unit): Unit =
+    out(parseStream(symbol, jp))
 
   /** Realign to the current record's END_OBJECT after a mid-record
     * failure (value tokens already consumed are scalars; an
@@ -995,5 +1018,67 @@ object NewsParser extends RecordParser {
       utf8(syms),
       strDefault(rec, "source"),
       strDefault(rec, "url"))
+  }
+}
+
+/** Daily auction record (v2 `/stocks/auctions`): `{d, o: [print…],
+  * c: [print…]}` → one row per print, tagged 'O'/'C' — the one
+  * FAN-OUT record shape in the API (every other source is record=row).
+  * DOM parse: auction records are low-rate (a handful of prints per
+  * symbol-day), so the streaming byte walk buys nothing. The whole
+  * record validates BEFORE the first row is emitted (parseStreamMulti
+  * contract): a bad print anywhere drops the daily record atomically
+  * under E4 warn+skip semantics. `d` is required; either print array
+  * may be absent or empty (half-days have no close; halted days no
+  * open); print fields t/x/p/s required, condition `c` optional → "". */
+object AuctionParser extends RecordParser {
+  override val schema: StructType = Schemas.auctions
+
+  private def printRows(symbol: String, dateUs: Long, tpe: String,
+      arr: JsonNode, out: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+    if (arr == null || arr.isNull) return
+    if (!arr.isArray)
+      throw new IllegalArgumentException(s"auction '$tpe' is not an array")
+    val it = arr.elements()
+    while (it.hasNext) {
+      val p = it.next()
+      val cond = p.get("c")
+      out += InternalRow(
+        utf8(symbol),
+        dateUs,
+        utf8(tpe),
+        isoMicros(p, "t"),
+        utf8(reqNode(p, "x").asText()),
+        dbl(p, "p"),
+        lng(p, "s"),
+        utf8(if (cond == null || cond.isNull) "" else cond.asText()))
+    }
+  }
+
+  /** All prints of one daily record, validated as a unit. */
+  def parseMulti(symbol: String, rec: JsonNode): Seq[InternalRow] = {
+    val dRaw = reqNode(rec, "d").asText()
+    val dateUs = AlpacaOptions.parseIsoMicros(dRaw).getOrElse(
+      throw new IllegalArgumentException(s"bad date '$dRaw' in 'd'"))
+    val rows = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+    printRows(symbol, dateUs, "O", rec.get("o"), rows)
+    printRows(symbol, dateUs, "C", rec.get("c"), rows)
+    rows.toSeq
+  }
+
+  /** Single-row parse is meaningless for a fan-out record; the readers
+    * only ever call [[parseStreamMulti]]. */
+  override def parse(symbol: String, rec: JsonNode): InternalRow =
+    throw new UnsupportedOperationException(
+      "AuctionParser is multi-row; use parseStreamMulti")
+
+  override def parseStreamMulti(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      out: InternalRow => Unit): Unit = {
+    // readValueAsTree consumes the subtree and leaves the stream ON
+    // the record's END_OBJECT, so a validation failure after it is
+    // already realigned for the caller's warn+skip.
+    val node = jp.readValueAsTree[JsonNode]()
+    parseMulti(symbol, node).foreach(out)
   }
 }

@@ -951,6 +951,88 @@ object AlpacaQueries {
        |ORDER BY symbol, ex_d""".stripMargin
   }
 
+  // ------------------------------------------------------------- auctions
+  /** 12 days: covers the fixture's full %3 (reopening prints) × %4
+    * (no closing auction) × %5 (halted open) cycle, so every record
+    * shape — multi-print fan-out, omitted `c` key, empty `o` array —
+    * crosses the parser at least twice. */
+  private val aucStart = "2021-01-04T00:00:00Z"
+  private val aucEnd = "2021-01-16T00:00:00Z"
+  private val aucSymbols = Seq("AAPL", "MSFT")
+
+  private def auctionsDf(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Stocks_Auctions")
+      .options(baseOptions(aucSymbols: _*) ++ Map(
+        "start" -> aucStart, "end" -> aucEnd))
+      .load()
+
+  /** Flattened auction-print scan: one daily API record fans out to
+    * one row per opening/closing print (parseStreamMulti — the one
+    * record shape in the API where record ≠ row). */
+  def auctionsScan(spark: SparkSession, dir: String): DataFrame =
+    auctionsDf(spark)
+      .select(col("symbol"),
+        date_format(col("auction_date"), "yyyy-MM-dd").as("auction_day"),
+        col("auction_type"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("print_time"),
+        col("exchange"), col("price"), col("size"), col("condition"))
+      .orderBy(col("symbol"), col("auction_day"), col("auction_type"),
+        col("print_time"))
+
+  private def auctionPrintRows: Seq[(String, String, String, Long, String, Double, Long, String)] =
+    aucSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.auctionDays(s, us(aucStart), us(aucEnd)).flatMap { day =>
+        val dStr = fmtTs(day.dateUs).take(10)
+        day.opens.map(p => (s, dStr, "O", p.timeUs, p.exchange, p.price, p.size, p.condition)) ++
+          day.closes.map(p => (s, dStr, "C", p.timeUs, p.exchange, p.price, p.size, p.condition))
+      }
+    }
+
+  private def auctionValues: String =
+    auctionPrintRows.map { case (s, d, tpe, tUs, x, p, sz, c) =>
+      s"(${sqlStr(s)}, ${sqlStr(d)}, ${sqlStr(tpe)}, ${sqlStr(fmtTs(tUs))}, " +
+        s"${sqlStr(x)}, ${fmtD(p)}, $sz, ${sqlStr(c)})"
+    }.mkString(",\n  ")
+
+  def auctionsScanSql: String =
+    s"""SELECT symbol, auction_day, auction_type, print_time, exchange,
+       |  CAST(price AS DOUBLE) AS price, CAST(size AS BIGINT) AS size, condition
+       |FROM (VALUES $auctionValues)
+       |  AS v(symbol, auction_day, auction_type, print_time, exchange, price, size, condition)
+       |ORDER BY symbol, auction_day, auction_type, print_time""".stripMargin
+
+  /** Official daily auction summary: the opening price is the FIRST
+    * opening print (min_by time — reopenings don't overwrite it), the
+    * closing price the LAST closing print; auction volume sums both
+    * sides. One partial-aggregable groupBy — FILTERed min_by/max_by
+    * partial-aggregate like any other agg, so at a 5000-symbol ×
+    * years scale the shuffle carries |symbol-days| summary rows, never
+    * prints. Half-days (no close) yield NULL official_close — the
+    * honest answer, not a carried-forward guess. */
+  def auctionSummary(spark: SparkSession, dir: String): DataFrame =
+    auctionsDf(spark)
+      .groupBy(col("symbol"),
+        date_format(col("auction_date"), "yyyy-MM-dd").as("auction_day"))
+      .agg(
+        expr("min_by(price, time) FILTER (WHERE auction_type = 'O')").as("official_open"),
+        expr("max_by(price, time) FILTER (WHERE auction_type = 'C')").as("official_close"),
+        sum(col("size")).as("auction_volume"),
+        count(when(col("auction_type") === "O", 1)).as("open_prints"),
+        count(when(col("auction_type") === "C", 1)).as("close_prints"))
+      .orderBy(col("symbol"), col("auction_day"))
+
+  def auctionSummarySql: String =
+    s"""SELECT symbol, auction_day,
+       |  min_by(CAST(price AS DOUBLE), print_time) FILTER (WHERE auction_type = 'O') AS official_open,
+       |  max_by(CAST(price AS DOUBLE), print_time) FILTER (WHERE auction_type = 'C') AS official_close,
+       |  CAST(sum(size) AS BIGINT) AS auction_volume,
+       |  CAST(count(*) FILTER (WHERE auction_type = 'O') AS BIGINT) AS open_prints,
+       |  CAST(count(*) FILTER (WHERE auction_type = 'C') AS BIGINT) AS close_prints
+       |FROM (VALUES $auctionValues)
+       |  AS v(symbol, auction_day, auction_type, print_time, exchange, price, size, condition)
+       |GROUP BY symbol, auction_day
+       |ORDER BY symbol, auction_day""".stripMargin
+
   /** NBBO consolidation — the consolidated-tape computation: at each
     * instant, the best bid is the max across venues and the best
     * offer the min (the "MV" fixture emits one quote per venue V/N/Q
@@ -1444,6 +1526,8 @@ object AlpacaQueries {
     "alpaca_trades_throughput" -> ((tradesThroughput _, tradesThroughputSql)),
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
+    "alpaca_auctions_scan" -> ((auctionsScan _, auctionsScanSql)),
+    "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
     "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),

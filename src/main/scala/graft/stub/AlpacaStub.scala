@@ -258,6 +258,48 @@ object AlpacaFixtures {
     }.toSeq
   }
 
+  case class AuctionPrint(timeUs: Long, exchange: String, price: Double,
+      size: Long, condition: String)
+  case class AuctionDay(dateUs: Long, opens: Seq[AuctionPrint],
+      closes: Seq[AuctionPrint])
+
+  /** Daily auction records for days whose prints fall in
+    * [startUs, endUs). Opening print at 14:30Z (plus a 15:00Z
+    * reopening every 3rd day — the in-record fan-out the parser must
+    * flatten), closing print at 21:00Z. Every 4th day has NO closing
+    * auction (half-day: the `c` key is omitted from the JSON
+    * entirely) and every 5th day NO opening prints (halted open:
+    * empty `o` array) — together they exercise both absent-array
+    * shapes. Prices ride the symbol walk on the exact 0.25 grid;
+    * condition cycles the real O/M/6 auction codes. */
+  def auctionDays(symbol: String, startUs: Long, endUs: Long): Seq[AuctionDay] = {
+    val firstDay = (startUs / DayUs) * DayUs // floor: late-day prints of a partial first day
+    Iterator.iterate(firstDay)(_ + DayUs).takeWhile(_ < endUs).flatMap { d =>
+      val i = d / DayUs
+      val base = symBase(symbol) + (i % 16) * 0.25
+      def in(t: Long) = t >= startUs && t < endUs
+      val opens =
+        if (i % 5 == 0) Seq.empty
+        else {
+          val primary = AuctionPrint(d + 14L * HourUs + 1800L * 1000000L,
+            ("NQV" (((i % 3)).toInt)).toString, base, 5000L + (i % 10) * 500L, "O")
+          val reopen =
+            if (i % 3 == 0)
+              Seq(AuctionPrint(d + 15L * HourUs, "N", base + 0.25,
+                1000L + (i % 4) * 250L, "6"))
+            else Seq.empty
+          (primary +: reopen).filter(p => in(p.timeUs))
+        }
+      val closes =
+        if (i % 4 == 0) Seq.empty
+        else Seq(AuctionPrint(d + 21L * HourUs,
+          ("QNV" (((i % 3)).toInt)).toString, base + 0.5,
+          8000L + (i % 8) * 500L, "M")).filter(p => in(p.timeUs))
+      if (opens.isEmpty && closes.isEmpty) None
+      else Some(AuctionDay(d, opens, closes))
+    }.toSeq
+  }
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -406,6 +448,25 @@ object AlpacaStubServer {
   private def optionQuoteJson(qt: OptionQuote): String = {
     val cond = if (qt.condition.isEmpty) "" else s""", "c": ${jsonStr(qt.condition)}"""
     s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(qt.timeUs))}, "ax": ${jsonStr(qt.askExchange)}, "ap": ${fmtD(qt.askPrice)}, "as": ${qt.askSize}, "bx": ${jsonStr(qt.bidExchange)}, "bp": ${fmtD(qt.bidPrice)}, "bs": ${qt.bidSize}$cond}"""
+  }
+
+  private def auctionPrintJson(p: AuctionPrint): String = {
+    val cond = if (p.condition.isEmpty) "" else s""", "c": ${jsonStr(p.condition)}"""
+    s"""{"t": ${jsonStr(AlpacaOptions.microsToIso(p.timeUs))}, "x": ${jsonStr(p.exchange)}, "p": ${fmtD(p.price)}, "s": ${p.size}$cond}"""
+  }
+
+  /** Daily auction record: `d` (calendar date) + `o` print array;
+    * the `c` key is omitted entirely on days with no closing auction
+    * (the API's half-day shape — exercises the parser's
+    * absent-array default). */
+  private def auctionDayJson(a: AuctionDay): String = {
+    val d = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(a.dateUs / 1000000L))
+    val closes =
+      if (a.closes.isEmpty) ""
+      else s""", "c": [${a.closes.map(auctionPrintJson).mkString(",")}]"""
+    s"""{"d": ${jsonStr(d)}, "o": [${a.opens.map(auctionPrintJson).mkString(",")}]$closes}"""
   }
 
   private def caJson(c: CorpAction): String = {
@@ -637,6 +698,14 @@ object AlpacaStubServer {
     }))
     server.createContext("/v1beta1/news",
       (ex: HttpExchange) => handle(ex, newsHandler))
+    server.createContext("/v2/stocks/auctions", (ex: HttpExchange) => handle(ex, { params =>
+      val symbol = q(params, "symbols")
+      // pagination counts DAILY records (the API's unit), not prints
+      (200, envelope("auctions", symbol,
+        s => auctionDays(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
+        auctionDayJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        q(params, "page_token"), params.getOrElse("sort", "asc")))
+    }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       (200, envelope("corporate_actions", symbol,

@@ -148,4 +148,53 @@ class ParserGoldenSpec extends AnyFunSuite {
       NewsParser.parse("AAPL", js("""{"id": 2, "headline": "H"}"""))
     }
   }
+
+  test("auction daily record fans out: one row per print, tagged O/C") {
+    import graft.core.AuctionParser
+    val rows = AuctionParser.parseMulti("AAPL", js(
+      """{"d": "2021-01-04",
+        |"o": [{"t": "2021-01-04T14:30:00Z", "x": "N", "p": 129.5, "s": 5000, "c": "O"},
+        |      {"t": "2021-01-04T15:00:00Z", "x": "N", "p": 129.75, "s": 1000, "c": "6"}],
+        |"c": [{"t": "2021-01-04T21:00:00Z", "x": "Q", "p": 130.0, "s": 8000, "c": "M"}]}""".stripMargin))
+    assert(rows.size == 3)
+    val dateUs = 1609718400000000L // 2021-01-04T00:00:00Z
+    val open = rows.head
+    assert(open.getUTF8String(0).toString == "AAPL")
+    assert(open.getLong(1) == dateUs)
+    assert(open.getUTF8String(2).toString == "O")
+    assert(open.getLong(3) == dateUs + 14L * 3600000000L + 1800000000L)
+    assert(open.getUTF8String(4).toString == "N")
+    assert(open.getDouble(5) == 129.5 && open.getLong(6) == 5000L)
+    assert(open.getUTF8String(7).toString == "O")
+    val close = rows.last
+    assert(close.getUTF8String(2).toString == "C")
+    assert(close.getDouble(5) == 130.0 && close.getLong(6) == 8000L)
+    assert(close.getUTF8String(7).toString == "M")
+  }
+
+  test("auction half-day: absent c key and empty o array both parse") {
+    import graft.core.AuctionParser
+    val halfDay = AuctionParser.parseMulti("AAPL", js(
+      """{"d": "2021-01-08", "o": [{"t": "2021-01-08T14:30:00Z", "x": "Q", "p": 1.0, "s": 1}]}"""))
+    assert(halfDay.size == 1 && halfDay.head.getUTF8String(2).toString == "O")
+    assert(halfDay.head.getUTF8String(7).toString == "") // condition absent -> ""
+    val halted = AuctionParser.parseMulti("AAPL", js(
+      """{"d": "2021-01-08", "o": [], "c": [{"t": "2021-01-08T21:00:00Z", "x": "Q", "p": 1.0, "s": 1}]}"""))
+    assert(halted.size == 1 && halted.head.getUTF8String(2).toString == "C")
+  }
+
+  test("auction malformed day (bad print) throws BEFORE any row is emitted") {
+    import graft.core.AuctionParser
+    // second print lacks price: the whole daily record must fail as a
+    // unit (parseStreamMulti atomic-skip contract), not emit the first
+    intercept[IllegalArgumentException] {
+      AuctionParser.parseMulti("AAPL", js(
+        """{"d": "2021-01-04",
+          |"o": [{"t": "2021-01-04T14:30:00Z", "x": "N", "p": 129.5, "s": 5000},
+          |      {"t": "2021-01-04T15:00:00Z", "x": "N", "s": 1000}]}""".stripMargin))
+    }
+    intercept[IllegalArgumentException] { // missing d
+      AuctionParser.parseMulti("AAPL", js("""{"o": []}"""))
+    }
+  }
 }
