@@ -951,6 +951,93 @@ object AlpacaQueries {
        |ORDER BY symbol, ex_d""".stripMargin
   }
 
+  // ------------------------------------------------------------- meta dims
+  /** Conditions dimension scan (tape B: carries the one extra code
+    * the other tapes don't — green proves the `tape`/`condition_type`
+    * options actually reach the request path/query). */
+  def metaConditionsScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Meta_Conditions")
+      .options(baseOptions() ++ Map("condition_type" -> "trade", "tape" -> "B"))
+      .load()
+      .orderBy(col("code"))
+
+  def metaConditionsScanSql: String =
+    s"""SELECT condition_type, tape, code, name
+       |FROM (VALUES
+       |  ('trade', 'B', '@', 'Regular Sale'),
+       |  ('trade', 'B', 'F', 'Intermarket Sweep'),
+       |  ('trade', 'B', 'I', 'Odd Lot Trade'),
+       |  ('trade', 'B', 'T', 'Extended Hours Trade'),
+       |  ('trade', 'B', 'W', 'Average Price Trade'))
+       |  AS v(condition_type, tape, code, name)
+       |ORDER BY code""".stripMargin
+
+  /** Venue enrichment — the first join every trades consumer runs:
+    * decode the exchange code against the meta dimension. The dim
+    * reports ~100-row statistics from the scan, so the optimizer
+    * broadcasts it unconditionally (plan golden pins the
+    * BroadcastHashJoin) — the fact side never shuffles for the join;
+    * the only exchange is the per-venue aggregation. */
+  def tradesEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.format("Alpaca_Meta_Exchanges")
+      .options(baseOptions()).load()
+      .withColumnRenamed("code", "exchange")
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .join(dim, Seq("exchange"))
+      .groupBy(col("name").as("venue"))
+      .agg(count(lit(1)).as("n_trades"), sum(col("size")).as("total_size"))
+      .orderBy(col("venue"))
+  }
+
+  def tradesEnrichedSql: String = {
+    val names = Map("V" -> "IEX", "N" -> "New York Stock Exchange", "Q" -> "NASDAQ")
+    val rows = tradesSymbols.flatMap { s =>
+      AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+    }.groupBy(t => names(t.exchange)).toSeq.sortBy(_._1).map { case (venue, ts) =>
+      s"(${sqlStr(venue)}, ${ts.size}, ${ts.map(_.size).sum})"
+    }
+    s"""SELECT venue, CAST(n_trades AS BIGINT) AS n_trades,
+       |  CAST(total_size AS BIGINT) AS total_size
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(venue, n_trades, total_size)
+       |ORDER BY venue""".stripMargin
+  }
+
+  /** Sale-condition decode: the CSV conditions column explodes to one
+    * row per code, joins the (broadcast) conditions dimension, and
+    * counts per decoded name — explode + broadcast equi-join, the
+    * fact side's only exchange is the final per-code aggregation. */
+  def tradeConditionsDecoded(spark: SparkSession, dir: String): DataFrame = {
+    val dim = spark.read.format("Alpaca_Meta_Conditions")
+      .options(baseOptions() ++ Map("condition_type" -> "trade", "tape" -> "A"))
+      .load()
+      .select(col("code"), col("name"))
+    spark.read.format("Alpaca_Stocks_Trades")
+      .options(baseOptions(tradesSymbols: _*) ++ Map(
+        "start" -> tradesStart, "end" -> tradesEnd))
+      .load()
+      .select(explode(split(col("conditions"), ",")).as("code"))
+      .filter(col("code") =!= "")
+      .join(dim, Seq("code"))
+      .groupBy(col("code"), col("name"))
+      .agg(count(lit(1)).as("n_prints"))
+      .orderBy(col("code"))
+  }
+
+  def tradeConditionsDecodedSql: String = {
+    val names = Map("@" -> "Regular Sale", "F" -> "Intermarket Sweep",
+      "I" -> "Odd Lot Trade", "T" -> "Extended Hours Trade")
+    val rows = tradesSymbols.flatMap { s =>
+      AlpacaFixtures.trades(s, us(tradesStart), us(tradesEnd))
+    }.flatMap(_.conditions).groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (c, cs) => s"(${sqlStr(c)}, ${sqlStr(names(c))}, ${cs.size})" }
+    s"""SELECT code, name, CAST(n_prints AS BIGINT) AS n_prints
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(code, name, n_prints)
+       |ORDER BY code""".stripMargin
+  }
+
   // ------------------------------------------------------------- auctions
   /** 12 days: covers the fixture's full %3 (reopening prints) × %4
     * (no closing auction) × %5 (halted open) cycle, so every record
@@ -1533,5 +1620,9 @@ object AlpacaQueries {
     "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),
     "alpaca_nbbo" -> ((nbbo _, nbboSql)),
     "alpaca_stream_nbbo" -> ((streamNbbo _, nbboSql)),
+    "alpaca_meta_conditions_scan" -> ((metaConditionsScan _, metaConditionsScanSql)),
+    "alpaca_trades_enriched" -> ((tradesEnriched _, tradesEnrichedSql)),
+    "alpaca_trade_conditions_decoded" ->
+      ((tradeConditionsDecoded _, tradeConditionsDecodedSql)),
     "alpaca_malformed_skip" -> ((barsMalformedSkip _, barsMalformedSkipSql)))
 }

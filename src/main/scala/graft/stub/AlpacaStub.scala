@@ -698,6 +698,29 @@ object AlpacaStubServer {
     }))
     server.createContext("/v1beta1/news",
       (ex: HttpExchange) => handle(ex, newsHandler))
+    // meta dimension endpoints: BARE-object bodies (no envelope key,
+    // no pagination) — codes match the trade/quote fixture cycles so
+    // enrichment joins decode every fixture row
+    server.createContext("/v2/stocks/meta/exchanges",
+      (ex: HttpExchange) => handle(ex, { _ =>
+        (200, """{"N": "New York Stock Exchange", "Q": "NASDAQ", "V": "IEX"}""")
+      }))
+    server.createContext("/v2/stocks/meta/conditions/trade",
+      (ex: HttpExchange) => handle(ex, { params =>
+        val base =
+          """"@": "Regular Sale", "F": "Intermarket Sweep", "I": "Odd Lot Trade", "T": "Extended Hours Trade""""
+        // tape B has one extra venue-specific code — proves the tape
+        // param actually reaches the request
+        val body = params.getOrElse("tape", "A") match {
+          case "B" => s"""{$base, "W": "Average Price Trade"}"""
+          case _ => s"""{$base}"""
+        }
+        (200, body)
+      }))
+    server.createContext("/v2/stocks/meta/conditions/quote",
+      (ex: HttpExchange) => handle(ex, { _ =>
+        (200, """{"O": "Opening Quote", "R": "Regular"}""")
+      }))
     server.createContext("/v2/stocks/auctions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
       // pagination counts DAILY records (the API's unit), not prints

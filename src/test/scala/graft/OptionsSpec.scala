@@ -169,4 +169,21 @@ class OptionsSpec extends AnyFunSuite {
     assert(StockBarsDef.versionedPath == Seq("v2", "stocks", "bars"))
     assert(CryptoBarsDef.versionedPath == Seq("v1beta3", "crypto", "us", "bars"))
   }
+
+  test("meta sources: enum validation + path/query derivation") {
+    import graft.connector.{MetaConditionsDef, MetaExchangesDef}
+    intercept[IllegalArgumentException] {
+      MetaConditionsDef.validate(Map("condition_type" -> "auction"))
+    }
+    intercept[IllegalArgumentException] {
+      MetaConditionsDef.validate(Map("tape" -> "Z"))
+    }
+    MetaConditionsDef.validate(Map.empty) // defaults trade/A are valid
+    assert(MetaExchangesDef.path(Map.empty) ==
+      Seq("v2", "stocks", "meta", "exchanges"))
+    assert(MetaConditionsDef.path(Map("condition_type" -> "quote")) ==
+      Seq("v2", "stocks", "meta", "conditions", "quote"))
+    assert(MetaConditionsDef.query(Map("tape" -> "B")) == Seq("tape" -> "B"))
+    assert(MetaConditionsDef.contextColumns(Map.empty) == Seq("trade", "A"))
+  }
 }
