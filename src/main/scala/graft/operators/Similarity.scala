@@ -865,8 +865,102 @@ object Similarity {
        |ORDER BY query_id, vec_id""".stripMargin
   }
 
+  // ---------------------------------------------- MMR diverse top-k
+  /** Maximal Marginal Relevance re-ranking (Carbonell–Goldstein 1998)
+    * — the standard diversity pass a RAG retriever runs after ANN:
+    * greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so
+    * each pick is relevant AND far from what's already selected.
+    *
+    * Scale architecture: the DISTRIBUTED stage is candidate
+    * generation — one corpus pass scoring rel(q, d) and a
+    * TakeOrderedAndProject top-N (per-partition N-heaps, driver
+    * merges |partitions|×N). The greedy stage is inherently
+    * sequential in k, so it runs as k bounded Spark jobs over the
+    * localCheckpoint'ed N-row candidate relation (the iterative
+    * driver-coordination pattern of sim_kmeans / sim_ann_ivfpq; at
+    * 100 TB N stays the retriever's candidate budget — hundreds —
+    * regardless of corpus size, and nothing corpus-sized ever
+    * reaches the loop). Each pick is an orderBy(limit 1) over ≤N
+    * rows with the λ-blend evaluated in one fixed IEEE chain; ties
+    * break on vec_id so the selection is total-ordered. The oracle
+    * unrolls the same greedy as k chained CTEs over the identical
+    * 64-term cosine chains — bit-exact, no tolerance. */
+  private val MmrN = 12
+  private val MmrK = 4
+  private val MmrLambda = 0.7
+
+  def simMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), normCol("embedding").as("qnorm"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").as("e"),
+        normCol("embedding").as("enorm"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"), col("enorm"),
+        cosineOf(dotCol("e", "qe"), col("enorm"), col("qnorm")).as("rel"))
+      .orderBy(col("rel").desc_nulls_last, col("vec_id"))
+      .limit(MmrN)
+      .localCheckpoint() // N rows: the greedy loop never re-scans the corpus
+    var selected = cand
+      .orderBy(col("rel").desc_nulls_last, col("vec_id")).limit(1)
+      .withColumn("rank", lit(1))
+      .localCheckpoint()
+    for (t <- 2 to MmrK) {
+      val sel = broadcast(selected
+        .select(col("vec_id").as("s_id"), col("e").as("se"),
+          col("enorm").as("snorm")))
+      val pick = cand
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .crossJoin(sel)
+        .select(col("vec_id"), col("e"), col("enorm"), col("rel"),
+          cosineOf(dotCol("e", "se"), col("enorm"), col("snorm")).as("sim"))
+        .groupBy(col("vec_id"), col("e"), col("enorm"), col("rel"))
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumn("mmr",
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("max_sim"))
+        .orderBy(col("mmr").desc_nulls_last, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("e"), col("enorm"), col("rel"))
+        .withColumn("rank", lit(t))
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected.select(col("rank"), col("vec_id"), col("rel"))
+      .orderBy(col("rank"))
+  }
+
+  val simMmrSelectSql: String = {
+    // the greedy unrolled: pick_t = argmax over cand \ s_{t-1} of
+    // 0.7*rel - 0.3*max sim-to-selected; same literals, same chains
+    def pickSql(t: Int): String =
+      s"""m$t AS (
+         |  SELECT c.vec_id, c.e, c.rel, MAX(${cosineSql("c.e", "s.e")}) AS ms
+         |  FROM cand c, s${t - 1} s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${t - 1})
+         |  GROUP BY c.vec_id, c.e, c.rel),
+         |p$t AS (
+         |  SELECT vec_id, e, rel, $t AS rank FROM m$t
+         |  ORDER BY CAST('$MmrLambda' AS DOUBLE)*rel -
+         |    CAST('${1.0 - MmrLambda}' AS DOUBLE)*ms DESC NULLS LAST, vec_id
+         |  LIMIT 1),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, embedding AS e, ${cosineSql("embedding", "qe")} AS rel
+       |  FROM embeddings, q
+       |  WHERE vec_id <> 0
+       |  ORDER BY rel DESC NULLS LAST, vec_id LIMIT $MmrN),
+       |s1 AS (
+       |  SELECT vec_id, e, rel, 1 AS rank FROM cand
+       |  ORDER BY rel DESC NULLS LAST, vec_id LIMIT 1),
+       |${(2 to MmrK).map(pickSql).mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, vec_id, CAST(rel AS DOUBLE) AS rel
+       |FROM s$MmrK
+       |ORDER BY rank""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
+    "sim_mmr_select" -> ((simMmrSelect _, simMmrSelectSql)),
     "sim_ann_lsh" -> ((simAnnLsh _, simAnnLshSql)),
     "sim_ann_ivf" -> ((simAnnIvf _, simAnnIvfSql)),
     "sim_ann_filtered" -> ((simAnnFiltered _, simAnnFilteredSql)),
