@@ -58,6 +58,11 @@ trait AlpacaSourceDef extends Serializable {
 
   /** Column usable for time-range predicate pushdown, if any. */
   def timeColumn: Option[String] = Some("time")
+
+  /** A timeless source is a point-in-time fetch with NO time grid
+    * (snapshots): `start`/`end` are neither required, validated, nor
+    * sent; the planner crosses symbols × ONE interval. */
+  def timeless: Boolean = false
 }
 
 object AlpacaScanConfig {
@@ -83,7 +88,8 @@ case class AlpacaScanConfig(
     clusterBySymbol: Boolean = false,
     timeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
     maxRetries: Int = AlpacaHttpClient.MaxRetries,
-    symbolBatch: Int = 1) {
+    symbolBatch: Int = 1,
+    timeless: Boolean = false) {
 
   /** Request-grid symbol axis: with `symbol_batch` > 1 the symbols are
     * batched into comma-joined groups (alphabetical, matching the real
@@ -192,14 +198,20 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
     val endpointCfg = AlpacaOptions.endpointConfig(opts)
     val params = AlpacaOptions.validateParams(opts, sourceDef.apiParams)
     sourceDef.extraValidate(params)
-    val startUs = AlpacaOptions.parseIsoMicros(params.getOrElse("start", ""))
-      .getOrElse(throw new IllegalArgumentException("Invalid 'start' option"))
+    // timeless sources (snapshots) have no time grid: zero-width range
+    // plans one partition per symbol and no start/end is ever sent
+    val startUs =
+      if (sourceDef.timeless) 0L
+      else AlpacaOptions.parseIsoMicros(params.getOrElse("start", ""))
+        .getOrElse(throw new IllegalArgumentException("Invalid 'start' option"))
     // absent end = LIVE mode (streaming only; batch planning rejects it)
-    val endUs = params.get("end") match {
-      case Some(e) => AlpacaOptions.parseIsoMicros(e)
-        .getOrElse(throw new IllegalArgumentException("Invalid 'end' option"))
-      case None => AlpacaScanConfig.LiveEnd
-    }
+    val endUs =
+      if (sourceDef.timeless) 0L
+      else params.get("end") match {
+        case Some(e) => AlpacaOptions.parseIsoMicros(e)
+          .getOrElse(throw new IllegalArgumentException("Invalid 'end' option"))
+        case None => AlpacaScanConfig.LiveEnd
+      }
     val cfg = AlpacaScanConfig(
       endpoint = AlpacaOptions.stripApiVersion(endpointCfg.endpoint),
       apiKeyId = endpointCfg.apiKeyId,
@@ -224,7 +236,8 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       }.getOrElse(false),
       timeoutSec = endpointCfg.timeoutSec,
       maxRetries = endpointCfg.maxRetries,
-      symbolBatch = AlpacaOptions.parseSymbolBatch(opts))
+      symbolBatch = AlpacaOptions.parseSymbolBatch(opts),
+      timeless = sourceDef.timeless)
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -470,10 +483,13 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
   /** Per-partition parameter binding (P4, `common.py:384-397`):
     * passthrough options with symbol/start/end/limit overridden. */
   private def partitionParams: Seq[(String, String)] = {
-    val overridden = cfg.params ++ Map(
+    val timeParams =
+      if (cfg.timeless) Map.empty[String, String]
+      else Map(
+        "start" -> AlpacaOptions.microsToIso(partition.startMicros),
+        "end" -> AlpacaOptions.microsToIso(partition.endMicros))
+    val overridden = cfg.params ++ timeParams ++ Map(
       "symbols" -> partition.symbol,
-      "start" -> AlpacaOptions.microsToIso(partition.startMicros),
-      "end" -> AlpacaOptions.microsToIso(partition.endMicros),
       "limit" -> cfg.limit.toString)
     overridden.toSeq.sortBy(_._1)
   }
@@ -532,8 +548,26 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
                 } else if (t3.isStructStart) jp.skipChildren()
                 t3 = jp.nextToken()
               }
+            } else if (t2 == JsonToken.START_OBJECT) {
+              // per-symbol OBJECT value (snapshots): the symbol’s value
+              // IS the single record, not an array of them
+              try parser.parseStreamMulti(sym, jp, out += _)
+              catch {
+                case e: IllegalArgumentException =>
+                  log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
+              }
             } else if (t2.isStructStart) jp.skipChildren()
             t2 = jp.nextToken()
+          }
+        } else if (dataKey.isEmpty && name != "next_page_token" &&
+            tk == JsonToken.START_OBJECT) {
+          // BARE symbol-keyed envelope (snapshots): there is no data
+          // key at all — every top-level field IS a symbol and its
+          // OBJECT value is that symbol's single record
+          try parser.parseStreamMulti(name, jp, out += _)
+          catch {
+            case e: IllegalArgumentException =>
+              log.warn(s"Skipping malformed record for $name: ${e.getMessage}")
           }
         } else if (name == dataKey && tk == JsonToken.START_ARRAY) {
           // FLAT envelope (the news endpoint): records arrive in one

@@ -311,6 +311,45 @@ object StockAuctionsDef extends AlpacaSourceDef {
       (endUs - startUs + AlpacaPartitioning.DayMicros - 1) / AlpacaPartitioning.DayMicros))
 }
 
+/** Point-in-time snapshots — format "Alpaca_Stocks_Snapshots"
+  * (`/v2/stocks/snapshots`; the "where is the market right now" call
+  * every dashboard makes). Three ways it differs from the row-stream
+  * sources, all exercised here: the envelope maps each symbol to ONE
+  * OBJECT at the TOP level of the body — no envelope key at all (the
+  * bare-envelope walker branch) — there is NO time grid
+  * (`timeless` — start/end neither accepted nor sent, one partition
+  * per symbol group), and exactly one row per symbol comes back
+  * (estimatedRowsPerSymbol = 1, so the optimizer knows a snapshot
+  * join side is broadcast-sized no matter how many symbols). */
+object StockSnapshotsDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Stocks_Snapshots"
+  override val pathElements = Seq("stocks", "snapshots")
+  // the real multi-symbol response has NO envelope key: symbols are
+  // the top-level fields — empty dataKey selects the bare-envelope
+  // walker branch
+  override val dataKey = ""
+  override def schema: StructType = Schemas.snapshots
+  override def parser: RecordParser = SnapshotParser
+  override def timeless: Boolean = true
+  override def timeColumn: Option[String] = None
+
+  private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("feed", required = false),
+    ApiParam("currency", required = false))
+
+  override def extraValidate(params: Map[String, String]): Unit =
+    params.get("feed").map(_.toLowerCase).foreach { f =>
+      if (f.nonEmpty && !ValidFeeds.contains(f))
+        throw new IllegalArgumentException(s"Invalid 'feed' value: '$f'")
+    }
+
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] = Some(1L)
+}
+
 /** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
   * twin — the public API's TEXT endpoint, and the bridge from the
   * market-data connector to the text-curation operator family). The
@@ -408,3 +447,4 @@ class OptionQuotesDataSource extends AlpacaTableProvider(OptionQuotesDef)
 class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef)
 class NewsDataSource extends AlpacaTableProvider(NewsDef)
 class StockAuctionsDataSource extends AlpacaTableProvider(StockAuctionsDef)
+class StockSnapshotsDataSource extends AlpacaTableProvider(StockSnapshotsDef)

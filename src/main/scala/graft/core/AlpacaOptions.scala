@@ -160,14 +160,17 @@ object AlpacaOptions {
     // 'end' may be OMITTED for live streaming (readStream without a
     // fixed end — each trigger clamps to the wall clock instead); when
     // present it must parse and order, and batch reads without it fail
-    // at partition-planning time with a named error.
-    val startRaw = get("start").getOrElse("")
-    val startT = parseIsoMicros(startRaw).getOrElse(throw new IllegalArgumentException(
-      s"Invalid 'start' option: '$startRaw' is not a valid ISO format datetime"))
-    get("end").foreach { endRaw =>
-      val endT = parseIsoMicros(endRaw).getOrElse(throw new IllegalArgumentException(
-        s"Invalid 'end' option: '$endRaw' is not a valid ISO format datetime"))
-      if (startT > endT) throw new IllegalArgumentException(s"start time is after end time")
+    // at partition-planning time with a named error. Timeless sources
+    // (snapshots) declare NO start param at all — nothing to enforce.
+    if (apiParams.exists(_.name == "start")) {
+      val startRaw = get("start").getOrElse("")
+      val startT = parseIsoMicros(startRaw).getOrElse(throw new IllegalArgumentException(
+        s"Invalid 'start' option: '$startRaw' is not a valid ISO format datetime"))
+      get("end").foreach { endRaw =>
+        val endT = parseIsoMicros(endRaw).getOrElse(throw new IllegalArgumentException(
+          s"Invalid 'end' option: '$endRaw' is not a valid ISO format datetime"))
+        if (startT > endT) throw new IllegalArgumentException(s"start time is after end time")
+      }
     }
 
     apiParams.flatMap(p => get(p.name).map(p.name -> _)).toMap

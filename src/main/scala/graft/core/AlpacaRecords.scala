@@ -88,6 +88,21 @@ object Schemas {
     "symbol STRING, auction_date TIMESTAMP, auction_type STRING, " +
       "time TIMESTAMP, exchange STRING, price DOUBLE, size BIGINT, " +
       "condition STRING")
+
+  /** Point-in-time market snapshot (v2 `/stocks/snapshots`; no
+    * reference twin). The envelope maps each symbol to ONE nested
+    * OBJECT (latestTrade/latestQuote/minuteBar/dailyBar/prevDailyBar)
+    * — not an array — flattened here to one wide row per symbol; an
+    * absent section (e.g. no prev-day bar on a new listing) nulls its
+    * columns. */
+  val snapshots: StructType = StructType.fromDDL(
+    "symbol STRING, latest_trade_time TIMESTAMP, latest_trade_price DOUBLE, " +
+      "latest_trade_size BIGINT, latest_quote_time TIMESTAMP, " +
+      "bid_price DOUBLE, bid_size BIGINT, ask_price DOUBLE, ask_size BIGINT, " +
+      "minute_bar_time TIMESTAMP, minute_close DOUBLE, minute_volume BIGINT, " +
+      "daily_bar_time TIMESTAMP, daily_open DOUBLE, daily_high DOUBLE, " +
+      "daily_low DOUBLE, daily_close DOUBLE, daily_volume BIGINT, " +
+      "prev_daily_close DOUBLE")
 }
 
 /** Per-record projection of an API JSON object into an InternalRow
@@ -1080,5 +1095,41 @@ object AuctionParser extends RecordParser {
     // already realigned for the caller's warn+skip.
     val node = jp.readValueAsTree[JsonNode]()
     parseMulti(symbol, node).foreach(out)
+  }
+}
+
+/** Snapshot record: the symbol's OBJECT value (the one record-is-an-
+  * object envelope in the API) with five optional nested sections,
+  * flattened to one wide row. DOM parse — one record per symbol per
+  * scan, nothing hot. A present section with a malformed required
+  * field fails the whole record (atomic E4 skip); an ABSENT section
+  * is legitimate (new listing has no prevDailyBar) and nulls its
+  * columns. */
+object SnapshotParser extends RecordParser {
+  override val schema: StructType = Schemas.snapshots
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    def section(key: String): Option[JsonNode] = {
+      val n = rec.get(key)
+      if (n == null || n.isNull) None
+      else if (!n.isObject)
+        throw new IllegalArgumentException(s"snapshot '$key' is not an object")
+      else Some(n)
+    }
+    val lt = section("latestTrade")
+    val lq = section("latestQuote")
+    val mb = section("minuteBar")
+    val db = section("dailyBar")
+    val pd = section("prevDailyBar")
+    def ts(o: Option[JsonNode]): Any = o.map(isoMicros(_, "t")).orNull
+    def d(o: Option[JsonNode], k: String): Any = o.map(dbl(_, k)).orNull
+    def l(o: Option[JsonNode], k: String): Any = o.map(lng(_, k)).orNull
+    InternalRow(
+      utf8(symbol),
+      ts(lt), d(lt, "p"), l(lt, "s"),
+      ts(lq), d(lq, "bp"), l(lq, "bs"), d(lq, "ap"), l(lq, "as"),
+      ts(mb), d(mb, "c"), l(mb, "v"),
+      ts(db), d(db, "o"), d(db, "h"), d(db, "l"), d(db, "c"), l(db, "v"),
+      d(pd, "c"))
   }
 }

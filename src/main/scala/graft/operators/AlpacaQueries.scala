@@ -1038,6 +1038,62 @@ object AlpacaQueries {
        |ORDER BY code""".stripMargin
   }
 
+  // ------------------------------------------------------------ snapshots
+  /** Point-in-time snapshot scan: one wide row per symbol from the
+    * bare symbol-keyed envelope (nested object record, no time grid —
+    * the `timeless` source path). GOOG's fixture snapshot has no
+    * prevDailyBar, so the absent-section null path is green in the
+    * same gate. */
+  private val snapSymbols = Seq("AAPL", "GOOG", "MSFT", "TSLA")
+
+  def snapshotScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Snapshots")
+      .options(baseOptions(snapSymbols: _*))
+      .load()
+      .select(col("symbol"),
+        date_format(col("latest_trade_time"), "yyyy-MM-dd HH:mm:ss").as("lt_time"),
+        col("latest_trade_price"), col("latest_trade_size"),
+        date_format(col("latest_quote_time"), "yyyy-MM-dd HH:mm:ss").as("lq_time"),
+        col("bid_price"), col("bid_size"), col("ask_price"), col("ask_size"),
+        date_format(col("minute_bar_time"), "yyyy-MM-dd HH:mm:ss").as("mb_time"),
+        col("minute_close"), col("minute_volume"),
+        date_format(col("daily_bar_time"), "yyyy-MM-dd HH:mm:ss").as("db_time"),
+        col("daily_open"), col("daily_high"), col("daily_low"),
+        col("daily_close"), col("daily_volume"), col("prev_daily_close"))
+      .orderBy(col("symbol"))
+
+  def snapshotScanSql: String = {
+    val rows = snapSymbols.sorted.map { s =>
+      val sn = AlpacaFixtures.snapshot(s)
+      val prev = sn.prevDailyBar.map(b => fmtD(b.close)).getOrElse("NULL")
+      s"(${sqlStr(s)}, ${sqlStr(fmtTs(sn.latestTrade.timeUs))}, " +
+        s"${fmtD(sn.latestTrade.price)}, ${sn.latestTrade.size}, " +
+        s"${sqlStr(fmtTs(sn.latestQuote.timeUs))}, ${fmtD(sn.latestQuote.bidPrice)}, " +
+        s"${sn.latestQuote.bidSize}, ${fmtD(sn.latestQuote.askPrice)}, " +
+        s"${sn.latestQuote.askSize}, ${sqlStr(fmtTs(sn.minuteBar.timeUs))}, " +
+        s"${fmtD(sn.minuteBar.close)}, ${sn.minuteBar.volume}, " +
+        s"${sqlStr(fmtTs(sn.dailyBar.timeUs))}, ${fmtD(sn.dailyBar.open)}, " +
+        s"${fmtD(sn.dailyBar.high)}, ${fmtD(sn.dailyBar.low)}, " +
+        s"${fmtD(sn.dailyBar.close)}, ${sn.dailyBar.volume}, $prev)"
+    }
+    s"""SELECT symbol, lt_time, CAST(latest_trade_price AS DOUBLE) AS latest_trade_price,
+       |  CAST(latest_trade_size AS BIGINT) AS latest_trade_size, lq_time,
+       |  CAST(bid_price AS DOUBLE) AS bid_price, CAST(bid_size AS BIGINT) AS bid_size,
+       |  CAST(ask_price AS DOUBLE) AS ask_price, CAST(ask_size AS BIGINT) AS ask_size,
+       |  mb_time, CAST(minute_close AS DOUBLE) AS minute_close,
+       |  CAST(minute_volume AS BIGINT) AS minute_volume, db_time,
+       |  CAST(daily_open AS DOUBLE) AS daily_open, CAST(daily_high AS DOUBLE) AS daily_high,
+       |  CAST(daily_low AS DOUBLE) AS daily_low, CAST(daily_close AS DOUBLE) AS daily_close,
+       |  CAST(daily_volume AS BIGINT) AS daily_volume,
+       |  CAST(prev_daily_close AS DOUBLE) AS prev_daily_close
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, lt_time, latest_trade_price, latest_trade_size, lq_time,
+       |    bid_price, bid_size, ask_price, ask_size, mb_time, minute_close,
+       |    minute_volume, db_time, daily_open, daily_high, daily_low, daily_close,
+       |    daily_volume, prev_daily_close)
+       |ORDER BY symbol""".stripMargin
+  }
+
   // ------------------------------------------------------------- auctions
   /** 12 days: covers the fixture's full %3 (reopening prints) × %4
     * (no closing auction) × %5 (halted open) cycle, so every record
@@ -1614,6 +1670,7 @@ object AlpacaQueries {
     "alpaca_bars_throughput" -> ((barsThroughput _, barsThroughputSql)),
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
     "alpaca_auctions_scan" -> ((auctionsScan _, auctionsScanSql)),
+    "alpaca_snapshot_scan" -> ((snapshotScan _, snapshotScanSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),

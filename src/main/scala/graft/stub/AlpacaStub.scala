@@ -300,6 +300,33 @@ object AlpacaFixtures {
     }.toSeq
   }
 
+  /** The stub's frozen "now" for point-in-time snapshots: midnight
+    * 2021-01-05Z, one day into the standard fixture ranges — every
+    * section derives from the SAME walk the row-stream fixtures use,
+    * so snapshot values cross-check against trades/quotes/bars scans. */
+  val SnapshotAsofUs: Long = 1609804800000000L // 2021-01-05T00:00:00Z
+  val MinuteUs: Long = 60L * Micros
+
+  case class Snapshot(symbol: String, latestTrade: Trade,
+      latestQuote: StockQuote, minuteBar: Bar, dailyBar: Bar,
+      prevDailyBar: Option[Bar])
+
+  /** Latest trade/quote = last fixture record before asof; minute bar
+    * = the asof-preceding minute; daily = the completed asof-preceding
+    * day. Symbols with hash % 3 == 0 have NO prevDailyBar (the
+    * new-listing shape — exercises the absent-section null path). */
+  def snapshot(symbol: String): Snapshot = {
+    val asof = SnapshotAsofUs
+    Snapshot(symbol,
+      latestTrade = trades(symbol, asof - DayUs, asof).last,
+      latestQuote = stockQuotes(symbol, asof - DayUs, asof).last,
+      minuteBar = barAt(symbol, asof - MinuteUs, MinuteUs),
+      dailyBar = barAt(symbol, asof - DayUs, DayUs),
+      prevDailyBar =
+        if (math.abs(symbol.hashCode) % 3 == 0) None
+        else Some(barAt(symbol, asof - 2 * DayUs, DayUs)))
+  }
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -698,6 +725,23 @@ object AlpacaStubServer {
     }))
     server.createContext("/v1beta1/news",
       (ex: HttpExchange) => handle(ex, newsHandler))
+    // snapshots: BARE symbol-keyed envelope — symbols are the
+    // TOP-LEVEL fields (the real multi-symbol response shape), each
+    // mapping to one nested object record; no pagination
+    server.createContext("/v2/stocks/snapshots", (ex: HttpExchange) => handle(ex, { params =>
+      val syms = q(params, "symbols").split(',').map(_.trim).filter(_.nonEmpty)
+        .toSeq.sorted
+      val body = syms.map { s =>
+        val sn = snapshot(s)
+        val prev = sn.prevDailyBar
+          .map(b => s""", "prevDailyBar": ${barJson(b)}""").getOrElse("")
+        s"""${jsonStr(s)}: {"latestTrade": ${tradeJson(sn.latestTrade)}, """ +
+          s""""latestQuote": ${stockQuoteJson(sn.latestQuote)}, """ +
+          s""""minuteBar": ${barJson(sn.minuteBar)}, """ +
+          s""""dailyBar": ${barJson(sn.dailyBar)}$prev}"""
+      }.mkString(",")
+      (200, s"{$body}")
+    }))
     // meta dimension endpoints: BARE-object bodies (no envelope key,
     // no pagination) — codes match the trade/quote fixture cycles so
     // enrichment joins decode every fixture row

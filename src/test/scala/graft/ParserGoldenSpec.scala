@@ -197,4 +197,29 @@ class ParserGoldenSpec extends AnyFunSuite {
       AuctionParser.parseMulti("AAPL", js("""{"o": []}"""))
     }
   }
+
+  test("snapshot record: nested sections flatten to one wide row; absent section nulls") {
+    import graft.core.SnapshotParser
+    val row = SnapshotParser.parse("AAPL", js(
+      """{"latestTrade": {"t": "2021-01-04T23:50:00Z", "x": "V", "p": 131.25, "s": 400, "c": ["@"], "i": 99, "z": "C"},
+        |"latestQuote": {"t": "2021-01-04T23:57:00Z", "ax": "Q", "ap": 131.5, "as": 300, "bx": "N", "bp": 131.0, "bs": 200, "c": ["R"], "z": "C"},
+        |"minuteBar": {"t": "2021-01-04T23:59:00Z", "o": 131.0, "h": 131.5, "l": 130.75, "c": 131.25, "v": 5000, "n": 42, "vw": 131.1},
+        |"dailyBar": {"t": "2021-01-04T00:00:00Z", "o": 130.0, "h": 132.0, "l": 129.5, "c": 131.25, "v": 900000, "n": 7000, "vw": 130.9}}""".stripMargin))
+    assert(row.getUTF8String(0).toString == "AAPL")
+    assert(row.getDouble(2) == 131.25 && row.getLong(3) == 400L)
+    assert(row.getDouble(5) == 131.0 && row.getLong(6) == 200L) // bid
+    assert(row.getDouble(7) == 131.5 && row.getLong(8) == 300L) // ask
+    assert(row.getDouble(10) == 131.25 && row.getLong(11) == 5000L)
+    assert(row.getDouble(13) == 130.0 && row.getDouble(16) == 131.25)
+    assert(row.isNullAt(18)) // no prevDailyBar -> null close
+  }
+
+  test("snapshot malformed section fails the record; absent sections do not") {
+    import graft.core.SnapshotParser
+    intercept[IllegalArgumentException] { // present but broken latestTrade
+      SnapshotParser.parse("AAPL", js("""{"latestTrade": {"t": "2021-01-04T23:50:00Z"}}"""))
+    }
+    val empty = SnapshotParser.parse("AAPL", js("""{}"""))
+    (1 to 18).foreach(i => assert(empty.isNullAt(i)))
+  }
 }
