@@ -1144,6 +1144,41 @@ object AlpacaQueries {
        |  AS v(symbol, auction_day, auction_type, print_time, exchange, price, size, condition)
        |ORDER BY symbol, auction_day, auction_type, print_time""".stripMargin
 
+  /** Live E4 fan-out skip: the stub corrupts each request's first
+    * opens-bearing daily record (one print missing its price), so the
+    * parser must drop that ENTIRE day atomically — no half-parsed
+    * fan-out — while every record behind it survives. With 1-day
+    * partitions every opens-bearing day is "first" in its own
+    * request, so the surviving rows are exactly the closes of the
+    * opens-less days — derived from the fixture, not hand-listed. */
+  def auctionsMalformedSkip(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Stocks_Auctions")
+      .options(baseOptions("MALFORMED") ++ Map(
+        "start" -> aucStart, "end" -> aucEnd))
+      .load()
+      .select(col("symbol"),
+        date_format(col("auction_date"), "yyyy-MM-dd").as("auction_day"),
+        col("auction_type"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("print_time"),
+        col("price"), col("size"))
+      .orderBy(col("auction_day"), col("print_time"))
+
+  def auctionsMalformedSkipSql: String = {
+    val rows = AlpacaFixtures.auctionDays("MALFORMED", us(aucStart), us(aucEnd))
+      .filter(_.opens.isEmpty) // opens-bearing days are corrupted + dropped
+      .flatMap { day =>
+        val dStr = fmtTs(day.dateUs).take(10)
+        day.closes.map(p =>
+          s"('MALFORMED', ${sqlStr(dStr)}, 'C', ${sqlStr(fmtTs(p.timeUs))}, " +
+            s"${fmtD(p.price)}, ${p.size})")
+      }
+    s"""SELECT symbol, auction_day, auction_type, print_time,
+       |  CAST(price AS DOUBLE) AS price, CAST(size AS BIGINT) AS size
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, auction_day, auction_type, print_time, price, size)
+       |ORDER BY auction_day, print_time""".stripMargin
+  }
+
   /** Official daily auction summary: the opening price is the FIRST
     * opening print (min_by time — reopenings don't overwrite it), the
     * closing price the LAST closing print; auction volume sums both
@@ -1672,6 +1707,8 @@ object AlpacaQueries {
     "alpaca_auctions_scan" -> ((auctionsScan _, auctionsScanSql)),
     "alpaca_snapshot_scan" -> ((snapshotScan _, snapshotScanSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
+    "alpaca_auctions_malformed_skip" ->
+      ((auctionsMalformedSkip _, auctionsMalformedSkipSql)),
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
     "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),

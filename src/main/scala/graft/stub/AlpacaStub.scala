@@ -767,10 +767,25 @@ object AlpacaStubServer {
       }))
     server.createContext("/v2/stocks/auctions", (ex: HttpExchange) => handle(ex, { params =>
       val symbol = q(params, "symbols")
+      // MALFORMED: the FIRST daily record's second print lacks its
+      // price — the fan-out parser must drop that whole day atomically
+      // (no half-day of prints) and keep every later record
+      val render: AuctionDay => String =
+        if (symbol == "MALFORMED") {
+          var first = true
+          a => {
+            val j = auctionDayJson(a)
+            if (first && a.opens.nonEmpty) {
+              first = false
+              val extra = """{"t": "2021-01-04T15:30:00Z", "x": "N", "s": 1}"""
+              j.replaceFirst("""\"o\": \[""", s""""o": [$extra, """)
+            } else j
+          }
+        } else auctionDayJson
       // pagination counts DAILY records (the API's unit), not prints
       (200, envelope("auctions", symbol,
         s => auctionDays(s, isoToUs(q(params, "start")), isoToUs(q(params, "end"))),
-        auctionDayJson, params.get("limit").map(_.toInt).getOrElse(10000),
+        render, params.get("limit").map(_.toInt).getOrElse(10000),
         q(params, "page_token"), params.getOrElse("sort", "asc")))
     }))
     server.createContext("/v2/stocks/corporate_actions", (ex: HttpExchange) => handle(ex, { params =>
