@@ -350,6 +350,33 @@ object StockSnapshotsDef extends AlpacaSourceDef {
       params: Map[String, String]): Option[Long] = Some(1L)
 }
 
+/** Latest crypto orderbooks — format "Alpaca_Crypto_Orderbooks"
+  * (`/v1beta3/crypto/us/latest/orderbooks`; completes the crypto
+  * family with the DEPTH data type). Combines the two newest
+  * connector paths: a timeless point-in-time fetch (like snapshots)
+  * whose keyed-envelope record is an OBJECT that fans out (like
+  * auctions) — one row per depth level per side, array order
+  * preserved (the venue's price priority). Depth is bounded by the
+  * venue's book-levels cap, so rows/symbol is a small constant. */
+object CryptoOrderbooksDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Crypto_Orderbooks"
+  override val pathElements = Seq("crypto", "us", "latest", "orderbooks")
+  override val apiVersion = "v1beta3"
+  override val dataKey = "orderbooks"
+  override def schema: StructType = Schemas.orderbooks
+  override def parser: RecordParser = OrderbookParser
+  override def timeless: Boolean = true
+  override def timeColumn: Option[String] = None
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true))
+
+  /** ≤ ~2 × max book depth (both sides); venues cap depth well under
+    * this. */
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] = Some(100L)
+}
+
 /** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
   * twin — the public API's TEXT endpoint, and the bridge from the
   * market-data connector to the text-curation operator family). The
@@ -448,3 +475,4 @@ class CorporateActionsDataSource extends AlpacaTableProvider(CorporateActionsDef
 class NewsDataSource extends AlpacaTableProvider(NewsDef)
 class StockAuctionsDataSource extends AlpacaTableProvider(StockAuctionsDef)
 class StockSnapshotsDataSource extends AlpacaTableProvider(StockSnapshotsDef)
+class CryptoOrderbooksDataSource extends AlpacaTableProvider(CryptoOrderbooksDef)

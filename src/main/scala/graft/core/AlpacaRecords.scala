@@ -103,6 +103,14 @@ object Schemas {
       "daily_bar_time TIMESTAMP, daily_open DOUBLE, daily_high DOUBLE, " +
       "daily_low DOUBLE, daily_close DOUBLE, daily_volume BIGINT, " +
       "prev_daily_close DOUBLE")
+
+  /** Crypto latest-orderbook depth levels (v1beta3
+    * `/crypto/us/latest/orderbooks`): one row per level per side,
+    * `level` 1-based from the top of book in the venue's own order.
+    * All prices/sizes DOUBLE (fractional coin sizes). */
+  val orderbooks: StructType = StructType.fromDDL(
+    "symbol STRING, time TIMESTAMP, side STRING, level INT, " +
+      "price DOUBLE, size DOUBLE")
 }
 
 /** Per-record projection of an API JSON object into an InternalRow
@@ -1131,5 +1139,52 @@ object SnapshotParser extends RecordParser {
       ts(mb), d(mb, "c"), l(mb, "v"),
       ts(db), d(db, "o"), d(db, "h"), d(db, "l"), d(db, "c"), l(db, "v"),
       d(pd, "c"))
+  }
+}
+
+/** Latest-orderbook record (v1beta3 `/crypto/us/latest/orderbooks`):
+  * the symbol's OBJECT value carries `t` and two arrays of
+  * `{p, s}` depth levels; flattened to one row per level with the
+  * 1-based position from the top of book — the second fan-out record
+  * shape after auctions, and like them the whole record validates
+  * before the first row is emitted (atomic E4 skip). Either side may
+  * be absent or empty (one-sided books happen around halts); levels
+  * keep ARRAY ORDER (the venue's price-priority order) rather than
+  * re-sorting client-side. */
+object OrderbookParser extends RecordParser {
+  override val schema: StructType = Schemas.orderbooks
+
+  private def levelRows(symbol: String, timeUs: Long, side: String,
+      arr: JsonNode, out: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {
+    if (arr == null || arr.isNull) return
+    if (!arr.isArray)
+      throw new IllegalArgumentException(s"orderbook '$side' is not an array")
+    val it = arr.elements()
+    var level = 1
+    while (it.hasNext) {
+      val p = it.next()
+      out += InternalRow(
+        utf8(symbol), timeUs, utf8(side), level, dbl(p, "p"), dbl(p, "s"))
+      level += 1
+    }
+  }
+
+  def parseMulti(symbol: String, rec: JsonNode): Seq[InternalRow] = {
+    val timeUs = isoMicros(rec, "t")
+    val rows = new scala.collection.mutable.ArrayBuffer[InternalRow](16)
+    levelRows(symbol, timeUs, "B", rec.get("b"), rows)
+    levelRows(symbol, timeUs, "A", rec.get("a"), rows)
+    rows.toSeq
+  }
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow =
+    throw new UnsupportedOperationException(
+      "OrderbookParser is multi-row; use parseStreamMulti")
+
+  override def parseStreamMulti(symbol: String,
+      jp: com.fasterxml.jackson.core.JsonParser,
+      out: InternalRow => Unit): Unit = {
+    val node = jp.readValueAsTree[JsonNode]()
+    parseMulti(symbol, node).foreach(out)
   }
 }

@@ -1038,6 +1038,90 @@ object AlpacaQueries {
        |ORDER BY code""".stripMargin
   }
 
+  // ----------------------------------------------------------- orderbooks
+  /** BTC thin asks (3 levels), ETH full book, GRT one-sided (no bids
+    * — the absent-array path live): the three book shapes in one
+    * scan. */
+  private val obSymbols = Seq("BTC/USD", "ETH/USD", "GRT/USD")
+
+  private def orderbookDf(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Crypto_Orderbooks")
+      .options(baseOptions(obSymbols: _*))
+      .load()
+
+  def orderbookScan(spark: SparkSession, dir: String): DataFrame =
+    orderbookDf(spark)
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("book_time"),
+        col("side"), col("level"), col("price"), col("size"))
+      .orderBy(col("symbol"), col("side"), col("level"))
+
+  private def orderbookValues: String =
+    obSymbols.sorted.flatMap { s =>
+      val ob = AlpacaFixtures.orderbook(s)
+      val t = fmtTs(ob.timeUs)
+      ob.bids.zipWithIndex.map { case (l, i) =>
+        s"(${sqlStr(s)}, ${sqlStr(t)}, 'B', ${i + 1}, ${fmtD(l.price)}, ${fmtD(l.size)})"
+      } ++ ob.asks.zipWithIndex.map { case (l, i) =>
+        s"(${sqlStr(s)}, ${sqlStr(t)}, 'A', ${i + 1}, ${fmtD(l.price)}, ${fmtD(l.size)})"
+      }
+    }.mkString(",\n  ")
+
+  def orderbookScanSql: String =
+    s"""SELECT symbol, book_time, side, CAST(level AS INT) AS level,
+       |  CAST(price AS DOUBLE) AS price, CAST(size AS DOUBLE) AS size
+       |FROM (VALUES $orderbookValues)
+       |  AS v(symbol, book_time, side, level, price, size)
+       |ORDER BY symbol, side, level""".stripMargin
+
+  /** Top-of-book microstructure from the depth levels, one
+    * partial-aggregable pass per symbol: best bid/ask (FILTERed
+    * max/min), sizes AT the best (max_by/min_by on price), total
+    * depth per side, the depth imbalance (bid−ask)/(bid+ask) and the
+    * size-weighted microprice. A one-sided book (GRT: no bids) yields
+    * NULL best_bid/imbalance/microprice in BOTH engines — empty
+    * FILTERed aggregates are NULL, and the honest answer for a halted
+    * side is no number at all. All prices/sizes sit on the 0.25 grid
+    * so every product/sum is exact; the two divisions are single IEEE
+    * ops on identical operands. */
+  def orderbookImbalance(spark: SparkSession, dir: String): DataFrame =
+    orderbookDf(spark)
+      .groupBy(col("symbol"))
+      .agg(
+        expr("max(price) FILTER (WHERE side = 'B')").as("best_bid"),
+        expr("min(price) FILTER (WHERE side = 'A')").as("best_ask"),
+        expr("max_by(size, price) FILTER (WHERE side = 'B')").as("bid1_size"),
+        expr("min_by(size, price) FILTER (WHERE side = 'A')").as("ask1_size"),
+        expr("sum(size) FILTER (WHERE side = 'B')").as("bid_depth"),
+        expr("sum(size) FILTER (WHERE side = 'A')").as("ask_depth"),
+        count(lit(1)).as("n_levels"))
+      .withColumn("imbalance",
+        (col("bid_depth") - col("ask_depth")) /
+          (col("bid_depth") + col("ask_depth")))
+      .withColumn("microprice",
+        (col("best_bid") * col("ask1_size") + col("best_ask") * col("bid1_size")) /
+          (col("bid1_size") + col("ask1_size")))
+      .orderBy(col("symbol"))
+
+  def orderbookImbalanceSql: String =
+    s"""SELECT symbol,
+       |  CAST(max(price) FILTER (WHERE side = 'B') AS DOUBLE) AS best_bid,
+       |  CAST(min(price) FILTER (WHERE side = 'A') AS DOUBLE) AS best_ask,
+       |  CAST(max_by(size, price) FILTER (WHERE side = 'B') AS DOUBLE) AS bid1_size,
+       |  CAST(min_by(size, price) FILTER (WHERE side = 'A') AS DOUBLE) AS ask1_size,
+       |  CAST(sum(size) FILTER (WHERE side = 'B') AS DOUBLE) AS bid_depth,
+       |  CAST(sum(size) FILTER (WHERE side = 'A') AS DOUBLE) AS ask_depth,
+       |  CAST(count(*) AS BIGINT) AS n_levels,
+       |  CAST((sum(size) FILTER (WHERE side = 'B') - sum(size) FILTER (WHERE side = 'A')) /
+       |    (sum(size) FILTER (WHERE side = 'B') + sum(size) FILTER (WHERE side = 'A')) AS DOUBLE) AS imbalance,
+       |  CAST((max(price) FILTER (WHERE side = 'B') * min_by(size, price) FILTER (WHERE side = 'A') +
+       |    min(price) FILTER (WHERE side = 'A') * max_by(size, price) FILTER (WHERE side = 'B')) /
+       |    (max_by(size, price) FILTER (WHERE side = 'B') + min_by(size, price) FILTER (WHERE side = 'A')) AS DOUBLE) AS microprice
+       |FROM (VALUES $orderbookValues)
+       |  AS v(symbol, book_time, side, level, price, size)
+       |GROUP BY symbol
+       |ORDER BY symbol""".stripMargin
+
   // ------------------------------------------------------------ snapshots
   /** Point-in-time snapshot scan: one wide row per symbol from the
     * bare symbol-keyed envelope (nested object record, no time grid —
@@ -1209,6 +1293,48 @@ object AlpacaQueries {
        |FROM (VALUES $auctionValues)
        |  AS v(symbol, auction_day, auction_type, print_time, exchange, price, size, condition)
        |GROUP BY symbol, auction_day
+       |ORDER BY symbol, auction_day""".stripMargin
+
+  /** Overnight-gap decomposition — the close-auction → next
+    * open-auction return split every overnight-risk model starts
+    * from: per (symbol, day), official open/close from the auction
+    * prints (same FILTERed min_by/max_by as the summary gate), then
+    * one lag() window per symbol splits each day's move into the
+    * overnight gap (prev close → today's open) and the intraday move
+    * (open → close), in exact cents. The window runs over the
+    * ALREADY-AGGREGATED |symbol-days| rows — never over prints — and
+    * half-days (no close) yield NULL gaps downstream, the honest
+    * answer. */
+  def auctionOvernightGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol")).orderBy(col("auction_day"))
+    auctionsDf(spark)
+      .groupBy(col("symbol"),
+        date_format(col("auction_date"), "yyyy-MM-dd").as("auction_day"))
+      .agg(
+        expr("min_by(price, time) FILTER (WHERE auction_type = 'O')").as("open_px"),
+        expr("max_by(price, time) FILTER (WHERE auction_type = 'C')").as("close_px"))
+      .withColumn("prev_close", lag(col("close_px"), 1).over(w))
+      .withColumn("overnight_gap_cents",
+        ((col("open_px") - col("prev_close")) * 100).cast("bigint"))
+      .withColumn("intraday_move_cents",
+        ((col("close_px") - col("open_px")) * 100).cast("bigint"))
+      .orderBy(col("symbol"), col("auction_day"))
+  }
+
+  def auctionOvernightGapSql: String =
+    s"""WITH daily AS (
+       |  SELECT symbol, auction_day,
+       |    min_by(CAST(price AS DOUBLE), print_time) FILTER (WHERE auction_type = 'O') AS open_px,
+       |    max_by(CAST(price AS DOUBLE), print_time) FILTER (WHERE auction_type = 'C') AS close_px
+       |  FROM (VALUES $auctionValues)
+       |    AS v(symbol, auction_day, auction_type, print_time, exchange, price, size, condition)
+       |  GROUP BY symbol, auction_day)
+       |SELECT symbol, auction_day, open_px, close_px,
+       |  LAG(close_px, 1) OVER (PARTITION BY symbol ORDER BY auction_day) AS prev_close,
+       |  CAST((open_px - LAG(close_px, 1) OVER (PARTITION BY symbol ORDER BY auction_day)) * 100 AS BIGINT) AS overnight_gap_cents,
+       |  CAST((close_px - open_px) * 100 AS BIGINT) AS intraday_move_cents
+       |FROM daily
        |ORDER BY symbol, auction_day""".stripMargin
 
   /** NBBO consolidation — the consolidated-tape computation: at each
@@ -1706,9 +1832,12 @@ object AlpacaQueries {
     "alpaca_corp_actions_scan" -> ((corpActionsScan _, corpActionsScanSql)),
     "alpaca_auctions_scan" -> ((auctionsScan _, auctionsScanSql)),
     "alpaca_snapshot_scan" -> ((snapshotScan _, snapshotScanSql)),
+    "alpaca_crypto_orderbook_scan" -> ((orderbookScan _, orderbookScanSql)),
+    "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->
       ((auctionsMalformedSkip _, auctionsMalformedSkipSql)),
+    "alpaca_overnight_gap" -> ((auctionOvernightGap _, auctionOvernightGapSql)),
     "alpaca_split_adjusted" -> ((splitAdjusted _, splitAdjustedSql)),
     "alpaca_bars_gapfill" -> ((barsGapfill _, barsGapfillSql)),
     "alpaca_tick_rule" -> ((tickRule _, tickRuleSql)),

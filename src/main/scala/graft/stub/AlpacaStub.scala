@@ -327,6 +327,31 @@ object AlpacaFixtures {
         else Some(barAt(symbol, asof - 2 * DayUs, DayUs)))
   }
 
+  case class BookLevel(price: Double, size: Double)
+  case class Orderbook(symbol: String, timeUs: Long,
+      bids: Seq[BookLevel], asks: Seq[BookLevel])
+
+  /** Latest orderbook at the snapshot asof: 5 bid / 5 ask levels on
+    * the 0.25 grid around the crypto mid, sizes varying per level so
+    * the imbalance is non-trivial. Symbols with hash % 3 == 0 carry a
+    * 3-level ask side only at the top (thin-book shape); hash % 5 == 0
+    * has NO bids at all (one-sided book around a halt — exercises the
+    * absent-array path live). */
+  def orderbook(symbol: String): Orderbook = {
+    val t = SnapshotAsofUs
+    val i = t / (120L * Micros)
+    val mid = symBase(symbol) * 100.0 + (i % 64) * 0.25
+    val h = math.abs(symbol.hashCode)
+    val askDepth = if (h % 3 == 0) 3 else 5
+    val bids =
+      if (h % 5 == 0) Seq.empty
+      else (1 to 5).map(k =>
+        BookLevel(mid - 0.25 * k, 0.25 + 0.25 * ((k + h) % 8)))
+    val asks = (1 to askDepth).map(k =>
+      BookLevel(mid + 0.25 * k, 0.5 + 0.25 * ((k + 2 * h) % 6)))
+    Orderbook(symbol, t, bids, asks)
+  }
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -725,6 +750,24 @@ object AlpacaStubServer {
     }))
     server.createContext("/v1beta1/news",
       (ex: HttpExchange) => handle(ex, newsHandler))
+    // latest orderbooks: keyed envelope whose per-symbol value is an
+    // OBJECT with nested depth-level arrays; no pagination
+    server.createContext("/v1beta3/crypto/us/latest/orderbooks",
+      (ex: HttpExchange) => handle(ex, { params =>
+        val syms = q(params, "symbols").split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.sorted
+        def lvl(l: BookLevel) = s"""{"p": ${fmtD(l.price)}, "s": ${fmtD(l.size)}}"""
+        val body = syms.map { s =>
+          val ob = orderbook(s)
+          // empty bid side omits the `b` key (the one-sided shape)
+          val b =
+            if (ob.bids.isEmpty) ""
+            else s""""b": [${ob.bids.map(lvl).mkString(",")}], """
+          s"""${jsonStr(s)}: {"t": ${jsonStr(AlpacaOptions.microsToIso(ob.timeUs))}, """ +
+            s"""$b"a": [${ob.asks.map(lvl).mkString(",")}]}"""
+        }.mkString(",")
+        (200, s"""{"orderbooks": {$body}}""")
+      }))
     // snapshots: BARE symbol-keyed envelope — symbols are the
     // TOP-LEVEL fields (the real multi-symbol response shape), each
     // mapping to one nested object record; no pagination
