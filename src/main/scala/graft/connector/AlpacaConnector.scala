@@ -439,8 +439,12 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
       case Some(n) if n < cfg.limit => cfg.copy(limit = math.max(1, n))
       case _ => cfg
     }
+    // timeless sources answer with OBJECT records (one per symbol) —
+    // the vectorized walker is array-envelope-only, and at one row per
+    // symbol a ColumnarBatch buys nothing anyway: stay row-based
     new AlpacaReaderFactory(effectiveCfg, sourceDef.versionedPath,
-      sourceDef.dataKey, sourceDef.parser, outSchema, limitOpt)
+      sourceDef.dataKey, sourceDef.parser, outSchema, limitOpt,
+      columnar = !sourceDef.timeless)
   }
 }
 

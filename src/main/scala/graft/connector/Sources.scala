@@ -377,6 +377,47 @@ object CryptoOrderbooksDef extends AlpacaSourceDef {
       params: Map[String, String]): Option[Long] = Some(100L)
 }
 
+/** Latest-record family (`/v2/stocks/{trades,quotes,bars}/latest`):
+  * the point-in-time twin of each row-stream source — same schema,
+  * same parser, but the keyed envelope maps each symbol to ONE object
+  * record (the object-record walker branch) and the fetch is
+  * timeless. One row per symbol, statistics say so, so a
+  * latest-price join side always broadcasts. */
+trait LatestSourceDef extends AlpacaSourceDef {
+  override def timeless: Boolean = true
+  override def timeColumn: Option[String] = None
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("feed", required = false),
+    ApiParam("currency", required = false))
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] = Some(1L)
+}
+
+object LatestTradesDef extends LatestSourceDef {
+  override val shortName = "Alpaca_Stocks_Trades_Latest"
+  override val pathElements = Seq("stocks", "trades", "latest")
+  override val dataKey = "trades"
+  override def schema: StructType = Schemas.trades
+  override def parser: RecordParser = TradeParser
+}
+
+object LatestQuotesDef extends LatestSourceDef {
+  override val shortName = "Alpaca_Stocks_Quotes_Latest"
+  override val pathElements = Seq("stocks", "quotes", "latest")
+  override val dataKey = "quotes"
+  override def schema: StructType = Schemas.stockQuotes
+  override def parser: RecordParser = StockQuoteParser
+}
+
+object LatestBarsDef extends LatestSourceDef {
+  override val shortName = "Alpaca_Stocks_Bars_Latest"
+  override val pathElements = Seq("stocks", "bars", "latest")
+  override val dataKey = "bars"
+  override def schema: StructType = Schemas.bars
+  override def parser: RecordParser = BarParser
+}
+
 /** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
   * twin — the public API's TEXT endpoint, and the bridge from the
   * market-data connector to the text-curation operator family). The
@@ -476,3 +517,6 @@ class NewsDataSource extends AlpacaTableProvider(NewsDef)
 class StockAuctionsDataSource extends AlpacaTableProvider(StockAuctionsDef)
 class StockSnapshotsDataSource extends AlpacaTableProvider(StockSnapshotsDef)
 class CryptoOrderbooksDataSource extends AlpacaTableProvider(CryptoOrderbooksDef)
+class LatestTradesDataSource extends AlpacaTableProvider(LatestTradesDef)
+class LatestQuotesDataSource extends AlpacaTableProvider(LatestQuotesDef)
+class LatestBarsDataSource extends AlpacaTableProvider(LatestBarsDef)

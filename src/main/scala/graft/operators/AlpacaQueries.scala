@@ -1038,6 +1038,56 @@ object AlpacaQueries {
        |ORDER BY code""".stripMargin
   }
 
+  // --------------------------------------------------------- latest family
+  /** The dashboard join: latest trade ⋈ latest quote ⋈ latest minute
+    * bar per symbol, each side a timeless object-record scan
+    * reporting 1 row/symbol — the optimizer broadcasts both join
+    * sides off those statistics, no AQE needed. Output adds the
+    * spread and last-trade-vs-mid sign every monitor computes. */
+  def latestFamily(spark: SparkSession, dir: String): DataFrame = {
+    def src(fmt: String) = spark.read.format(fmt)
+      .options(baseOptions(snapSymbols: _*)).load()
+    val lt = src("Alpaca_Stocks_Trades_Latest")
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("trade_time"),
+        col("price").as("last_price"), col("size").as("last_size"))
+    val lq = src("Alpaca_Stocks_Quotes_Latest")
+      .select(col("symbol"), col("bid_price"), col("ask_price"))
+    val lb = src("Alpaca_Stocks_Bars_Latest")
+      .select(col("symbol"), col("close").as("minute_close"),
+        col("volume").as("minute_volume"))
+    lt.join(lq, Seq("symbol")).join(lb, Seq("symbol"))
+      .withColumn("spread4",
+        round((col("ask_price") - col("bid_price")) * 4).cast("bigint"))
+      .withColumn("above_mid",
+        (col("last_price") * 2 > col("bid_price") + col("ask_price")).cast("int"))
+      .orderBy(col("symbol"))
+  }
+
+  def latestFamilySql: String = {
+    val rows = snapSymbols.sorted.map { s =>
+      val sn = AlpacaFixtures.snapshot(s)
+      val spread4 = math.round((sn.latestQuote.askPrice - sn.latestQuote.bidPrice) * 4)
+      val aboveMid =
+        if (sn.latestTrade.price * 2 > sn.latestQuote.bidPrice + sn.latestQuote.askPrice) 1
+        else 0
+      s"(${sqlStr(s)}, ${sqlStr(fmtTs(sn.latestTrade.timeUs))}, " +
+        s"${fmtD(sn.latestTrade.price)}, ${sn.latestTrade.size}, " +
+        s"${fmtD(sn.latestQuote.bidPrice)}, ${fmtD(sn.latestQuote.askPrice)}, " +
+        s"${fmtD(sn.minuteBar.close)}, ${sn.minuteBar.volume}, $spread4, $aboveMid)"
+    }
+    s"""SELECT symbol, trade_time, CAST(last_price AS DOUBLE) AS last_price,
+       |  CAST(last_size AS BIGINT) AS last_size,
+       |  CAST(bid_price AS DOUBLE) AS bid_price, CAST(ask_price AS DOUBLE) AS ask_price,
+       |  CAST(minute_close AS DOUBLE) AS minute_close,
+       |  CAST(minute_volume AS BIGINT) AS minute_volume,
+       |  CAST(spread4 AS BIGINT) AS spread4, CAST(above_mid AS INT) AS above_mid
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, trade_time, last_price, last_size, bid_price, ask_price,
+       |    minute_close, minute_volume, spread4, above_mid)
+       |ORDER BY symbol""".stripMargin
+  }
+
   // ----------------------------------------------------------- orderbooks
   /** BTC thin asks (3 levels), ETH full book, GRT one-sided (no bids
     * — the absent-array path live): the three book shapes in one
@@ -1833,6 +1883,7 @@ object AlpacaQueries {
     "alpaca_auctions_scan" -> ((auctionsScan _, auctionsScanSql)),
     "alpaca_snapshot_scan" -> ((snapshotScan _, snapshotScanSql)),
     "alpaca_crypto_orderbook_scan" -> ((orderbookScan _, orderbookScanSql)),
+    "alpaca_latest_family" -> ((latestFamily _, latestFamilySql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->

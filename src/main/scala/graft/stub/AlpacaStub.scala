@@ -3,7 +3,7 @@ package graft.stub
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 
 import graft.core.{AlpacaOptions, Timeframe}
 
@@ -750,6 +750,22 @@ object AlpacaStubServer {
     }))
     server.createContext("/v1beta1/news",
       (ex: HttpExchange) => handle(ex, newsHandler))
+    // latest-record family: keyed envelope, per-symbol value is ONE
+    // object record (same record shapes as the row streams, derived
+    // from the same fixtures at the snapshot asof)
+    def latestHandler(dataKey: String, render: String => String): HttpHandler =
+      (ex: HttpExchange) => handle(ex, { params =>
+        val syms = q(params, "symbols").split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.sorted
+        val body = syms.map(s => s"${jsonStr(s)}: ${render(s)}").mkString(",")
+        (200, s"""{"$dataKey": {$body}}""")
+      })
+    server.createContext("/v2/stocks/trades/latest",
+      latestHandler("trades", s => tradeJson(snapshot(s).latestTrade)))
+    server.createContext("/v2/stocks/quotes/latest",
+      latestHandler("quotes", s => stockQuoteJson(snapshot(s).latestQuote)))
+    server.createContext("/v2/stocks/bars/latest",
+      latestHandler("bars", s => barJson(snapshot(s).minuteBar)))
     // latest orderbooks: keyed envelope whose per-symbol value is an
     // OBJECT with nested depth-level arrays; no pagination
     server.createContext("/v1beta3/crypto/us/latest/orderbooks",
