@@ -127,7 +127,11 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              "sim_kmeans", "sim_ann_recall",
              # r5: PQ encode/ADC exact-integer parity on hostile
              # embeddings (grid extremes, all-identical, negatives)
-             "sim_ann_pq"]
+             "sim_ann_pq",
+             # r7: MMR greedy — zero-norm rel is NULL (ranks last in
+             # both engines), all-identical corpora tie-break on
+             # vec_id, and a sub-k candidate set must just stop early
+             "sim_mmr_select"]
 GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES
 ALL_GATES = GATES + MM_GATES
 
