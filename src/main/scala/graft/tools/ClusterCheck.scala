@@ -60,7 +60,20 @@ object ClusterCheck {
         .selectExpr("graft_dot(array(CAST(id AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
         .selectExpr("CAST(sum(d) AS BIGINT) AS s").collect().head.getLong(0)
 
-      println(s"CLUSTER_CHECK_OK=$nBars/$nDedup/$nDot")
+      // 3b. r7 partition/reader types (timeless object-record scan,
+      //     meta dimension single-GET reader) serialize to executor
+      //     JVMs and parse there too.
+      val nSnap = spark.read.format("Alpaca_Stocks_Snapshots")
+        .options(Map(
+          "endpoint" -> graft.stub.AlpacaStubServer.endpoint,
+          "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+          "symbols" -> "['AAPL','MSFT','GOOG']")).load().count()
+      val nMeta = spark.read.format("Alpaca_Meta_Exchanges")
+        .options(Map(
+          "endpoint" -> graft.stub.AlpacaStubServer.endpoint,
+          "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s")).load().count()
+
+      println(s"CLUSTER_CHECK_OK=$nBars/$nDedup/$nDot/$nSnap/$nMeta")
 
       // 4. Gate equivalence: representative gates (covering connector,
       //    dedup band-join, as-of window, HOF similarity, projection
