@@ -47,7 +47,14 @@ class DeterminismSpec extends AnyFunSuite {
     // layout-sensitive candidates
     "alpaca_lee_ready", "alpaca_lee_ready_bucketed", "alpaca_markout",
     "alpaca_vpin", "alpaca_kyle_lambda", "alpaca_event_study",
-    "sim_ann_filtered")
+    "sim_ann_filtered",
+    // r7 continuation 6: FILTERed min_by/max_by rest on unique print
+    // instants, the MMR greedy on total (score, vec_id) tie-breaks,
+    // the corr matrix and range-vol on BIGINT moment sums + fixed
+    // IEEE tails, the imbalance on FILTERed sums of grid doubles
+    "alpaca_auction_summary", "sim_mmr_select",
+    "alpaca_feature_corr_matrix", "alpaca_range_vol",
+    "alpaca_orderbook_imbalance", "alpaca_overnight_gap")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
