@@ -412,9 +412,18 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     * pruned schema and pushed limit are threaded through so streaming
     * rows are shaped exactly like readSchema() declares. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // a timeless source has no offset axis to step along — without
+    // this a readStream would plan zero batches and idle forever,
+    // which reads as a hang, not a usage error
+    if (sourceDef.timeless)
+      throw new UnsupportedOperationException(
+        s"${sourceDef.shortName} is a point-in-time source with no time axis; " +
+          "streaming reads are not supported — use spark.read (batch) and " +
+          "re-trigger the job to poll")
     new AlpacaMicroBatchStream(sourceDef, cfg, cfg.streamStepMicros,
       outSchema, limitOpt)
+  }
 
   // cached: consulted by both Spark's planning and outputPartitioning()
   private lazy val plannedPartitions: Array[InputPartition] = {

@@ -190,4 +190,21 @@ class MicroBatchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(messages(ex).exists(_.contains("'end' is required for batch reads")),
       s"unexpected error chain: ${messages(ex)}")
   }
+
+  test("timeless source rejects readStream with a named error, not a silent idle") {
+    val ex = intercept[Throwable] {
+      spark.readStream.format("Alpaca_Stocks_Snapshots")
+        .options(Map(
+          "endpoint" -> graft.stub.AlpacaStubServer.endpoint,
+          "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+          "symbols" -> "['AAPL']")).load()
+        .writeStream.format("memory").queryName("snap_stream")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination(30000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("point-in-time source with no time axis")),
+      s"unexpected error chain: ${messages(ex)}")
+  }
 }
