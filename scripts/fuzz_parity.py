@@ -131,7 +131,11 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              # r7: MMR greedy — zero-norm rel is NULL (ranks last in
              # both engines), all-identical corpora tie-break on
              # vec_id, and a sub-k candidate set must just stop early
-             "sim_mmr_select"]
+             "sim_mmr_select",
+             # r7: the composed retrieval stacks (IVF route + ADC +
+             # re-rank; predicate inside the cell probe) on hostile
+             # embeddings and degenerate corpora
+             "sim_ann_ivfpq", "sim_ann_filtered"]
 GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES
 ALL_GATES = GATES + MM_GATES
 

@@ -1243,8 +1243,71 @@ object Microstructure {
        |ORDER BY b.symbol, b.day""".stripMargin
   }
 
+  // -------------------------------------------- implementation shortfall
+  /** Implementation shortfall vs arrival price (Perold 1988), the
+    * other half of TCA next to the markout decomposition: treat each
+    * (symbol, hour) as a parent order, take the ARRIVAL mid as the
+    * first quote mid of the hour (min_by on the unique quote
+    * instants), and charge the hour's trade VWAP against it. All
+    * integer internals — pxv8 = Σ price8·size and the arrival mid8
+    * are exact BIGINTs; vwap8 and the shortfall are a fixed two-op
+    * IEEE tail. Both sides aggregate BEFORE the join, so the join
+    * carries |symbol-hours| rows regardless of print volume, and both
+    * aggregations are partial (one symbol-clustered exchange each at
+    * 100 TB — and zero with the scan-reported partitioning). */
+  def implShortfall(spark: SparkSession, dir: String): DataFrame = {
+    val fills = lrTrades(spark)
+      .withColumn("hr", expr("t_us div 3600000000"))
+      .groupBy(col("symbol"), col("hr"))
+      .agg(count(lit(1)).as("n_fills"),
+        sum(col("size")).as("volume"),
+        sum(col("price8") * col("size")).as("pxv8"))
+    val arrivals = lrQuotes(spark)
+      .withColumn("hr", expr("t_us div 3600000000"))
+      .groupBy(col("symbol"), col("hr"))
+      .agg(expr("min_by(mid8, t_us)").as("arrival_mid8"))
+    fills.join(arrivals, Seq("symbol", "hr"))
+      .withColumn("vwap8",
+        col("pxv8").cast("double") / col("volume").cast("double"))
+      .withColumn("shortfall8", col("vwap8") - col("arrival_mid8").cast("double"))
+      .orderBy(col("symbol"), col("hr"))
+  }
+
+  /** Exact string→DOUBLE literal (bare 17-digit decimals are typed
+    * DECIMAL in DuckDB and rounded — PARITY.md §16). */
+  private def fmtDExact(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+
+  def implShortfallSql: String = {
+    val rows = msSymbols.sorted.flatMap { s =>
+      val ts = AlpacaFixtures.trades(s, us(msStart), us(quotesEnd))
+      val qs = AlpacaFixtures.stockQuotes(s, us(msStart), us(quotesEnd))
+      val arrivals = qs.groupBy(_.timeUs / Hour).map { case (hr, hq) =>
+        val first = hq.minBy(_.timeUs)
+        hr -> math.round((first.bidPrice + first.askPrice) * 4)
+      }
+      ts.groupBy(_.timeUs / Hour).toSeq.sortBy(_._1).flatMap { case (hr, ht) =>
+        arrivals.get(hr).map { mid8 =>
+          val vol = ht.map(_.size).sum
+          val pxv8 = ht.map(t => math.round(t.price * 8) * t.size).sum
+          val vwap8 = pxv8.toDouble / vol.toDouble
+          val shortfall8 = vwap8 - mid8.toDouble
+          s"(${sqlStr(s)}, $hr, ${ht.size}, $vol, $pxv8, $mid8, " +
+            s"${fmtDExact(vwap8)}, ${fmtDExact(shortfall8)})"
+        }
+      }
+    }
+    s"""SELECT symbol, CAST(hr AS BIGINT) AS hr,
+       |  CAST(n_fills AS BIGINT) AS n_fills, CAST(volume AS BIGINT) AS volume,
+       |  CAST(pxv8 AS BIGINT) AS pxv8, CAST(arrival_mid8 AS BIGINT) AS arrival_mid8,
+       |  CAST(vwap8 AS DOUBLE) AS vwap8, CAST(shortfall8 AS DOUBLE) AS shortfall8
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, hr, n_fills, volume, pxv8, arrival_mid8, vwap8, shortfall8)
+       |ORDER BY symbol, hr""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_lee_ready" -> ((leeReady _, leeReadySql)),
+    "alpaca_impl_shortfall" -> ((implShortfall _, implShortfallSql)),
     "alpaca_lee_ready_bucketed" -> ((leeReadyBucketed _, leeReadySql)),
     "alpaca_kyle_lambda" -> ((kyleLambda _, kyleLambdaSql)),
     "alpaca_vpin" -> ((vpin _, vpinSql)),
