@@ -418,6 +418,29 @@ object LatestBarsDef extends LatestSourceDef {
   override def parser: RecordParser = BarParser
 }
 
+/** Option-contract snapshots with risk metrics — format
+  * "Alpaca_Options_Snapshots" (`/v1beta1/options/snapshots`): IV +
+  * greeks + latest quote/trade per OCC symbol, the input to every
+  * vol-surface and exposure computation. Timeless keyed-object
+  * envelope like stock snapshots; one row per contract. */
+object OptionSnapshotsDef extends AlpacaSourceDef {
+  override val shortName = "Alpaca_Options_Snapshots"
+  override val pathElements = Seq("options", "snapshots")
+  override val apiVersion = "v1beta1"
+  override val dataKey = "snapshots"
+  override def schema: StructType = Schemas.optionSnapshots
+  override def parser: RecordParser = OptionSnapshotParser
+  override def timeless: Boolean = true
+  override def timeColumn: Option[String] = None
+
+  override def apiParams: Seq[ApiParam] = Seq(
+    ApiParam("symbols", required = true),
+    ApiParam("feed", required = false))
+
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] = Some(1L)
+}
+
 /** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
   * twin — the public API's TEXT endpoint, and the bridge from the
   * market-data connector to the text-curation operator family). The
@@ -520,3 +543,4 @@ class CryptoOrderbooksDataSource extends AlpacaTableProvider(CryptoOrderbooksDef
 class LatestTradesDataSource extends AlpacaTableProvider(LatestTradesDef)
 class LatestQuotesDataSource extends AlpacaTableProvider(LatestQuotesDef)
 class LatestBarsDataSource extends AlpacaTableProvider(LatestBarsDef)
+class OptionSnapshotsDataSource extends AlpacaTableProvider(OptionSnapshotsDef)

@@ -104,6 +104,17 @@ object Schemas {
       "daily_low DOUBLE, daily_close DOUBLE, daily_volume BIGINT, " +
       "prev_daily_close DOUBLE")
 
+  /** Option-contract snapshot with risk metrics (v1beta1
+    * `/options/snapshots`): per-OCC-symbol OBJECT record carrying
+    * `impliedVolatility`, a nested `greeks` object, and the latest
+    * quote/trade — flattened to one wide row. A brand-new contract
+    * has no greeks/IV yet and an untraded one no latestTrade: absent
+    * sections null their columns. */
+  val optionSnapshots: StructType = StructType.fromDDL(
+    "symbol STRING, iv DOUBLE, delta DOUBLE, gamma DOUBLE, " +
+      "theta DOUBLE, vega DOUBLE, rho DOUBLE, bid_price DOUBLE, " +
+      "ask_price DOUBLE, last_price DOUBLE, last_size BIGINT")
+
   /** Crypto latest-orderbook depth levels (v1beta3
     * `/crypto/us/latest/orderbooks`): one row per level per side,
     * `level` 1-based from the top of book in the venue's own order.
@@ -1186,5 +1197,42 @@ object OrderbookParser extends RecordParser {
       out: InternalRow => Unit): Unit = {
     val node = jp.readValueAsTree[JsonNode]()
     parseMulti(symbol, node).foreach(out)
+  }
+}
+
+/** Option-snapshot record: `impliedVolatility` scalar + nested
+  * `greeks`/`latestQuote`/`latestTrade` objects → one wide row.
+  * Absent sections are legitimate (new contracts have no greeks,
+  * untraded ones no latestTrade) and null their columns; a PRESENT
+  * section with a malformed required field fails the record (atomic
+  * E4 skip). */
+object OptionSnapshotParser extends RecordParser {
+  override val schema: StructType = Schemas.optionSnapshots
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    def section(key: String): Option[JsonNode] = {
+      val n = rec.get(key)
+      if (n == null || n.isNull) None
+      else if (!n.isObject)
+        throw new IllegalArgumentException(s"option snapshot '$key' is not an object")
+      else Some(n)
+    }
+    val greeks = section("greeks")
+    val lq = section("latestQuote")
+    val lt = section("latestTrade")
+    val ivNode = rec.get("impliedVolatility")
+    val iv: Any =
+      if (ivNode == null || ivNode.isNull) null
+      else if (ivNode.isNumber) ivNode.asDouble()
+      else throw new IllegalArgumentException("bad double in 'impliedVolatility'")
+    def d(o: Option[JsonNode], k: String): Any = o.map(dbl(_, k)).orNull
+    def l(o: Option[JsonNode], k: String): Any = o.map(lng(_, k)).orNull
+    InternalRow(
+      utf8(symbol),
+      iv,
+      d(greeks, "delta"), d(greeks, "gamma"), d(greeks, "theta"),
+      d(greeks, "vega"), d(greeks, "rho"),
+      d(lq, "bp"), d(lq, "ap"),
+      d(lt, "p"), l(lt, "s"))
   }
 }

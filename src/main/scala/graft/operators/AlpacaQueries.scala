@@ -1088,6 +1088,96 @@ object AlpacaQueries {
        |ORDER BY symbol""".stripMargin
   }
 
+  // ----------------------------------------- option snapshots / vol smile
+  /** 2 underlyings × 2 expiries × 3 strikes × C/P = 24 OCC
+    * contracts; the fixture nulls greeks/IV on "new listings" and
+    * latestTrade on untraded ones, so both absent-section paths are
+    * green in the scan. */
+  private val osContracts: Seq[String] = for {
+    u <- Seq("AAPL", "MSFT"); exp <- Seq("240119", "240216")
+    r <- Seq("C", "P"); k <- Seq(140, 150, 160)
+  } yield f"$u$exp$r${k * 1000}%08d"
+
+  private def optionSnapshotDf(spark: SparkSession): DataFrame =
+    spark.read.format("Alpaca_Options_Snapshots")
+      .options(baseOptions(osContracts: _*))
+      .load()
+
+  def optionSnapshotScan(spark: SparkSession, dir: String): DataFrame =
+    optionSnapshotDf(spark).orderBy(col("symbol"))
+
+  private def optionSnapValues: String =
+    osContracts.sorted.map { s =>
+      val o = AlpacaFixtures.optionSnapshot(s)
+      def od(v: Option[Double]) = v.map(fmtD).getOrElse("NULL")
+      // the stub omits the WHOLE greeks object on new listings
+      // (delta None), so all five greek columns are NULL together
+      def g(v: Double) = if (o.delta.isEmpty) "NULL" else fmtD(v)
+      s"(${sqlStr(s)}, ${od(o.iv)}, ${od(o.delta)}, ${g(o.gamma)}, " +
+        s"${g(o.theta)}, ${g(o.vega)}, ${g(o.rho)}, " +
+        s"${fmtD(o.bidPrice)}, ${fmtD(o.askPrice)}, ${od(o.lastPrice)}, " +
+        s"${o.lastSize.map(_.toString).getOrElse("NULL")})"
+    }.mkString(",\n  ")
+
+  def optionSnapshotScanSql: String =
+    s"""SELECT symbol, CAST(iv AS DOUBLE) AS iv, CAST(delta AS DOUBLE) AS delta,
+       |  CAST(gamma AS DOUBLE) AS gamma, CAST(theta AS DOUBLE) AS theta,
+       |  CAST(vega AS DOUBLE) AS vega, CAST(rho AS DOUBLE) AS rho,
+       |  CAST(bid_price AS DOUBLE) AS bid_price, CAST(ask_price AS DOUBLE) AS ask_price,
+       |  CAST(last_price AS DOUBLE) AS last_price, CAST(last_size AS BIGINT) AS last_size
+       |FROM (VALUES $optionSnapValues)
+       |  AS v(symbol, iv, delta, gamma, theta, vega, rho, bid_price, ask_price,
+       |    last_price, last_size)
+       |ORDER BY symbol""".stripMargin
+
+  /** Vol-smile rollup — the surface-construction aggregation: parse
+    * underlying/expiry/right/strike from the OCC tail (the codegen'd
+    * positional parse the chain gate established), drop greeks-less
+    * new listings, and aggregate per (underlying, expiry, right): IV
+    * range across strikes (the smile's width), mean IV (exact dyadic
+    * sum, one division) and the NET DELTA exposure of the slice. At a
+    * full chain (10⁵ contracts × 10³ underlyings) this is a pure
+    * partial aggregation — the shuffle carries slice rows, never
+    * contracts. */
+  def ivSmile(spark: SparkSession, dir: String): DataFrame =
+    optionSnapshotDf(spark)
+      .filter(col("iv").isNotNull)
+      .select(
+        expr("substring(symbol, 1, length(symbol) - 15)").as("underlying"),
+        to_date(expr("substring(symbol, length(symbol) - 14, 6)"), "yyMMdd")
+          .as("expiry"),
+        expr("substring(symbol, length(symbol) - 8, 1)").as("right"),
+        col("iv"), col("delta"))
+      .groupBy(col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry_d"), col("right"))
+      .agg(count(col("iv")).as("n_quoted"),
+        min(col("iv")).as("min_iv"),
+        max(col("iv")).as("max_iv"),
+        (sum(col("iv")) / count(col("iv")).cast("double")).as("mean_iv"),
+        sum(col("delta")).as("net_delta"))
+      .orderBy(col("underlying"), col("expiry_d"), col("right"))
+
+  def ivSmileSql: String =
+    s"""WITH raw AS (
+       |  SELECT symbol, CAST(iv AS DOUBLE) AS iv, CAST(delta AS DOUBLE) AS delta
+       |  FROM (VALUES $optionSnapValues)
+       |    AS v(symbol, iv, delta, gamma, theta, vega, rho, bid_price, ask_price,
+       |      last_price, last_size)
+       |  WHERE iv IS NOT NULL),
+       |parsed AS (
+       |  SELECT SUBSTR(symbol, 1, LENGTH(symbol) - 15) AS underlying,
+       |    STRPTIME(SUBSTR(symbol, LENGTH(symbol) - 14, 6), '%y%m%d') AS expiry,
+       |    SUBSTR(symbol, LENGTH(symbol) - 8, 1) AS "right", iv, delta
+       |  FROM raw)
+       |SELECT underlying, STRFTIME(expiry, '%Y-%m-%d') AS expiry_d, "right",
+       |  CAST(COUNT(iv) AS BIGINT) AS n_quoted,
+       |  CAST(MIN(iv) AS DOUBLE) AS min_iv, CAST(MAX(iv) AS DOUBLE) AS max_iv,
+       |  CAST(SUM(iv) / COUNT(iv) AS DOUBLE) AS mean_iv,
+       |  CAST(SUM(delta) AS DOUBLE) AS net_delta
+       |FROM parsed
+       |GROUP BY underlying, expiry_d, "right"
+       |ORDER BY underlying, expiry_d, "right"""".stripMargin
+
   // ----------------------------------------------------------- orderbooks
   /** BTC thin asks (3 levels), ETH full book, GRT one-sided (no bids
     * — the absent-array path live): the three book shapes in one
@@ -1884,6 +1974,8 @@ object AlpacaQueries {
     "alpaca_snapshot_scan" -> ((snapshotScan _, snapshotScanSql)),
     "alpaca_crypto_orderbook_scan" -> ((orderbookScan _, orderbookScanSql)),
     "alpaca_latest_family" -> ((latestFamily _, latestFamilySql)),
+    "alpaca_option_snapshot_scan" -> ((optionSnapshotScan _, optionSnapshotScanSql)),
+    "alpaca_iv_smile" -> ((ivSmile _, ivSmileSql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->

@@ -352,6 +352,45 @@ object AlpacaFixtures {
     Orderbook(symbol, t, bids, asks)
   }
 
+  case class OptionSnap(symbol: String, iv: Option[Double],
+      delta: Option[Double], gamma: Double, theta: Double, vega: Double,
+      rho: Double, bidPrice: Double, askPrice: Double,
+      lastPrice: Option[Double], lastSize: Option[Long])
+
+  /** Option snapshot per OCC symbol: every value a DYADIC rational
+    * (k/16, k/32, k/64, k/128 — exactly representable doubles, so
+    * sums and averages downstream stay exact) keyed off the strike
+    * and right parsed from the OCC tail. Calls carry positive delta,
+    * puts the call delta − 1 (put–call parity's delta relation) and
+    * IV rises with |strike − 150| so each expiry shows a real smile.
+    * Every 5th k has no latestTrade (untraded contract) and every 7th
+    * no greeks/IV (brand-new listing) — the absent-section paths. */
+  def optionSnapshot(occ: String): OptionSnap = {
+    val right = occ.charAt(occ.length - 9)
+    val strike1000 = occ.takeRight(8).toLong
+    val strike = strike1000 / 1000
+    val k = strike / 10 + (if (right == 'C') 0 else 7) +
+      (math.abs(occ.hashCode) % 4)
+    val newListing = k % 7 == 0
+    val untraded = k % 5 == 0
+    val smile = math.abs(strike - 150) / 10 // 0,1,2 for 140/150/160
+    val iv = (16 + 4 * smile + (k % 8)) / 64.0
+    val callDelta = ((k % 15) + 1) / 16.0
+    val premium = 2.0 + (k % 16) * 0.25
+    OptionSnap(occ,
+      iv = if (newListing) None else Some(iv),
+      delta = if (newListing) None
+        else Some(if (right == 'C') callDelta else callDelta - 1.0),
+      gamma = ((k % 10) + 1) / 128.0,
+      theta = -(((k % 12) + 1) / 64.0),
+      vega = ((k % 9) + 1) / 32.0,
+      rho = (if (right == 'C') 1 else -1) * ((k % 6) + 1) / 64.0,
+      bidPrice = premium - 0.25,
+      askPrice = premium + 0.25,
+      lastPrice = if (untraded) None else Some(premium),
+      lastSize = if (untraded) None else Some(1L + k % 20))
+  }
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -766,6 +805,26 @@ object AlpacaStubServer {
       latestHandler("quotes", s => stockQuoteJson(snapshot(s).latestQuote)))
     server.createContext("/v2/stocks/bars/latest",
       latestHandler("bars", s => barJson(snapshot(s).minuteBar)))
+    // option snapshots: keyed object records with IV + nested greeks;
+    // new listings omit greeks/impliedVolatility, untraded contracts
+    // omit latestTrade
+    server.createContext("/v1beta1/options/snapshots",
+      (ex: HttpExchange) => handle(ex, { params =>
+        val syms = q(params, "symbols").split(',').map(_.trim).filter(_.nonEmpty)
+          .toSeq.sorted
+        val body = syms.map { s =>
+          val o = optionSnapshot(s)
+          val greeks = o.delta.map(d =>
+            s""""greeks": {"delta": ${fmtD(d)}, "gamma": ${fmtD(o.gamma)}, """ +
+              s""""theta": ${fmtD(o.theta)}, "vega": ${fmtD(o.vega)}, """ +
+              s""""rho": ${fmtD(o.rho)}}, """).getOrElse("")
+          val iv = o.iv.map(v => s""""impliedVolatility": ${fmtD(v)}, """).getOrElse("")
+          val lt = o.lastPrice.map(p =>
+            s""", "latestTrade": {"p": ${fmtD(p)}, "s": ${o.lastSize.get}}""").getOrElse("")
+          s"""${jsonStr(s)}: {$greeks$iv"latestQuote": {"bp": ${fmtD(o.bidPrice)}, "ap": ${fmtD(o.askPrice)}}$lt}"""
+        }.mkString(",")
+        (200, s"""{"snapshots": {$body}}""")
+      }))
     // latest orderbooks: keyed envelope whose per-symbol value is an
     // OBJECT with nested depth-level arrays; no pagination
     server.createContext("/v1beta3/crypto/us/latest/orderbooks",
