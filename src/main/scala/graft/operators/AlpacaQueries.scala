@@ -1178,6 +1178,55 @@ object AlpacaQueries {
        |GROUP BY underlying, expiry_d, "right"
        |ORDER BY underlying, expiry_d, "right"""".stripMargin
 
+  /** Put–call delta parity audit: Δ_C − Δ_P = 1 for same
+    * (underlying, expiry, strike) under put–call parity — the
+    * deviation is the desk's consistency check on a vendor's greeks.
+    * One FILTERed-aggregate pass pivots each contract pair's deltas
+    * (every group holds exactly one call and one put); a side whose
+    * greeks are missing (new listing) yields a NULL gap — flagged,
+    * not guessed. Deltas are exact dyadics so the gap arithmetic is
+    * exact. */
+  def putCallParity(spark: SparkSession, dir: String): DataFrame =
+    optionSnapshotDf(spark)
+      .select(
+        expr("substring(symbol, 1, length(symbol) - 15)").as("underlying"),
+        to_date(expr("substring(symbol, length(symbol) - 14, 6)"), "yyMMdd")
+          .as("expiry"),
+        expr("substring(symbol, length(symbol) - 8, 1)").as("right"),
+        (expr("cast(substring(symbol, length(symbol) - 7, 8) AS BIGINT)") / 1000.0)
+          .as("strike"),
+        col("delta"))
+      .groupBy(col("underlying"),
+        date_format(col("expiry"), "yyyy-MM-dd").as("expiry_d"), col("strike"))
+      .agg(
+        expr("max(delta) FILTER (WHERE right = 'C')").as("call_delta"),
+        expr("max(delta) FILTER (WHERE right = 'P')").as("put_delta"))
+      .withColumn("parity_gap",
+        col("call_delta") - col("put_delta") - lit(1.0))
+      .orderBy(col("underlying"), col("expiry_d"), col("strike"))
+
+  def putCallParitySql: String =
+    s"""WITH raw AS (
+       |  SELECT symbol, CAST(delta AS DOUBLE) AS delta
+       |  FROM (VALUES $optionSnapValues)
+       |    AS v(symbol, iv, delta, gamma, theta, vega, rho, bid_price, ask_price,
+       |      last_price, last_size)),
+       |parsed AS (
+       |  SELECT SUBSTR(symbol, 1, LENGTH(symbol) - 15) AS underlying,
+       |    STRFTIME(STRPTIME(SUBSTR(symbol, LENGTH(symbol) - 14, 6), '%y%m%d'), '%Y-%m-%d') AS expiry_d,
+       |    SUBSTR(symbol, LENGTH(symbol) - 8, 1) AS "right",
+       |    CAST(SUBSTR(symbol, LENGTH(symbol) - 7, 8) AS BIGINT) / 1000.0 AS strike,
+       |    delta
+       |  FROM raw)
+       |SELECT underlying, expiry_d, CAST(strike AS DOUBLE) AS strike,
+       |  CAST(max(delta) FILTER (WHERE "right" = 'C') AS DOUBLE) AS call_delta,
+       |  CAST(max(delta) FILTER (WHERE "right" = 'P') AS DOUBLE) AS put_delta,
+       |  CAST(max(delta) FILTER (WHERE "right" = 'C') -
+       |    max(delta) FILTER (WHERE "right" = 'P') - 1.0 AS DOUBLE) AS parity_gap
+       |FROM parsed
+       |GROUP BY underlying, expiry_d, strike
+       |ORDER BY underlying, expiry_d, strike""".stripMargin
+
   // ----------------------------------------------------------- orderbooks
   /** BTC thin asks (3 levels), ETH full book, GRT one-sided (no bids
     * — the absent-array path live): the three book shapes in one
@@ -1976,6 +2025,7 @@ object AlpacaQueries {
     "alpaca_latest_family" -> ((latestFamily _, latestFamilySql)),
     "alpaca_option_snapshot_scan" -> ((optionSnapshotScan _, optionSnapshotScanSql)),
     "alpaca_iv_smile" -> ((ivSmile _, ivSmileSql)),
+    "alpaca_put_call_parity" -> ((putCallParity _, putCallParitySql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->
