@@ -394,7 +394,8 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
       if (cfg.endMicros == AlpacaScanConfig.LiveEnd) None
       else sourceDef.estimatedRowsPerSymbol(cfg.startMicros, cfg.endMicros, cfg.params)
         .map { perSym =>
-          val total = perSym * math.max(0, cfg.symbols.size)
+          // market-wide (symbol-less) scans still fetch one answer
+          val total = perSym * math.max(1, cfg.symbols.size)
           limitOpt.fold(total)(l => math.min(total, l.toLong))
         }
     val rowWidth = outSchema.defaultSize.toLong
@@ -430,7 +431,11 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     if (cfg.endMicros == AlpacaScanConfig.LiveEnd)
       throw new IllegalArgumentException(
         "'end' is required for batch reads; omit it only with readStream (live mode)")
-    if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)
+    // market-wide timeless endpoints (screeners) take no symbols at
+    // all: one partition fetches the whole (bounded, top-N) answer
+    if (cfg.symbols.isEmpty && cfg.timeless)
+      Array[InputPartition](SymbolTimeRangePartition("", 0L, 0L))
+    else if (cfg.symbols.isEmpty || cfg.startMicros > cfg.endMicros)
       Array.empty
     else {
       val intervalUs = sourceDef.partitionIntervalMicros(
@@ -501,8 +506,10 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
       else Map(
         "start" -> AlpacaOptions.microsToIso(partition.startMicros),
         "end" -> AlpacaOptions.microsToIso(partition.endMicros))
-    val overridden = cfg.params ++ timeParams ++ Map(
-      "symbols" -> partition.symbol,
+    val symParam =
+      if (partition.symbol.isEmpty) Map.empty[String, String] // market-wide
+      else Map("symbols" -> partition.symbol)
+    val overridden = cfg.params ++ timeParams ++ symParam ++ Map(
       "limit" -> cfg.limit.toString)
     overridden.toSeq.sortBy(_._1)
   }

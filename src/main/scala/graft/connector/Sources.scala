@@ -441,6 +441,67 @@ object OptionSnapshotsDef extends AlpacaSourceDef {
       params: Map[String, String]): Option[Long] = Some(1L)
 }
 
+/** Screener endpoints (v1beta1 `/screener/stocks/...`): MARKET-WIDE
+  * timeless fetches — the one family that takes NO symbols at all
+  * (records carry their own), planned as a single partition. `top`
+  * bounds the answer server-side. The movers response holds TWO
+  * arrays (`gainers`/`losers`); each registers as its own source
+  * over the shared endpoint, selected by dataKey. */
+trait ScreenerSourceDef extends AlpacaSourceDef {
+  override val apiVersion = "v1beta1"
+  override def timeless: Boolean = true
+  override def timeColumn: Option[String] = None
+  override def apiParams: Seq[ApiParam] = Seq(ApiParam("top", required = false))
+  override def extraValidate(params: Map[String, String]): Unit =
+    params.get("top").foreach { v =>
+      val t = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"Invalid 'top' option: '$v' is not an integer")
+      }
+      if (t <= 0 || t > 100)
+        throw new IllegalArgumentException(
+          s"Invalid 'top' option: must be in [1, 100], got '$v'")
+    }
+  /** One bounded top-N list per request. */
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] =
+    Some(params.get("top").map(_.trim.toLong).getOrElse(10L))
+}
+
+object MostActivesDef extends ScreenerSourceDef {
+  override val shortName = "Alpaca_Screener_MostActives"
+  override val pathElements = Seq("screener", "stocks", "most-actives")
+  override val dataKey = "most_actives"
+  override def schema: StructType = Schemas.mostActives
+  override def parser: RecordParser = MostActivesParser
+  override def apiParams: Seq[ApiParam] =
+    super.apiParams :+ ApiParam("by", required = false)
+  override def extraValidate(params: Map[String, String]): Unit = {
+    super.extraValidate(params)
+    params.get("by").foreach { b =>
+      if (b.nonEmpty && b != "volume" && b != "trades")
+        throw new IllegalArgumentException(
+          s"Invalid 'by' value: '$b' (expected volume/trades)")
+    }
+  }
+}
+
+object MoversGainersDef extends ScreenerSourceDef {
+  override val shortName = "Alpaca_Screener_Gainers"
+  override val pathElements = Seq("screener", "stocks", "movers")
+  override val dataKey = "gainers"
+  override def schema: StructType = Schemas.movers
+  override def parser: RecordParser = MoverParser
+}
+
+object MoversLosersDef extends ScreenerSourceDef {
+  override val shortName = "Alpaca_Screener_Losers"
+  override val pathElements = Seq("screener", "stocks", "movers")
+  override val dataKey = "losers"
+  override def schema: StructType = Schemas.movers
+  override def parser: RecordParser = MoverParser
+}
+
 /** Market news — format "Alpaca_News" (`/v1beta1/news`; no reference
   * twin — the public API's TEXT endpoint, and the bridge from the
   * market-data connector to the text-curation operator family). The
@@ -544,3 +605,6 @@ class LatestTradesDataSource extends AlpacaTableProvider(LatestTradesDef)
 class LatestQuotesDataSource extends AlpacaTableProvider(LatestQuotesDef)
 class LatestBarsDataSource extends AlpacaTableProvider(LatestBarsDef)
 class OptionSnapshotsDataSource extends AlpacaTableProvider(OptionSnapshotsDef)
+class MostActivesDataSource extends AlpacaTableProvider(MostActivesDef)
+class MoversGainersDataSource extends AlpacaTableProvider(MoversGainersDef)
+class MoversLosersDataSource extends AlpacaTableProvider(MoversLosersDef)

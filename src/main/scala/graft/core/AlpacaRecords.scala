@@ -115,6 +115,18 @@ object Schemas {
       "theta DOUBLE, vega DOUBLE, rho DOUBLE, bid_price DOUBLE, " +
       "ask_price DOUBLE, last_price DOUBLE, last_size BIGINT")
 
+  /** Screener: most-active symbols by volume (v1beta1
+    * `/screener/stocks/most-actives`) — market-wide, no symbols
+    * requested; the record carries its OWN symbol. */
+  val mostActives: StructType = StructType.fromDDL(
+    "symbol STRING, volume BIGINT, trade_count BIGINT")
+
+  /** Screener: top market movers (v1beta1 `/screener/stocks/movers`)
+    * — the response body holds TWO arrays (`gainers`, `losers`);
+    * each registers as its own source over the shared endpoint. */
+  val movers: StructType = StructType.fromDDL(
+    "symbol STRING, percent_change DOUBLE, change DOUBLE, price DOUBLE")
+
   /** Crypto latest-orderbook depth levels (v1beta3
     * `/crypto/us/latest/orderbooks`): one row per level per side,
     * `level` 1-based from the top of book in the venue's own order.
@@ -1235,4 +1247,26 @@ object OptionSnapshotParser extends RecordParser {
       d(lq, "bp"), d(lq, "ap"),
       d(lt, "p"), l(lt, "s"))
   }
+}
+
+/** Screener records carry their OWN symbol field — the passed-in
+  * symbol is the partition's (empty for market-wide requests) and is
+  * ignored. */
+object MostActivesParser extends RecordParser {
+  override val schema: StructType = Schemas.mostActives
+  override def parse(symbol: String, rec: JsonNode): InternalRow =
+    InternalRow(
+      utf8(reqNode(rec, "symbol").asText()),
+      lng(rec, "volume"),
+      lng(rec, "trade_count"))
+}
+
+object MoverParser extends RecordParser {
+  override val schema: StructType = Schemas.movers
+  override def parse(symbol: String, rec: JsonNode): InternalRow =
+    InternalRow(
+      utf8(reqNode(rec, "symbol").asText()),
+      dbl(rec, "percent_change"),
+      dbl(rec, "change"),
+      dbl(rec, "price"))
 }

@@ -1088,6 +1088,54 @@ object AlpacaQueries {
        |ORDER BY symbol""".stripMargin
   }
 
+  // -------------------------------------------------------------- screeners
+  /** Market-wide screener scan (no symbols at all — the records carry
+    * their own): top-7 most-actives by volume. */
+  def mostActivesScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Screener_MostActives")
+      .options(baseOptions() - "symbols" ++ Map("top" -> "7", "by" -> "volume"))
+      .load()
+      .orderBy(col("volume").desc)
+
+  def mostActivesScanSql: String = {
+    val rows = AlpacaFixtures.mostActives(7).map(a =>
+      s"(${sqlStr(a.symbol)}, ${a.volume}, ${a.tradeCount})")
+    s"""SELECT symbol, CAST(volume AS BIGINT) AS volume,
+       |  CAST(trade_count AS BIGINT) AS trade_count
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(symbol, volume, trade_count)
+       |ORDER BY volume DESC""".stripMargin
+  }
+
+  /** Both movers boards in one frame: the response body holds two
+    * arrays, each its own source over the shared endpoint — the union
+    * tags the direction. */
+  def moversBoard(spark: SparkSession, dir: String): DataFrame = {
+    def side(fmt: String, tag: String) =
+      spark.read.format(fmt)
+        .options(baseOptions() - "symbols" ++ Map("top" -> "4")).load()
+        .withColumn("direction", lit(tag))
+    side("Alpaca_Screener_Gainers", "G")
+      .union(side("Alpaca_Screener_Losers", "L"))
+      .select(col("direction"), col("symbol"), col("percent_change"),
+        col("change"), col("price"))
+      .orderBy(col("direction"), col("symbol"))
+  }
+
+  def moversBoardSql: String = {
+    val rows =
+      AlpacaFixtures.moverGainers(4).map(m => ("G", m)) ++
+        AlpacaFixtures.moverLosers(4).map(m => ("L", m))
+    val values = rows.map { case (d, m) =>
+      s"(${sqlStr(d)}, ${sqlStr(m.symbol)}, ${fmtD(m.percentChange)}, " +
+        s"${fmtD(m.change)}, ${fmtD(m.price)})"
+    }
+    s"""SELECT direction, symbol, CAST(percent_change AS DOUBLE) AS percent_change,
+       |  CAST(change AS DOUBLE) AS change, CAST(price AS DOUBLE) AS price
+       |FROM (VALUES ${values.mkString(",\n  ")})
+       |  AS v(direction, symbol, percent_change, change, price)
+       |ORDER BY direction, symbol""".stripMargin
+  }
+
   // ----------------------------------------- option snapshots / vol smile
   /** 2 underlyings × 2 expiries × 3 strikes × C/P = 24 OCC
     * contracts; the fixture nulls greeks/IV on "new listings" and
@@ -2026,6 +2074,8 @@ object AlpacaQueries {
     "alpaca_option_snapshot_scan" -> ((optionSnapshotScan _, optionSnapshotScanSql)),
     "alpaca_iv_smile" -> ((ivSmile _, ivSmileSql)),
     "alpaca_put_call_parity" -> ((putCallParity _, putCallParitySql)),
+    "alpaca_most_actives" -> ((mostActivesScan _, mostActivesScanSql)),
+    "alpaca_movers" -> ((moversBoard _, moversBoardSql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->

@@ -391,6 +391,32 @@ object AlpacaFixtures {
       lastSize = if (untraded) None else Some(1L + k % 20))
   }
 
+  /** Deterministic screener boards (market-wide, no symbols
+    * requested). Most-actives descend strictly by volume; movers
+    * carry dyadic percent moves (k/8) with gainers positive and
+    * losers negative, prices/changes on the 0.25 grid. */
+  val ScreenerBoard: Seq[String] = Seq("TSLA", "AAPL", "NVDA", "AMD",
+    "MSFT", "AMZN", "META", "GOOG", "NFLX", "INTC")
+
+  case class ActiveRow(symbol: String, volume: Long, tradeCount: Long)
+  case class MoverRow(symbol: String, percentChange: Double, change: Double,
+      price: Double)
+
+  def mostActives(top: Int): Seq[ActiveRow] =
+    ScreenerBoard.zipWithIndex.map { case (s, i) =>
+      ActiveRow(s, 10000000L - i * 750000L, 80000L - i * 5000L)
+    }.take(top)
+
+  def moverGainers(top: Int): Seq[MoverRow] =
+    ScreenerBoard.take(5).zipWithIndex.map { case (s, i) =>
+      MoverRow(s, (40 - i * 4) / 8.0, 2.0 - i * 0.25, symBase(s) + i * 0.25)
+    }.take(top)
+
+  def moverLosers(top: Int): Seq[MoverRow] =
+    ScreenerBoard.drop(5).zipWithIndex.map { case (s, i) =>
+      MoverRow(s, -((36 - i * 4) / 8.0), -(1.75 - i * 0.25), symBase(s) - i * 0.25)
+    }.take(top)
+
   /** One corporate action per 5 days within [startUs, endUs); every
     * third has no payable_date and every fourth is a split. */
   def corpActions(symbol: String, startUs: Long, endUs: Long): Seq[CorpAction] = {
@@ -805,6 +831,25 @@ object AlpacaStubServer {
       latestHandler("quotes", s => stockQuoteJson(snapshot(s).latestQuote)))
     server.createContext("/v2/stocks/bars/latest",
       latestHandler("bars", s => barJson(snapshot(s).minuteBar)))
+    // screeners: market-wide (no symbols param); the movers body
+    // carries BOTH arrays — each Spark source selects its dataKey
+    server.createContext("/v1beta1/screener/stocks/most-actives",
+      (ex: HttpExchange) => handle(ex, { params =>
+        val top = params.get("top").map(_.toInt).getOrElse(10)
+        val rows = mostActives(top).map(a =>
+          s"""{"symbol": ${jsonStr(a.symbol)}, "volume": ${a.volume}, "trade_count": ${a.tradeCount}}""")
+        (200, s"""{"most_actives": [${rows.mkString(",")}], "last_updated": "2021-01-05T00:00:00Z"}""")
+      }))
+    server.createContext("/v1beta1/screener/stocks/movers",
+      (ex: HttpExchange) => handle(ex, { params =>
+        val top = params.get("top").map(_.toInt).getOrElse(10)
+        def mj(m: MoverRow) =
+          s"""{"symbol": ${jsonStr(m.symbol)}, "percent_change": ${fmtD(m.percentChange)}, "change": ${fmtD(m.change)}, "price": ${fmtD(m.price)}}"""
+        (200,
+          s"""{"gainers": [${moverGainers(top).map(mj).mkString(",")}], """ +
+            s""""losers": [${moverLosers(top).map(mj).mkString(",")}], """ +
+            s""""market_type": "stocks", "last_updated": "2021-01-05T00:00:00Z"}""")
+      }))
     // option snapshots: keyed object records with IV + nested greeks;
     // new listings omit greeks/impliedVolatility, untraded contracts
     // omit latestTrade
