@@ -186,4 +186,25 @@ class OptionsSpec extends AnyFunSuite {
     assert(MetaConditionsDef.query(Map("tape" -> "B")) == Seq("tape" -> "B"))
     assert(MetaConditionsDef.contextColumns(Map.empty) == Seq("trade", "A"))
   }
+
+  test("screener sources: top/by validation, symbol-less market-wide plan") {
+    import graft.connector.{MostActivesDef, MoversGainersDef}
+    intercept[IllegalArgumentException] {
+      MostActivesDef.extraValidate(Map("top" -> "0"))
+    }
+    intercept[IllegalArgumentException] {
+      MostActivesDef.extraValidate(Map("top" -> "101"))
+    }
+    intercept[IllegalArgumentException] {
+      MostActivesDef.extraValidate(Map("by" -> "spread"))
+    }
+    MostActivesDef.extraValidate(Map("top" -> "10", "by" -> "trades"))
+    assert(MostActivesDef.timeless && MoversGainersDef.timeless)
+    assert(MostActivesDef.versionedPath ==
+      Seq("v1beta1", "screener", "stocks", "most-actives"))
+    // the movers pair shares one endpoint, split by data key
+    assert(MoversGainersDef.versionedPath ==
+      Seq("v1beta1", "screener", "stocks", "movers"))
+    assert(MoversGainersDef.dataKey == "gainers")
+  }
 }
