@@ -1136,6 +1136,54 @@ object AlpacaQueries {
        |ORDER BY direction, symbol""".stripMargin
   }
 
+  /** Cross-family composition — the production monitor page in one
+    * plan: the most-actives board (market-wide, symbol-less) joined
+    * to each symbol's latest trade and quote and the venue decoded
+    * against the meta dim. Every join side is either the bounded
+    * screener output or a 1-row-per-symbol timeless source, all with
+    * reported statistics — the whole plan is broadcast joins with no
+    * shuffle until the final presentation sort. */
+  def marketDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val actives = spark.read.format("Alpaca_Screener_MostActives")
+      .options(baseOptions() - "symbols" ++ Map("top" -> "7", "by" -> "volume"))
+      .load()
+      .select(col("symbol"), col("volume").as("day_volume"))
+    // the board symbols drive the point-in-time lookups (static here;
+    // in production the same list feeds the next batch's symbols)
+    val boardSyms = Seq("TSLA", "AAPL", "NVDA", "AMD", "MSFT", "AMZN", "META")
+    val lt = spark.read.format("Alpaca_Stocks_Trades_Latest")
+      .options(baseOptions(boardSyms: _*)).load()
+      .select(col("symbol"), col("exchange"), col("price").as("last_price"))
+    val lq = spark.read.format("Alpaca_Stocks_Quotes_Latest")
+      .options(baseOptions(boardSyms: _*)).load()
+      .select(col("symbol"), col("bid_price"), col("ask_price"))
+    val venues = spark.read.format("Alpaca_Meta_Exchanges")
+      .options(baseOptions()).load()
+      .withColumnRenamed("code", "exchange").withColumnRenamed("name", "venue")
+    actives.join(lt, Seq("symbol")).join(lq, Seq("symbol"))
+      .join(venues, Seq("exchange"))
+      .select(col("symbol"), col("day_volume"), col("last_price"),
+        col("bid_price"), col("ask_price"), col("venue"))
+      .orderBy(col("symbol"))
+  }
+
+  def marketDashboardSql: String = {
+    val names = Map("V" -> "IEX", "N" -> "New York Stock Exchange", "Q" -> "NASDAQ")
+    val rows = AlpacaFixtures.mostActives(7).map { a =>
+      val sn = AlpacaFixtures.snapshot(a.symbol)
+      s"(${sqlStr(a.symbol)}, ${a.volume}, ${fmtD(sn.latestTrade.price)}, " +
+        s"${fmtD(sn.latestQuote.bidPrice)}, ${fmtD(sn.latestQuote.askPrice)}, " +
+        s"${sqlStr(names(sn.latestTrade.exchange))})"
+    }
+    s"""SELECT symbol, CAST(day_volume AS BIGINT) AS day_volume,
+       |  CAST(last_price AS DOUBLE) AS last_price,
+       |  CAST(bid_price AS DOUBLE) AS bid_price, CAST(ask_price AS DOUBLE) AS ask_price,
+       |  venue
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, day_volume, last_price, bid_price, ask_price, venue)
+       |ORDER BY symbol""".stripMargin
+  }
+
   // ----------------------------------------- option snapshots / vol smile
   /** 2 underlyings × 2 expiries × 3 strikes × C/P = 24 OCC
     * contracts; the fixture nulls greeks/IV on "new listings" and
@@ -2076,6 +2124,7 @@ object AlpacaQueries {
     "alpaca_put_call_parity" -> ((putCallParity _, putCallParitySql)),
     "alpaca_most_actives" -> ((mostActivesScan _, mostActivesScanSql)),
     "alpaca_movers" -> ((moversBoard _, moversBoardSql)),
+    "alpaca_market_dashboard" -> ((marketDashboard _, marketDashboardSql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->
