@@ -222,4 +222,19 @@ class ParserGoldenSpec extends AnyFunSuite {
     val empty = SnapshotParser.parse("AAPL", js("""{}"""))
     (1 to 18).foreach(i => assert(empty.isNullAt(i)))
   }
+
+  test("screener records carry their own symbol; partition symbol ignored") {
+    import graft.core.{MostActivesParser, MoverParser}
+    val a = MostActivesParser.parse("", js(
+      """{"symbol": "TSLA", "volume": 10000000, "trade_count": 80000}"""))
+    assert(a.getUTF8String(0).toString == "TSLA")
+    assert(a.getLong(1) == 10000000L && a.getLong(2) == 80000L)
+    val m = MoverParser.parse("ignored", js(
+      """{"symbol": "NVDA", "percent_change": 4.5, "change": 1.75, "price": 120.25}"""))
+    assert(m.getUTF8String(0).toString == "NVDA")
+    assert(m.getDouble(1) == 4.5 && m.getDouble(2) == 1.75 && m.getDouble(3) == 120.25)
+    intercept[IllegalArgumentException] { // symbol is required IN the record
+      MostActivesParser.parse("", js("""{"volume": 1, "trade_count": 1}"""))
+    }
+  }
 }
