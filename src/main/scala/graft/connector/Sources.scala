@@ -441,6 +441,54 @@ object OptionSnapshotsDef extends AlpacaSourceDef {
       params: Map[String, String]): Option[Long] = Some(1L)
 }
 
+/** Crypto latest-record family + snapshots (v1beta3
+  * `/crypto/us/latest/{trades,quotes,bars}` and `/crypto/us/
+  * snapshots`): the point-in-time surface for the crypto asset
+  * class, completing the asset×datatype matrix. Same timeless
+  * object-record machinery as stocks; the crypto snapshot envelope
+  * is KEYED (`snapshots` data key), unlike the bare stock one —
+  * both envelope conventions are exercised. */
+trait CryptoLatestSourceDef extends AlpacaSourceDef {
+  override val apiVersion = "v1beta3"
+  override def timeless: Boolean = true
+  override def timeColumn: Option[String] = None
+  override def apiParams: Seq[ApiParam] = Seq(ApiParam("symbols", required = true))
+  override def estimatedRowsPerSymbol(startUs: Long, endUs: Long,
+      params: Map[String, String]): Option[Long] = Some(1L)
+}
+
+object CryptoLatestTradesDef extends CryptoLatestSourceDef {
+  override val shortName = "Alpaca_Crypto_Trades_Latest"
+  override val pathElements = Seq("crypto", "us", "latest", "trades")
+  override val dataKey = "trades"
+  override def schema: StructType = Schemas.cryptoTrades
+  override def parser: RecordParser = CryptoTradeParser
+}
+
+object CryptoLatestQuotesDef extends CryptoLatestSourceDef {
+  override val shortName = "Alpaca_Crypto_Quotes_Latest"
+  override val pathElements = Seq("crypto", "us", "latest", "quotes")
+  override val dataKey = "quotes"
+  override def schema: StructType = Schemas.cryptoQuotes
+  override def parser: RecordParser = CryptoQuoteParser
+}
+
+object CryptoLatestBarsDef extends CryptoLatestSourceDef {
+  override val shortName = "Alpaca_Crypto_Bars_Latest"
+  override val pathElements = Seq("crypto", "us", "latest", "bars")
+  override val dataKey = "bars"
+  override def schema: StructType = Schemas.bars
+  override def parser: RecordParser = BarParser
+}
+
+object CryptoSnapshotsDef extends CryptoLatestSourceDef {
+  override val shortName = "Alpaca_Crypto_Snapshots"
+  override val pathElements = Seq("crypto", "us", "snapshots")
+  override val dataKey = "snapshots"
+  override def schema: StructType = Schemas.cryptoSnapshots
+  override def parser: RecordParser = CryptoSnapshotParser
+}
+
 /** Screener endpoints (v1beta1 `/screener/stocks/...`): MARKET-WIDE
   * timeless fetches — the one family that takes NO symbols at all
   * (records carry their own), planned as a single partition. `top`
@@ -608,3 +656,7 @@ class OptionSnapshotsDataSource extends AlpacaTableProvider(OptionSnapshotsDef)
 class MostActivesDataSource extends AlpacaTableProvider(MostActivesDef)
 class MoversGainersDataSource extends AlpacaTableProvider(MoversGainersDef)
 class MoversLosersDataSource extends AlpacaTableProvider(MoversLosersDef)
+class CryptoLatestTradesDataSource extends AlpacaTableProvider(CryptoLatestTradesDef)
+class CryptoLatestQuotesDataSource extends AlpacaTableProvider(CryptoLatestQuotesDef)
+class CryptoLatestBarsDataSource extends AlpacaTableProvider(CryptoLatestBarsDef)
+class CryptoSnapshotsDataSource extends AlpacaTableProvider(CryptoSnapshotsDef)

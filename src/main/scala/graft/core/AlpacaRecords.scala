@@ -115,6 +115,19 @@ object Schemas {
       "theta DOUBLE, vega DOUBLE, rho DOUBLE, bid_price DOUBLE, " +
       "ask_price DOUBLE, last_price DOUBLE, last_size BIGINT")
 
+  /** Crypto point-in-time snapshot (v1beta3 `/crypto/us/snapshots`):
+    * same five-section shape as stock snapshots but under a KEYED
+    * `snapshots` envelope, with fractional trade/quote sizes and no
+    * venue fields. */
+  val cryptoSnapshots: StructType = StructType.fromDDL(
+    "symbol STRING, latest_trade_time TIMESTAMP, latest_trade_price DOUBLE, " +
+      "latest_trade_size DOUBLE, latest_quote_time TIMESTAMP, " +
+      "bid_price DOUBLE, bid_size DOUBLE, ask_price DOUBLE, ask_size DOUBLE, " +
+      "minute_bar_time TIMESTAMP, minute_close DOUBLE, minute_volume BIGINT, " +
+      "daily_bar_time TIMESTAMP, daily_open DOUBLE, daily_high DOUBLE, " +
+      "daily_low DOUBLE, daily_close DOUBLE, daily_volume BIGINT, " +
+      "prev_daily_close DOUBLE")
+
   /** Screener: most-active symbols by volume (v1beta1
     * `/screener/stocks/most-actives`) — market-wide, no symbols
     * requested; the record carries its OWN symbol. */
@@ -1269,4 +1282,37 @@ object MoverParser extends RecordParser {
       dbl(rec, "percent_change"),
       dbl(rec, "change"),
       dbl(rec, "price"))
+}
+
+/** Crypto snapshot record: the stock snapshot's five-section flatten
+  * with crypto field types (fractional sizes, no venues). Absent
+  * sections null their columns; a present-but-broken section fails
+  * the record (atomic E4 skip). */
+object CryptoSnapshotParser extends RecordParser {
+  override val schema: StructType = Schemas.cryptoSnapshots
+
+  override def parse(symbol: String, rec: JsonNode): InternalRow = {
+    def section(key: String): Option[JsonNode] = {
+      val n = rec.get(key)
+      if (n == null || n.isNull) None
+      else if (!n.isObject)
+        throw new IllegalArgumentException(s"snapshot '$key' is not an object")
+      else Some(n)
+    }
+    val lt = section("latestTrade")
+    val lq = section("latestQuote")
+    val mb = section("minuteBar")
+    val db = section("dailyBar")
+    val pd = section("prevDailyBar")
+    def ts(o: Option[JsonNode]): Any = o.map(isoMicros(_, "t")).orNull
+    def d(o: Option[JsonNode], k: String): Any = o.map(dbl(_, k)).orNull
+    def l(o: Option[JsonNode], k: String): Any = o.map(lng(_, k)).orNull
+    InternalRow(
+      utf8(symbol),
+      ts(lt), d(lt, "p"), d(lt, "s"),
+      ts(lq), d(lq, "bp"), d(lq, "bs"), d(lq, "ap"), d(lq, "as"),
+      ts(mb), d(mb, "c"), l(mb, "v"),
+      ts(db), d(db, "o"), d(db, "h"), d(db, "l"), d(db, "c"), l(db, "v"),
+      d(pd, "c"))
+  }
 }

@@ -1323,6 +1323,85 @@ object AlpacaQueries {
        |GROUP BY underlying, expiry_d, strike
        |ORDER BY underlying, expiry_d, strike""".stripMargin
 
+  // ------------------------------------------------ crypto point-in-time
+  /** BTC has no prevDailyBar in the fixture (hash % 3) — the crypto
+    * snapshot's absent-section path rides the same gate. */
+  private val cryptoSnapSymbols = Seq("BTC/USD", "ETH/USD", "LTC/USD")
+
+  def cryptoSnapshotScan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("Alpaca_Crypto_Snapshots")
+      .options(baseOptions(cryptoSnapSymbols: _*))
+      .load()
+      .select(col("symbol"),
+        date_format(col("latest_trade_time"), "yyyy-MM-dd HH:mm:ss").as("lt_time"),
+        col("latest_trade_price"), col("latest_trade_size"),
+        date_format(col("latest_quote_time"), "yyyy-MM-dd HH:mm:ss").as("lq_time"),
+        col("bid_price"), col("bid_size"), col("ask_price"), col("ask_size"),
+        col("minute_close"), col("daily_open"), col("daily_close"),
+        col("prev_daily_close"))
+      .orderBy(col("symbol"))
+
+  def cryptoSnapshotScanSql: String = {
+    val rows = cryptoSnapSymbols.sorted.map { s =>
+      val sn = AlpacaFixtures.cryptoSnapshot(s)
+      val prev = sn.prevDailyBar.map(b => fmtD(b.close)).getOrElse("NULL")
+      s"(${sqlStr(s)}, ${sqlStr(fmtTs(sn.latestTrade.timeUs))}, " +
+        s"${fmtD(sn.latestTrade.price)}, ${fmtD(sn.latestTrade.size)}, " +
+        s"${sqlStr(fmtTs(sn.latestQuote.timeUs))}, ${fmtD(sn.latestQuote.bidPrice)}, " +
+        s"${fmtD(sn.latestQuote.bidSize)}, ${fmtD(sn.latestQuote.askPrice)}, " +
+        s"${fmtD(sn.latestQuote.askSize)}, ${fmtD(sn.minuteBar.close)}, " +
+        s"${fmtD(sn.dailyBar.open)}, ${fmtD(sn.dailyBar.close)}, $prev)"
+    }
+    s"""SELECT symbol, lt_time, CAST(latest_trade_price AS DOUBLE) AS latest_trade_price,
+       |  CAST(latest_trade_size AS DOUBLE) AS latest_trade_size, lq_time,
+       |  CAST(bid_price AS DOUBLE) AS bid_price, CAST(bid_size AS DOUBLE) AS bid_size,
+       |  CAST(ask_price AS DOUBLE) AS ask_price, CAST(ask_size AS DOUBLE) AS ask_size,
+       |  CAST(minute_close AS DOUBLE) AS minute_close,
+       |  CAST(daily_open AS DOUBLE) AS daily_open,
+       |  CAST(daily_close AS DOUBLE) AS daily_close,
+       |  CAST(prev_daily_close AS DOUBLE) AS prev_daily_close
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, lt_time, latest_trade_price, latest_trade_size, lq_time,
+       |    bid_price, bid_size, ask_price, ask_size, minute_close, daily_open,
+       |    daily_close, prev_daily_close)
+       |ORDER BY symbol""".stripMargin
+  }
+
+  /** Crypto market-state join: latest trade ⋈ latest quote ⋈ latest
+    * minute bar, all 1-row-per-symbol timeless scans — the stocks
+    * latest-family shape on the v1beta3 endpoints, with the taker
+    * side and fractional sizes riding through. */
+  def cryptoLatestFamily(spark: SparkSession, dir: String): DataFrame = {
+    def src(fmt: String) = spark.read.format(fmt)
+      .options(baseOptions(cryptoSnapSymbols: _*)).load()
+    val lt = src("Alpaca_Crypto_Trades_Latest")
+      .select(col("symbol"), col("price").as("last_price"),
+        col("size").as("last_size"), col("taker_side"))
+    val lq = src("Alpaca_Crypto_Quotes_Latest")
+      .select(col("symbol"), col("bid_price"), col("ask_price"))
+    val lb = src("Alpaca_Crypto_Bars_Latest")
+      .select(col("symbol"), col("close").as("minute_close"))
+    lt.join(lq, Seq("symbol")).join(lb, Seq("symbol"))
+      .orderBy(col("symbol"))
+  }
+
+  def cryptoLatestFamilySql: String = {
+    val rows = cryptoSnapSymbols.sorted.map { s =>
+      val sn = AlpacaFixtures.cryptoSnapshot(s)
+      s"(${sqlStr(s)}, ${fmtD(sn.latestTrade.price)}, ${fmtD(sn.latestTrade.size)}, " +
+        s"${sqlStr(sn.latestTrade.takerSide)}, ${fmtD(sn.latestQuote.bidPrice)}, " +
+        s"${fmtD(sn.latestQuote.askPrice)}, ${fmtD(sn.minuteBar.close)})"
+    }
+    s"""SELECT symbol, CAST(last_price AS DOUBLE) AS last_price,
+       |  CAST(last_size AS DOUBLE) AS last_size, taker_side,
+       |  CAST(bid_price AS DOUBLE) AS bid_price, CAST(ask_price AS DOUBLE) AS ask_price,
+       |  CAST(minute_close AS DOUBLE) AS minute_close
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, last_price, last_size, taker_side, bid_price, ask_price,
+       |    minute_close)
+       |ORDER BY symbol""".stripMargin
+  }
+
   // ----------------------------------------------------------- orderbooks
   /** BTC thin asks (3 levels), ETH full book, GRT one-sided (no bids
     * — the absent-array path live): the three book shapes in one
@@ -2125,6 +2204,8 @@ object AlpacaQueries {
     "alpaca_most_actives" -> ((mostActivesScan _, mostActivesScanSql)),
     "alpaca_movers" -> ((moversBoard _, moversBoardSql)),
     "alpaca_market_dashboard" -> ((marketDashboard _, marketDashboardSql)),
+    "alpaca_crypto_snapshot_scan" -> ((cryptoSnapshotScan _, cryptoSnapshotScanSql)),
+    "alpaca_crypto_latest_family" -> ((cryptoLatestFamily _, cryptoLatestFamilySql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->

@@ -391,6 +391,25 @@ object AlpacaFixtures {
       lastSize = if (untraded) None else Some(1L + k % 20))
   }
 
+  case class CryptoSnapshot(symbol: String, latestTrade: CryptoTrade,
+      latestQuote: CryptoQuote, minuteBar: Bar, dailyBar: Bar,
+      prevDailyBar: Option[Bar])
+
+  /** Crypto snapshot at the shared asof, derived from the same walks
+    * the crypto row streams use; hash % 3 == 0 symbols have no
+    * prevDailyBar. */
+  def cryptoSnapshot(symbol: String): CryptoSnapshot = {
+    val asof = SnapshotAsofUs
+    CryptoSnapshot(symbol,
+      latestTrade = cryptoTrades(symbol, asof - DayUs, asof).last,
+      latestQuote = cryptoQuotes(symbol, asof - DayUs, asof).last,
+      minuteBar = barAt(symbol, asof - MinuteUs, MinuteUs),
+      dailyBar = barAt(symbol, asof - DayUs, DayUs),
+      prevDailyBar =
+        if (math.abs(symbol.hashCode) % 3 == 0) None
+        else Some(barAt(symbol, asof - 2 * DayUs, DayUs)))
+  }
+
   /** Deterministic screener boards (market-wide, no symbols
     * requested). Most-actives descend strictly by volume; movers
     * carry dyadic percent moves (k/8) with gainers positive and
@@ -869,6 +888,25 @@ object AlpacaStubServer {
           s"""${jsonStr(s)}: {$greeks$iv"latestQuote": {"bp": ${fmtD(o.bidPrice)}, "ap": ${fmtD(o.askPrice)}}$lt}"""
         }.mkString(",")
         (200, s"""{"snapshots": {$body}}""")
+      }))
+    // crypto latest family + snapshots (v1beta3): keyed object
+    // records; the crypto snapshot envelope is KEYED, unlike the
+    // bare stock one
+    server.createContext("/v1beta3/crypto/us/latest/trades",
+      latestHandler("trades", s => cryptoTradeJson(cryptoSnapshot(s).latestTrade)))
+    server.createContext("/v1beta3/crypto/us/latest/quotes",
+      latestHandler("quotes", s => cryptoQuoteJson(cryptoSnapshot(s).latestQuote)))
+    server.createContext("/v1beta3/crypto/us/latest/bars",
+      latestHandler("bars", s => barJson(cryptoSnapshot(s).minuteBar)))
+    server.createContext("/v1beta3/crypto/us/snapshots",
+      latestHandler("snapshots", { s =>
+        val sn = cryptoSnapshot(s)
+        val prev = sn.prevDailyBar
+          .map(b => s""", "prevDailyBar": ${barJson(b)}""").getOrElse("")
+        s"""{"latestTrade": ${cryptoTradeJson(sn.latestTrade)}, """ +
+          s""""latestQuote": ${cryptoQuoteJson(sn.latestQuote)}, """ +
+          s""""minuteBar": ${barJson(sn.minuteBar)}, """ +
+          s""""dailyBar": ${barJson(sn.dailyBar)}$prev}"""
       }))
     // latest orderbooks: keyed envelope whose per-symbol value is an
     // OBJECT with nested depth-level arrays; no pagination
