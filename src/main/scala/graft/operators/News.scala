@@ -161,8 +161,63 @@ object News {
        |ORDER BY id""".stripMargin
   }
 
+  /** Streaming curation — the production news-ingest shape end to
+    * end: the micro-batch stream over BOTH symbols dedups by id IN
+    * FLIGHT (stateful dropDuplicates; a macro article arrives once
+    * per requested-symbol partition within the SAME batch and exactly
+    * one copy survives), then the drained result takes the quality
+    * metrics and the curation cut. The requested-symbol column is
+    * dropped BEFORE the dedup — it is the one column that differs
+    * between fan-out copies, so keeping it would make the kept row
+    * arrival-order-dependent; everything the curation needs is
+    * copy-invariant. Production swaps dropDuplicates for
+    * dropDuplicatesWithinWatermark to bound state (the stream_dedup
+    * gate's documented contract). */
+  def streamNewsCurate(spark: SparkSession, dir: String): DataFrame = {
+    val inList = NewsStops.map(s => s"'$s'").mkString(", ")
+    val stream = spark.readStream.format("Alpaca_News")
+      .options(baseOptions(newsSymbols: _*) ++ Map(
+        "start" -> newsStart, "end" -> newsEnd, "stream_step" -> "6Hours"))
+      .load()
+      .select(col("id"), col("time"), col("summary"))
+      .dropDuplicates("id")
+    val drained = Streaming.drainToTable(spark, stream, "append")
+    val len = length(col("summary")).cast("double")
+    val nWords = size(split(col("summary"), " ")).cast("double")
+    val nStop = size(expr(
+      s"filter(split(summary, ' '), x -> lower(x) IN ($inList))")).cast("double")
+    drained.select(
+        col("id"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("created"),
+        nWords.cast("bigint").as("n_words"),
+        (nStop / nWords).as("stop_ratio"))
+      .filter(col("n_words") >= 12 && col("stop_ratio") < 0.45)
+      .orderBy(col("id"))
+  }
+
+  def streamNewsCurateSql: String = {
+    val inList = NewsStops.map(s => s"'$s'").mkString(", ")
+    var seen = Set.empty[Long]
+    val rows = newsSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.newsArticles(s, us(newsStart), us(newsEnd)).flatMap { a =>
+        if (seen.contains(a.id)) None
+        else { seen += a.id; Some(s"(${a.id}, ${sqlStr(fmtTs(a.timeUs))}, ${sqlStr(a.summary)})") }
+      }
+    }
+    val nWords = "CAST(LEN(STRING_SPLIT(summary, ' ')) AS DOUBLE)"
+    val nStop =
+      s"CAST(LEN(LIST_FILTER(STRING_SPLIT(summary, ' '), x -> LOWER(x) IN ($inList))) AS DOUBLE)"
+    s"""SELECT CAST(id AS BIGINT) AS id, created,
+       |  CAST($nWords AS BIGINT) AS n_words,
+       |  $nStop / $nWords AS stop_ratio
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(id, created, summary)
+       |WHERE $nWords >= 12 AND $nStop / $nWords < 0.45
+       |ORDER BY id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_news_scan" -> ((newsScan _, newsScanSql)),
+    "alpaca_stream_news_curate" -> ((streamNewsCurate _, streamNewsCurateSql)),
     "alpaca_news_stream_scan" -> ((newsStreamScan _, newsScanSql)),
     "alpaca_news_dedup" -> ((newsDedup _, newsDedupSql)),
     "alpaca_news_quality" -> ((newsQuality _, newsQualitySql)))
