@@ -409,4 +409,27 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(ex.getMessage.contains("mutually exclusive"))
   }
+
+  test("symbol_batch composes with fan-out records and timeless sources") {
+    def auc(extra: (String, String)*) =
+      spark.read.format("Alpaca_Stocks_Auctions").options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['AAPL','MSFT']",
+        "start" -> "2021-01-04T00:00:00Z",
+        "end" -> "2021-01-16T00:00:00Z") ++ extra.toMap)
+        .load().collect().map(_.toString).sorted.toSeq
+    assert(auc("symbol_batch" -> "2") == auc(),
+      "batched auction fan-out must equal unbatched")
+
+    def snap(extra: (String, String)*) =
+      spark.read.format("Alpaca_Stocks_Snapshots").options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['AAPL','MSFT','GOOG','TSLA']") ++ extra.toMap)
+        .load().collect().map(_.toString).sorted.toSeq
+    assert(snap("symbol_batch" -> "3") == snap(),
+      "batched timeless object records must equal unbatched")
+    assert(snap().size == 4)
+  }
 }
