@@ -210,7 +210,9 @@ object Pipeline {
     * inherits its gate's pinned plan shape. The oracle recomposes the
     * same CTEs (Bloom-free — exactness is the operator's contract),
     * so the hash certifies the WHOLE recipe. */
-  def curateV2(spark: SparkSession, dir: String): DataFrame = {
+  /** The v2 recipe's per-doc survivor set — shared by the per-source
+    * report (curateV2) and the v3 train-build packing stage. */
+  private def curatedV2Docs(spark: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
     val base = graft.operators.Tables.t(spark, dir, "documents")
       .filter(h < 80)
@@ -225,13 +227,16 @@ object Pipeline {
       .filter(col("quality_score") >= QualityBar)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(spanDrops, Seq("doc_id"), "left_anti")
+  }
+
+  def curateV2(spark: SparkSession, dir: String): DataFrame =
+    curatedV2Docs(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars_actual")).as("sum_chars"),
         min(col("quality_score")).as("min_quality"),
         max(col("quality_score")).as("max_quality"))
       .orderBy(col("source"))
-  }
 
   val curateV2Sql: String = {
     val k5 = TextOps.DecontamN
@@ -285,8 +290,135 @@ object Pipeline {
        |ORDER BY source""".stripMargin
   }
 
+  // ------------------------------ v3: the packed train-build output
+  /** The END of the pretraining-data pipeline — what actually ships
+    * to the trainer: take the v2 curation survivors, keep the
+    * DSIR-important docs (importance weight ≥ the bar, the
+    * capped-and-smoothed models of `text_dsir_filter`), order each
+    * source's docs by importance, and PACK them into token-budget
+    * shards. The packing window runs per SOURCE over the CURATED
+    * corpus (orders of magnitude smaller than raw ingest), ordered by
+    * (weight DESC, doc_id) — a total order, so shard assignment is
+    * layout-independent. Every stage reuses a gate-pinned operator:
+    * the output hash certifies split gate + quality bar + decontam +
+    * span drops + importance selection + packing END TO END. */
+  def trainBuild(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("dsir_weight").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = graft.operators.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+    curatedV2Docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(TextOps.textDsirFilter(spark, dir)
+        .select(col("doc_id"), col("dsir_weight")), Seq("doc_id"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("shard_id",
+        expr(s"(cum - tokens) div ${TextOps.ShardTokens}"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        max(col("dsir_weight")).as("max_weight"),
+        min(col("dsir_weight")).as("min_weight"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  val trainBuildSql: String = {
+    val k5 = TextOps.DecontamN
+    val k8 = TextOps.SubstrK
+    val vocab = TextOps.DsirVocabTop
+    s"""WITH ${TextOps.bigramCtes},
+       |quality AS (${TextOps.qualitySelectSql}),
+       |split_docs AS (
+       |  SELECT doc_id, source, text,
+       |    CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |g5 AS (
+       |  SELECT doc_id, split,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${k5 - 1}], ' ')) AS gram
+       |  FROM (SELECT doc_id, split, STRING_SPLIT(text, ' ') AS ws
+       |        FROM split_docs
+       |        WHERE LEN(STRING_SPLIT(text, ' ')) >= $k5) d,
+       |       UNNEST(RANGE(1, LEN(d.ws) - ${k5 - 2})) AS r(i)),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM g5 t JOIN (SELECT DISTINCT gram FROM g5 WHERE split = 'test') tg
+       |    USING (gram)
+       |  WHERE t.split = 'train'),
+       |g8 AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${k8 - 1}], ' ')) AS gram
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+       |        WHERE LEN(STRING_SPLIT(text, ' ')) >= $k8) d,
+       |       UNNEST(RANGE(1, LEN(d.ws) - ${k8 - 2})) AS r(i)),
+       |dup8 AS (SELECT gram FROM g8 GROUP BY gram HAVING COUNT(*) >= 2),
+       |runs AS (
+       |  SELECT doc_id, grp, COUNT(*) AS n_pos
+       |  FROM (SELECT g.doc_id, g.pos,
+       |          g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+       |        FROM g8 g JOIN dup8 USING (gram))
+       |  GROUP BY doc_id, grp),
+       |span_drops AS (
+       |  SELECT DISTINCT doc_id FROM runs WHERE n_pos >= $SpanBar),
+       |curated AS (
+       |  SELECT s.doc_id, s.source
+       |  FROM split_docs s JOIN quality q ON s.doc_id = q.doc_id
+       |  WHERE s.split = 'train'
+       |    AND q.quality_score >= $QualityBar
+       |    AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |    AND s.doc_id NOT IN (SELECT doc_id FROM span_drops)),
+       |target AS (SELECT doc_id FROM quality WHERE quality_score >= ${TextOps.DsirQualityBar}),
+       |tcnt AS (
+       |  SELECT bigram, tc FROM (
+       |    SELECT bigram, COUNT(*) AS tc,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+       |    FROM bg WHERE doc_id IN (SELECT doc_id FROM target) GROUP BY bigram) r
+       |  WHERE rn <= $vocab),
+       |ccnt AS (
+       |  SELECT bigram, cc FROM (
+       |    SELECT bigram, COUNT(*) AS cc,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rn
+       |    FROM bg GROUP BY bigram) r
+       |  WHERE rn <= $vocab),
+       |tot AS (SELECT
+       |  (SELECT CAST(COALESCE(SUM(tc), 0) + $vocab AS BIGINT) FROM tcnt) AS tt,
+       |  (SELECT CAST(COALESCE(SUM(cc), 0) + $vocab AS BIGINT) FROM ccnt) AS ct),
+       |dsirw AS (
+       |  SELECT doc_id, dsir_weight FROM (
+       |    SELECT b.doc_id,
+       |      (CAST(SUM(COALESCE(t.tc, 0) + 1) AS DOUBLE) / CAST((SELECT tt FROM tot) AS DOUBLE))
+       |        / (CAST(SUM(COALESCE(c.cc, 0) + 1) AS DOUBLE) / CAST((SELECT ct FROM tot) AS DOUBLE)) AS dsir_weight
+       |    FROM bg b LEFT JOIN ccnt c ON b.bigram = c.bigram
+       |    LEFT JOIN tcnt t ON b.bigram = t.bigram
+       |    GROUP BY b.doc_id) s
+       |  WHERE dsir_weight >= ${TextOps.DsirKeep}),
+       |toks AS (
+       |  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT c.source, d.dsir_weight, k.tokens,
+       |    CAST(SUM(k.tokens) OVER (PARTITION BY c.source
+       |      ORDER BY d.dsir_weight DESC, c.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM curated c JOIN dsirw d USING (doc_id) JOIN toks k USING (doc_id))
+       |SELECT source, (cum - tokens) // ${TextOps.ShardTokens} AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       |  MAX(dsir_weight) AS max_weight, MIN(dsir_weight) AS min_weight
+       |FROM packed
+       |GROUP BY source, shard_id
+       |ORDER BY source, shard_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "pipeline_curate" -> ((curate _, curateSql)),
+    "pipeline_train_build" -> ((trainBuild _, trainBuildSql)),
     "pipeline_curate_v2" -> ((curateV2 _, curateV2Sql)),
     "pipeline_curate_cc" -> ((curateCc _, curateCcSql)),
     "pipeline_contamination" -> ((contamination _, contaminationSql)),

@@ -440,7 +440,7 @@ object TextOps {
       |ORDER BY lang, source, rk""".stripMargin
 
   // ---------------------------------------------- shard packing
-  private val ShardTokens = 2000L
+  private[operators] val ShardTokens = 2000L
 
   /** Token-budget shard packing: assign documents (per lang, in
     * doc_id order) to training shards of ~2000 tokens by running
@@ -594,7 +594,7 @@ object TextOps {
   /** One row per (doc, word-bigram occurrence) — the shared front of
     * both LM gates. `ws` is materialized once (split per bigram was
     * measured O(words²) — see textRepetition). */
-  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docBigrams(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -602,7 +602,7 @@ object TextOps {
         """transform(sequence(1, size(ws) - 1),
           |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))""".stripMargin)).as("bigram"))
 
-  private val bigramCtes: String =
+  private[operators] val bigramCtes: String =
     """d AS (
       |  SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
       |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
@@ -673,15 +673,15 @@ object TextOps {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------- DSIR-style importance filtering
-  private val DsirQualityBar = 0.55
-  private val DsirKeep = 1.0
+  private[operators] val DsirQualityBar = 0.55
+  private[operators] val DsirKeep = 1.0
   // Top-V cap for BOTH bigram models. Deliberately smaller than
   // LmVocabTop: the synthetic corpus has only ~916 distinct bigrams,
   // so a 10k cap would never bind at gate scale and the OOV smoothing
   // floor would be dead code in the correctness gate. At 500 the cap
   // bites, so the three-way hash gate certifies the SMOOTHED scoring
   // path cross-engine, not just the in-vocabulary one.
-  private val DsirVocabTop = 500
+  private[operators] val DsirVocabTop = 500
 
   /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
     * arXiv:2302.03169 — here in its deterministic filter form): build
