@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_semantic_dedup", "text_lm_score", "text_dsir_filter",
     "q30_null_semantics", // 1-row scalar cross (counts × diagonal)
     "sim_ann_recall", // composes sim_cosine_topk's intentional query broadcast
-    "sim_ann_filtered") // corpusWithCells' K-constant-centroid cross, as sim_ann_ivf
+    "sim_ann_filtered", // corpusWithCells' K-constant-centroid cross, as sim_ann_ivf
+    "pipeline_train_build") // inherits text_dsir_filter's 1-row totals scalar cross
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
