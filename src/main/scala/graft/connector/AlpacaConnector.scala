@@ -89,7 +89,8 @@ case class AlpacaScanConfig(
     timeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
     maxRetries: Int = AlpacaHttpClient.MaxRetries,
     symbolBatch: Int = 1,
-    timeless: Boolean = false) {
+    timeless: Boolean = false,
+    rateLimitRps: Double = 0.0) {
 
   /** Request-grid symbol axis: with `symbol_batch` > 1 the symbols are
     * batched into comma-joined groups (alphabetical, matching the real
@@ -237,7 +238,8 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       timeoutSec = endpointCfg.timeoutSec,
       maxRetries = endpointCfg.maxRetries,
       symbolBatch = AlpacaOptions.parseSymbolBatch(opts),
-      timeless = sourceDef.timeless)
+      timeless = sourceDef.timeless,
+      rateLimitRps = endpointCfg.rateLimitRps)
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -528,7 +530,8 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
       "APCA-API-SECRET-KEY" -> cfg.apiKeySecret),
     pathElements,
     maxRetries = cfg.maxRetries,
-    readTimeoutSec = cfg.timeoutSec)
+    readTimeoutSec = cfg.timeoutSec,
+    rateLimitRps = cfg.rateLimitRps)
 
   /** Raw page bodies (prefetched one ahead). */
   lazy val rawPages: Iterator[Array[Byte]] =

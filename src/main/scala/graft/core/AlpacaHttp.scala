@@ -30,7 +30,8 @@ class AlpacaHttpClient(
     headers: Map[String, String],
     pathElements: Seq[String],
     maxRetries: Int = AlpacaHttpClient.MaxRetries,
-    readTimeoutSec: Double = AlpacaOptions.DefaultTimeoutSec) {
+    readTimeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
+    rateLimitRps: Double = 0.0) {
 
   private val log = LoggerFactory.getLogger(getClass)
   // JVM-shared: a new HttpClient per partition would open fresh TCP
@@ -55,6 +56,9 @@ class AlpacaHttpClient(
     val url = buildUrl(params ++ pageToken.map("page_token" -> _))
     var attempt = 0
     while (true) {
+      // every attempt (retries included) draws from the shared budget
+      if (rateLimitRps > 0)
+        AlpacaHttpClient.pacerFor(endpoint, rateLimitRps).acquire()
       val builder = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(math.max(1L, (readTimeoutSec * 1000).toLong)))
         .GET()
@@ -89,12 +93,26 @@ class AlpacaHttpClient(
             s"HTTP $code with empty body for $url — malformed API response")
         return body
       } else if (AlpacaHttpClient.RetryStatuses.contains(code) && attempt < maxRetries) {
+        // the server's own Retry-After (seconds form; the rate-limit
+        // reply the real API sends on 429) takes precedence over the
+        // client's guess — clamped into [0, 2 min] like the
+        // exponential path, so a hostile/buggy header can neither
+        // park the task for hours nor go negative
+        val retryAfterMs: Option[Long] = {
+          val h = response.headers().firstValue("Retry-After")
+          if (h.isPresent)
+            h.get.trim.toLongOption // seconds form only; HTTP-date falls back
+              .map(s => math.min(math.max(0L, s) * 1000L, 120000L))
+          else None
+        }
         // 0.5s, 1s, 2s, … capped at 2 min: `retries` is user-settable
         // now, and an uncapped shift both over-sleeps (retries=30 →
         // multi-day waits) and overflows negative past attempt 62
         // (Thread.sleep would throw instead of retrying)
-        val backoffMs = math.min(500L << math.min(attempt, 8), 120000L)
-        log.warn(s"HTTP $code for $url; retry ${attempt + 1}/$maxRetries in ${backoffMs}ms")
+        val backoffMs = retryAfterMs.getOrElse(
+          math.min(500L << math.min(attempt, 8), 120000L))
+        log.warn(s"HTTP $code for $url; retry ${attempt + 1}/$maxRetries in ${backoffMs}ms" +
+          retryAfterMs.fold("")(_ => " (server Retry-After)"))
         Thread.sleep(backoffMs)
         attempt += 1
       } else {
@@ -224,6 +242,40 @@ object AlpacaHttpClient {
   /** reference: `common.py:25,151-156` */
   val MaxRetries = 3
   val RetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
+
+  /** Per-JVM request pacer (`rate_limit_rps`): ALL tasks on this
+    * executor drawing on the same endpoint share one budget — the
+    * coordination `rate_limit_delay` (a per-TASK sleep between pages)
+    * cannot express. A scan with 32 concurrent tasks and
+    * rate_limit_rps=10 makes ≤10 requests/second TOTAL from this JVM;
+    * on a cluster the option is a PER-EXECUTOR budget (divide the API
+    * quota by executor count). Minimum-interval form: each acquire
+    * reserves the next slot under the lock, then sleeps OUTSIDE it,
+    * so a slow request never blocks the queue behind its sleep. */
+  final class RequestPacer(rps: Double) {
+    private val intervalNanos = (1e9 / rps).toLong
+    private var nextAtNanos = 0L
+    def acquire(): Unit = {
+      var sleepNanos = 0L
+      synchronized {
+        val now = System.nanoTime()
+        val at = math.max(now, nextAtNanos)
+        nextAtNanos = at + intervalNanos
+        sleepNanos = at - now
+      }
+      if (sleepNanos > 0)
+        Thread.sleep(sleepNanos / 1000000L, (sleepNanos % 1000000L).toInt)
+    }
+  }
+
+  private val pacers =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), RequestPacer]()
+
+  /** One pacer per (endpoint, rps): scans of the same endpoint at the
+    * same configured budget share it; a different rps is a different
+    * (deliberate) budget. */
+  def pacerFor(endpoint: String, rps: Double): RequestPacer =
+    pacers.computeIfAbsent((endpoint, rps), _ => new RequestPacer(rps))
 
   /** One JDK HttpClient per executor JVM: connection pooling +
     * keep-alive across all partition readers (timeouts are

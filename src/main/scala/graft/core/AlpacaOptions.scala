@@ -17,7 +17,8 @@ case class EndpointConfig(
     endpoint: String,
     rateLimitDelaySec: Double,
     timeoutSec: Double = AlpacaOptions.DefaultTimeoutSec,
-    maxRetries: Int = AlpacaHttpClient.MaxRetries)
+    maxRetries: Int = AlpacaHttpClient.MaxRetries,
+    rateLimitRps: Double = 0.0)
 
 object AlpacaOptions {
   /** reference: `common.py:23-24` */
@@ -52,7 +53,8 @@ object AlpacaOptions {
       "timeout", "retries", // USAGE.md:74-75 globals, implemented here
       "stream_step", // streaming micro-batch step, not an API param
       "cluster_by_symbol", // report KeyGroupedPartitioning(symbol) from the scan
-      "symbol_batch") // symbols per HTTP request (multi-symbol batching)
+      "symbol_batch", // symbols per HTTP request (multi-symbol batching)
+      "rate_limit_rps") // shared per-executor request budget
 
   /** Builds the endpoint config, requiring both API keys
     * (reference: `common.py:218-232`). Keys are matched
@@ -83,7 +85,16 @@ object AlpacaOptions {
         if (r < 0) throw new IllegalArgumentException(
           s"Invalid 'retries' option: must be >= 0, got '$v'")
         r
-      }.getOrElse(AlpacaHttpClient.MaxRetries))
+      }.getOrElse(AlpacaHttpClient.MaxRetries),
+      rateLimitRps = lower.get("rate_limit_rps").map { v =>
+        val r = try v.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"Invalid 'rate_limit_rps' option: '$v' is not a number")
+        }
+        if (r < 0) throw new IllegalArgumentException(
+          s"Invalid 'rate_limit_rps' option: must be non-negative, got '$v'")
+        r
+      }.getOrElse(0.0))
   }
 
   /** Clamps a requested page size to [[MaxLimit]] with a warning

@@ -551,6 +551,13 @@ object AlpacaStubServer {
     val (code, body) = render(parseQuery(ex))
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    // RATELIMIT fixtures advertise the server's own backoff: numeric
+    // for the honored path, garbage for the fallback path
+    if (code == 429) {
+      val sym = parseQuery(ex).getOrElse("symbols", "")
+      ex.getResponseHeaders.set("Retry-After",
+        if (sym == "RATELIMITBAD") "soon" else "0")
+    }
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
@@ -655,6 +662,12 @@ object AlpacaStubServer {
     if (symbol == "FLAKY") {
       val hits = flakyHits.merge(q(params, "start"), 1, (a, b) => a + b)
       if (hits <= 2) return (503, """{"message": "service unavailable"}""")
+    }
+    // RATELIMIT / RATELIMITBAD: 429 twice with a Retry-After header
+    // (numeric / garbage — set in handle()), then success
+    if (symbol.startsWith("RATELIMIT")) {
+      val hits = flakyHits.merge(symbol + q(params, "start"), 1, (a, b) => a + b)
+      if (hits <= 2) return (429, """{"message": "rate limit exceeded"}""")
     }
     val tfUs = Timeframe.parseMicros(params.getOrElse("timeframe", "1Hour"))
     val limit = params.get("limit").map(_.toInt).getOrElse(10000)

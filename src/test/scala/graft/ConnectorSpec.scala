@@ -432,4 +432,41 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "batched timeless object records must equal unbatched")
     assert(snap().size == 4)
   }
+
+  test("429 honors the server's Retry-After (numeric) and falls back on garbage") {
+    // numeric Retry-After: 0 -> immediate retries, success on 3rd try
+    val fast = barsReader("symbols" -> "RATELIMIT").load().collect()
+    assert(fast.length == 48 * 1, s"RATELIMIT rows: ${fast.length}")
+    // garbage Retry-After -> exponential fallback still succeeds; the
+    // 0.5s+1s floor proves the fallback actually slept
+    val t0 = System.nanoTime()
+    val slow = barsReader("symbols" -> "RATELIMITBAD").load().collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(slow.length == 48 * 1)
+    assert(elapsedMs >= 1400, s"fallback backoff not applied: ${elapsedMs}ms")
+  }
+
+  test("rate_limit_rps: one per-executor budget paces ALL concurrent tasks") {
+    // 2 symbols x 2 one-day partitions = 4 requests; at 8 rps the
+    // shared pacer forces >= 3 x 125ms of spacing even though the 4
+    // tasks run concurrently (rate_limit_delay, being per-task, would
+    // sleep ZERO here - one page per task)
+    def trades(extra: (String, String)*) =
+      spark.read.format("Alpaca_Stocks_Trades").options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['AAPL','MSFT']",
+        "start" -> "2021-01-04T00:00:00Z",
+        "end" -> "2021-01-06T00:00:00Z") ++ extra.toMap)
+    val rows = trades().load().collect()
+    val t0 = System.nanoTime()
+    val paced = trades("rate_limit_rps" -> "8").load().collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(paced.sorted(Ordering.by[org.apache.spark.sql.Row, String](_.toString)).map(_.toString).toSeq ==
+      rows.sorted(Ordering.by[org.apache.spark.sql.Row, String](_.toString)).map(_.toString).toSeq)
+    assert(elapsedMs >= 300, s"pacing not applied: ${elapsedMs}ms for 4 requests at 8rps")
+    intercept[IllegalArgumentException] {
+      trades("rate_limit_rps" -> "-1").load()
+    }
+  }
 }

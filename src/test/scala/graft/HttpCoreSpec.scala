@@ -140,4 +140,22 @@ class HttpCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("404") && e.getMessage.contains("no such page"),
       s"unexpected: $e")
   }
+
+  test("RequestPacer: concurrent acquires space to the configured rate") {
+    import graft.core.AlpacaHttpClient
+    val pacer = new AlpacaHttpClient.RequestPacer(100.0) // 10ms interval
+    val t0 = System.nanoTime()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => (1 to 5).foreach(_ => pacer.acquire()))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    // 20 acquires at 10ms spacing: >= 190ms by construction (first is
+    // free); generous lower bound to stay timing-robust
+    assert(elapsedMs >= 150, s"20 acquires at 100rps took only ${elapsedMs}ms")
+    // distinct (endpoint, rps) pairs get distinct pacers; same pair shares
+    val a = AlpacaHttpClient.pacerFor("http://x", 5.0)
+    assert(AlpacaHttpClient.pacerFor("http://x", 5.0) eq a)
+    assert(AlpacaHttpClient.pacerFor("http://x", 7.0) ne a)
+  }
 }
