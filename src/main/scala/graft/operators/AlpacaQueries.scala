@@ -1323,6 +1323,72 @@ object AlpacaQueries {
        |GROUP BY underlying, expiry_d, strike
        |ORDER BY underlying, expiry_d, strike""".stripMargin
 
+  /** Quote-to-trade intensity — the message-traffic ratio every
+    * venue-quality and HFT-activity study starts from: quotes per
+    * trade per (symbol, hour). Both sides aggregate BEFORE the join
+    * (|symbol-hours| rows meet, never prints) and the ratio is one
+    * IEEE division of exact counts. */
+  def quoteIntensity(spark: SparkSession, dir: String): DataFrame = {
+    def hourAgg(fmt: String, outCol: String) =
+      spark.read.format(fmt)
+        .options(baseOptions(tradesSymbols: _*) ++ Map(
+          "start" -> tradesStart, "end" -> quotesScanEnd))
+        .load()
+        .withColumn("hr", expr("unix_micros(time) div 3600000000"))
+        .groupBy(col("symbol"), col("hr"))
+        .agg(count(lit(1)).as(outCol))
+    hourAgg("Alpaca_Stocks_Quotes", "n_quotes")
+      .join(hourAgg("Alpaca_Stocks_Trades", "n_trades"), Seq("symbol", "hr"))
+      .withColumn("quote_trade_ratio",
+        col("n_quotes").cast("double") / col("n_trades").cast("double"))
+      .orderBy(col("symbol"), col("hr"))
+  }
+
+  def quoteIntensitySql: String = {
+    val rows = tradesSymbols.sorted.flatMap { s =>
+      val qs = AlpacaFixtures.stockQuotes(s, us(tradesStart), us(quotesScanEnd))
+        .groupBy(_.timeUs / (3600L * 1000000L)).view.mapValues(_.size)
+      val ts = AlpacaFixtures.trades(s, us(tradesStart), us(quotesScanEnd))
+        .groupBy(_.timeUs / (3600L * 1000000L)).view.mapValues(_.size)
+      qs.keySet.intersect(ts.keySet).toSeq.sorted.map { hr =>
+        s"(${sqlStr(s)}, $hr, ${qs(hr)}, ${ts(hr)})"
+      }
+    }
+    s"""SELECT symbol, CAST(hr AS BIGINT) AS hr,
+       |  CAST(n_quotes AS BIGINT) AS n_quotes, CAST(n_trades AS BIGINT) AS n_trades,
+       |  CAST(n_quotes AS DOUBLE) / CAST(n_trades AS DOUBLE) AS quote_trade_ratio
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(symbol, hr, n_quotes, n_trades)
+       |ORDER BY symbol, hr""".stripMargin
+  }
+
+  /** Cumulative depth curve — liquidity-at-distance, the execution
+    * scheduler's input: running size and notional by level down each
+    * side of the book. One window pass per (symbol, side) over the
+    * bounded depth; price×size products are exact on the grid. */
+  def orderbookDepthCurve(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("symbol"), col("side")).orderBy(col("level"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    orderbookDf(spark)
+      .withColumn("cum_size", sum(col("size")).over(w))
+      .withColumn("cum_notional", sum(col("price") * col("size")).over(w))
+      .select(col("symbol"), col("side"), col("level"), col("price"),
+        col("size"), col("cum_size"), col("cum_notional"))
+      .orderBy(col("symbol"), col("side"), col("level"))
+  }
+
+  def orderbookDepthCurveSql: String =
+    s"""SELECT symbol, side, CAST(level AS INT) AS level,
+       |  CAST(price AS DOUBLE) AS price, CAST(size AS DOUBLE) AS size,
+       |  CAST(SUM(size) OVER w AS DOUBLE) AS cum_size,
+       |  CAST(SUM(price * size) OVER w AS DOUBLE) AS cum_notional
+       |FROM (VALUES $orderbookValues)
+       |  AS v(symbol, book_time, side, level, price, size)
+       |WINDOW w AS (PARTITION BY symbol, side ORDER BY level
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY symbol, side, level""".stripMargin
+
   // ------------------------------------------------ crypto point-in-time
   /** BTC has no prevDailyBar in the fixture (hash % 3) — the crypto
     * snapshot's absent-section path rides the same gate. */
@@ -2207,6 +2273,9 @@ object AlpacaQueries {
     "alpaca_crypto_snapshot_scan" -> ((cryptoSnapshotScan _, cryptoSnapshotScanSql)),
     "alpaca_crypto_latest_family" -> ((cryptoLatestFamily _, cryptoLatestFamilySql)),
     "alpaca_orderbook_imbalance" -> ((orderbookImbalance _, orderbookImbalanceSql)),
+    "alpaca_quote_intensity" -> ((quoteIntensity _, quoteIntensitySql)),
+    "alpaca_orderbook_depth_curve" ->
+      ((orderbookDepthCurve _, orderbookDepthCurveSql)),
     "alpaca_auction_summary" -> ((auctionSummary _, auctionSummarySql)),
     "alpaca_auctions_malformed_skip" ->
       ((auctionsMalformedSkip _, auctionsMalformedSkipSql)),
