@@ -57,7 +57,12 @@ class DeterminismSpec extends AnyFunSuite {
     "alpaca_orderbook_imbalance", "alpaca_overnight_gap",
     // r7: the packed train-build rests on the (weight DESC, doc_id)
     // total order inside the packing window
-    "pipeline_train_build")
+    "pipeline_train_build",
+    // r7 final batch: quotient ratios, windows over bounded sets, and
+    // the all-broadcast composition joins — none may notice layout
+    "alpaca_quote_intensity", "alpaca_orderbook_depth_curve",
+    "alpaca_iv_smile", "alpaca_put_call_parity", "alpaca_impl_shortfall",
+    "alpaca_market_dashboard")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -237,4 +237,38 @@ class ParserGoldenSpec extends AnyFunSuite {
       MostActivesParser.parse("", js("""{"volume": 1, "trade_count": 1}"""))
     }
   }
+
+  test("option snapshot: greeks/IV flatten; absent sections null; broken section fails") {
+    import graft.core.OptionSnapshotParser
+    val row = OptionSnapshotParser.parse("AAPL240119C00150000", js(
+      """{"impliedVolatility": 0.25,
+        |"greeks": {"delta": 0.5, "gamma": 0.03125, "theta": -0.0625, "vega": 0.125, "rho": 0.015625},
+        |"latestQuote": {"bp": 2.25, "ap": 2.75},
+        |"latestTrade": {"p": 2.5, "s": 3}}""".stripMargin))
+    assert(row.getDouble(1) == 0.25 && row.getDouble(2) == 0.5)
+    assert(row.getDouble(3) == 0.03125 && row.getDouble(4) == -0.0625)
+    assert(row.getDouble(7) == 2.25 && row.getDouble(8) == 2.75)
+    assert(row.getDouble(9) == 2.5 && row.getLong(10) == 3L)
+    val newListing = OptionSnapshotParser.parse("X",
+      js("""{"latestQuote": {"bp": 1.0, "ap": 1.5}}"""))
+    (1 to 6).foreach(i => assert(newListing.isNullAt(i))) // iv + all greeks
+    assert(newListing.isNullAt(9) && newListing.isNullAt(10))
+    intercept[IllegalArgumentException] { // present-but-broken greeks
+      OptionSnapshotParser.parse("X", js("""{"greeks": {"delta": 0.5}}"""))
+    }
+  }
+
+  test("crypto snapshot: fractional sizes flatten; keyed-envelope record shape") {
+    import graft.core.CryptoSnapshotParser
+    val row = CryptoSnapshotParser.parse("BTC/USD", js(
+      """{"latestTrade": {"t": "2021-01-04T23:55:00Z", "p": 29000.25, "s": 0.75, "i": 1, "tks": "B"},
+        |"latestQuote": {"t": "2021-01-04T23:58:00Z", "bp": 29000.0, "bs": 0.5, "ap": 29000.5, "as": 0.25},
+        |"minuteBar": {"t": "2021-01-04T23:59:00Z", "o": 1.0, "h": 1.0, "l": 1.0, "c": 29000.25, "v": 10, "n": 1, "vw": 1.0},
+        |"dailyBar": {"t": "2021-01-04T00:00:00Z", "o": 28000.0, "h": 29500.0, "l": 27900.0, "c": 29000.0, "v": 999, "n": 9, "vw": 1.0}}""".stripMargin))
+    assert(row.getUTF8String(0).toString == "BTC/USD")
+    assert(row.getDouble(2) == 29000.25 && row.getDouble(3) == 0.75) // fractional size
+    assert(row.getDouble(5) == 29000.0 && row.getDouble(6) == 0.5)
+    assert(row.getDouble(16) == 29000.0 && row.getLong(17) == 999L)
+    assert(row.isNullAt(18)) // no prevDailyBar
+  }
 }
