@@ -215,8 +215,66 @@ object News {
        |ORDER BY id""".stripMargin
   }
 
+  private val PosWords = Seq("beats", "raises")
+  private val NegWords = Seq("misses", "cuts")
+
+  /** Lexicon sentiment index — the news-analytics staple: dedup
+    * articles by id, score each headline with a ±1 lexicon (the
+    * deterministic stand-in for a model scorer; the Spark-side
+    * plumbing — dedup, explode, aggregate — is the real part),
+    * EXPLODE the article's full ticker CSV so a cross-listed story
+    * counts toward every symbol it names, and aggregate net
+    * sentiment per ticker. Integer scores ⇒ exact sums; the ratio is
+    * one division. */
+  def newsSentiment(spark: SparkSession, dir: String): DataFrame = {
+    val pos = PosWords.map(w => s"'$w'").mkString(", ")
+    val neg = NegWords.map(w => s"'$w'").mkString(", ")
+    newsDf(spark, newsSymbols, newsEnd)
+      .groupBy(col("id"))
+      .agg(max(col("headline")).as("headline"), max(col("symbols")).as("symbols"))
+      .withColumn("score",
+        expr(s"size(filter(split(lower(headline), ' '), x -> x IN ($pos)))") -
+          expr(s"size(filter(split(lower(headline), ' '), x -> x IN ($neg)))"))
+      .select(explode(split(col("symbols"), ",")).as("ticker"), col("score"))
+      .groupBy(col("ticker"))
+      .agg(count(lit(1)).as("n_articles"),
+        sum(col("score")).as("net_sentiment"),
+        (sum(col("score")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_sentiment"))
+      .orderBy(col("ticker"))
+  }
+
+  def newsSentimentSql: String = {
+    val pos = PosWords.map(w => s"'$w'").mkString(", ")
+    val neg = NegWords.map(w => s"'$w'").mkString(", ")
+    var seen = Set.empty[Long]
+    val rows = newsSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.newsArticles(s, us(newsStart), us(newsEnd)).flatMap { a =>
+        if (seen.contains(a.id)) None
+        else {
+          seen += a.id
+          Some(s"(${a.id}, ${sqlStr(a.headline)}, ${sqlStr(a.symbols.mkString(","))})")
+        }
+      }
+    }
+    s"""WITH arts AS (
+       |  SELECT id, headline, symbols,
+       |    CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(headline), ' '), x -> x IN ($pos))) AS BIGINT) -
+       |    CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(headline), ' '), x -> x IN ($neg))) AS BIGINT) AS score
+       |  FROM (VALUES ${rows.mkString(",\n  ")}) AS v(id, headline, symbols)),
+       |exploded AS (
+       |  SELECT UNNEST(STRING_SPLIT(symbols, ',')) AS ticker, score FROM arts)
+       |SELECT ticker, CAST(COUNT(*) AS BIGINT) AS n_articles,
+       |  CAST(SUM(score) AS BIGINT) AS net_sentiment,
+       |  CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_sentiment
+       |FROM exploded
+       |GROUP BY ticker
+       |ORDER BY ticker""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_news_scan" -> ((newsScan _, newsScanSql)),
+    "alpaca_news_sentiment" -> ((newsSentiment _, newsSentimentSql)),
     "alpaca_stream_news_curate" -> ((streamNewsCurate _, streamNewsCurateSql)),
     "alpaca_news_stream_scan" -> ((newsStreamScan _, newsScanSql)),
     "alpaca_news_dedup" -> ((newsDedup _, newsDedupSql)),
