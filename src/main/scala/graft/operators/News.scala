@@ -272,8 +272,81 @@ object News {
        |ORDER BY ticker""".stripMargin
   }
 
+  /** News → price bridge — the event-study form of news alpha
+    * research: each deduped, lexicon-scored article anchors to its
+    * containing hour and the NEXT-hour close-to-close move (exact
+    * cents) is attributed to its sentiment sign. Both bar lookups
+    * are EQUI-joins on (symbol, hour) — the news grid never needs a
+    * range join — and the final per-sign aggregate is partial. The
+    * bars window extends one hour past the news window so the last
+    * article's forward bar exists. */
+  def newsReturn(spark: SparkSession, dir: String): DataFrame = {
+    val pos = PosWords.map(w => s"'$w'").mkString(", ")
+    val neg = NegWords.map(w => s"'$w'").mkString(", ")
+    val barsEndPlus = "2021-01-05T01:00:00Z" // newsEnd + the forward hour
+    val bars = spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(newsSymbols: _*) ++ Map(
+        "timeframe" -> "1Hour", "start" -> newsStart, "end" -> barsEndPlus))
+      .load()
+      .select(col("symbol").as("ticker"),
+        expr("unix_micros(time) div 3600000000").as("hr"),
+        (col("close") * 100).cast("bigint").as("close_c"))
+    val scored = newsDf(spark, newsSymbols, newsEnd)
+      .groupBy(col("id"))
+      .agg(min(col("time")).as("time"), max(col("headline")).as("headline"),
+        max(col("symbols")).as("symbols"))
+      .withColumn("score",
+        expr(s"size(filter(split(lower(headline), ' '), x -> x IN ($pos)))") -
+          expr(s"size(filter(split(lower(headline), ' '), x -> x IN ($neg)))"))
+      .select(explode(split(col("symbols"), ",")).as("ticker"),
+        expr("unix_micros(time) div 3600000000").as("hr"),
+        signum(col("score")).cast("int").as("sign"))
+    scored
+      .join(bars, Seq("ticker", "hr"))
+      .join(bars
+        .withColumnRenamed("close_c", "next_close_c")
+        .withColumn("hr", col("hr") - 1), Seq("ticker", "hr"))
+      .groupBy(col("sign"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("next_close_c") - col("close_c")).as("sum_ret_cents"),
+        (sum(col("next_close_c") - col("close_c")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_ret_cents"))
+      .orderBy(col("sign"))
+  }
+
+  def newsReturnSql: String = {
+    val Hour = 3600L * 1000000L
+    var seen = Set.empty[Long]
+    val events = newsSymbols.sorted.flatMap { s =>
+      AlpacaFixtures.newsArticles(s, us(newsStart), us(newsEnd)).flatMap { a =>
+        if (seen.contains(a.id)) None
+        else {
+          seen += a.id
+          val words = a.headline.toLowerCase.split(' ')
+          val score = words.count(PosWords.contains) - words.count(NegWords.contains)
+          Some((a, score.sign))
+        }
+      }
+    }
+    val rows = events.flatMap { case (a, sign) =>
+      a.symbols.map { tk =>
+        val hr = a.timeUs / Hour
+        val c0 = (AlpacaFixtures.barAt(tk, hr * Hour, Hour).close * 100).toLong
+        val c1 = (AlpacaFixtures.barAt(tk, (hr + 1) * Hour, Hour).close * 100).toLong
+        s"($sign, ${c1 - c0})"
+      }
+    }
+    s"""SELECT CAST(sign AS INT) AS sign, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(ret) AS BIGINT) AS sum_ret_cents,
+       |  CAST(SUM(ret) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ret_cents
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS v(sign, ret)
+       |GROUP BY sign
+       |ORDER BY sign""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_news_scan" -> ((newsScan _, newsScanSql)),
+    "alpaca_news_return" -> ((newsReturn _, newsReturnSql)),
     "alpaca_news_sentiment" -> ((newsSentiment _, newsSentimentSql)),
     "alpaca_stream_news_curate" -> ((streamNewsCurate _, streamNewsCurateSql)),
     "alpaca_news_stream_scan" -> ((newsStreamScan _, newsScanSql)),

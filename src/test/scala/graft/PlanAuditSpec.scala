@@ -53,7 +53,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // headline/summary payload through min/max — |articles| rows on
     // the id clustering, not a scan-sized sort.
     val stringAggGates = Set("q25_profile", "alpaca_news_dedup",
-      "alpaca_news_quality")
+      "alpaca_news_quality",
+      // same article-id dedup carrying headline/symbols through
+      // min/max STRING buffers: |articles| rows on the id clustering
+      "alpaca_news_sentiment", "alpaca_news_return")
     val offenders = auditableGates.filterNot(stringAggGates)
       .filter(n => planOf(n).contains("SortAggregate"))
     assert(offenders.isEmpty, offenders.mkString(", "))
