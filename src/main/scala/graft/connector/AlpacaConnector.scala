@@ -63,6 +63,17 @@ trait AlpacaSourceDef extends Serializable {
     * (snapshots): `start`/`end` are neither required, validated, nor
     * sent; the planner crosses symbols × ONE interval. */
   def timeless: Boolean = false
+
+  /** Whether this source's pages admit the reader's scan-integrity
+    * invariants (record-count cross-check + per-symbol instant
+    * monotonicity). True only for the flat-record array-envelope
+    * time-series family (bars/trades/quotes, stock+option+crypto):
+    * their records carry no nested objects-in-arrays — so the HTTP
+    * layer's independent lex count equals the record count — and the
+    * API delivers them time-ordered per symbol. Fan-out (auctions),
+    * nested (orderbooks), object-record (snapshots/latest) and
+    * timeless sources stay unchecked. */
+  def integrityCheckable: Boolean = false
 }
 
 object AlpacaScanConfig {
@@ -90,7 +101,8 @@ case class AlpacaScanConfig(
     maxRetries: Int = AlpacaHttpClient.MaxRetries,
     symbolBatch: Int = 1,
     timeless: Boolean = false,
-    rateLimitRps: Double = 0.0) {
+    rateLimitRps: Double = 0.0,
+    integrityChecks: Boolean = true) {
 
   /** Request-grid symbol axis: with `symbol_batch` > 1 the symbols are
     * batched into comma-joined groups (alphabetical, matching the real
@@ -181,6 +193,7 @@ abstract class AlpacaTableProvider(sourceDef: AlpacaSourceDef)
     opts.collectFirst { case (k, v) if k.equalsIgnoreCase("stream_step") => v }
       .foreach(Timeframe.validate)
     AlpacaOptions.parseSymbolBatch(opts)
+    AlpacaOptions.parseIntegrityChecks(opts)
     sourceDef.schema
   }
 
@@ -239,7 +252,8 @@ class AlpacaTable(sourceDef: AlpacaSourceDef) extends Table with SupportsRead {
       maxRetries = endpointCfg.maxRetries,
       symbolBatch = AlpacaOptions.parseSymbolBatch(opts),
       timeless = sourceDef.timeless,
-      rateLimitRps = endpointCfg.rateLimitRps)
+      rateLimitRps = endpointCfg.rateLimitRps,
+      integrityChecks = AlpacaOptions.parseIntegrityChecks(opts))
     new AlpacaScanBuilder(sourceDef, cfg)
   }
 }
@@ -460,7 +474,8 @@ case class AlpacaScan(sourceDef: AlpacaSourceDef, cfg: AlpacaScanConfig,
     // symbol a ColumnarBatch buys nothing anyway: stay row-based
     new AlpacaReaderFactory(effectiveCfg, sourceDef.versionedPath,
       sourceDef.dataKey, sourceDef.parser, outSchema, limitOpt,
-      columnar = !sourceDef.timeless)
+      columnar = !sourceDef.timeless,
+      checkable = sourceDef.integrityCheckable)
   }
 }
 
@@ -468,7 +483,8 @@ class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
     dataKey: String, parser: RecordParser,
     outSchema: StructType = null,
     limitOpt: Option[Int] = None,
-    columnar: Boolean = true) extends PartitionReaderFactory {
+    columnar: Boolean = true,
+    checkable: Boolean = false) extends PartitionReaderFactory {
 
   private def schemaOut: StructType =
     if (outSchema == null) parser.schema else outSchema
@@ -482,12 +498,21 @@ class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AlpacaPartitionReader(cfg, pathElements, dataKey, parser,
-      partition.asInstanceOf[SymbolTimeRangePartition], schemaOut, limitOpt)
+      partition.asInstanceOf[SymbolTimeRangePartition], schemaOut, limitOpt,
+      checkable)
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     new AlpacaColumnarPartitionReader(cfg, pathElements, dataKey, parser,
-      partition.asInstanceOf[SymbolTimeRangePartition], schemaOut, limitOpt)
+      partition.asInstanceOf[SymbolTimeRangePartition], schemaOut, limitOpt,
+      checkable)
 }
+
+/** A scan-integrity invariant failed: the page chain delivered
+  * structurally inconsistent data (parser/lex record-count divergence
+  * or a per-symbol instant regression). Always a task-failing error —
+  * the alternative is the permissive record skip silently absorbing a
+  * transient fault into wrong aggregates. */
+class ScanIntegrityException(msg: String) extends RuntimeException(msg)
 
 /** Shared executor-side page source: paginated HTTP fetch → JSON parse
   * → per-page InternalRow iterators, fully pipelined (page at a time,
@@ -496,9 +521,80 @@ class AlpacaReaderFactory(cfg: AlpacaScanConfig, pathElements: Seq[String],
   * the rest). */
 private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
     pathElements: Seq[String], dataKey: String, parser: RecordParser,
-    partition: SymbolTimeRangePartition) {
+    partition: SymbolTimeRangePartition, checkable: Boolean = false) {
 
   private val log = LoggerFactory.getLogger(getClass)
+
+  // ------------------------------------------------ scan integrity
+  // Two invariants, on by default for the flat time-series sources
+  // (`AlpacaSourceDef.integrityCheckable`), spanning this partition's
+  // whole page chain:
+  //  1. COUNT: record objects seen by the consumer's parse walk ==
+  //     the HTTP layer's independent lex count of the same bytes
+  //     (`AlpacaHttpClient.skimPage`, computed on the prefetch
+  //     thread). Catches parser-side drops/duplicates — a vectorized
+  //     walker drifting out of token alignment, a page parsed twice.
+  //  2. ORDER: per symbol, record instants never regress against the
+  //     requested sort (non-decreasing asc / non-increasing desc —
+  //     NON-strict, because real tick feeds legitimately carry equal
+  //     instants at µs resolution). Catches duplicated/reordered
+  //     pages: a re-served page's first instant sits before the
+  //     previous page's last.
+  // Violations throw ScanIntegrityException and fail the task loudly.
+  // Without them, a transient fault on this layer feeds the permissive
+  // record-level skip (E4) and surfaces as silently-wrong aggregates.
+  // Record-LEVEL malformation stays permissive (warn+skip,
+  // `common.py:484-486`) — both invariants hold across skips.
+  private val check = checkable && cfg.integrityChecks
+  private val timeOrdinal =
+    if (check) parser.schema.fieldNames.indexOf("time") else -1
+  private val desc = cfg.params.get("sort").exists(_.equalsIgnoreCase("desc"))
+  private var pageRecords = 0L
+  private var curSymKey: AnyRef = null // reference identity of the symbol run
+  private var curSymStr: String = null
+  private var lastTs = 0L
+  private var haveLast = false
+  private lazy val lastBySym = scala.collection.mutable.HashMap[String, Long]()
+  private var pagesVerified = 0L
+
+  private def flushRun(): Unit =
+    if (curSymStr != null && haveLast) lastBySym.update(curSymStr, lastTs)
+
+  /** Ordering invariant for one record instant. `symRef` is the
+    * per-symbol-run key object (one allocation per envelope run, so
+    * the hot path is a reference compare); `symStr` materializes the
+    * symbol only on a run switch. */
+  private def checkInstant(symRef: AnyRef, symStr: => String, ts: Long): Unit = {
+    if (symRef ne curSymKey) {
+      flushRun()
+      curSymKey = symRef
+      curSymStr = symStr
+      haveLast = lastBySym.get(curSymStr) match {
+        case Some(t) => lastTs = t; true
+        case None => false
+      }
+    }
+    if (haveLast && (if (desc) ts > lastTs else ts < lastTs))
+      throw new ScanIntegrityException(
+        s"out-of-order instant for symbol '$curSymStr' in partition " +
+          s"'${partition.symbol}' [${partition.startMicros},${partition.endMicros}) " +
+          s"page ${pagesVerified + 1}: $ts after $lastTs with sort=" +
+          (if (desc) "desc" else "asc") +
+          " — duplicated or reordered page in the chain")
+    lastTs = ts
+    haveLast = true
+  }
+
+  /** Count invariant at end of one page's parse. */
+  private[connector] def verifyPageCount(expected: Long): Unit = {
+    if (check && pageRecords != expected)
+      throw new ScanIntegrityException(
+        s"page record-count mismatch in partition '${partition.symbol}' " +
+          s"[${partition.startMicros},${partition.endMicros}) page ${pagesVerified + 1}: " +
+          s"parse walk saw $pageRecords record objects, independent HTTP-layer " +
+          s"lex count saw $expected — parser drift or page corruption")
+    pagesVerified += 1
+  }
 
   /** Per-partition parameter binding (P4, `common.py:384-397`):
     * passthrough options with symbol/start/end/limit overridden. */
@@ -533,16 +629,25 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
     readTimeoutSec = cfg.timeoutSec,
     rateLimitRps = cfg.rateLimitRps)
 
-  /** Raw page bodies (prefetched one ahead). */
-  lazy val rawPages: Iterator[Array[Byte]] =
-    client.fetchAllPagesBytes(partitionParams, cfg.rateLimitDelaySec)
+  /** Raw page bodies with the skim's independent record count
+    * (prefetched one ahead). */
+  lazy val countedPages: Iterator[AlpacaHttpClient.FetchedPage] =
+    client.fetchAllPagesCounted(partitionParams, cfg.rateLimitDelaySec)
 
-  lazy val pageArrays: Iterator[Array[InternalRow]] = rawPages.map(parsePageBytes)
+  /** Raw page bodies (prefetched one ahead). */
+  lazy val rawPages: Iterator[Array[Byte]] = countedPages.map(_.bytes)
+
+  lazy val pageArrays: Iterator[Array[InternalRow]] = countedPages.map { p =>
+    val rows = parsePageBytes(p.bytes)
+    verifyPageCount(p.arrayRecordCount)
+    rows
+  }
 
   lazy val pages: Iterator[Iterator[InternalRow]] = pageArrays.map(_.iterator)
 
   private def parsePageBytes(bytes: Array[Byte]): Array[InternalRow] = {
     import com.fasterxml.jackson.core.JsonToken
+    if (check) pageRecords = 0L
     val jp = AlpacaPageSource.mapper.createParser(bytes)
     try {
       val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
@@ -558,12 +663,19 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
             val sym = jp.currentName()
             t2 = jp.nextToken()
             if (t2 == JsonToken.START_ARRAY) {
+              // integrity: one sink per symbol run — `sym` doubles as
+              // the run-identity key for the ordering invariant
+              val sink: InternalRow => Unit =
+                if (check && timeOrdinal >= 0) { r =>
+                  checkInstant(sym, sym, r.getLong(timeOrdinal)); out += r
+                } else out += _
               var t3 = jp.nextToken()
               while (t3 != JsonToken.END_ARRAY) {
                 if (t3 == JsonToken.START_OBJECT) {
+                  if (check) pageRecords += 1
                   // parseStreamMulti: 1:1 for every source except the
                   // fan-out shapes (auctions: daily record → N prints)
-                  try parser.parseStreamMulti(sym, jp, out += _)
+                  try parser.parseStreamMulti(sym, jp, sink)
                   catch {
                     case e: IllegalArgumentException =>
                       log.warn(s"Skipping malformed record for $sym: ${e.getMessage}")
@@ -624,6 +736,12 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
       vecs: Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector],
       fieldToOut: Array[Int], maxRows: Int): Int = {
     import com.fasterxml.jackson.core.JsonToken
+    if (check) pageRecords = 0L
+    // ordering invariant needs the instant read back from its output
+    // vector; a scan that pruned `time` away keeps the count invariant
+    // only (the analytic time-series queries this protects always
+    // project time)
+    val timeOut = if (check && timeOrdinal >= 0) fieldToOut(timeOrdinal) else -1
     val jp = AlpacaPageSource.mapper.createParser(bytes)
     var count = 0
     try {
@@ -641,12 +759,15 @@ private[connector] class AlpacaPageSource(cfg: AlpacaScanConfig,
               var t3 = jp.nextToken()
               while (t3 != JsonToken.END_ARRAY) {
                 if (t3 == JsonToken.START_OBJECT) {
+                  if (check) pageRecords += 1
                   if (count >= maxRows) jp.skipChildren()
                   else {
                     var i = 0
                     while (i < vecs.length) { vecs(i).reserve(count + 1); i += 1 }
                     try {
                       vp.parseIntoVectors(sym, jp, vecs, fieldToOut, count)
+                      if (timeOut >= 0)
+                        checkInstant(sym, sym.toString, vecs(timeOut).getLong(count))
                       count += 1
                     } catch {
                       case e: IllegalArgumentException =>
@@ -677,7 +798,8 @@ private[connector] object AlpacaPageSource {
   * through the columnar reader below). */
 class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
     dataKey: String, parser: RecordParser, partition: SymbolTimeRangePartition,
-    outSchema: StructType, limitOpt: Option[Int] = None)
+    outSchema: StructType, limitOpt: Option[Int] = None,
+    checkable: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   /** Pruned-column projection: ordinal+type pairs from the full row. */
@@ -690,7 +812,7 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
   private var emitted = 0L
 
   private lazy val rows: Iterator[InternalRow] =
-    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition)
+    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition, checkable)
       .pages.flatten
 
   private var current: InternalRow = _
@@ -718,7 +840,8 @@ class AlpacaPartitionReader(cfg: AlpacaScanConfig, pathElements: Seq[String],
 class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
     pathElements: Seq[String], dataKey: String, parser: RecordParser,
     partition: SymbolTimeRangePartition, outSchema: StructType,
-    limitOpt: Option[Int] = None)
+    limitOpt: Option[Int] = None,
+    checkable: Boolean = false)
   extends PartitionReader[ColumnarBatch] {
 
   /** Output-field ordinal in the parser's full row + its type. */
@@ -734,7 +857,7 @@ class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
   }
 
   private lazy val pageSource =
-    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition)
+    new AlpacaPageSource(cfg, pathElements, dataKey, parser, partition, checkable)
 
   private lazy val pages: Iterator[Array[InternalRow]] = pageSource.pageArrays
 
@@ -760,15 +883,16 @@ class AlpacaColumnarPartitionReader(cfg: AlpacaScanConfig,
       batch = new ColumnarBatch(
         reusedVecs.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], 0)
     }
-    val raw = pageSource.rawPages
+    val raw = pageSource.countedPages
     while (raw.hasNext) {
-      val bytes = raw.next()
+      val page = raw.next()
       var i = 0
       while (i < reusedVecs.length) { reusedVecs(i).reset(); i += 1 }
       val maxRows = limitOpt.map(l => (l - emitted).toInt).getOrElse(Int.MaxValue)
-      val n = pageSource.parsePageIntoVectors(bytes, vp, reusedVecs
+      val n = pageSource.parsePageIntoVectors(page.bytes, vp, reusedVecs
         .asInstanceOf[Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector]],
         fieldToOut, maxRows)
+      pageSource.verifyPageCount(page.arrayRecordCount)
       if (n > 0) {
         batch.setNumRows(n)
         emitted += n

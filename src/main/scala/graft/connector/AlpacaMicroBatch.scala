@@ -98,7 +98,8 @@ class AlpacaMicroBatchStream(
     * honored so emitted batches always match readSchema(). */
   override def createReaderFactory(): PartitionReaderFactory =
     new AlpacaReaderFactory(cfg, sourceDef.versionedPath, sourceDef.dataKey,
-      sourceDef.parser, outSchema, limitOpt)
+      sourceDef.parser, outSchema, limitOpt,
+      checkable = sourceDef.integrityCheckable)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

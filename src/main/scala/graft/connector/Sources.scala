@@ -11,6 +11,7 @@ trait BarsSourceDef extends AlpacaSourceDef {
   override def schema: StructType = Schemas.bars
   override def dataKey: String = "bars"
   override def parser: RecordParser = BarParser
+  override def integrityCheckable: Boolean = true
 
   override def apiParams: Seq[ApiParam] = Seq(
     ApiParam("symbols", required = true),
@@ -105,6 +106,7 @@ object StockTradesDef extends AlpacaSourceDef {
   override val dataKey = "trades"
   override def schema: StructType = Schemas.trades
   override def parser: RecordParser = TradeParser
+  override def integrityCheckable: Boolean = true
 
   private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
 
@@ -142,6 +144,7 @@ object CryptoTradesDef extends AlpacaSourceDef {
   override val dataKey = "trades"
   override def schema: StructType = Schemas.cryptoTrades
   override def parser: RecordParser = CryptoTradeParser
+  override def integrityCheckable: Boolean = true
 
   override def apiParams: Seq[ApiParam] = Seq(
     ApiParam("symbols", required = true),
@@ -168,6 +171,7 @@ object StockQuotesDef extends AlpacaSourceDef {
   override val dataKey = "quotes"
   override def schema: StructType = Schemas.stockQuotes
   override def parser: RecordParser = StockQuoteParser
+  override def integrityCheckable: Boolean = true
 
   private val ValidFeeds = Set("iex", "sip", "delayed_sip", "otc")
 
@@ -202,6 +206,7 @@ object CryptoQuotesDef extends AlpacaSourceDef {
   override val dataKey = "quotes"
   override def schema: StructType = Schemas.cryptoQuotes
   override def parser: RecordParser = CryptoQuoteParser
+  override def integrityCheckable: Boolean = true
 
   override def apiParams: Seq[ApiParam] = Seq(
     ApiParam("symbols", required = true),
@@ -228,6 +233,7 @@ object OptionTradesDef extends AlpacaSourceDef {
   override val dataKey = "trades"
   override def schema: StructType = Schemas.optionTrades
   override def parser: RecordParser = OptionTradeParser
+  override def integrityCheckable: Boolean = true
 
   override def apiParams: Seq[ApiParam] = Seq(
     ApiParam("symbols", required = true),
@@ -251,6 +257,7 @@ object OptionQuotesDef extends AlpacaSourceDef {
   override val dataKey = "quotes"
   override def schema: StructType = Schemas.optionQuotes
   override def parser: RecordParser = OptionQuoteParser
+  override def integrityCheckable: Boolean = true
 
   override def apiParams: Seq[ApiParam] = Seq(
     ApiParam("symbols", required = true),

@@ -133,25 +133,58 @@ class AlpacaHttpClient(
       .map(_.asText())
       .filter(_.nonEmpty)
 
-  /** Streaming skim for `next_page_token` — a lex-only pass that
-    * `skipChildren`s over the (large) data field, so pagination can
-    * chain the next request without building a DOM for the page. */
-  private def skimNextToken(bytes: Array[Byte]): Option[String] = {
+  /** Streaming skim for `next_page_token` PLUS an independent record
+    * count — one lex-only pass over the whole page (the old token-only
+    * skim `skipChildren`'d the data field, which lexes the same bytes
+    * anyway; walking them explicitly costs the same and yields the
+    * count for free). `arrayObjectCount` is the number of objects whose
+    * immediate parent container is an ARRAY — for flat-record
+    * array-envelope sources (bars/trades/quotes) that IS the page's
+    * record count, computed by a second, independent code path from the
+    * consumer's record parse. The scan-integrity check compares the
+    * two, so a parser-side drop/duplicate (vector drift, walker
+    * misalignment) fails the task loudly instead of silently skewing
+    * downstream aggregates. Runs on the prefetch thread — overlapped
+    * with the consumer's parse of the previous page, so the count adds
+    * no wall-clock to the scan's critical path. */
+  private def skimPage(bytes: Array[Byte]): (Option[String], Long) = {
+    import com.fasterxml.jackson.core.JsonToken._
     val jp = mapper.createParser(bytes)
     try {
-      if (jp.nextToken() != com.fasterxml.jackson.core.JsonToken.START_OBJECT) return None
+      var tok: Option[String] = None
+      var count = 0L
+      // container stack: bit set = that nesting level is an ARRAY
+      var depth = 0
+      var arrayBits = 0L // API pages nest ≤6 deep; 64 is headroom
+      var pendingToken = false // last token was the top-level token field name
       var tk = jp.nextToken()
-      while (tk == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
-        val name = jp.currentName()
-        tk = jp.nextToken()
-        if (name == "next_page_token")
-          return if (tk == com.fasterxml.jackson.core.JsonToken.VALUE_STRING)
-            Some(jp.getText).filter(_.nonEmpty)
-          else None
-        if (tk.isStructStart) jp.skipChildren()
+      while (tk != null) {
+        tk match {
+          case START_OBJECT =>
+            if (depth > 0 && ((arrayBits >> (depth - 1)) & 1L) == 1L) count += 1
+            if (depth >= 64) throw new IllegalArgumentException(
+              "page JSON nested deeper than 64 levels")
+            arrayBits &= ~(1L << depth); depth += 1
+            pendingToken = false
+          case START_ARRAY =>
+            if (depth >= 64) throw new IllegalArgumentException(
+              "page JSON nested deeper than 64 levels")
+            arrayBits |= 1L << depth; depth += 1
+            pendingToken = false
+          case END_OBJECT | END_ARRAY =>
+            depth -= 1
+            pendingToken = false
+          case FIELD_NAME =>
+            pendingToken = depth == 1 && jp.currentName() == "next_page_token"
+          case VALUE_STRING if pendingToken =>
+            tok = Some(jp.getText).filter(_.nonEmpty)
+            pendingToken = false
+          case _ =>
+            pendingToken = false
+        }
         tk = jp.nextToken()
       }
-      None
+      (tok, count)
     } finally jp.close()
   }
 
@@ -178,35 +211,48 @@ class AlpacaHttpClient(
   def fetchAllPagesBytes(
       params: Seq[(String, String)],
       rateLimitDelaySec: Double = 0.0): Iterator[Array[Byte]] =
+    fetchAllPagesCounted(params, rateLimitDelaySec).map(_.bytes)
+
+  /** Pagination with the skim's independent per-page record count
+    * attached (see [[skimPage]]) — the readers' scan-integrity
+    * cross-check consumes this form. */
+  def fetchAllPagesCounted(
+      params: Seq[(String, String)],
+      rateLimitDelaySec: Double = 0.0): Iterator[AlpacaHttpClient.FetchedPage] =
     if (rateLimitDelaySec > 0)
-      new Iterator[Array[Byte]] {
+      new Iterator[AlpacaHttpClient.FetchedPage] {
         private var numPages = 0
         private var nextToken: Option[String] = None
         private val seen = new TokenCycleGuard
         override def hasNext: Boolean = numPages < 1 || nextToken.isDefined
-        override def next(): Array[Byte] = {
+        override def next(): AlpacaHttpClient.FetchedPage = {
           if (numPages > 0)
             Thread.sleep((rateLimitDelaySec * 1000).toLong)
           val pg = getPageBytes(params, nextToken)
           numPages += 1
-          nextToken = skimNextToken(pg)
+          val (tok, count) = skimPage(pg)
+          nextToken = tok
           nextToken.foreach(seen.check)
-          pg
+          AlpacaHttpClient.FetchedPage(pg, count)
         }
       }
     else
-      new Iterator[Array[Byte]] {
-        private var inFlight: java.util.concurrent.CompletableFuture[(Array[Byte], Option[String])] = _
+      new Iterator[AlpacaHttpClient.FetchedPage] {
+        private var inFlight: java.util.concurrent.CompletableFuture[(Array[Byte], Option[String], Long)] = _
         private var done = false
         private val seen = new TokenCycleGuard
         private def submit(tok: Option[String]): Unit =
           inFlight = java.util.concurrent.CompletableFuture.supplyAsync(
-            () => { val b = getPageBytes(params, tok); (b, skimNextToken(b)) },
+            () => {
+              val b = getPageBytes(params, tok)
+              val (nxt, count) = skimPage(b)
+              (b, nxt, count)
+            },
             AlpacaHttpClient.prefetchPool)
         override def hasNext: Boolean = !done
-        override def next(): Array[Byte] = {
+        override def next(): AlpacaHttpClient.FetchedPage = {
           if (inFlight == null) submit(None)
-          val (bytes, tok) =
+          val (bytes, tok, count) =
             try inFlight.join()
             catch {
               case e: java.util.concurrent.CompletionException =>
@@ -218,7 +264,7 @@ class AlpacaHttpClient(
               submit(some)
             case None => done = true
           }
-          bytes
+          AlpacaHttpClient.FetchedPage(bytes, count)
         }
       }
 
@@ -239,6 +285,10 @@ class AlpacaHttpClient(
 }
 
 object AlpacaHttpClient {
+  /** One fetched API page: raw body + the skim's independent count of
+    * array-parented record objects (see `skimPage`). */
+  final case class FetchedPage(bytes: Array[Byte], arrayRecordCount: Long)
+
   /** reference: `common.py:25,151-156` */
   val MaxRetries = 3
   val RetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)

@@ -54,7 +54,8 @@ object AlpacaOptions {
       "stream_step", // streaming micro-batch step, not an API param
       "cluster_by_symbol", // report KeyGroupedPartitioning(symbol) from the scan
       "symbol_batch", // symbols per HTTP request (multi-symbol batching)
-      "rate_limit_rps") // shared per-executor request budget
+      "rate_limit_rps", // shared per-executor request budget
+      "integrity_checks") // scan-integrity invariants (default true)
 
   /** Builds the endpoint config, requiring both API keys
     * (reference: `common.py:218-232`). Keys are matched
@@ -112,6 +113,23 @@ object AlpacaOptions {
       MaxLimit
     } else raw
   }
+
+  /** Parses the `integrity_checks` config option: scan-integrity
+    * invariants (independent page record-count cross-check +
+    * per-symbol instant monotonicity) on the flat time-series sources.
+    * Default TRUE — a transient scan-layer fault must fail the task
+    * loudly, not skew sums downstream; the off switch exists for
+    * endpoints that legitimately violate ordered delivery. */
+  def parseIntegrityChecks(opts: Map[String, String]): Boolean =
+    opts.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("integrity_checks") =>
+        v.trim.toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case other => throw new IllegalArgumentException(
+            s"Invalid 'integrity_checks' option: '$other' is not a boolean")
+        }
+    }.getOrElse(true)
 
   /** Parses + validates the `symbol_batch` config option (symbols per
     * HTTP request, SURVEY-beyond: multi-symbol batching); 1 when

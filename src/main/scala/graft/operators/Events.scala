@@ -83,7 +83,7 @@ object Events {
     * aggregation is partial-aggregable with session merge — the
     * streaming-native shape (the same expression works under
     * `groupBy(session_window(...))` on a stream). */
-  def q22SessionWindow(spark: SparkSession, dir: String): DataFrame =
+  def q32SessionWindow(spark: SparkSession, dir: String): DataFrame =
     eventsUs(spark, dir)
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -93,7 +93,7 @@ object Events {
       .select(col("user_id"), col("start_us"), col("n_events"), col("duration_us"))
       .orderBy(col("user_id"), col("start_us"))
 
-  val q22Sql: String =
+  val q32Sql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, EPOCH_US(ts) AS ts_us,
        |    CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
@@ -170,6 +170,6 @@ object Events {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
     "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
-    "q22_session_window" -> ((q22SessionWindow _, q22Sql)),
+    "q32_session_window" -> ((q32SessionWindow _, q32Sql)),
     "q27_funnel" -> ((q27Funnel _, q27FunnelSql)))
 }

@@ -693,6 +693,27 @@ object AlpacaStubServer {
       return (200,
         s"""{"bars": {${jsonStr(symbol)}: [$one]}, "next_page_token": "0"}""")
     }
+    if (symbol == "DUPPAGE") {
+      // transient-fault model: the server re-serves the SAME records on
+      // the second page of the chain (a retry/proxy bug re-emitting a
+      // page). Without the scan-integrity ordering invariant the dup
+      // rows flow silently into downstream aggregates; with it the
+      // first repeated instant regresses against the previous page's
+      // last and the task fails loudly.
+      val bs = bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs)
+        .map(barJson)
+      val nextTok = if (tok.isEmpty) "\"again\"" else "null"
+      return (200,
+        s"""{"bars": {${jsonStr(symbol)}: [${bs.mkString(",")}]}, "next_page_token": $nextTok}""")
+    }
+    if (symbol == "BACKWARDS") {
+      // ordered-delivery violation: records arrive time-DESCENDING on
+      // an asc request (server-side ordering bug / wrong shard merge)
+      val bs = bars(symbol, isoToUs(q(params, "start")), isoToUs(q(params, "end")), tfUs)
+        .reverse.map(barJson)
+      return (200,
+        s"""{"bars": {${jsonStr(symbol)}: [${bs.mkString(",")}]}, "next_page_token": null}""")
+    }
     if (symbol == "DRIFTEXTRA") {
       // mid-stream schema drift, additive direction: from the second
       // page on, every record carries unknown keys (scalar, nested

@@ -234,6 +234,10 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.format("Alpaca_Stocks_Bars")
         .option("symbols", "['AAPL']").load() // no API keys
     }
+    val e = intercept[IllegalArgumentException] {
+      barsReader().option("integrity_checks", "banana").load()
+    }
+    assert(e.getMessage.contains("integrity_checks"))
   }
 
   test("column pruning: narrow projection reads only requested fields") {
@@ -260,6 +264,27 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pruned projection also flows through the vectors
     val pruned = barsReader().load().select(col("symbol"), col("close"))
     assert(pruned.collect().forall(_.getDouble(1) > 0))
+  }
+
+  test("every registered source resolves as a Spark format (27-source surface)") {
+    // the registry file IS the documented surface (USAGE.md): every
+    // line must resolve via DataSourceRegister — a format that fails
+    // with our own option validation has resolved; "Failed to find
+    // data source" means a class fell out of the registry
+    val names = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(
+        "/META-INF/services/org.apache.spark.sql.sources.DataSourceRegister"))
+      .getLines().map(_.trim).filter(_.nonEmpty).toSeq
+    assert(names.length == 27, s"registry has ${names.length} sources, expected 27")
+    val shortNames = names.map { cls =>
+      Class.forName(cls).getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.sources.DataSourceRegister].shortName()
+    }
+    shortNames.foreach { short =>
+      val e = intercept[Exception] { spark.read.format(short).load() }
+      assert(!Option(e.getMessage).getOrElse("").contains("Failed to find data source"),
+        s"format '$short' did not resolve: ${e.getMessage}")
+    }
   }
 
   // ------------------------------------------------- hostile inputs
@@ -301,6 +326,78 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(causeChain(e).contains("pagination cycle"),
       s"expected the cycle guard, got: ${causeChain(e)}")
+  }
+
+  test("scan integrity: a re-served (duplicated) page fails the task loudly") {
+    // DUPPAGE serves the same records on both pages of the chain — the
+    // transient fault class that would otherwise flow through the
+    // permissive record skip into silently-wrong aggregates. The
+    // per-symbol instant-ordering invariant trips on the first
+    // repeated instant. (select("time"): the ordering check reads the
+    // instant back from its output vector, so time must be projected.)
+    val e = intercept[Throwable] {
+      hostileReader("DUPPAGE").load().select(col("time")).collect()
+    }
+    assert(causeChain(e).contains("out-of-order instant"),
+      s"expected the scan-integrity ordering guard, got: ${causeChain(e)}")
+  }
+
+  test("scan integrity: time-descending records on an asc request fail") {
+    val e = intercept[Throwable] {
+      hostileReader("BACKWARDS").load().select(col("time")).collect()
+    }
+    assert(causeChain(e).contains("out-of-order instant"),
+      s"expected the scan-integrity ordering guard, got: ${causeChain(e)}")
+  }
+
+  test("scan integrity: row-based (streaming) path catches the same faults") {
+    // force the row reader by disabling columnar via a stream-shaped
+    // read: simplest equivalent is the non-vectorized path through
+    // pages.flatten — exercised here by pruning to the full schema and
+    // using the micro-batch reader factory's row route indirectly.
+    // Direct unit check: AlpacaPartitionReader over the DUPPAGE chain.
+    import graft.connector._
+    val cfg = AlpacaScanConfig(
+      endpoint = graft.core.AlpacaOptions.stripApiVersion(AlpacaStubServer.endpoint),
+      apiKeyId = "k", apiKeySecret = "s", rateLimitDelaySec = 0.0,
+      params = Map("symbols" -> "DUPPAGE", "timeframe" -> "1Hour",
+        "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-05T00:00:00Z"),
+      symbols = Seq("DUPPAGE"),
+      startMicros = graft.core.AlpacaOptions.parseIsoMicros("2021-01-04T00:00:00Z").get,
+      endMicros = graft.core.AlpacaOptions.parseIsoMicros("2021-01-05T00:00:00Z").get,
+      limit = 10000)
+    val reader = new AlpacaPartitionReader(cfg, StockBarsDef.versionedPath,
+      StockBarsDef.dataKey, StockBarsDef.parser,
+      SymbolTimeRangePartition("DUPPAGE", cfg.startMicros, cfg.endMicros),
+      StockBarsDef.schema, checkable = true)
+    val e = intercept[ScanIntegrityException] {
+      while (reader.next()) reader.get()
+    }
+    assert(e.getMessage.contains("out-of-order instant"))
+  }
+
+  test("scan integrity: integrity_checks=false restores permissive ingestion") {
+    // documented off-switch for endpoints that legitimately violate
+    // ordered delivery — the duplicated page then lands as data
+    val df = hostileReader("DUPPAGE").load()
+    val n = spark.read.format("Alpaca_Stocks_Bars")
+      .options(Map(
+        "endpoint" -> AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> "['DUPPAGE']", "timeframe" -> "1Hour",
+        "integrity_checks" -> "false",
+        "start" -> "2021-01-04T00:00:00Z", "end" -> "2021-01-05T00:00:00Z"))
+      .load().select(col("time")).collect().length
+    assert(n == 48, s"expected 24 bars served twice = 48 rows, got $n") // 2 pages x 24 hourly bars
+  }
+
+  test("scan integrity: MALFORMED record skip still passes both invariants") {
+    // record-LEVEL damage stays permissive (E4): the bad record is
+    // counted by both the lex skim and the parse walk (count invariant
+    // holds across the skip) and emits nothing (ordering unaffected)
+    val rows = hostileReader("MALFORMED").load()
+      .select(col("time"), col("close")).collect()
+    assert(rows.length == 24, s"expected the 24 well-formed bars, got ${rows.length}")
   }
 
   test("page with >10x the requested limit is ingested, not truncated") {

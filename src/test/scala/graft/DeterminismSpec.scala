@@ -80,6 +80,44 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  // r8: the one driver-red gate of r7 was an alpaca_vpin hash flake
+  // that no isolated re-run reproduced — the suspect classes are (a)
+  // layout sensitivity the 3-vs-13 pin doesn't cover and (b) a
+  // transient scan fault under a loaded session (now guarded by the
+  // reader's ScanIntegrityException invariants). This soak covers
+  // both: 60 sequential runs across a pseudo-random sweep of shuffle
+  // partitionings, then 40 more from 8 threads hammering the shared
+  // session concurrently (GC pressure + stub/prefetch contention —
+  // the loaded-session environment where the flake appeared). Every
+  // run must be bit-identical to the first.
+  test("alpaca_vpin: x100 soak — randomized layouts + concurrent load") {
+    val name = "alpaca_vpin"
+    val baseline = runWith(7, name)
+    assert(baseline.nonEmpty)
+    // 59 more sequential runs, partitions from a fixed LCG in [2, 33]
+    var seed = 0x5DEECE66DL
+    (1 to 59).foreach { i =>
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      val parts = 2 + math.floorMod(seed >>> 33, 32L).toInt
+      val got = runWith(parts, name)
+      assert(got == baseline,
+        s"vpin run $i at $parts shuffle partitions diverged from baseline")
+    }
+    // 40 concurrent runs: 8 threads x 5, shared session
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 40).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          override def call(): Seq[String] =
+            SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+        })
+      }
+      futures.zipWithIndex.foreach { case (f, i) =>
+        assert(f.get() == baseline, s"concurrent vpin run $i diverged from baseline")
+      }
+    } finally pool.shutdown()
+  }
+
   // AQE rewrites exchanges/joins at runtime; results must not notice.
   Seq("pipeline_curate", "dedup_minhash_lsh", "q3_join_agg").foreach { name =>
     test(s"$name: identical rows with AQE disabled") {
