@@ -626,11 +626,73 @@ object Streaming {
        |ORDER BY band_id""".stripMargin
   }
 
+  // --------------------------- watermarked dedup (production shape)
+  /** `dropDuplicatesWithinWatermark` — the PRODUCTION streaming-dedup
+    * operator (plain `dropDuplicates` on a stream keeps ALL keys in
+    * state forever; the watermarked form evicts keys once the
+    * watermark passes them, which is the only shape that survives an
+    * unbounded stream). Key = (user_id, event_type, 30-min bucket);
+    * the event-time column is NORMALIZED to the bucket start before
+    * dedup so every duplicate row is bit-identical — which physical
+    * copy wins is then irrelevant and the appended output is
+    * deterministic.
+    *
+    * Determinism contract for the zero-tolerance oracle: the
+    * watermark delay (365 days) exceeds the fixture's whole event-time
+    * span, so NO key is ever evicted mid-run and the operator's output
+    * equals global DISTINCT regardless of micro-batch boundaries or a
+    * checkpoint restart (StreamingSpec proves the restart case by
+    * splitting the file at the time midpoint). In production the delay
+    * is the real dedup horizon (hours), state stays bounded by keys
+    * within the horizon, and the same plan runs unchanged.
+    *
+    * Scale: one shuffle on the dedup key; state is per-key bits in the
+    * store (RocksDB at scale), evicted by watermark — the unbounded
+    * corpus problem `dedup_incremental` solves for batch, solved
+    * in-flight. */
+  private[graft] def dedupWatermarkStream(spark: SparkSession, dir: String,
+      glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val ev = Tables.normalizeEventTs(spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir))
+    ev.select(col("user_id"), col("event_type"),
+        timestamp_micros(expr(
+          "(unix_micros(ts) div 1800000000L) * 1800000000L")).as("bucket_ts"))
+      .withWatermark("bucket_ts", "8760 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "bucket_ts")
+  }
+
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = dedupWatermarkStream(spark, dir, "events.parquet")
+    // append-mode drain, then a BATCH rollup of the deduped key set
+    // (keeps the stream single-stateful-operator; the rollup is just
+    // gate reporting)
+    drainToTable(spark, deduped, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamDedupWatermarkSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    EPOCH_US(ts) // 1800000000 AS b
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_keys,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM d GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
     "stream_event_bars_append" -> ((streamEventBarsAppend _, streamEventBarsAppendSql)),
     "stream_sliding_bars" -> ((streamSlidingBars _, streamSlidingBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
+    "stream_dedup_watermark" -> ((streamDedupWatermark _, streamDedupWatermarkSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),

@@ -172,6 +172,53 @@ class StreamingSpec extends AnyFunSuite {
     } }
   }
 
+  test("dropDuplicatesWithinWatermark resumes from checkpoint: exact key set across restart") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_wmd_src").toString
+    val ckpt = Files.createTempDirectory("graft_wmd_ckpt").toString
+    val sink = Files.createTempDirectory("graft_wmd_sink").toString
+    val ev = operators.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    // split by TIME at the midpoint: run 2's rows all sit at or after
+    // run 1's final watermark, so nothing is dropped as late — any
+    // cross-half duplicate key must be dropped by STATE carried
+    // through the checkpoint, which is what this proves
+    val Array(mn, mx) = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val mid = mn + (mx - mn) / 2
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_wmd_stage").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, s"$name.parquet"))
+    }
+    def run(): Unit = {
+      val deduped = operators.Streaming.dedupWatermarkStream(spark, src, "*.parquet")
+      val q = deduped.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stage(ev.filter(col("ts_us") <= mid).drop("ts_us"), "h1")
+    run()
+    stage(ev.filter(col("ts_us") > mid).drop("ts_us"), "h2")
+    run()
+    val got = spark.read.parquet(sink)
+      .select(col("user_id"), col("event_type"), unix_micros(col("bucket_ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val expected = ev
+      .select(col("user_id"), col("event_type"),
+        expr("(unix_micros(ts) div 1800000000L) * 1800000000L").as("b"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    assert(got.length == got.toSet.size,
+      s"restart re-emitted ${got.length - got.toSet.size} duplicate keys")
+    assert(got.toSet == expected,
+      s"key set diverged: extra=${got.toSet -- expected}, missing=${expected -- got.toSet}")
+  }
+
   test("stream-stream join resumes from checkpoint: exact pair set across restart") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_ssj_src").toString
