@@ -140,8 +140,100 @@ object Sinks {
       |FROM unioned
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Upsert THROUGH the sink — `q26_upsert` computes the latest-wins
+    * merge in memory; this gate commits it to lake storage the way a
+    * cluster without a table format does it: DYNAMIC partition
+    * overwrite of exactly the partitions the delta touches.
+    *
+    *  1. snapshot -> parquet partitioned by `pkey = o_orderkey div
+    *     200` (a KEY-STABLE partitioning: an update can't move a row
+    *     across partitions — the precondition for partition-level
+    *     upsert);
+    *  2. delta = some keys of two partitions, status 'X', price+10,
+    *     version 1;
+    *  3. merge = read ONLY the affected partitions (partition-pruned
+    *     scan), union the delta, latest-wins by version, write to a
+    *     STAGING dir (write-audit-publish: Spark refuses to overwrite
+    *     a path it is reading, and a real pipeline audits here);
+    *  4. publish staging with `partitionOverwriteMode=dynamic` —
+    *     untouched partitions' files are never rewritten.
+    *
+    * The read-back aggregate covers the WHOLE table, so the hash
+    * certifies both halves: updated partitions hold the merge,
+    * untouched partitions still hold version-0 rows (a static-mode
+    * overwrite would have deleted them and broken the count).
+    *
+    * Scale: the delta manifest (`affected`) is a driver-side collect
+    * of DISTINCT PARTITION IDS — bounded by the delta's partition
+    * count, never by rows. The merge cost is |affected partitions| +
+    * |delta|, independent of corpus size; the same shape at 100 TB is
+    * a daily-delta merge touching a few hundred of a million
+    * partitions. */
+  def sinkUpsertRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_upsert_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val staging = out + "_staging"
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(0L).as("version"))
+      .withColumn("pkey", expr("o_orderkey div 200L"))
+    base.write.mode("overwrite").partitionBy("pkey").parquet(out)
+    val delta = t(spark, dir, "orders")
+      .filter(expr("o_orderkey div 200L IN (2, 5) AND o_orderkey % 3 = 0"))
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") + lit(10))
+          .cast("double").as("o_totalprice"),
+        lit(1L).as("version"))
+      .withColumn("pkey", expr("o_orderkey div 200L"))
+    val affected = delta.select(col("pkey")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val current = spark.read.parquet(out)
+        .withColumn("pkey", col("pkey").cast("long"))
+        .filter(col("pkey").isin(affected: _*))
+      val byKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      current.unionByName(delta)
+        .withColumn("rn", row_number().over(byKey))
+        .filter(col("rn") === 1).drop("rn")
+        .write.mode("overwrite").partitionBy("pkey").parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite").partitionBy("pkey").parquet(out)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_total"),
+        sum(col("version")).as("n_updated"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val sinkUpsertRoundtripSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(0 AS BIGINT) AS version
+      |  FROM orders),
+      |delta AS (
+      |  SELECT o_orderkey, 'X' AS o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE) AS o_totalprice,
+      |    CAST(1 AS BIGINT) AS version
+      |  FROM orders
+      |  WHERE (o_orderkey // 200) IN (2, 5) AND o_orderkey % 3 = 0),
+      |merged AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |  SUM(version) AS n_updated
+      |FROM merged WHERE rn = 1
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sink_partitioned_roundtrip" -> ((sinkRoundtrip _, sinkRoundtripSql)),
     "sink_bucketed_join" -> ((sinkBucketedJoin _, sinkBucketedJoinSql)),
-    "sink_schema_evolution" -> ((sinkSchemaEvolution _, sinkSchemaEvolutionSql)))
+    "sink_schema_evolution" -> ((sinkSchemaEvolution _, sinkSchemaEvolutionSql)),
+    "sink_upsert_roundtrip" -> ((sinkUpsertRoundtrip _, sinkUpsertRoundtripSql)))
 }

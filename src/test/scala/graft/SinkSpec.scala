@@ -51,4 +51,33 @@ class SinkSpec extends AnyFunSuite {
     }
     assert(scans.forall(_.bucketedScan), s"non-bucketed scan in:\n$plan")
   }
+
+  test("dynamic partition overwrite rewrites ONLY the partitions present in the write") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_dyn_ovw").toString
+    val df = spark.range(100)
+      .select(col("id"), (col("id") % 2).as("pkey"))
+    df.write.mode("overwrite").partitionBy("pkey").parquet(out)
+    def files(p: Long): Map[String, Long] =
+      new java.io.File(s"$out/pkey=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val p0Before = files(0)
+    assert(p0Before.nonEmpty)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // a delta touching ONLY pkey=1 (negated ids mark the new rows)
+      spark.range(100).filter(col("id") % 2 === 1)
+        .select((-col("id")).as("id"), lit(1L).as("pkey"))
+        .write.mode("overwrite").partitionBy("pkey").parquet(out)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // untouched partition: byte-identical file set, same mtimes
+    assert(files(0) == p0Before,
+      "dynamic overwrite rewrote files of an untouched partition")
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("pkey") === 0 && col("id") >= 0).count() == 50)
+    assert(back.filter(col("pkey") === 1).agg(max(col("id"))).head().getLong(0) < 0,
+      "affected partition still holds pre-overwrite rows")
+  }
 }
