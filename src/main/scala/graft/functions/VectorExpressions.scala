@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd dot product over two `array<float>` columns.
+/** Native codegen'd dot product over two `array<float>` (or
+  * `array<double>`) columns.
   *
   * Replaces the `aggregate(zip_with(...))` higher-order form in the
   * similarity hot paths: HOFs are CodegenFallback — each evaluation
@@ -26,15 +27,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProductF(left: Expression, right: Expression)
   extends BinaryExpression {
 
+  // Each side independently accepts float or double elements (the
+  // 768-dim production gates build array<double> vectors; the base
+  // embeddings table stores array<float>). Element access is resolved
+  // per side at PLAN time, so the generated loop stays monomorphic —
+  // no per-element branch, same left-associated double fold either
+  // way.
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isDouble(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
+    if (elemOk(left.dataType) && elemOk(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float> inputs, got " +
+      s"$prettyName requires array<float> or array<double> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
@@ -43,11 +55,15 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val ld = isDouble(left.dataType)
+    val rd = isDouble(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -58,11 +74,14 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      def get(arr: String, dt: DataType): String =
+        if (isDouble(dt)) s"$arr.getDouble($i)"
+        else s"(double) $arr.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -958,6 +958,350 @@ object Similarity {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------- production-dimensionality ANN (768-dim, nprobe>1)
+  // The 64-dim gates prove the SHAPES; these two prove the same stack
+  // at transformer dimensionality with production index parameters:
+  // Dim=768, IVF nlist=16 with MULTI-probe (nprobe=4; the curve gate
+  // sweeps 1→8), PQ with M=12 subspaces × 8 codebook entries, exact
+  // 768-dim cosine re-rank through the codegen'd DotProductF (a
+  // native loop — constant codegen size at any dimensionality; the r2
+  // Janino-megamethod lesson is why no per-element chain exists on
+  // the Spark side).
+  private val PDim = 768
+  private val PNlist = 16 // IVF cells ("trained" = first 16 corpus codes)
+  private val PNprobe = 4 // cells probed by sim_ann_ivfpq_768
+  private val PSub = 64 //   dims per PQ subspace → M = 12
+  private val PPqK = 8 //    codebook entries per subspace
+  private val PCand = 8 //   ADC survivors fed to the exact re-rank
+  private val PTopK = 3
+  private val CurveProbes = Seq(1, 2, 4, 8)
+
+  /** Synthetic 768-dim embedding derived from the 64-dim base: each
+    * output element mixes two PERMUTED base elements (strides 7 and
+    * 13 are coprime to 64, so every block reads the full base in a
+    * different order) under per-block weights that are exact powers
+    * of two. Multiply-by-2⁻ᵏ and one addition are bit-identical IEEE
+    * ops in Spark and DuckDB, so the vectors — and everything scored
+    * from them — hash-match cross-engine with zero tolerance. The mix
+    * makes the 768-dim geometry genuinely different from the 64-dim
+    * gates' (not a scalar tiling, whose cosines would collapse back
+    * to the 64-dim ones). */
+  private val E768Spark: String =
+    """transform(sequence(0, 767), i ->
+      |  CAST(embedding[(i*7) % 64] AS DOUBLE) *
+      |    (CASE (i div 64) % 3 WHEN 0 THEN 1.0D WHEN 1 THEN 0.5D ELSE 0.25D END) +
+      |  CAST(embedding[(i*13 + (i div 64)) % 64] AS DOUBLE) *
+      |    (CASE WHEN (i div 64) % 2 = 0 THEN 0.25D ELSE -0.5D END))""".stripMargin
+
+  private val E768Duck: String =
+    """LIST_TRANSFORM(RANGE(0, 768), i ->
+      |  CAST(embedding[(i*7) % 64 + 1] AS DOUBLE) *
+      |    (CASE (i // 64) % 3 WHEN 0 THEN CAST(1.0 AS DOUBLE) WHEN 1 THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.25 AS DOUBLE) END) +
+      |  CAST(embedding[(i*13 + (i // 64)) % 64 + 1] AS DOUBLE) *
+      |    (CASE WHEN (i // 64) % 2 = 0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(-0.5 AS DOUBLE) END))""".stripMargin
+
+  /** int8 code grid for the 768-dim vectors (range ⊂ [-1.5, 1.5] by
+    * construction of the weights; clamp keeps hostile inputs total). */
+  private val Codes768Spark: String =
+    "transform(e768, x -> greatest(0L, least(255L, " +
+      "CAST(floor((x + 1.5D) * 85.0D) AS BIGINT))))"
+  private val Codes768Duck: String =
+    "LIST_TRANSFORM(e768, x -> GREATEST(0, LEAST(255, " +
+      "CAST(FLOOR((x + CAST(1.5 AS DOUBLE)) * CAST(85.0 AS DOUBLE)) AS BIGINT))))"
+
+  /** 768-dim dot for the oracle: an explicit term CHAIN (the 64-dim
+    * house style) exceeds DuckDB's binder recursion depth at 768, so
+    * the fold is LIST_REDUCE over the in-order products — DuckDB's
+    * list_reduce is a sequential LEFT fold (verified: [1e16, 1,
+    * -1e16] → 0.0), i.e. ((t1+t2)+t3)+… — exactly DotProductF's
+    * left-associated summation (whose 0.0 seed adds nothing: 0.0+t1
+    * ≡ t1 for every non-negative-zero t1, and products of the
+    * fixture's nonzero elements never yield -0.0). */
+  private def dot768Sql(a: String, b: String): String =
+    s"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, ${PDim + 1}), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+  private def cos768Sql(a: String, b: String): String =
+    s"(${dot768Sql(a, b)}) / NULLIF(" +
+      s"SQRT(${dot768Sql(a, a)}) * SQRT(${dot768Sql(b, b)}), 0.0)"
+
+  /** Shared index build: (vec_id, e768, codes) + integer
+    * centroid-distance relation. localCheckpoint'ed — the composition
+    * reuses each exactly once per consumer instead of re-deriving the
+    * scan subtree (the sim_ann_ivfpq pattern). */
+  private def index768(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(E768Spark).as("e768"))
+      .withColumn("codes", expr(Codes768Spark))
+      .localCheckpoint()
+    val cv = emb
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("p0", "v")))
+      .select(col("vec_id"), col("p0").as("p"),
+        expr(s"p0 DIV $PSub").as("m"), col("v"))
+      .localCheckpoint()
+    val cent = cv.filter(col("vec_id") >= 0 && col("vec_id") < PNlist)
+      .select(col("vec_id").as("cent_id"), col("p").as("cp"), col("v").as("cvv"))
+    val cellDist = cv.join(broadcast(cent), col("p") === col("cp"))
+      .groupBy(col("vec_id"), col("cent_id"))
+      .agg(sum((col("v") - col("cvv")) * (col("v") - col("cvv"))).as("cdist"))
+      .localCheckpoint()
+    (emb, cv, cellDist)
+  }
+
+  /** Oracle CTE chain shared by both 768 gates (through `lut`). */
+  private val index768Ctes: String =
+    s"""e AS (SELECT vec_id, $E768Duck AS e768 FROM embeddings),
+       |co AS (SELECT vec_id, e768, $Codes768Duck AS codes FROM e),
+       |pos AS (SELECT UNNEST(RANGE(1, ${PDim + 1})) AS p),
+       |cv AS (SELECT vec_id, p, (p - 1) // $PSub AS m, codes[p] AS v
+       |       FROM co, pos),
+       |cent AS (SELECT vec_id AS cent_id, p, v AS cvv FROM cv
+       |         WHERE vec_id >= 0 AND vec_id < $PNlist),
+       |celldist AS (
+       |  SELECT cv.vec_id, cent_id, SUM((v - cvv) * (v - cvv)) AS cdist
+       |  FROM cv JOIN cent ON cv.p = cent.p GROUP BY 1, 2),
+       |cellrank AS (
+       |  SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY cdist, cent_id) AS cr
+       |  FROM celldist),
+       |corpcell AS (SELECT vec_id, cent_id AS cell FROM cellrank WHERE cr = 1),
+       |cb AS (SELECT vec_id AS j, p, v FROM cv
+       |       WHERE vec_id >= 0 AND vec_id < $PPqK),
+       |encdist AS (
+       |  SELECT cv.vec_id, cv.m, cb.j, SUM((cv.v - cb.v) * (cv.v - cb.v)) AS dist
+       |  FROM cv JOIN cb ON cv.p = cb.p GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, m, j AS code FROM encdist
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) = 1),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, j, dist FROM encdist
+       |  WHERE vec_id >= 0 AND vec_id < $NumQueries)""".stripMargin
+
+  /** Spark half of the shared chain past the index: PQ encode, query
+    * LUT, corpus cell, and query probe ranks (cr ≤ maxProbe). */
+  private def probe768(spark: SparkSession, dir: String, maxProbe: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+    val (emb, cv, cellDist) = index768(spark, dir)
+    val cellRank = cellDist.withColumn("cr", row_number().over(
+      w.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cent_id"))))
+    val corpCell = cellRank.filter(col("cr") === 1)
+      .select(col("vec_id").as("c_vec"), col("cent_id").as("cell"))
+    val qProbe = cellRank
+      .filter(col("vec_id") >= 0 && col("vec_id") < NumQueries &&
+        col("cr") <= maxProbe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("qcell"),
+        col("cr").as("probe_rank"))
+    val cb = cv.filter(col("vec_id") >= 0 && col("vec_id") < PPqK)
+      .select(col("vec_id").as("j"), col("p").as("cp"), col("v").as("cbv"))
+    val encDist = cv.join(broadcast(cb), col("p") === col("cp"))
+      .groupBy(col("vec_id"), col("m"), col("j"))
+      .agg(sum((col("v") - col("cbv")) * (col("v") - col("cbv"))).as("dist"))
+      .localCheckpoint()
+    val enc = encDist.withColumn("rk", row_number().over(
+        w.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("j"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("lq_id"), col("m").as("qm"),
+        col("j").as("qj"), col("dist"))
+    (emb, corpCell, qProbe, enc, lut)
+  }
+
+  /** IVF(nprobe=4) → PQ-ADC → exact re-rank at 768 dims — the FAISS
+    * IVFPQ+refine shape at transformer dimensionality. Multi-probe is
+    * the production recall lever the 64-dim gate (nprobe=1) doesn't
+    * exercise: the query scores candidates from its 4 nearest cells.
+    *
+    * Scale: identical plan skeleton to sim_ann_ivfpq — the corpus
+    * never meets queries outside probed cells, ADC is integer LUT
+    * sums, floats touch only the ≤ PCand×|Q| re-rank rows, and every
+    * top-k plans as Partial+Final WindowGroupLimit (PlanAuditSpec).
+    * Dimensionality enters ONLY through the codegen'd DotProductF
+    * loop and the (bounded) code relations — nothing in the plan
+    * grows with Dim. */
+  def simAnnIvfPq768(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val (emb, corpCell, qProbe, enc, lut) = probe768(spark, dir, PNprobe)
+    val adc = enc.join(corpCell, col("vec_id") === col("c_vec"))
+      .join(broadcast(qProbe),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut),
+        col("q_id") === col("lq_id") && col("m") === col("qm") &&
+          col("code") === col("qj"))
+      .groupBy(col("q_id").as("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val cand = adc.withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rk") <= PCand)
+      .select(col("query_id"), col("vec_id"))
+    val qe = emb.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("rr_id"), col("e768").as("qe"))
+    val rerank = cand.join(emb, "vec_id")
+      .join(broadcast(qe), col("query_id") === col("rr_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineOf(graft.functions.VectorFunctions.dotF(col("e768"), col("qe")),
+          sqrt(graft.functions.VectorFunctions.dotF(col("e768"), col("e768"))),
+          sqrt(graft.functions.VectorFunctions.dotF(col("qe"), col("qe"))))
+          .as("cosine"))
+    rerank.withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= PTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  lazy val simAnnIvfPq768Sql: String =
+    s"""WITH $index768Ctes,
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, cent_id AS qcell, cr AS probe_rank
+       |  FROM cellrank
+       |  WHERE vec_id >= 0 AND vec_id < $NumQueries AND cr <= $PNprobe),
+       |adc AS (
+       |  SELECT q.q_id AS query_id, en.vec_id, SUM(l.dist) AS adc_dist
+       |  FROM enc en
+       |  JOIN corpcell cc ON en.vec_id = cc.vec_id
+       |  JOIN qprobe q ON cc.cell = q.qcell AND en.vec_id <> q.q_id
+       |  JOIN lut l ON l.query_id = q.q_id AND en.m = l.m AND en.code = l.j
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM adc
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY adc_dist, vec_id) <= $PCand),
+       |rerank AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${cos768Sql("ce.e768", "qe.e768")} AS cosine
+       |  FROM cand
+       |  JOIN e ce ON cand.vec_id = ce.vec_id
+       |  JOIN e qe ON cand.query_id = qe.vec_id)
+       |SELECT query_id, vec_id, cosine FROM rerank
+       |QUALIFY ROW_NUMBER() OVER (
+       |  PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= $PTopK
+       |ORDER BY query_id, vec_id""".stripMargin
+
+  /** Recall-vs-nprobe curve at 768 dims — THE index-tuning artifact:
+    * for nprobe ∈ {1,2,4,8}, recall@$PTopK of the IVFPQ+re-rank stack
+    * against exact 768-dim ground truth, summed over the query set.
+    * One plan computes all four points: candidates carry their cell's
+    * probe rank, the nprobe axis explodes from a 4-element literal,
+    * and each (nprobe, query) ranks its own ADC/re-rank — so the
+    * curve costs one candidate pass, not four. The ADC candidate
+    * budget SCALES with nprobe (PCand per probed cell — the FAISS
+    * convention: re-rank cost prices per probe); a fixed budget makes
+    * the curve non-monotone, as extra cells' ADC-close-but-
+    * cosine-poor vectors crowd out true neighbors. All-integer
+    * output.
+    *
+    * Scale: ground truth prices one brute-force pass over the corpus
+    * per sampled query batch (the sim_ann_recall note) — this is run
+    * on a SAMPLE in production, and the curve decides nprobe for the
+    * fleet. */
+  def simAnnRecallCurve768(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val (emb, corpCell, qProbe, enc, lut) = probe768(spark, dir, CurveProbes.max)
+    val nps = spark.range(0, CurveProbes.length)
+      .select(explode(array(CurveProbes.map(lit): _*)).as("nprobe")).distinct()
+    val adc = enc.join(corpCell, col("vec_id") === col("c_vec"))
+      .join(broadcast(qProbe),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(nps), col("probe_rank") <= col("nprobe"))
+      .join(broadcast(lut),
+        col("q_id") === col("lq_id") && col("m") === col("qm") &&
+          col("code") === col("qj"))
+      .groupBy(col("nprobe"), col("q_id").as("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val cand = adc.withColumn("rk", row_number().over(
+        w.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rk") <= col("nprobe") * PCand)
+      .select(col("nprobe"), col("query_id"), col("vec_id"))
+    val qe = emb.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("rr_id"), col("e768").as("qe"))
+    val annTop = cand.join(emb, "vec_id")
+      .join(broadcast(qe), col("query_id") === col("rr_id"))
+      .select(col("nprobe"), col("query_id"), col("vec_id"),
+        cosineOf(graft.functions.VectorFunctions.dotF(col("e768"), col("qe")),
+          sqrt(graft.functions.VectorFunctions.dotF(col("e768"), col("e768"))),
+          sqrt(graft.functions.VectorFunctions.dotF(col("qe"), col("qe"))))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("nprobe"), col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= PTopK)
+      .select(col("nprobe"), col("query_id"), col("vec_id"))
+    // exact 768-dim ground truth (brute force, DotProductF scoring)
+    val truth = emb
+      .select(col("vec_id"), col("e768"))
+      .crossJoin(broadcast(qe))
+      .filter(col("vec_id") =!= col("rr_id"))
+      .select(col("rr_id").as("query_id"), col("vec_id"),
+        cosineOf(graft.functions.VectorFunctions.dotF(col("e768"), col("qe")),
+          sqrt(graft.functions.VectorFunctions.dotF(col("e768"), col("e768"))),
+          sqrt(graft.functions.VectorFunctions.dotF(col("qe"), col("qe"))))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= PTopK)
+      .select(col("query_id"), col("vec_id"))
+    val hits = annTop.join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    nps.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("bigint").as("nprobe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        lit(NumQueries.toLong * PTopK).as("n_possible"))
+      .orderBy(col("nprobe"))
+  }
+
+  lazy val simAnnRecallCurve768Sql: String =
+    s"""WITH $index768Ctes,
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, cent_id AS qcell, cr AS probe_rank
+       |  FROM cellrank
+       |  WHERE vec_id >= 0 AND vec_id < $NumQueries
+       |    AND cr <= ${CurveProbes.max}),
+       |nps AS (SELECT UNNEST([${CurveProbes.mkString(", ")}]) AS nprobe),
+       |adc AS (
+       |  SELECT nps.nprobe, q.q_id AS query_id, en.vec_id,
+       |    SUM(l.dist) AS adc_dist
+       |  FROM enc en
+       |  JOIN corpcell cc ON en.vec_id = cc.vec_id
+       |  JOIN qprobe q ON cc.cell = q.qcell AND en.vec_id <> q.q_id
+       |  JOIN nps ON q.probe_rank <= nps.nprobe
+       |  JOIN lut l ON l.query_id = q.q_id AND en.m = l.m AND en.code = l.j
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT nprobe, query_id, vec_id FROM adc
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY nprobe, query_id ORDER BY adc_dist, vec_id)
+       |    <= nprobe * $PCand),
+       |ann_top AS (
+       |  SELECT nprobe, query_id, vec_id FROM (
+       |    SELECT cand.nprobe, cand.query_id, cand.vec_id,
+       |      ${cos768Sql("ce.e768", "qe.e768")} AS cosine
+       |    FROM cand
+       |    JOIN e ce ON cand.vec_id = ce.vec_id
+       |    JOIN e qe ON cand.query_id = qe.vec_id)
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY nprobe, query_id ORDER BY cosine DESC, vec_id) <= $PTopK),
+       |truth AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT qe.vec_id AS query_id, ce.vec_id,
+       |      ${cos768Sql("ce.e768", "qe.e768")} AS cosine
+       |    FROM e ce, e qe
+       |    WHERE qe.vec_id >= 0 AND qe.vec_id < $NumQueries
+       |      AND ce.vec_id <> qe.vec_id)
+       |  QUALIFY ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) <= $PTopK),
+       |hits AS (
+       |  SELECT a.nprobe, COUNT(*) AS n_hits
+       |  FROM ann_top a JOIN truth t
+       |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+       |  GROUP BY a.nprobe)
+       |SELECT CAST(nps.nprobe AS BIGINT) AS nprobe,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(${NumQueries * PTopK} AS BIGINT) AS n_possible
+       |FROM nps LEFT JOIN hits h ON nps.nprobe = h.nprobe
+       |ORDER BY nprobe""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_mmr_select" -> ((simMmrSelect _, simMmrSelectSql)),
@@ -970,5 +1314,7 @@ object Similarity {
     "sim_kmeans" -> ((simKmeans _, simKmeansSql)),
     "sim_ann_recall" -> ((simAnnRecall _, simAnnRecallSql)),
     "sim_ann_pq" -> ((simAnnPq _, simAnnPqSql)),
-    "sim_ann_ivfpq" -> ((simAnnIvfPq _, simAnnIvfPqSql)))
+    "sim_ann_ivfpq" -> ((simAnnIvfPq _, simAnnIvfPqSql)),
+    "sim_ann_ivfpq_768" -> ((simAnnIvfPq768 _, simAnnIvfPq768Sql)),
+    "sim_ann_recall_curve_768" -> ((simAnnRecallCurve768 _, simAnnRecallCurve768Sql)))
 }

@@ -39,6 +39,9 @@ class DeterminismSpec extends AnyFunSuite {
     // ADC integer sums + re-rank ties, fixed-point PageRank sums,
     // and the lead()+explode gap spine
     "alpaca_split_adjusted", "asof_join_nearest", "sim_ann_ivfpq",
+    // r8: production-dim stack — integer ADC sums + (cosine, vec_id)
+    // total-order re-rank ties, same candidates at any layout
+    "sim_ann_ivfpq_768", "sim_ann_recall_curve_768",
     "graph_pagerank", "alpaca_bars_gapfill",
     // r7 microstructure: every estimator rests on BIGINT moment sums
     // + a fixed IEEE tail — the three-carry bucketed Lee-Ready, the

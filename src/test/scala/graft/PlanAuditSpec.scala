@@ -32,7 +32,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q30_null_semantics", // 1-row scalar cross (counts × diagonal)
     "sim_ann_recall", // composes sim_cosine_topk's intentional query broadcast
     "sim_ann_filtered", // corpusWithCells' K-constant-centroid cross, as sim_ann_ivf
-    "pipeline_train_build") // inherits text_dsir_filter's 1-row totals scalar cross
+    "pipeline_train_build", // inherits text_dsir_filter's 1-row totals scalar cross
+    // 4-element nprobe-axis broadcast (probe_rank <= nprobe is a
+    // non-equi join against a literal array) + the ground-truth
+    // query broadcast, both bounded by construction
+    "sim_ann_recall_curve_768")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
@@ -248,6 +252,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchangeIdx >= 0, s"no query_id exchange found:\n$p")
     assert(p.indexOf("WindowGroupLimit", exchangeIdx) >= 0,
       s"no partial WindowGroupLimit below the query_id exchange:\n$p")
+  }
+
+  test("sim_ann_ivfpq_768: production-dim plan keeps the 64-dim shapes") {
+    // Dimensionality must enter ONLY through the codegen'd DotProductF
+    // loop — the plan skeleton (broadcast equi-joins for routing/LUT,
+    // partial+final WindowGroupLimits for every top-k, no cartesian
+    // anywhere) has to be identical to the 64-dim gate's. A per-element
+    // expression chain here would hit the r2 Janino megamethod wall;
+    // graft_dot in the plan proves the native loop is what scores.
+    val p = SparkEntry.queries("sim_ann_ivfpq_768")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_dot"), s"re-rank not scored by DotProductF:\n$p")
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    assert(limits >= 4,
+      s"expected partial+final WindowGroupLimits on the ADC and re-rank top-k, got $limits")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"768-dim stack must stay on bounded equi-joins:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"routing/LUT/query joins should broadcast their bounded sides:\n$p")
   }
 
   test("alpaca analytics: scan-reported symbol partitioning deletes the window exchange") {

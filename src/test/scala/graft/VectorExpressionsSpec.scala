@@ -106,4 +106,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .map { case (q, rows) => q -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
     expected.foreach { case (q, ids) => assert(top(q) == ids, s"query $q") }
   }
+
+  test("DotProductF over array<double> and MIXED float/double sides (r8: 768-dim gates)") {
+    // the 768-dim production gates build array<double> vectors; each
+    // side resolves its element type at plan time, so double/double,
+    // float/double and double/float all fold identically to the
+    // driver-side left-assoc oracle — in codegen AND interpreted mode
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(200) { i =>
+      val dim = Seq(0, 1, 768)(i % 3)
+      (Array.fill(dim)(rng.nextDouble() * 2 - 1),
+        Array.fill(dim)(rng.nextDouble() * 2 - 1),
+        Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    }
+    def fold(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val df = rows.toDF("da", "db", "f")
+    def check(): Unit = {
+      val out = df.select(dotF($"da", $"db").as("dd"),
+        dotF($"f", $"db").as("fd"), dotF($"da", $"f").as("df")).collect()
+      out.zip(rows).foreach { case (r, (da, db, f)) =>
+        val fd = f.map(_.toDouble).toSeq
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(fold(da.toSeq, db.toSeq)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToLongBits(fold(fd, db.toSeq)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(fold(da.toSeq, fd)))
+      }
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try check() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
