@@ -1028,6 +1028,8 @@ object TextOps {
   // ------------------------- exact repeated-substring spans
   private[operators] val SubstrK = 8
   private val SubstrSalt = 16
+  private val HotGramCnt = 64 //    occurrences above which a gram salts
+  private val HotGramCap = 65536 // max hot grams broadcast (df-cap bound)
 
   /** Exact substring-duplication spans — the signal behind
     * suffix-array training-data dedup (find every ≥K-token substring
@@ -1058,30 +1060,85 @@ object TextOps {
         s"""transform(sequence(1, size(ws) - ${SubstrK - 1}),
            |  i -> md5(array_join(slice(ws, i, $SubstrK), ' ')))""".stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
-    // The join back is SALTED because AQE cannot rescue it: the dup
-    // side's final HashAggregate sits between its exchange and the
-    // join, so OptimizeSkewedJoin's two-clean-shuffle-stages pattern
-    // never matches (verified — an explicit repartition on the dup
-    // side is collapsed into the aggregate's exchange; the same
-    // not-AQE-rescuable verdict as chunk dedup's unfiltered form).
-    // Salting is exact here: the dup side holds exactly one row per
-    // gram, so exploding it ×$SubstrSalt and joining on (gram, salt)
-    // matches every position exactly once while spreading a
-    // boilerplate gram's positions over $SubstrSalt partitions by
-    // construction. Cost: ×$SubstrSalt duplication of the DISTINCT
-    // dup-gram set — far smaller than the positions side it protects.
+    // The join back is skew-protected but NOT blanket-salted (r8).
+    // AQE cannot rescue it: the dup side's final HashAggregate sits
+    // between its exchange and the join, so OptimizeSkewedJoin's
+    // two-clean-shuffle-stages pattern never matches (verified — an
+    // explicit repartition on the dup side is collapsed into the
+    // aggregate's exchange; the same not-AQE-rescuable verdict as
+    // chunk dedup's unfiltered form). r7 salted EVERY dup gram ×16;
+    // the r8 1M-doc soak measured that blanket salt at 1.8× the
+    // unsalted join on a skew-FREE corpus (SCALE.md) — a tax on
+    // exactly the corpora that need no protection. TWO-TIER form:
+    // only grams with > $HotGramCnt occurrences (the boilerplate that
+    // creates reducer hot spots) are salted ×$SubstrSalt; the long
+    // tail joins on (gram, 0). Hot membership rides a BROADCAST of
+    // the top-$HotGramCap hottest dup grams — bounded by construction
+    // (the dedup_ngram_jaccard_capped df-cap pattern); a pathological
+    // corpus with MORE than $HotGramCap hot grams spreads the excess
+    // by its own cardinality. Salting stays exact: each position
+    // matches exactly one (gram, salt) row.
+    // materialized ONCE (localCheckpoint): the dup-gram relation
+    // (16-byte digest + count) feeds both the hot set and the join
+    // side — unmaterialized, each consumer re-expands the corpus
+    // explode+aggregate subtree (a third full scan, verified in the
+    // plan golden). At 100 TB this is the persisted gram-count index
+    // beside the corpus, the sim_ann_ivfpq materialization pattern.
+    val gramCounts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .localCheckpoint()
+    val hot = gramCounts.filter(col("cnt") > HotGramCnt)
+      .orderBy(col("cnt").desc, col("gram")).limit(HotGramCap)
+      .select(col("gram").as("hg"))
+    val dupGrams = gramCounts
+      .join(broadcast(hot), col("gram") === col("hg"), "left")
+      .select(col("gram"),
+        when(col("hg").isNotNull, lit(SubstrSalt)).otherwise(lit(1)).as("nsalt"))
+      .withColumn("salt", explode(expr("sequence(0, nsalt - 1)")))
+      .select(col("gram"), col("salt"))
+    val saltedGrams = grams
+      .join(broadcast(hot), col("gram") === col("hg"), "left")
+      .withColumn("salt",
+        when(col("hg").isNotNull,
+          pmod(xxhash64(col("doc_id"), col("pos")), lit(SubstrSalt.toLong))
+            .cast("int"))
+          .otherwise(lit(0)))
+      .drop("hg")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    saltedGrams.join(dupGrams, Seq("gram", "salt"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_pos"), max(col("pos")).as("end_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("n_pos")).as("n_dup_positions"),
+        max(col("n_pos")).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Diagnostic twin of [[textSubstringDedup]] with the UNSALTED
+    * join-back — NOT a gate: ScaleSoak times both so the ×$SubstrSalt
+    * salt's overhead on benign corpora and its protection under
+    * boilerplate skew are measured numbers (SCALE.md r8). Identical
+    * results by construction. */
+  private[operators] def textSubstringDedupUnsalted(spark: SparkSession,
+      dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= SubstrK)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(ws) - ${SubstrK - 1}),
+           |  i -> md5(array_join(slice(ws, i, $SubstrK), ' ')))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("gram"))
-      .withColumn("salt",
-        explode(expr(s"sequence(0, ${SubstrSalt - 1})")))
-    val saltedGrams = grams.withColumn("salt",
-      pmod(xxhash64(col("doc_id"), col("pos")), lit(SubstrSalt.toLong))
-        .cast("int"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    saltedGrams.join(dupGrams, Seq("gram", "salt"))
+    grams.join(dupGrams, Seq("gram"))
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("n_pos"), max(col("pos")).as("end_pos"))

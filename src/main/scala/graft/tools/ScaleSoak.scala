@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSoak {
   def main(args: Array[String]): Unit = {
+    // targeted mode (r8): "substr N" soaks ONLY the two
+    // candidate-set-driven operators SCALE.md flags — the salted
+    // substring dedup and the bloom decontam — up to ×N (N=200 ⇒ 1M
+    // docs), to measure whether their growth stays linear once the
+    // duplicated-gram population is millions, not thousands.
+    if (args.headOption.contains("substr")) { substrSoak(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -225,6 +231,65 @@ object ScaleSoak {
       require(pv == bv, s"plain/bucketed values diverged: $pv vs $bv")
       println(f"SOAK_LEEREADY n=$n trades=${50000L * n} plain=$tP%.2f s " +
         f"bucketed=$tB2%.2f s (rows=${pv.size})")
+    }
+    spark.stop()
+  }
+
+  /** r8 targeted soak: substring-dedup + bloom-decontam growth to 1M
+    * docs (×200 amplification of sf0.1's 5k). Same amplification as
+    * the main soak — per-copy word suffixes keep gram spaces disjoint
+    * across copies, so the duplicated-run ANSWER grows linearly and
+    * any super-linear wall-clock is the engine's, not the fixture's.
+    * Also times the UNSALTED join-back variant at each point so the
+    * ×$SubstrSalt salt's cost (and its skew protection) is a measured
+    * number, not a guess. */
+  private def substrSoak(args: Array[String]): Unit = {
+    val factor = args.lift(1).map(_.toInt).getOrElse(200)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def amplify(n: Int): String = {
+      val dir = s"/tmp/graft_soak/x$n"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        base.crossJoin(spark.range(n).toDF("copy"))
+          .select(($"doc_id" * n + $"copy").as("doc_id"),
+            when($"copy" === 0, $"text").otherwise(
+              array_join(transform(split($"text", " "),
+                w => concat(w, lit("_"), $"copy")), " ")).as("text"),
+            $"lang", $"source", $"n_chars")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      dir
+    }
+    def timeIt(df: => DataFrame): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // warm codegen
+    locally { val d = amplify(1); timeIt(TextOps.textSubstringDedup(spark, d)) }
+    Seq(20, math.max(2, factor / 4), factor).distinct.foreach { n =>
+      val dir = amplify(n)
+      // untimed warm pass (touches every text byte): the first timed
+      // variant otherwise pays the amplify write's cold page-cache
+      // reads while the second runs warm (the confound behind the r8
+      // first sweep's n=50 inversion)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(sum(length(col("text")))).collect()
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val (tU, nu) = timeIt(TextOps.textSubstringDedup(spark, dir))
+      val (tUu, nuu) = timeIt(TextOps.textSubstringDedupUnsalted(spark, dir))
+      require(nu == nuu, s"salted/unsalted row counts diverged: $nu vs $nuu")
+      val (tB, nb) = timeIt(TextOps.textBloomDecontam(spark, dir))
+      println(f"SOAK_SUBSTR n=$n docs=$docs salted=$tU%.2f s ($nu docs) " +
+        f"unsalted=$tUu%.2f s bloomDecontam=$tB%.2f s ($nb docs)")
     }
     spark.stop()
   }

@@ -238,10 +238,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     // breaks OptimizeSkewedJoin's pattern, and an explicit dup-side
     // repartition gets collapsed into the aggregate's exchange (both
     // verified by this test's earlier failures) — so the operator
-    // SALTS: positions carry pmod(xxhash64(doc_id,pos),16), the
-    // one-row-per-gram dup side explodes ×16, the join key is
-    // (gram, salt). Exactness: each position matches exactly its one
-    // salted copy. Fixture: 400 docs share ONE 8-gram prefix and
+    // SALTS the HOT TIER (r8 two-tier form): grams above HotGramCnt
+    // occurrences ride a broadcast hot set, their positions carry
+    // pmod(xxhash64(doc_id,pos),16) and the dup side explodes ×16;
+    // the long tail joins on (gram, 0) unsalted — the 1M-doc soak
+    // measured the blanket salt at 1.8× on skew-free corpora. This
+    // fixture's shared gram (cnt=400 > 64) is hot, so the salted path
+    // is what runs here. Exactness: each position matches exactly its
+    // one salted copy. Fixture: 400 docs share ONE 8-gram prefix and
     // continue uniquely (each doc ⇒ exactly one duplicated position,
     // one run of length 1); 100 docs fully unique; forced SMJ (at
     // scale the dup set — the corpus's repeated vocabulary — is not
