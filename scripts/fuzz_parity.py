@@ -135,7 +135,13 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              # r7: the composed retrieval stacks (IVF route + ADC +
              # re-rank; predicate inside the cell probe) on hostile
              # embeddings and degenerate corpora
-             "sim_ann_ivfpq", "sim_ann_filtered"]
+             "sim_ann_ivfpq", "sim_ann_filtered",
+             # r8: production-dim stack — the 768-dim mix/codes/route/
+             # ADC/re-rank chain and the nprobe curve on the same
+             # hostile corpora (zero-norm vectors cosine to NULL,
+             # all-identical corpora tie-break on vec_id, negative
+             # ids stay out of the codebook/centroid sets)
+             "sim_ann_ivfpq_768", "sim_ann_recall_curve_768"]
 GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES
 ALL_GATES = GATES + MM_GATES
 
