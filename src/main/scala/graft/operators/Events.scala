@@ -74,6 +74,52 @@ object Events {
       |  MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Semi-structured VARIANT processing (Spark 4's VariantType — the
+    * engine-native answer to JSON columns): each event is re-encoded
+    * as a nested JSON document (object + array + mixed types), parsed
+    * ONCE into a variant, and fields are extracted with TYPED paths
+    * (`variant_get(v, '$.meta.u', 'bigint')`, array index
+    * `'$.vals[0]'`), plus `try_variant_get` on an absent path (NULL,
+    * never an error). The oracle computes the same aggregates
+    * DIRECTLY from the source columns — so any mis-parse, mis-route
+    * or precision loss in the encode→parse→extract round-trip breaks
+    * the hash (doubles must round-trip bit-exactly through the JSON
+    * text).
+    *
+    * Scale: variants are parsed in the scan projection (one pass, no
+    * UDF); at 100 TB the variant column is stored ONCE (shredded
+    * parquet) and every query pays typed extraction instead of
+    * repeated string JSON parsing — the reason this type exists. */
+  def q33Variant(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("vj", concat(
+        lit("{\"meta\": {\"u\": "), col("user_id"),
+        lit(", \"k\": "), get_json_object(col("props"), "$.k"),
+        lit("}, \"vals\": ["), col("value").cast("string"),
+        lit("]}")))
+      .withColumn("v", expr("parse_json(vj)"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.meta.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.meta.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.vals[0]', 'double')").as("v0"),
+        expr("try_variant_get(v, '$.absent.path', 'string')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(col("k")).as("sum_k"),
+        sum(col("v0").cast("decimal(18,2)")).cast("double").as("sum_val"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_absent"))
+      .orderBy(col("event_type"))
+
+  val q33Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_u,
+      |  CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+      |  COUNT(*) AS n_absent
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Spark's NATIVE session_window next to q14's manual
     * gaps-and-islands — same sessions, different operator. Boundary
     * semantics differ by design: session_window's window is the
@@ -170,6 +216,7 @@ object Events {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
     "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
+    "q33_variant" -> ((q33Variant _, q33Sql)),
     "q32_session_window" -> ((q32SessionWindow _, q32Sql)),
     "q27_funnel" -> ((q27Funnel _, q27FunnelSql)))
 }

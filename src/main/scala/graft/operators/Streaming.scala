@@ -687,12 +687,60 @@ object Streaming {
       |FROM d GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------------- state-store inspection (ops surface)
+  /** The checkpoint's state read back as a DATAFRAME — Spark 4's
+    * `statestore` reader, the ops tool for answering "what is my
+    * streaming job actually holding?" without stopping it. The gate
+    * runs the watermarked dedup to a checkpoint, then queries the
+    * state itself: one row per live dedup key, key fields surfaced as
+    * columns. Because the gate's watermark horizon exceeds the
+    * fixture's span, NOTHING has been evicted — the state content
+    * must equal the batch DISTINCT of the input, giving the state
+    * reader an exact cross-engine oracle (the same one the dedup
+    * gate's output has; here it certifies the STORE, not the stream).
+    *
+    * Scale: the state source reads each shuffle partition's store
+    * files directly (no running query involved) — state audits at
+    * production scale are a parallel scan of the checkpoint, priced
+    * like any other columnar read. */
+  def streamStateInspect(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_state_inspect").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = dedupWatermarkStream(spark, dir, "events.parquet")
+      .writeStream.format("noop")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.*"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_state_keys"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val streamStateInspectSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    EPOCH_US(ts) // 1800000000 AS b
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n_state_keys,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM d GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "stream_event_bars" -> ((streamEventBars _, streamEventBarsSql)),
     "stream_event_bars_append" -> ((streamEventBarsAppend _, streamEventBarsAppendSql)),
     "stream_sliding_bars" -> ((streamSlidingBars _, streamSlidingBarsSql)),
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
     "stream_dedup_watermark" -> ((streamDedupWatermark _, streamDedupWatermarkSql)),
+    "stream_state_inspect" -> ((streamStateInspect _, streamStateInspectSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),

@@ -42,6 +42,8 @@ class DeterminismSpec extends AnyFunSuite {
     // r8: production-dim stack — integer ADC sums + (cosine, vec_id)
     // total-order re-rank ties, same candidates at any layout
     "sim_ann_ivfpq_768", "sim_ann_recall_curve_768",
+    // r8: double→JSON→variant→double round-trip must not notice layout
+    "q33_variant",
     "graph_pagerank", "alpaca_bars_gapfill",
     // r7 microstructure: every estimator rests on BIGINT moment sums
     // + a fixed IEEE tail — the three-carry bucketed Lee-Ready, the
