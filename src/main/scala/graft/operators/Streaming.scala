@@ -7,6 +7,40 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** Open-session state for one user (streaming sessionization). */
 case class SessionState(startMs: Long, lastMs: Long, n: Long)
 
+/** One emission of the transformWithState counter gate: the key's
+  * per-batch count and the ValueState-carried running total. */
+case class TwsOut(user_id: Long, seq: Long, batch_events: Long, running: Long)
+
+/** `transformWithState` processor: two typed ValueState handles (the
+  * running total and the emission ordinal), TTL off — the gate proves
+  * cross-batch state continuation under the new API. */
+class RunningCounterProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, TwsOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.OutputMode
+
+  @transient private var total: ValueState[Long] = _
+  @transient private var seq: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Long],
+      timerValues: TimerValues): Iterator[TwsOut] = {
+    var c = 0L
+    while (rows.hasNext) { rows.next(); c += 1 }
+    val t = (if (total.exists()) total.get() else 0L) + c
+    val s = (if (seq.exists()) seq.get() else 0L) + 1L
+    total.update(t)
+    seq.update(s)
+    Iterator.single(TwsOut(key, s, c, t))
+  }
+}
+
 /** A closed session emitted downstream. */
 case class SessionOut(user_id: Long, start_ms: Long, n_events: Long,
     duration_ms: Long)
@@ -687,6 +721,109 @@ object Streaming {
       |FROM d GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // --------------------- transformWithState (Spark 4 stateful API)
+  /** Per-user running counter under `transformWithState` — Spark 4's
+    * new-generation arbitrary-state API (typed ValueState handles,
+    * TTL support, timers; the successor to the
+    * (flat)mapGroupsWithState the sessionize gates use). The fixture
+    * is staged as THREE files split by `event_id % 3` with ordered
+    * mtimes and `maxFilesPerTrigger=1`, so each file is one
+    * micro-batch: every emitted row carries the key's per-batch count
+    * AND the running total carried in ValueState — rows from batch
+    * n+1 prove the state survived batch n. The oracle reconstructs
+    * the same rows in SQL (batch = event_id % 3, running = windowed
+    * cumulative sum), so a lost or double-counted state update breaks
+    * the hash. Requires the RocksDB state store provider (the API's
+    * contract), set and restored around the drain.
+    *
+    * Scale: state is one (long, long) pair per key in RocksDB —
+    * bounded by key cardinality; at production TTLConfig bounds it by
+    * time instead (the API's built-in answer to unbounded key
+    * spaces, which mapGroupsWithState left to hand-rolled timers). */
+  def streamTwsCounter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_tws_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"))
+    stageSplitFiles(spark, stage, ev, 3)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .select(col("user_id")).as[Long]
+      val out = stream.groupByKey(identity)
+        .transformWithState(new RunningCounterProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      drainToTable(spark, out.toDF(), "append")
+        .select(col("user_id"), col("seq"), col("batch_events"), col("running"))
+        .orderBy(col("user_id"), col("seq"))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  val streamTwsCounterSql: String =
+    """WITH b AS (
+      |  SELECT user_id, event_id % 3 AS batch, COUNT(*) AS batch_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch) AS seq,
+      |    batch_events,
+      |    SUM(batch_events) OVER (
+      |      PARTITION BY user_id ORDER BY batch) AS running
+      |  FROM b)
+      |SELECT user_id, CAST(seq AS BIGINT) AS seq,
+      |  CAST(batch_events AS BIGINT) AS batch_events,
+      |  CAST(running AS BIGINT) AS running
+      |FROM r ORDER BY user_id, seq""".stripMargin
+
+  /** Stage `data` as `n` single-parquet files split by
+    * `event_id % n`, mtime-ordered so `maxFilesPerTrigger=1` replays
+    * them as n deterministic micro-batches (the stageWithSentinels
+    * file mechanics without the event-time sentinels). */
+  private def stageSplitFiles(spark: SparkSession, stage: String,
+      data: DataFrame, n: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stagePath = Paths.get(stage)
+    if (Files.exists(stagePath)) {
+      val w = Files.walk(stagePath)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally w.close()
+    }
+    Files.createDirectories(stagePath)
+    val t0 = System.currentTimeMillis()
+    (0 until n).foreach { i =>
+      val tmp = s"${stage}_w$i"
+      data.filter(pmod(col("event_id"), lit(n.toLong)) === i.toLong)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      val tmpPath = Paths.get(tmp)
+      val part = {
+        val s = Files.list(tmpPath)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).next()
+        finally s.close()
+      }
+      val dest = stagePath.resolve(f"$i%02d_split.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      require(dest.toFile.setLastModified(t0 - (n - i).toLong * 60000L),
+        s"setLastModified failed for $dest — batch order would be undefined")
+      val w = Files.walk(tmpPath)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally w.close()
+    }
+  }
+
   // --------------------------- state-store inspection (ops surface)
   /** The checkpoint's state read back as a DATAFRAME — Spark 4's
     * `statestore` reader, the ops tool for answering "what is my
@@ -741,6 +878,7 @@ object Streaming {
     "stream_dedup" -> ((streamDedup _, streamDedupSql)),
     "stream_dedup_watermark" -> ((streamDedupWatermark _, streamDedupWatermarkSql)),
     "stream_state_inspect" -> ((streamStateInspect _, streamStateInspectSql)),
+    "stream_tws_counter" -> ((streamTwsCounter _, streamTwsCounterSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
