@@ -119,7 +119,10 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
 # tokens and int64-edge doc_ids — the hostile cases that found the
 # height-derivation overflow and the empty-doc NULL divergence.
 MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
-            "mm_resize_stub", "mm_audio_energy"]
+            "mm_resize_stub", "mm_audio_energy",
+            # r8: binaryFile landing-dir ingestion — md5/strlen are
+            # byte-exact on any UTF-8 content incl. the hostile pool
+            "mm_binary_ingest"]
 # r5: similarity family over hostile embeddings (zero-norm → NaN
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)
 EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",

@@ -9,7 +9,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     operators.Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
 
-  private def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
+  private[graft] def registry: Seq[(String, ((SparkSession, String) => DataFrame, String))] =
     operators.Relational.all ++ operators.AlpacaQueries.all ++
       operators.AlpacaAnalytics.all ++ operators.Microstructure.all ++
       operators.Dedup.all ++ operators.Similarity.all ++

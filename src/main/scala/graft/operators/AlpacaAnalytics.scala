@@ -938,6 +938,7 @@ object AlpacaAnalytics {
   }
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+
     "alpaca_adjusted_bars" -> ((adjustedBars _, adjustedBarsSql)),
     "alpaca_range_vol" -> ((rangeVol _, rangeVolSql)),
     "alpaca_intraday_profile" -> ((intradayProfile _, intradayProfileSql)),

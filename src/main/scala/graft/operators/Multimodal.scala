@@ -299,10 +299,64 @@ object Multimodal {
        |  CAST(LIST_AGGREGATE(energies, 'max') AS BIGINT) AS max_energy
        |FROM e ORDER BY doc_id""".stripMargin
 
+  /** `binaryFile`-source ingestion — how a media corpus actually
+    * LANDS: one opaque file per asset in a directory, read by Spark's
+    * binaryFile source into (path, length, content) rows with the
+    * asset id recovered from the file name. The gate materializes a
+    * landing directory from a deterministic document sample
+    * (executor-side writes, nothing through the driver), reads it
+    * back through the source, and emits (doc_id, n_bytes, md5) — the
+    * oracle computes the same triple straight from the documents
+    * table, so a lost, truncated, or mis-keyed file breaks the hash.
+    *
+    * Scale: binaryFile scans parallelize by file; content stays in
+    * the reading partition (the mediaRecords contract) and only the
+    * narrow metadata rows move. Production sets
+    * spark.sql.files.maxPartitionBytes to pack small assets and
+    * pathGlobFilter to prune non-media files at listing time. */
+  def mmBinaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val landing = s"${System.getProperty("java.io.tmpdir")}/graft_mm_ingest_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val lp = Paths.get(landing)
+    if (Files.exists(lp)) {
+      val w = Files.walk(lp)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally w.close()
+    }
+    Files.createDirectories(lp)
+    t(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getString(1)).getOrElse("").getBytes("UTF-8")
+          Files.write(Paths.get(landing, s"$id.bin"), bytes)
+        }
+      }
+    spark.read.format("binaryFile").load(landing)
+      .select(
+        regexp_extract(col("path"), "(-?\\d+)\\.bin$", 1)
+          .cast("bigint").as("doc_id"),
+        col("length").cast("bigint").as("n_bytes"),
+        md5(col("content")).as("payload_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mmBinaryIngestSql: String =
+    """SELECT doc_id,
+      |  CAST(STRLEN(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+      |  MD5(COALESCE(text, '')) AS payload_md5
+      |FROM documents WHERE doc_id % 50 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
     "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
     "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),
     "mm_resize_stub" -> ((mmResizeStub _, mmResizeStubSql)),
-    "mm_audio_energy" -> ((mmAudioEnergy _, mmAudioEnergySql)))
+    "mm_audio_energy" -> ((mmAudioEnergy _, mmAudioEnergySql)),
+    "mm_binary_ingest" -> ((mmBinaryIngest _, mmBinaryIngestSql)))
 }

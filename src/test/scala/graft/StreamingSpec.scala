@@ -219,6 +219,69 @@ class StreamingSpec extends AnyFunSuite {
       s"key set diverged: extra=${got.toSet -- expected}, missing=${expected -- got.toSet}")
   }
 
+  test("transformWithState resumes from checkpoint: ValueState totals continue across restart") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_tws_src").toString
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    val sink = Files.createTempDirectory("graft_tws_sink").toString
+    val ev = operators.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("event_id"))
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_tws_stage").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, s"$name.parquet"))
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(ev.schema).parquet(src)
+        .select(col("user_id")).as[Long]
+      val out = stream.groupByKey(identity)
+        .transformWithState(new operators.RunningCounterProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = out.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      // run 1 sees only the even-id half (one batch); the RESTART sees
+      // only the odd half — its emissions must carry totals that
+      // CONTINUE from run 1's checkpointed ValueState
+      stage(ev.filter(col("event_id") % 2 === 0), "h1")
+      run()
+      stage(ev.filter(col("event_id") % 2 === 1), "h2")
+      run()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.read.parquet(sink)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val counts = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("even"),
+        sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("odd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = counts.flatMap { case (u, even, odd) =>
+      val first = if (even > 0) Seq((u, 1L, even, even)) else Seq.empty
+      val second =
+        if (odd > 0) Seq((u, if (even > 0) 2L else 1L, odd, even + odd))
+        else Seq.empty
+      first ++ second
+    }.toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"state did not continue across restart: extra=${got -- expected}, missing=${expected -- got}")
+  }
+
   test("stream-stream join resumes from checkpoint: exact pair set across restart") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_ssj_src").toString
