@@ -479,7 +479,53 @@ object Relational2 {
       |  ORDER BY value DESC, event_id LIMIT 2) l
       |ORDER BY u.user_id, l.value DESC, l.event_type""".stripMargin
 
+  /** SQL PIPE syntax (Spark 4's `|>` operators — the linear query
+    * form): the same filter → derive → join → aggregate → order
+    * pipeline every DataFrame chain expresses, but in SQL text, so
+    * SQL-first users get composable stages without nested
+    * subqueries. The plan is identical to the classic form (pipe is
+    * pure syntax — Catalyst sees the same logical operators), and the
+    * oracle is the classic-SQL equivalent in DuckDB, proving the two
+    * surfaces agree to the bit. Money math follows the q1 DECIMAL
+    * contract. */
+  def q35PipeSyntax(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID.toString.replace("-", "")
+    val li = s"graft_pipe_li_$suffix"
+    val ord = s"graft_pipe_ord_$suffix"
+    t(spark, dir, "lineitem").createOrReplaceTempView(li)
+    t(spark, dir, "orders").createOrReplaceTempView(ord)
+    // spark.sql analyzes eagerly (the graph_reachability pattern), so
+    // the views can drop before execution — no catalog leak per call
+    try spark.sql(
+      s"""FROM $li
+         ||> WHERE l_quantity >= 30
+         ||> EXTEND CAST(l_extendedprice AS DECIMAL(18,2)) *
+         |     CAST(1.0 - l_discount AS DECIMAL(5,2)) AS disc_price
+         ||> JOIN $ord ON l_orderkey = o_orderkey
+         ||> WHERE o_orderstatus <> 'F'
+         ||> AGGREGATE COUNT(*) AS n_items,
+         |     SUM(l_quantity) AS sum_qty,
+         |     CAST(SUM(disc_price) AS DOUBLE) AS revenue
+         |   GROUP BY o_orderstatus, l_returnflag
+         ||> ORDER BY o_orderstatus, l_returnflag""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(li)
+      spark.catalog.dropTempView(ord)
+    }
+  }
+
+  val q35Sql: String =
+    """SELECT o_orderstatus, l_returnflag, COUNT(*) AS n_items,
+      |  SUM(l_quantity) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(1.0 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity >= 30 AND o_orderstatus <> 'F'
+      |GROUP BY o_orderstatus, l_returnflag
+      |ORDER BY o_orderstatus, l_returnflag""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q35_pipe_syntax" -> ((q35PipeSyntax _, q35Sql)),
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
     "q19_quantiles" -> ((q19Quantiles _, q19Sql)),

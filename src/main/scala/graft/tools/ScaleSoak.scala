@@ -27,6 +27,10 @@ object ScaleSoak {
     // docs), to measure whether their growth stays linear once the
     // duplicated-gram population is millions, not thousands.
     if (args.headOption.contains("substr")) { substrSoak(args); return }
+    // "ann768 N": the production-dim retrieval stack's scaling —
+    // encode + route + ADC + re-rank at 768 dims over an amplified
+    // corpus (vectors, not docs, are the axis here)
+    if (args.headOption.contains("ann768")) { ann768Soak(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -231,6 +235,57 @@ object ScaleSoak {
       require(pv == bv, s"plain/bucketed values diverged: $pv vs $bv")
       println(f"SOAK_LEEREADY n=$n trades=${50000L * n} plain=$tP%.2f s " +
         f"bucketed=$tB2%.2f s (rows=${pv.size})")
+    }
+    spark.stop()
+  }
+
+  /** r8: production-dim ANN scaling — sim_ann_ivfpq_768 and the
+    * recall curve over sign-flip-amplified corpora (the flip changes
+    * the 768-dim geometry freely; only wall-clock is measured). The
+    * structural claim under test: nothing in the stack scales with
+    * Dim×N beyond the one encode pass — routing/ADC move integer code
+    * rows and the re-rank touches ≤ cand×|Q| vectors. */
+  private def ann768Soak(args: Array[String]): Unit = {
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def amplifyEmb(n: Int): String = {
+      val dir = s"/tmp/graft_soak/emb_x$n"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+        baseEmb.crossJoin(spark.range(n).toDF("copy"))
+          .select(($"vec_id" * n + $"copy").as("vec_id"),
+            when($"copy" === 0, $"embedding").otherwise(
+              expr("transform(embedding, (x, i) -> " +
+                "CAST(x * IF(pmod(hash(copy, i), 2) = 0, 1.0D, -1.0D) AS FLOAT))"))
+              .as("embedding"),
+            $"label")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      dir
+    }
+    def timeIt(df: => DataFrame): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = df.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    locally { val d = amplifyEmb(1); timeIt(Similarity.simAnnIvfPq768(spark, d)) }
+    Seq(1, math.max(2, factor / 2), factor).distinct.foreach { n =>
+      val dir = amplifyEmb(n)
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(sum(expr("aggregate(embedding, 0.0D, (a, x) -> a + x)"))).collect()
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val (tI, ni) = timeIt(Similarity.simAnnIvfPq768(spark, dir))
+      val (tC, nc) = timeIt(Similarity.simAnnRecallCurve768(spark, dir))
+      println(f"SOAK_ANN768 n=$n vecs=$vecs ivfpq768=$tI%.2f s ($ni rows) " +
+        f"recall_curve=$tC%.2f s ($nc rows)")
     }
     spark.stop()
   }
