@@ -120,6 +120,71 @@ object Events {
       |  COUNT(*) AS n_absent
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** VARIANT through STORAGE: the q33 variants written to parquet as a
+    * native `variant` column (Spark 4 writes the binary value+metadata
+    * pair; the read-back schema is `variant`, not a struct or string)
+    * and extracted AFTER the round-trip. Same oracle as q33 — a
+    * mis-encoded, truncated, or re-typed variant surfaces as a hash
+    * break. At 100 TB this is the point of the type: parse once at
+    * ingest, store the binary form, and every later query pays typed
+    * extraction on the stored bytes (with column shredding as the
+    * format matures), never a JSON re-parse. */
+  def sinkVariantRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_variant_sink_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    eventsUs(spark, dir)
+      .withColumn("vj", concat(
+        lit("{\"meta\": {\"u\": "), col("user_id"),
+        lit(", \"k\": "), get_json_object(col("props"), "$.k"),
+        lit("}, \"vals\": ["), col("value").cast("string"),
+        lit("]}")))
+      .select(col("event_type"), expr("parse_json(vj)").as("v"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .select(col("event_type"),
+        expr("variant_get(v, '$.meta.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.meta.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.vals[0]', 'double')").as("v0"),
+        expr("try_variant_get(v, '$.absent.path', 'string')").as("miss"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(col("k")).as("sum_k"),
+        sum(col("v0").cast("decimal(18,2)")).cast("double").as("sum_val"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("n_absent"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Collation-aware aggregation (Spark 4 collations): event types
+    * re-cased by parity so every logical key exists in two binary
+    * spellings, then grouped under UTF8_LCASE — the collated GROUP BY
+    * must merge the spellings while `count(distinct)` over the
+    * binary-collated column still sees both. The group's REPORTED key
+    * is deliberately `min(binary)` (deterministic), never the collated
+    * grouping value itself — which spelling Spark surfaces for a
+    * collated key depends on arrival order. Oracle: GROUP BY
+    * LOWER(...) — equivalent to UTF8_LCASE on this ASCII domain. */
+  def q36Collation(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("mixed", expr(
+        "CASE WHEN event_id % 2 = 0 THEN upper(event_type) ELSE event_type END"))
+      .groupBy(expr("mixed COLLATE UTF8_LCASE").as("ck"))
+      .agg(min(col("mixed")).as("key_repr"),
+        count(lit(1)).as("n"),
+        countDistinct(col("mixed")).as("n_spellings"))
+      .select(col("key_repr"), col("n"), col("n_spellings"))
+      .orderBy(col("key_repr"))
+
+  val q36Sql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN UPPER(event_type)
+      |              ELSE event_type END AS mixed
+      |  FROM events)
+      |SELECT MIN(mixed) AS key_repr, COUNT(*) AS n,
+      |  COUNT(DISTINCT mixed) AS n_spellings
+      |FROM m GROUP BY LOWER(mixed)
+      |ORDER BY key_repr""".stripMargin
+
   /** Spark's NATIVE session_window next to q14's manual
     * gaps-and-islands — same sessions, different operator. Boundary
     * semantics differ by design: session_window's window is the
@@ -217,6 +282,8 @@ object Events {
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
     "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
     "q33_variant" -> ((q33Variant _, q33Sql)),
+    "sink_variant_roundtrip" -> ((sinkVariantRoundtrip _, q33Sql)),
+    "q36_collation" -> ((q36Collation _, q36Sql)),
     "q32_session_window" -> ((q32SessionWindow _, q32Sql)),
     "q27_funnel" -> ((q27Funnel _, q27FunnelSql)))
 }
