@@ -278,12 +278,82 @@ object Events {
       |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
       |FROM per_user GROUP BY stage ORDER BY stage""".stripMargin
 
+  /** SQL scripting (Spark 4's SQL/PSM control flow — `BEGIN`/
+    * `DECLARE`/`WHILE`/`SET`): an iterative threshold search that a
+    * single declarative query cannot express as written — double a
+    * BIGINT cutoff until no more than 200 events clear it, then report
+    * the cutoff and the survivors' aggregates. Each loop step is one
+    * scalar-subquery count (a full codegen'd scan+agg job); the
+    * variable lives driver-side, so the pattern is "driver control
+    * flow, cluster data flow" — exactly how an iterative pipeline
+    * (fixpoint, calibration sweep) runs at 100 TB. The final SELECT
+    * resolves the table through `IDENTIFIER(:name)`-style indirection
+    * (`IDENTIFIER('<view>')`), exercising late-bound identifiers.
+    * Oracle: the closed form — the least power-of-two cutoff whose
+    * survivor count is ≤ 200 (floor 1: the script never halves).
+    * Money math follows the q1 DECIMAL contract. */
+  def q37SqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    val view = "graft_script_events"
+    eventsUs(spark, dir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""BEGIN
+         |  DECLARE thr BIGINT DEFAULT 1;
+         |  DECLARE n BIGINT DEFAULT 0;
+         |  SET n = (SELECT COUNT(*) FROM $view WHERE value >= thr);
+         |  WHILE n > 200 DO
+         |    SET thr = thr * 2;
+         |    SET n = (SELECT COUNT(*) FROM $view WHERE value >= thr);
+         |  END WHILE;
+         |  SELECT thr AS threshold, COUNT(*) AS n_above,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+         |  FROM IDENTIFIER('$view') WHERE value >= thr;
+         |END""".stripMargin)
+  }
+
+  val q37Sql: String =
+    """WITH ks AS (
+      |  SELECT CAST(POW(2, k) AS BIGINT) AS thr FROM range(0, 40) t(k)),
+      |counted AS (
+      |  SELECT thr,
+      |    (SELECT COUNT(*) FROM events WHERE value >= thr) AS n FROM ks),
+      |pick AS (SELECT COALESCE(MIN(thr), 1) AS thr FROM counted WHERE n <= 200)
+      |SELECT p.thr AS threshold, COUNT(*) AS n_above,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+      |FROM events, pick p WHERE value >= p.thr
+      |GROUP BY p.thr""".stripMargin
+
+  /** Sketch-based top-k (Spark 4.1's `approx_top_k`): frequent-item
+    * counts per event_type via the native ItemsSketch aggregate,
+    * exploded to (item, cnt) rows. The gate pins the EXACTNESS
+    * contract that makes a sketch oracle-able: with maxItemsTracked
+    * (10000) far above the true cardinality (5), the sketch degrades
+    * to exact counting, so the DuckDB oracle is a plain GROUP BY. k
+    * (10) also exceeds the cardinality, so no boundary ties can make
+    * the cut nondeterministic. At 100 TB the same one-pass partial-
+    * aggregable sketch replaces the full shuffle of a GROUP BY when
+    * cardinality explodes — this gate proves the operator wiring and
+    * the exact-regime semantics. */
+  def q39ApproxTopK(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .agg(expr("approx_top_k(event_type, 10, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
+  val q39Sql: String =
+    """SELECT event_type AS item, COUNT(*) AS cnt
+      |FROM events GROUP BY event_type
+      |ORDER BY cnt DESC, item""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
     "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
     "q33_variant" -> ((q33Variant _, q33Sql)),
     "sink_variant_roundtrip" -> ((sinkVariantRoundtrip _, q33Sql)),
     "q36_collation" -> ((q36Collation _, q36Sql)),
+    "q37_sql_scripting" -> ((q37SqlScripting _, q37Sql)),
+    "q39_approx_topk" -> ((q39ApproxTopK _, q39Sql)),
     "q32_session_window" -> ((q32SessionWindow _, q32Sql)),
     "q27_funnel" -> ((q27Funnel _, q27FunnelSql)))
 }

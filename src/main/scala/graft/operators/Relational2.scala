@@ -524,8 +524,40 @@ object Relational2 {
       |GROUP BY o_orderstatus, l_returnflag
       |ORDER BY o_orderstatus, l_returnflag""".stripMargin
 
+  /** `GROUP BY ALL` / `ORDER BY ALL` (Spark 4 ergonomic SQL): group
+    * on every non-aggregate select item and order on the full output
+    * row, with neither list written out — the analyzer infers both.
+    * DuckDB implements the identical shorthand (it originated there),
+    * so the oracle runs the SAME text modulo money casts, proving the
+    * two engines infer the same grouping and the same whole-row
+    * ordering. Plan-wise this is a plain hash aggregate + sort —
+    * pure front-end sugar, zero runtime cost. */
+  def q38GroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    val view = s"graft_gba_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    t(spark, dir, "lineitem").createOrReplaceTempView(view)
+    try spark.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM $view
+         |GROUP BY ALL
+         |ORDER BY ALL""".stripMargin)
+    finally spark.catalog.dropTempView(view)
+  }
+
+  val q38Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q35_pipe_syntax" -> ((q35PipeSyntax _, q35Sql)),
+    "q38_group_by_all" -> ((q38GroupByAll _, q38Sql)),
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
     "q19_quantiles" -> ((q19Quantiles _, q19Sql)),
