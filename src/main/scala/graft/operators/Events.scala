@@ -346,6 +346,83 @@ object Events {
       |FROM events GROUP BY event_type
       |ORDER BY cnt DESC, item""".stripMargin
 
+  /** Error-safe arithmetic (`try_divide` / `try_multiply` /
+    * `try_cast`): the ANSI-mode escape hatches that return NULL
+    * instead of failing the job — the semantics a 100 TB pipeline
+    * needs, where one poison row must not kill a 1000-executor stage.
+    * Three legs, each with rows on BOTH sides of the boundary:
+    * division by a data-dependent zero (user_id ≡ 3 mod 7), BIGINT
+    * multiplication overflow ((user_id+1)·2⁵⁶ overflows exactly when
+    * user_id ≥ 127 — the corpus max is ~149, so both regimes occur),
+    * and string→int try_cast over a mixed numeric/alpha column.
+    * All aggregates are NULL-counts (exact integers) plus one
+    * DECIMAL-summed survivor total; the oracle crosses the same
+    * boundaries natively (DuckDB x/0 → NULL, TRY_CAST, and the
+    * closed-form overflow threshold maxlong // 2⁵⁶ = 127). */
+  def q40TryArith(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("div_try",
+        expr("try_divide(value, CAST(user_id % 7 - 3 AS DOUBLE))"))
+      .withColumn("mul_try",
+        expr("try_multiply(user_id + 1L, 72057594037927936L)"))
+      .withColumn("cast_try", expr(
+        "try_cast(CASE WHEN user_id % 5 = 0 THEN CAST(user_id AS STRING) " +
+          "ELSE event_type END AS INT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("div_try").isNull, 1L).otherwise(0L)).as("n_div0"),
+        sum(when(col("mul_try").isNull, 1L).otherwise(0L)).as("n_mul_ovf"),
+        sum(when(col("cast_try").isNull, 1L).otherwise(0L)).as("n_bad_cast"),
+        sum(when(col("div_try").isNotNull,
+          col("value").cast("decimal(18,2)")).otherwise(lit(null)))
+          .cast("double").as("sum_ok"))
+      .orderBy(col("event_type"))
+
+  val q40Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE value / (user_id % 7 - 3) IS NULL) AS n_div0,
+      |  COUNT(*) FILTER (WHERE user_id + 1 >
+      |    9223372036854775807 // 72057594037927936) AS n_mul_ovf,
+      |  COUNT(*) FILTER (WHERE TRY_CAST(
+      |    CASE WHEN user_id % 5 = 0 THEN CAST(user_id AS VARCHAR)
+      |         ELSE event_type END AS INT) IS NULL) AS n_bad_cast,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |    FILTER (WHERE user_id % 7 <> 3) AS DOUBLE) AS sum_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Datetime surface parity (truncation, interval arithmetic,
+    * day-of-week, hour extraction): weekly rollup where the week key
+    * is `date_trunc('week', ts)` (Monday-start in both engines), the
+    * first/last event instants are shifted by a 90-minute interval in
+    * exact epoch-µs arithmetic and crossed as formatted strings (the
+    * timestamp parity contract), weekend counting bridges the two
+    * day-numbering conventions explicitly (Spark `weekday` Mon=0 ⇔
+    * DuckDB `isodow` Mon=1), and hour-of-day distincts use the shared
+    * 0–23 convention. */
+  def q42Datetime(spark: SparkSession, dir: String): DataFrame =
+    eventsUs(spark, dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("wk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(expr("weekday(ts)") >= 5, 1L).otherwise(0L)).as("n_weekend"),
+        countDistinct(hour(col("ts"))).as("n_hours"),
+        date_format(timestamp_micros(min(col("ts_us")) + 5400000000L),
+          "yyyy-MM-dd HH:mm:ss").as("first_shifted"),
+        date_format(timestamp_micros(max(col("ts_us")) + 5400000000L),
+          "yyyy-MM-dd HH:mm:ss").as("last_shifted"))
+      .orderBy(col("wk"))
+
+  val q42Sql: String =
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk,
+      |  COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE isodow(ts) >= 6) AS n_weekend,
+      |  COUNT(DISTINCT EXTRACT(hour FROM ts)) AS n_hours,
+      |  strftime(make_timestamp(MIN(EPOCH_US(ts)) + 5400000000),
+      |    '%Y-%m-%d %H:%M:%S') AS first_shifted,
+      |  strftime(make_timestamp(MAX(EPOCH_US(ts)) + 5400000000),
+      |    '%Y-%m-%d %H:%M:%S') AS last_shifted
+      |FROM events GROUP BY date_trunc('week', ts) ORDER BY wk""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q14_sessionize" -> ((sessionize _, sessionizeSql)),
     "q15_json_extract" -> ((jsonExtract _, jsonExtractSql)),
@@ -354,6 +431,8 @@ object Events {
     "q36_collation" -> ((q36Collation _, q36Sql)),
     "q37_sql_scripting" -> ((q37SqlScripting _, q37Sql)),
     "q39_approx_topk" -> ((q39ApproxTopK _, q39Sql)),
+    "q40_try_arith" -> ((q40TryArith _, q40Sql)),
+    "q42_datetime" -> ((q42Datetime _, q42Sql)),
     "q32_session_window" -> ((q32SessionWindow _, q32Sql)),
     "q27_funnel" -> ((q27Funnel _, q27FunnelSql)))
 }

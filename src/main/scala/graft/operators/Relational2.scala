@@ -555,8 +555,56 @@ object Relational2 {
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin
 
+  /** Array higher-order functions (`transform`/`filter`/`aggregate`/
+    * `zip_with`/`array_sort`/`slice`) over the 64-dim embedding
+    * vectors — the lambda surface a vector pipeline uses when it does
+    * NOT drop to a custom expression. Every fold is a sequential
+    * left fold over per-element DOUBLE casts, which is bit-equal to
+    * DuckDB's LIST_REDUCE(LIST_TRANSFORM(...)) fold (the proven
+    * high-dim parity contract); predicates and counts are exact
+    * float comparisons; the reverse-dot pairs element i with
+    * element n+1−i through zip_with on one side and explicit 1-based
+    * indexing on the other. All HOFs run inside codegen'd
+    * projections — per-row, zero shuffle until the final sort. */
+  def q41ArrayHof(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        expr("size(filter(embedding, x -> x > CAST(0 AS FLOAT)))")
+          .cast("bigint").as("n_pos"),
+        expr("size(filter(embedding, x -> x > CAST(2 AS FLOAT)))")
+          .cast("bigint").as("n_gt2"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+          "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("ssq"),
+        expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+          "(a, x) -> a + abs(CAST(x AS DOUBLE)))").as("l1"),
+        expr("CAST(array_max(embedding) AS DOUBLE)").as("maxv"),
+        expr("aggregate(slice(reverse(array_sort(embedding)), 1, 3), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))").as("top3_sum"),
+        expr("aggregate(zip_with(embedding, reverse(embedding), " +
+          "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)").as("revdot"))
+      .orderBy(col("vec_id"))
+
+  val q41Sql: String =
+    """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(len(list_filter(embedding, x -> x > 2)) AS BIGINT) AS n_gt2,
+      |  LIST_REDUCE(LIST_TRANSFORM(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS ssq,
+      |  LIST_REDUCE(LIST_TRANSFORM(embedding,
+      |    x -> ABS(CAST(x AS DOUBLE))), (a, b) -> a + b) AS l1,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS maxv,
+      |  LIST_REDUCE(LIST_TRANSFORM(list_slice(list_sort(embedding, 'DESC'), 1, 3),
+      |    x -> CAST(x AS DOUBLE)), (a, b) -> a + b) AS top3_sum,
+      |  LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)),
+      |    (a, b) -> a + b) AS revdot
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q35_pipe_syntax" -> ((q35PipeSyntax _, q35Sql)),
+    "q41_array_hof" -> ((q41ArrayHof _, q41Sql)),
     "q38_group_by_all" -> ((q38GroupByAll _, q38Sql)),
     "q17_pivot" -> ((q17Pivot _, q17Sql)),
     "q18_correlated_subquery" -> ((q18Correlated _, q18Sql)),
