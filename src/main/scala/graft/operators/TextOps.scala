@@ -1264,7 +1264,61 @@ object TextOps {
       |WHERE LEVENSHTEIN(q_prefix, c_prefix) <= 3
       |ORDER BY q_doc_id, c_doc_id""".stripMargin
 
+  /** URL canonicalization — the web-corpus curation step that
+    * precedes URL-level dedup (CommonCrawl pipelines dedup fetches by
+    * canonical URL before any content hashing). Deterministic URLs
+    * are derived from document metadata, then Spark's `parse_url`
+    * (HOST / PATH / QUERY / QUERY-with-key forms) extracts the
+    * components; the canonical form strips the query (tracking
+    * params) and the per-host frequency a dedup pass would key on is
+    * computed per row. The oracle re-parses the identically-derived
+    * strings with regexes — two independent parser implementations
+    * over the same input.
+    *
+    * Scale shape: parsing is per-row codegen (parse_url is a
+    * codegen'd expression, not a UDF); the host-frequency count is
+    * the one exchange, on the low-cardinality host key — at 100 TB
+    * that is a map-side-combined agg of ~#hosts rows broadcast back,
+    * never a shuffle of the documents. */
+  def textUrlParse(spark: SparkSession, dir: String): DataFrame = {
+    val withUrl = docs(spark, dir)
+      .select(col("doc_id"), concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+        lit("?utm_source=feed&ref="), col("source")).as("url"))
+    val parsed = withUrl.select(col("doc_id"),
+      parse_url(col("url"), lit("HOST")).as("host"),
+      parse_url(col("url"), lit("PATH")).as("path"),
+      parse_url(col("url"), lit("QUERY")).as("query"),
+      parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+      .withColumn("canonical", concat(col("host"), col("path")))
+    val hostCounts = parsed.groupBy(col("host"))
+      .agg(count(lit(1)).as("host_docs"))
+    parsed.join(broadcast(hostCounts), Seq("host"))
+      .select(col("doc_id"), col("host"), col("path"), col("query"),
+        col("ref"), col("canonical"), col("host_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textUrlParseSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, 'https://' || source || '.example.com/' || lang ||
+      |    '/doc-' || CAST(doc_id AS STRING) || '?utm_source=feed&ref=' ||
+      |    source AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |    regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+      |    regexp_extract(url, '[?]([^#]*)', 1) AS query,
+      |    regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+      |  FROM u)
+      |SELECT doc_id, host, path, query, ref,
+      |  host || path AS canonical,
+      |  COUNT(*) OVER (PARTITION BY host) AS host_docs
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "text_url_parse" -> ((textUrlParse _, textUrlParseSql)),
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
     "text_tokens" -> ((textTokens _, textTokensSql)),
