@@ -15,7 +15,8 @@ object SparkEntry {
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.TextOps.all ++ operators.Multimodal.all ++ operators.Streaming.all ++
       operators.AsofJoin.all ++ operators.Events.all ++ operators.Relational2.all ++
-      operators.Relational3.all ++ operators.Pipeline.all ++
+      operators.Relational3.all ++ operators.Relational4.all ++
+      operators.Pipeline.all ++
       operators.Sinks.all ++ operators.Graph.all ++ operators.News.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
