@@ -2142,6 +2142,54 @@ object AlpacaQueries {
        |ORDER BY symbol, bar_hour""".stripMargin
   }
 
+  // --------------------------- runtime partition pruning (DPP, r8)
+  /** Dynamic partition pruning through the connector: a 4-symbol bars
+    * scan joined to a FILTERED dimension (2 region rows mapped to 2
+    * symbols). Nothing in the WHERE clause names a symbol, so static
+    * pushdown can't narrow the scan — but `AlpacaScan` declares
+    * `symbol` runtime-filterable, Spark injects a DPP subquery over
+    * the dim side's broadcast, and only the 2 surviving symbols'
+    * partitions fetch (ConnectorSpec proves the negative via
+    * per-symbol stub request counts). At 100 TB this is the
+    * watchlist-join shape: the universe you scan is decided by a
+    * table, not a literal, and pruning still happens before any HTTP
+    * request is issued. */
+  private val pruneSymbols = Seq("AAPL", "MSFT", "GOOG", "AMZN")
+
+  def runtimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val bars = spark.read.format("Alpaca_Stocks_Bars")
+      .options(baseOptions(pruneSymbols: _*) ++ Map(
+        "timeframe" -> "1Hour", "start" -> barsStart, "end" -> barsEnd))
+      .load()
+    val dim = Tables.t(spark, dir, "region")
+      .filter(col("r_regionkey") <= 1)
+      .select(expr("CASE r_regionkey WHEN 0 THEN 'AAPL' ELSE 'GOOG' END")
+        .as("symbol"), col("r_name"))
+    bars.join(dim, Seq("symbol"))
+      .groupBy(col("symbol"), col("r_name"))
+      .agg(count(lit(1)).as("n_bars"),
+        sum(col("volume")).as("sum_volume"),
+        max(col("close")).as("max_close"))
+      .orderBy(col("symbol"))
+  }
+
+  def runtimePruneSql: String = {
+    val rows = Seq("AAPL", "GOOG").map { s =>
+      val bs = AlpacaFixtures.bars(s, us(barsStart), us(barsEnd), Hour)
+      s"(${sqlStr(s)}, ${bs.size}, ${bs.map(_.volume).sum}, " +
+        s"${fmtD(bs.map(_.close).max)})"
+    }
+    s"""SELECT v.symbol, d.r_name, CAST(v.n_bars AS BIGINT) AS n_bars,
+       |  CAST(v.sum_volume AS BIGINT) AS sum_volume,
+       |  CAST(v.max_close AS DOUBLE) AS max_close
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, n_bars, sum_volume, max_close)
+       |JOIN (SELECT CASE r_regionkey WHEN 0 THEN 'AAPL' ELSE 'GOOG' END
+       |        AS symbol, r_name FROM region WHERE r_regionkey <= 1) d
+       |  ON v.symbol = d.symbol
+       |ORDER BY v.symbol""".stripMargin
+  }
+
   // ------------------------------------- scan-throughput gate (r2)
   /** Scan-heavy connector gate: one full YEAR of 10-minute trades × 2
     * symbols (~105k records, 730 planned symbol×day partitions, one
@@ -2232,6 +2280,7 @@ object AlpacaQueries {
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "alpaca_bars_trades_join" -> ((barsTradesJoin _, barsTradesJoinSql)),
+    "alpaca_runtime_prune" -> ((runtimePrune _, runtimePruneSql)),
     "alpaca_bars_scan" -> ((barsScan _, barsScanSql)),
     "alpaca_bars_multisymbol" -> ((barsMultiSymbol _, barsMultiSymbolSql)),
     "alpaca_bars_pushdown" -> ((barsPushdown _, barsPushdownSql)),

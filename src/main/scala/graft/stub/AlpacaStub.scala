@@ -477,6 +477,14 @@ object AlpacaStubServer {
   private val requestCount = new java.util.concurrent.atomic.AtomicLong
   def requestsServed: Long = requestCount.get()
 
+  /** Per-symbol request counts — lets tests prove NEGATIVE fetch
+    * facts (a runtime-pruned symbol was never requested), which no
+    * result-level assertion can. */
+  private val symbolHits =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def symbolRequests(sym: String): Long =
+    Option(symbolHits.get(sym)).fold(0L)(_.longValue)
+
   def endpoint: String = synchronized {
     if (server == null) start()
     s"http://127.0.0.1:$port/v2"
@@ -548,6 +556,8 @@ object AlpacaStubServer {
 
   private def handle(ex: HttpExchange, render: Map[String, String] => (Int, String)): Unit = {
     requestCount.incrementAndGet()
+    parseQuery(ex).getOrElse("symbols", "").split(",").filter(_.nonEmpty)
+      .foreach(s => symbolHits.merge(s, 1L, (a, b) => a + b))
     val (code, body) = render(parseQuery(ex))
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -566,4 +566,56 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       trades("rate_limit_rps" -> "-1").load()
     }
   }
+
+  test("runtime filtering: DPP prunes symbol partitions — pruned symbols never fetched") {
+    import org.apache.spark.sql.functions.{expr, count => cnt, lit}
+    // fresh symbols so per-symbol stub counters start at 0 for this test
+    val scan = spark.read.format("Alpaca_Stocks_Bars").options(Map(
+      "endpoint" -> AlpacaStubServer.endpoint,
+      "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+      "symbols" -> "['PRUNEA','PRUNEB','PRUNEC','PRUNEX']",
+      "timeframe" -> "1Hour",
+      "start" -> "2021-01-04T00:00:00Z",
+      "end" -> "2021-01-06T00:00:00Z")).load()
+    val dim = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+      .filter(col("r_regionkey") <= 1)
+      .select(expr("CASE r_regionkey WHEN 0 THEN 'PRUNEA' ELSE 'PRUNEC' END")
+        .as("symbol"))
+    val joined = scan.join(dim, Seq("symbol"))
+      .groupBy(col("symbol")).agg(cnt(lit(1)).as("n"))
+    val out = joined.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq(("PRUNEA", 48L), ("PRUNEC", 48L)))
+    // the injected runtime filter is visible in the executed plan…
+    val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(planStr.contains("dynamicpruning"),
+      s"expected a DPP runtime filter on the scan, plan:\n$planStr")
+    // …and the NEGATIVE fact holds: pruned symbols issued zero HTTP
+    // requests, kept symbols actually fetched
+    assert(AlpacaStubServer.symbolRequests("PRUNEA") > 0)
+    assert(AlpacaStubServer.symbolRequests("PRUNEC") > 0)
+    assert(AlpacaStubServer.symbolRequests("PRUNEB") == 0,
+      "runtime-pruned symbol PRUNEB was fetched")
+    assert(AlpacaStubServer.symbolRequests("PRUNEX") == 0,
+      "runtime-pruned symbol PRUNEX was fetched")
+  }
+
+  test("runtime filtering: grouped (symbol_batch) partitions survive if any member survives") {
+    import graft.connector.{AlpacaScan, AlpacaScanConfig, StockBarsDef, SymbolTimeRangePartition}
+    import org.apache.spark.sql.sources.{In => SIn, EqualTo => SEq}
+    val cfg = AlpacaScanConfig(
+      endpoint = AlpacaStubServer.endpoint, apiKeyId = "k", apiKeySecret = "s",
+      rateLimitDelaySec = 0.0, params = Map("timeframe" -> "1Hour"),
+      symbols = Seq("A", "B", "C", "D"),
+      startMicros = 0L, endMicros = 3600L * 1000000L, limit = 10000,
+      symbolBatch = 2)
+    val scan = AlpacaScan(StockBarsDef, cfg)
+    assert(scan.planInputPartitions().length == 2) // (A,B) and (C,D)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](SIn("symbol", Array("B"))))
+    val kept = scan.planInputPartitions()
+      .collect { case SymbolTimeRangePartition(g, _, _) => g }
+    assert(kept.toSeq == Seq("A,B"), "group containing B must survive")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](SEq("symbol", "Z")))
+    assert(scan.planInputPartitions().isEmpty,
+      "no group contains Z — everything prunes")
+  }
 }
