@@ -67,7 +67,15 @@ class DeterminismSpec extends AnyFunSuite {
     // the all-broadcast composition joins — none may notice layout
     "alpaca_quote_intensity", "alpaca_orderbook_depth_curve",
     "alpaca_iv_smile", "alpaca_put_call_parity", "alpaca_impl_shortfall",
-    "alpaca_market_dashboard")
+    "alpaca_market_dashboard",
+    // r8 batch 2: ordered string aggregation (listagg's WITHIN GROUP
+    // sort must not notice which partition delivered which row), the
+    // recursive CTE's iterated frontier joins, map-HOF serialization
+    // (entry order pinned only by the explicit array_sort), and the
+    // DPP-pruned connector join (runtime filter must prune the same
+    // partitions at any layout)
+    "q43_listagg", "q50_recursive_cte", "q53_map_hof",
+    "alpaca_runtime_prune")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
