@@ -184,7 +184,180 @@ object Relational4 {
       |SELECT doc_id, 0, NULL, NULL FROM base WHERE len(arr) = 0
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** ANSI ordered-set aggregates: `percentile_cont` / `percentile_disc
+    * ... WITHIN GROUP` and `median` (distinct from q19's Spark-native
+    * `percentile`/`approx_percentile`). Cross-engine float parity is
+    * safe by construction: quantities are small integers stored as
+    * DOUBLE and the probed fractions are quarters, so the
+    * interpolation position p·(n−1) and the lerp (b−a)·f are both
+    * exact binary — Spark's (1−f)·a + f·b and DuckDB's a + (b−a)·f
+    * agree bit-for-bit. The oracle CASTs to DOUBLE explicitly
+    * because DuckDB would otherwise type the quantile DECIMAL and
+    * round it. Plan: one two-phase sort-agg shuffle on the 6-value
+    * composite key. */
+  def q56Percentile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pc25"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pc50"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pc75"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("pd25"),
+        expr("median(l_quantity)").as("med"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q56Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS pc25,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS pc50,
+      |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS pc75,
+      |  quantile_disc(CAST(l_quantity AS DOUBLE), 0.25) AS pd25,
+      |  median(CAST(l_quantity AS DOUBLE)) AS med,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Bag (multiset) set operations — `intersectAll` / `exceptAll`
+    * keep MULTIPLICITY (min / difference of per-key counts), which
+    * q9's distinct set ops erase, plus `unionByName(allowMissing
+    * Columns)` — the schema-evolution union that matches by NAME
+    * where SQL UNION matches by position. Catalyst plans the ALL
+    * variants as a count-per-key aggregate + generate (replicate),
+    * NOT a join — one shuffle each, no multiplicity blowup. Results
+    * are aggregated to per-op summary rows so the gate stays
+    * compact. */
+  def q57SetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = t(spark, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_custkey"))
+    val b = t(spark, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+    def summarize(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_keys"),
+        sum(col("o_custkey")).as("sum_keys"))
+        .select(lit(label).as("op"), col("n"), col("n_keys"),
+          col("sum_keys"), lit(null).cast("bigint").as("extra"))
+    // unionByName: same columns permuted + one missing, matched by
+    // name (positional UNION would scramble them)
+    val u1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("bigint").as("k"),
+        col("n_regionkey").cast("bigint").as("r"),
+        col("n_nationkey").cast("bigint").as("extra"))
+    val u2 = t(spark, dir, "nation")
+      .select((col("n_regionkey") * 100).cast("bigint").as("r"),
+        (col("n_nationkey") + 1000).cast("bigint").as("k"))
+    val byName = u1.unionByName(u2, allowMissingColumns = true)
+      .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("n_keys"),
+        sum(col("r")).as("sum_keys"), sum(col("extra")).as("extra"))
+      .select(lit("union_by_name").as("op"), col("n"), col("n_keys"),
+        col("sum_keys"), col("extra"))
+    summarize("intersect_all", a.intersectAll(b))
+      .unionAll(summarize("except_all", a.exceptAll(b)))
+      .unionAll(byName)
+      .orderBy(col("op"))
+  }
+
+  val q57Sql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+      |ia AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+      |ea AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b),
+      |ub AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+      |    CAST(n_regionkey AS BIGINT) AS r,
+      |    CAST(n_nationkey AS BIGINT) AS extra FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey + 1000 AS BIGINT),
+      |    CAST(n_regionkey * 100 AS BIGINT), NULL FROM nation)
+      |SELECT 'except_all' AS op, COUNT(*) AS n,
+      |  COUNT(DISTINCT o_custkey) AS n_keys, SUM(o_custkey) AS sum_keys,
+      |  CAST(NULL AS BIGINT) AS extra FROM ea
+      |UNION ALL
+      |SELECT 'intersect_all', COUNT(*), COUNT(DISTINCT o_custkey),
+      |  SUM(o_custkey), CAST(NULL AS BIGINT) FROM ia
+      |UNION ALL
+      |SELECT 'union_by_name', COUNT(*), COUNT(DISTINCT k), SUM(r),
+      |  SUM(extra) FROM ub
+      |ORDER BY op""".stripMargin
+
+  /** CSV and delimited-map scalar functions: `to_csv` renders a
+    * struct, `from_csv` parses it back with a declared schema (the
+    * full render→parse roundtrip is exercised — any quoting or
+    * schema-inference drift breaks the extracted fields), and
+    * `str_to_map` parses a delimited key:value string. DuckDB has no
+    * from_csv/str_to_map; the oracle states the identities the
+    * roundtrip must preserve, computed from the base columns. All
+    * per-row codegen, zero shuffle before the sort. */
+  def q58CsvMap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 30 === 4)
+      .select(col("o_orderkey"),
+        expr("to_csv(named_struct('k', o_orderkey, 'st', o_orderstatus, " +
+          "'pr', o_orderpriority))").as("line"),
+        expr("str_to_map(concat('st:', o_orderstatus, '|pr:', " +
+          "o_orderpriority), '\\\\|', ':')").as("mp"))
+      .select(col("o_orderkey"), col("line"),
+        expr("from_csv(line, 'k BIGINT, st STRING, pr STRING')").as("r"),
+        col("mp"))
+      .select(col("o_orderkey"), col("line"),
+        col("r.k").as("rk"), col("r.st").as("rst"), col("r.pr").as("rpr"),
+        expr("element_at(mp, 'st')").as("m_st"),
+        size(col("mp")).cast("bigint").as("m_n"))
+      .orderBy(col("o_orderkey"))
+
+  val q58Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(o_orderkey AS STRING) || ',' || o_orderstatus || ',' ||
+      |    o_orderpriority AS line,
+      |  o_orderkey AS rk, o_orderstatus AS rst, o_orderpriority AS rpr,
+      |  o_orderstatus AS m_st, CAST(2 AS BIGINT) AS m_n
+      |FROM orders WHERE o_orderkey % 30 = 4
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Time-based window frames: `RANGE BETWEEN INTERVAL 30 DAYS
+    * PRECEDING AND CURRENT ROW` over the order timestamp — the
+    * value-range frame where q28's numeric RANGE and q5's ROWS
+    * frames don't reach. RANGE includes peer rows (equal
+    * timestamps) on both engines; the summed measure is exact cents
+    * (BIGINT) so in-frame summation order cannot matter. One window
+    * exchange on the 5-value priority key. */
+  def q59IntervalFrame(spark: SparkSession, dir: String): DataFrame = {
+    val frame = "PARTITION BY o_orderpriority ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW"
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 15 === 3)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+        col("o_orderdate").as("ts"),
+        col("o_totalprice").cast("decimal(18,2)").multiply(100)
+          .cast("bigint").as("cents"))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("od"),
+        expr(s"COUNT(*) OVER ($frame)").as("n_30d"),
+        expr(s"SUM(cents) OVER ($frame)").as("cents_30d"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val q59Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS od,
+      |  COUNT(*) OVER w AS n_30d,
+      |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    OVER w AS cents_30d
+      |FROM orders WHERE o_orderkey % 15 = 3
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q56_percentile" -> ((q56Percentile _, q56Sql)),
+    "q57_set_ops_all" -> ((q57SetOpsAll _, q57Sql)),
+    "q58_csv_map" -> ((q58CsvMap _, q58Sql)),
+    "q59_interval_frame" -> ((q59IntervalFrame _, q59Sql)),
     "q52_ignore_nulls" -> ((q52IgnoreNulls _, q52Sql)),
     "q53_map_hof" -> ((q53MapHof _, q53Sql)),
     "q54_sql_udtf" -> ((q54SqlUdtf _, q54Sql)),
