@@ -353,7 +353,109 @@ object Relational4 {
       |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** Parameterized SQL (Spark 3.4+ named parameter markers): the
+    * statement text carries `:lo` / `:hi` / `:seg` and values arrive
+    * through the args map — the injection-safe API a query service
+    * builds on. Parameters bind as literals BEFORE optimization, so
+    * pushdown/pruning see constants (same plan as hand-inlined
+    * literals — which is exactly what the oracle states). */
+  def q60ParamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID.toString.replace("-", "")
+    val cus = s"graft_pq_c_$suffix"
+    t(spark, dir, "customer").createOrReplaceTempView(cus)
+    try spark.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+         |FROM $cus
+         |WHERE c_custkey >= :lo AND c_custkey < :hi
+         |  AND c_mktsegment <> :seg
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      Map("lo" -> 100, "hi" -> 900, "seg" -> "MACHINERY"))
+    finally spark.catalog.dropTempView(cus)
+  }
+
+  val q60Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer
+      |WHERE c_custkey >= 100 AND c_custkey < 900
+      |  AND c_mktsegment <> 'MACHINERY'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Comparator-lambda `array_sort`: the two-argument comparator form
+    * ordering distinct document words by (length, word) — an order no
+    * natural sort produces (probed: differs from lexicographic on
+    * this corpus). The oracle has no comparator lambdas; it builds
+    * the same order from a sortable struct key (list_transform →
+    * list_sort → project), so the comparator's contract is checked
+    * against an independent encoding of the same order. Row-local
+    * projection; the md5 certifies the full sorted sequence. */
+  def q61ComparatorSort(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("""array_sort(array_distinct(split(text, ' ')),
+          (l, r) -> CASE WHEN length(l) < length(r) THEN -1
+                         WHEN length(l) > length(r) THEN 1
+                         WHEN l < r THEN -1 WHEN l > r THEN 1
+                         ELSE 0 END)""").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_distinct"),
+        element_at(col("ws"), 1).as("shortest_first"),
+        element_at(col("ws"), -1).as("longest_last"),
+        md5(array_join(col("ws"), "|")).as("order_md5"))
+      .orderBy(col("doc_id"))
+
+  val q61Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_distinct,
+      |  ws[1] AS shortest_first,
+      |  ws[-1] AS longest_last,
+      |  md5(list_aggregate(ws, 'string_agg', '|')) AS order_md5
+      |FROM (
+      |  SELECT doc_id, list_transform(list_sort(list_transform(
+      |    list_distinct(string_split(text, ' ')),
+      |    w -> {'k1': length(w), 'k2': w})), s -> s.k2) AS ws
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Struct (ROW) ordering semantics: `min`/`max` over a struct
+    * compare lexicographically field by field — the argmin-by-
+    * composite-key idiom (min(struct(price, key)) = "cheapest order,
+    * ties to lowest key") that replaces a self-join or window where
+    * only one extreme row per group is needed. Exact cents make the
+    * comparison integer. One map-side-combined agg shuffle on the
+    * 15-value composite key — at 100 TB this is the cheapest argmin
+    * there is (no window sort, no join). */
+  def q62StructOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").multiply(100)
+          .cast("bigint").as("cents"), col("o_orderkey"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("cents"), col("o_orderkey"))).as("lo"),
+        max(struct(col("cents"), col("o_orderkey"))).as("hi"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("lo.cents").as("min_cents"), col("lo.o_orderkey").as("min_key"),
+        col("hi.cents").as("max_cents"), col("hi.o_orderkey").as("max_key"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val q62Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  (min({'c': cents, 'k': o_orderkey})).c AS min_cents,
+      |  (min({'c': cents, 'k': o_orderkey})).k AS min_key,
+      |  (max({'c': cents, 'k': o_orderkey})).c AS max_cents,
+      |  (max({'c': cents, 'k': o_orderkey})).k AS max_key
+      |FROM (SELECT o_orderstatus, o_orderpriority, o_orderkey,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |          AS cents FROM orders)
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q60_param_query" -> ((q60ParamQuery _, q60Sql)),
+    "q61_comparator_sort" -> ((q61ComparatorSort _, q61Sql)),
+    "q62_struct_ops" -> ((q62StructOps _, q62Sql)),
     "q56_percentile" -> ((q56Percentile _, q56Sql)),
     "q57_set_ops_all" -> ((q57SetOpsAll _, q57Sql)),
     "q58_csv_map" -> ((q58CsvMap _, q58Sql)),

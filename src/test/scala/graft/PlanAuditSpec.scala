@@ -64,7 +64,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // collated (UTF8_LCASE) grouping keys plan sort-based in Spark
       // 4.1, and the gate's min(STRING) key_repr is a var-length
       // buffer anyway; |event_types| = 5 groups, a bounded sort
-      "q36_collation")
+      "q36_collation",
+      // min/max over a STRUCT buffer (the gate's whole point —
+      // lexicographic ROW ordering as the shuffle-free argmin idiom)
+      // is not hash-aggregable by construction; 15 groups, partial
+      // sort-agg map-side
+      "q62_struct_ops")
     val offenders = auditableGates.filterNot(stringAggGates)
       .filter(n => planOf(n).contains("SortAggregate"))
     assert(offenders.isEmpty, offenders.mkString(", "))
