@@ -31,6 +31,10 @@ object ScaleSoak {
     // encode + route + ADC + re-rank at 768 dims over an amplified
     // corpus (vectors, not docs, are the axis here)
     if (args.headOption.contains("ann768")) { ann768Soak(args); return }
+    // "dpp [nSym] [keep]": quantify runtime partition pruning on the
+    // connector — an nSym-symbol bars scan joined to a keep-symbol
+    // watchlist, HTTP request counts measured with DPP on vs off
+    if (args.headOption.contains("dpp")) { dppProbe(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -245,6 +249,61 @@ object ScaleSoak {
     * structural claim under test: nothing in the stack scales with
     * Dim×N beyond the one encode pass — routing/ADC move integer code
     * rows and the re-rank touches ≤ cand×|Q| vectors. */
+  /** Watchlist-join pruning, measured: scan nSym symbols, join a
+    * keep-symbol watchlist (read from parquet with a filter so the
+    * PartitionPruning rule sees a selective dim side), count HTTP
+    * requests at the stub with runtime filtering ON vs OFF. The ON
+    * run must issue ~keep/nSym of the OFF run's requests — the
+    * 10k-symbol-universe × 50-symbol-watchlist contract stated in
+    * AlpacaScan's Scaladoc, observed instead of asserted. */
+  private def dppProbe(args: Array[String]): Unit = {
+    val nSym = args.lift(1).map(_.toInt).getOrElse(100)
+    val keep = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val wlDir = "/tmp/graft_soak/watchlist"
+    (0 until nSym).map(i => (f"DPPS$i%04d", i)).toDF("symbol", "rank")
+      .write.mode("overwrite").parquet(wlDir)
+    def run(enabled: Boolean): (Long, Double, Long) = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+        enabled.toString)
+      val scan = spark.read.format("Alpaca_Stocks_Bars").options(Map(
+        "endpoint" -> graft.stub.AlpacaStubServer.endpoint,
+        "APCA-API-KEY-ID" -> "k", "APCA-API-SECRET-KEY" -> "s",
+        "symbols" -> (0 until nSym).map(i => f"DPPS$i%04d").mkString(","),
+        "timeframe" -> "1Hour",
+        "start" -> "2021-01-04T00:00:00Z",
+        "end" -> "2021-01-06T00:00:00Z")).load()
+      val watch = spark.read.parquet(wlDir)
+        .filter($"rank" < keep).select($"symbol")
+      val before = graft.stub.AlpacaStubServer.requestsServed
+      val t0 = System.nanoTime()
+      val rows = scan.join(watch, Seq("symbol"))
+        .groupBy($"symbol").agg(count(lit(1)).as("n")).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (graft.stub.AlpacaStubServer.requestsServed - before, secs,
+        rows.map(_.getLong(1)).sum)
+    }
+    run(enabled = true) // warm codegen/stub paths, uncounted
+    val (reqOn, tOn, rowsOn) = run(enabled = true)
+    val (reqOff, tOff, rowsOff) = run(enabled = false)
+    require(rowsOn == rowsOff, s"DPP changed results: $rowsOn vs $rowsOff")
+    println(f"DPP_SUMMARY nSym=$nSym keep=$keep " +
+      f"requests_on=$reqOn requests_off=$reqOff " +
+      f"(${reqOff.toDouble / math.max(1, reqOn)}%.1fx fewer) " +
+      f"time_on=$tOn%.2f s time_off=$tOff%.2f s rows=$rowsOn")
+    spark.stop()
+    // the in-process stub's handler pool is non-daemon — without an
+    // explicit stop + exit the probe JVM outlives its last print
+    graft.stub.AlpacaStubServer.stop()
+    sys.exit(0)
+  }
+
   private def ann768Soak(args: Array[String]): Unit = {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
