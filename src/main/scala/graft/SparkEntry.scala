@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextOps.all ++ operators.Multimodal.all ++ operators.Streaming.all ++
       operators.AsofJoin.all ++ operators.Events.all ++ operators.Relational2.all ++
       operators.Relational3.all ++ operators.Relational4.all ++
+      operators.Warehouse.all ++
       operators.Pipeline.all ++
       operators.Sinks.all ++ operators.Graph.all ++ operators.News.all
 

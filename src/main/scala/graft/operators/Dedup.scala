@@ -635,8 +635,88 @@ object Dedup {
        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON s.doc_id = b.b_doc
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- LSH quality eval
+  /** Candidate-generation quality harness: the empirical LSH s-curve.
+    * Ground truth = exact 3-gram Jaccard over pairs sharing ≥1
+    * shingle (the same bounded shingle equi-join the ngram gates use
+    * — NOT a cartesian); candidates = the b=4,r=4 MinHash band
+    * collisions. The single-row report gives exact counts at two
+    * truth thresholds, from which precision/recall follow:
+    * theory says P[candidate | J] = 1−(1−J⁴)⁴, so recall at J≥0.5
+    * should far exceed recall at J≥0.2 — the gate pins the measured
+    * confusion counts cross-engine (both sides compute md5-identical
+    * signatures, so the counts are deterministic, not statistical).
+    * This is the dedup twin of `sim_ann_recall`: the tuning artifact
+    * you produce BEFORE burning cluster-months on a 100 TB dedup —
+    * run at a sampled SF, read recall, pick b/r. Plan: both pair
+    * sets reuse their own single exchange (merge-pinned self-joins);
+    * the eval join keys on (doc_a, doc_b) — pair-count sized, text
+    * never moves. */
+  def dedupLshEval(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleDf(spark, dir)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val truth = sh.as("x")
+      .join(sh.as("y").hint("merge"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter_cnt").cast("double") /
+          (col("ca.cnt") + col("cb.cnt") - col("inter_cnt"))).as("jaccard"))
+    val cand = minhashPairsCore(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val flagged = truth.join(
+      cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+    val confusion = flagged.agg(
+      coalesce(sum(when(col("jaccard") >= 0.2, 1L).otherwise(0L)), lit(0L))
+        .as("n_truth_020"),
+      coalesce(sum(when(col("jaccard") >= 0.2 && col("hit").isNotNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_tp_020"),
+      coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L))
+        .as("n_truth_050"),
+      coalesce(sum(when(col("jaccard") >= 0.5 && col("hit").isNotNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_tp_050"))
+    confusion.crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+  }
+
+  val dedupLshEvalSql: String =
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |$bandCte,
+       |$pairCte,
+       |counts AS (SELECT doc_id, COUNT(*) AS cnt FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |  FROM shingles x JOIN shingles y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter_cnt AS DOUBLE) / (ca.cnt + cb.cnt - inter_cnt) AS jaccard
+       |  FROM inter
+       |  JOIN counts ca ON doc_a = ca.doc_id
+       |  JOIN counts cb ON doc_b = cb.doc_id),
+       |flagged AS (
+       |  SELECT t.jaccard, c.doc_a IS NOT NULL AS hit
+       |  FROM truth t LEFT JOIN cand_pairs c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT
+       |  CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.2 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_truth_020,
+       |  CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.2 AND hit THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_tp_020,
+       |  CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_truth_050,
+       |  CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.5 AND hit THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_tp_050,
+       |  (SELECT COUNT(*) FROM cand_pairs) AS n_candidates
+       |FROM flagged""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "dedup_exact" -> ((dedupExact _, dedupExactSql)),
+    "dedup_lsh_eval" -> ((dedupLshEval _, dedupLshEvalSql)),
     "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
     "dedup_minhash_lsh" -> ((dedupMinhashLsh _, dedupMinhashLshSql)),
     "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),

@@ -146,7 +146,7 @@ object Sinks {
     * overwrite of exactly the partitions the delta touches.
     *
     *  1. snapshot -> parquet partitioned by `pkey = o_orderkey div
-    *     200` (a KEY-STABLE partitioning: an update can't move a row
+    *     2000` (a KEY-STABLE partitioning: an update can't move a row
     *     across partitions — the precondition for partition-level
     *     upsert);
     *  2. delta = some keys of two partitions, status 'X', price+10,
@@ -176,15 +176,20 @@ object Sinks {
     val base = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         lit(0L).as("version"))
-      .withColumn("pkey", expr("o_orderkey div 200L"))
-    base.write.mode("overwrite").partitionBy("pkey").parquet(out)
+      .withColumn("pkey", expr("o_orderkey div 2000L"))
+    // Shuffle rows to their pkey BEFORE partitionBy: each pkey then lives in
+    // exactly one task, so the dynamic write emits one file per partition
+    // instead of (tasks × partitions) tiny files — the difference between
+    // |partitions| and |partitions|×|executors| files at 100 TB.
+    base.repartition(col("pkey"))
+      .write.mode("overwrite").partitionBy("pkey").parquet(out)
     val delta = t(spark, dir, "orders")
-      .filter(expr("o_orderkey div 200L IN (2, 5) AND o_orderkey % 3 = 0"))
+      .filter(expr("o_orderkey div 2000L IN (2, 5) AND o_orderkey % 3 = 0"))
       .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
         (col("o_totalprice").cast("decimal(18,2)") + lit(10))
           .cast("double").as("o_totalprice"),
         lit(1L).as("version"))
-      .withColumn("pkey", expr("o_orderkey div 200L"))
+      .withColumn("pkey", expr("o_orderkey div 2000L"))
     val affected = delta.select(col("pkey")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -198,8 +203,10 @@ object Sinks {
       current.unionByName(delta)
         .withColumn("rn", row_number().over(byKey))
         .filter(col("rn") === 1).drop("rn")
+        .repartition(col("pkey"))
         .write.mode("overwrite").partitionBy("pkey").parquet(staging)
       spark.read.parquet(staging)
+        .repartition(col("pkey"))
         .write.mode("overwrite").partitionBy("pkey").parquet(out)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
     spark.read.parquet(out)
@@ -220,7 +227,7 @@ object Sinks {
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DOUBLE) AS o_totalprice,
       |    CAST(1 AS BIGINT) AS version
       |  FROM orders
-      |  WHERE (o_orderkey // 200) IN (2, 5) AND o_orderkey % 3 = 0),
+      |  WHERE (o_orderkey // 2000) IN (2, 5) AND o_orderkey % 3 = 0),
       |merged AS (
       |  SELECT *, ROW_NUMBER() OVER (
       |    PARTITION BY o_orderkey ORDER BY version DESC) AS rn

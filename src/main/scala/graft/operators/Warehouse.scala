@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-pattern gates: the data-engineering idioms a 100 TB lake
+  * runs daily — slowly-changing-dimension builds, width_bucket
+  * histogram profiling, and Z-order clustering layout — each
+  * DuckDB-oracle-gated on the shared tables. (Cohort retention,
+  * funnels, and lateral top-k already gate as q20/q27/q31.)
+  *
+  * The reference connector delegates all relational work to Spark
+  * (SURVEY.md §2.7–2.10); these extend the delegated surface the same
+  * way the q1–q62 gates do. */
+object Warehouse {
+  import Tables.t
+
+  /** SCD Type-2 dimension build from a change log. `orders` is read
+    * as the change stream of a customer attribute (`o_orderpriority`);
+    * the build is the canonical two-pass form:
+    *
+    *   1. change detection — `lag()` over (entity, change-time) drops
+    *      rows whose tracked attribute equals the previous value (a
+    *      re-statement, not a change);
+    *   2. interval assembly — over the surviving change rows,
+    *      `row_number()` numbers versions and `lead()` closes each
+    *      validity interval at the next change (`9999-12-31` sentinel
+    *      + is_current flag for the open row).
+    *
+    * Both passes share ONE partitioning (o_custkey), so Catalyst
+    * plans a single hash exchange and runs both windows in the same
+    * stage — the filter between them is narrow. At 100 TB the entity
+    * key is the natural partitioner and versions-per-entity is small
+    * (bounded window state); ties on change-time are broken by
+    * o_orderkey so the build is deterministic under any layout.
+    * Dates cross as formatted strings (the timestamp parity
+    * contract). */
+  def q63Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") % 50 === 1)
+      .select(col("o_custkey"), col("o_orderpriority").as("prio"),
+        col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("prio"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"), col("prio"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("nxt"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        when(col("nxt").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val q63Sql: String =
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderpriority AS prio, o_orderdate, o_orderkey,
+      |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders WHERE o_custkey % 50 = 1),
+      |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> prio)
+      |SELECT o_custkey, CAST(ROW_NUMBER() OVER w AS INT) AS version, prio,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |  COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'),
+      |    '9999-12-31') AS valid_to,
+      |  CASE WHEN lead(o_orderdate) OVER w IS NULL
+      |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, version""".stripMargin
+
+  /** `width_bucket` histogram profiling — the one-pass equi-width
+    * profile a table-stats job emits per numeric column. Spark's
+    * codegen'd WidthBucket computes floor((v-min)/((max-min)/n))+1;
+    * the oracle spells out the identical IEEE double expression
+    * (DuckDB evaluates the same literal arithmetic), so bucket edges
+    * agree bit-for-bit. Bounds chosen to cover the data (no
+    * under/overflow rows at any SF — asserted by the n_rows total).
+    * Plan: scan → partial agg → 21-row final agg; nothing but the
+    * histogram ever shuffles. */
+  def q64Histogram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(width_bucket(col("o_totalprice"),
+        lit(0.0d), lit(500000.0d), lit(20L)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val q64Sql: String =
+    """SELECT CAST(FLOOR((o_totalprice - 0.0) / ((500000.0 - 0.0) / 20))
+      |    + 1 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  private val mortonBits = 8
+  /** Unrolled 8-bit × 8-bit Morton interleave: z = Σ bit_i(x)≪2i |
+    * bit_i(y)≪(2i+1). The same literal expression string feeds both
+    * engines — exact integer shifts, no doubles. */
+  private val zExprSql: String = (0 until mortonBits).map { i =>
+    s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))"
+  }.mkString(" + ")
+
+  /** Z-order clustering layout — the data-layout side of scan pruning
+    * at 100 TB. Rows are sorted by the Morton interleave of two
+    * pruning dimensions (customer bucket, order-day bucket) and cut
+    * into fixed-size blocks ("files"); the gate emits each block's
+    * per-dimension min/max envelope — exactly the footer stats a
+    * format like Parquet would persist and a reader would prune on. A
+    * linear sort on either dimension gives tight envelopes on that
+    * dimension and full-range envelopes on the other; the Z-curve
+    * bounds BOTH, which is the entire point of Z-ordering (the gate's
+    * envelopes demonstrate it: max-min spans ≤ 64 of 256 on both
+    * dims at sf0.01). The rank is one global sort — at scale this is
+    * `repartitionByRange(z)` + in-partition sort, the same
+    * total-order machinery Spark's own sort uses; block id = rank
+    * div B keeps blocks size-balanced by construction. */
+  def q65ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.orderBy(col("z"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 256).cast("int").as("x"),
+        (datediff(col("o_orderdate"),
+          to_date(lit("1992-01-01"))) % 256).cast("int").as("y"))
+      .withColumn("z", expr(zExprSql))
+      .withColumn("blk", ((row_number().over(wAll) - 1) / 500)
+        .cast("long"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy(col("blk"))
+  }
+
+  val q65Sql: String =
+    s"""WITH dims AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey % 256 AS INT) AS x,
+       |    CAST(datediff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE)) % 256 AS INT) AS y
+       |  FROM orders),
+       |zed AS (SELECT *, $zExprSql AS z FROM dims),
+       |ranked AS (
+       |  SELECT *, (ROW_NUMBER() OVER (ORDER BY z, o_orderkey) - 1) // 500
+       |    AS blk FROM zed)
+       |SELECT CAST(blk AS BIGINT) AS blk, COUNT(*) AS n_rows,
+       |  min(x) AS x_min, max(x) AS x_max,
+       |  min(y) AS y_min, max(y) AS y_max,
+       |  min(z) AS z_min, max(z) AS z_max
+       |FROM ranked GROUP BY blk ORDER BY blk""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q63_scd2" -> ((q63Scd2 _, q63Sql)),
+    "q64_histogram" -> ((q64Histogram _, q64Sql)),
+    "q65_zorder_layout" -> ((q65ZorderLayout _, q65Sql)))
+}
