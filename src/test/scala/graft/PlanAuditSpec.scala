@@ -36,7 +36,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // 4-element nprobe-axis broadcast (probe_rank <= nprobe is a
     // non-equi join against a literal array) + the ground-truth
     // query broadcast, both bounded by construction
-    "sim_ann_recall_curve_768")
+    "sim_ann_recall_curve_768",
+    // 1-row confusion-matrix agg × 1-row candidate-count agg
+    "dedup_lsh_eval")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
@@ -95,6 +97,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(hashExchanges == 1, s"rolling window should shuffle once on user_id:\n$p")
     assert(p.contains("specifiedwindowframe(RangeFrame"),
       s"expected a RANGE frame in:\n$p")
+  }
+
+  test("q63_scd2: change-detect and interval-assembly windows share one custkey exchange") {
+    // both lag() (change detection) and row_number()/lead() (interval
+    // assembly) partition on o_custkey with the same ordering; the
+    // filter between them is narrow, so EnsureRequirements must plan
+    // exactly ONE hash exchange for the whole build
+    val p = SparkEntry.queries("q63_scd2")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"SCD2 build should shuffle once on o_custkey:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 2, s"expected two Window nodes in:\n$p")
   }
 
   test("q25_profile: sort aggregates only above the hash distinct pass") {
