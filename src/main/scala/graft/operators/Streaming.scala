@@ -353,6 +353,85 @@ object Streaming {
        |  AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + ${AttribWindowMin * 60L * 1000000L}
        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // ------------------------------------ stream-stream OUTER join gate
+  /** LEFT OUTER watermarked interval join — the attribution join's
+    * production form: every click emits, matched or not, so the
+    * downstream model sees negatives too. Outer rows are only
+    * released when the GLOBAL watermark (the min across both sides)
+    * passes click_ts + interval + delay and a LATER batch triggers
+    * the eviction — three stream-engine behaviors the inner gate
+    * never exercises. Determinism therefore needs the sentinel
+    * staging: each sentinel batch carries BOTH event types (a
+    * click-only sentinel would advance only the click-side watermark
+    * and the global min would stall — nulls would never flush);
+    * sentinel 1 pushes both watermarks past every real eviction
+    * horizon, sentinel 2 triggers the batch that emits. Sentinel
+    * users are negative and excluded from the aggregate.
+    *
+    * The oracle is a plain batch LEFT JOIN: once all state is
+    * flushed, the streamed pair set (matched rows + null-extended
+    * unmatched clicks) is exactly the batch result regardless of
+    * micro-batch boundaries.
+    *
+    * Scale notes: same bounded-state story as the inner join — per
+    * side, watermark horizon × per-user rate, one shuffle on user_id
+    * each; the outer form adds no state, only deferred emission. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_louter_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    def sentinel(uid: Long, us: Long): DataFrame = {
+      val ts = timestamp_micros(lit(us))
+      spark.range(1).select(lit(uid).as("user_id"), ts.as("ts"),
+          lit("click").as("event_type"), lit(0.0d).as("value"))
+        .unionAll(spark.range(1).select(lit(uid).as("user_id"), ts.as("ts"),
+          lit("purchase").as("event_type"), lit(0.0d).as("value")))
+    }
+    stageWithSentinels(spark, stage, ev, unix_micros(col("ts")),
+      maxUs => (sentinel(-1L, maxUs + 10L * 86400000000L),
+        sentinel(-2L, maxUs + 20L * 86400000000L)))
+
+    def stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "60 minutes")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "60 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttribWindowMin MINUTES"),
+      "left_outer")
+    drainToTable(spark, joined, "append")
+      .filter(col("c_user") >= 0)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  val streamJoinOuterSql: String =
+    s"""WITH c AS (
+       |  SELECT user_id, EPOCH_US(ts) AS ts_us FROM events
+       |  WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT user_id, EPOCH_US(ts) AS ts_us, value FROM events
+       |  WHERE event_type = 'purchase')
+       |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(p.ts_us) AS BIGINT) AS n_matched,
+       |  CAST(COUNT(*) - COUNT(p.ts_us) AS BIGINT) AS n_unmatched,
+       |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_purchase
+       |FROM c LEFT JOIN p ON c.user_id = p.user_id
+       |  AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + ${AttribWindowMin * 60L * 1000000L}
+       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   // --------------------------------------- streaming sessionize gate
   private val SessGapMs = 30L * 60L * 1000L
 
@@ -882,5 +961,6 @@ object Streaming {
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
+    "stream_join_outer" -> ((streamJoinOuter _, streamJoinOuterSql)),
     "stream_sessionize" -> ((streamSessionize _, streamSessionizeSql)))
 }
