@@ -496,6 +496,68 @@ object AlpacaAnalytics {
        |ORDER BY symbol, bar_time""".stripMargin
   }
 
+  // ------------------------------------------------ EWMA (α = 1/2)
+  private val EwmaK = 16
+  private val ewmaStart = "2021-01-04T00:00:00Z"
+  private val ewmaEnd = "2021-01-07T00:00:00Z"
+
+  /** Exponentially weighted moving average of close — the standard EMA
+    * indicator, in an EXACT windowed form. The usual recursive
+    * definition (ema := α·x + (1−α)·ema₋₁) is a serial scan with
+    * unbounded float drift; with α = 1/2 over a K-bar trailing frame
+    * the weights are powers of two, so the numerator Σ close₄·2^i
+    * (close×4 is an exact integer on the fixture's 0.25 grid) and the
+    * denominator 2^s−1 are exact BIGINTs, and the only IEEE op is ONE
+    * final division — bit-equal on any engine, any layout.
+    *
+    * Frame order is not trusted from collect_list: each frame element
+    * carries its hour index j, the packed array is array_sort'ed (j is
+    * a total order), and the positional weight 2^i comes from the
+    * sorted transform index — the same order-pinning discipline as the
+    * listagg/markout gates. Truncated early frames (s < K) use den
+    * 2^s−1, so every bar emits. Plan: one symbol exchange (deleted by
+    * the scan's reported partitioning), one window pass, per-row
+    * codegen'd HOFs. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol")).orderBy(col("time"))
+    val wK = w.rowsBetween(-(EwmaK - 1), 0)
+    barsDf(spark, "1Hour", ewmaStart, ewmaEnd)
+      .withColumn("j", expr(s"unix_micros(time) div $Hour"))
+      .withColumn("c4", (col("close") * 4).cast("bigint"))
+      .withColumn("fr",
+        array_sort(collect_list(struct(col("j"), col("c4"))).over(wK)))
+      .withColumn("num", expr(
+        "aggregate(transform(fr, (e, i) -> shiftleft(e.c4, i)), 0L, (a, x) -> a + x)"))
+      .withColumn("den", expr("shiftleft(1L, size(fr)) - 1L"))
+      .select(col("symbol"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("bar_time"),
+        size(col("fr")).as("n_bars"),
+        (col("num").cast("double") / (col("den").cast("double") * lit(4.0)))
+          .as("ewma"))
+      .orderBy(col("symbol"), col("bar_time"))
+  }
+
+  def ewmaSql: String = {
+    val rows = symbols.sorted.flatMap { s =>
+      val bs = AlpacaFixtures.bars(s, us(ewmaStart), us(ewmaEnd), Hour)
+      val c4 = bs.map(b => (b.close * 4).toLong)
+      bs.indices.map { j =>
+        // the EXACT op chain of the Spark expressions above
+        val win = c4.slice(math.max(0, j - (EwmaK - 1)), j + 1)
+        val num = win.zipWithIndex.map { case (c, i) => c << i }.sum
+        val den = (1L << win.size) - 1L
+        val e = num.toDouble / (den.toDouble * 4.0)
+        s"(${sqlStr(s)}, ${sqlStr(fmtTs(bs(j).timeUs))}, ${win.size}, " +
+          s"${fmtDExact(e)})"
+      }
+    }
+    s"""SELECT symbol, bar_time, CAST(n_bars AS INT) AS n_bars,
+       |  CAST(ewma AS DOUBLE) AS ewma
+       |FROM (VALUES ${rows.mkString(",\n  ")})
+       |  AS v(symbol, bar_time, n_bars, ewma)
+       |ORDER BY symbol, bar_time""".stripMargin
+  }
+
   // --------------------------------------------- ATR (true range)
   /** Average True Range (14-bar SMA form): TR = max(H−L, |H−C₋₁|,
     * |L−C₋₁|) — entirely exact cent longs (greatest/abs of integer
@@ -951,6 +1013,7 @@ object AlpacaAnalytics {
     "alpaca_drawdown" -> ((drawdown _, drawdownSql)),
     "alpaca_rsi" -> ((rsi _, rsiSql)),
     "alpaca_bollinger" -> ((bollinger _, bollingerSql)),
+    "alpaca_ewma" -> ((ewma _, ewmaSql)),
     "alpaca_atr" -> ((atr _, atrSql)),
     "alpaca_obv" -> ((obv _, obvSql)),
     "alpaca_stochastic" -> ((stochastic _, stochasticSql)),

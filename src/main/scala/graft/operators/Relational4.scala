@@ -452,8 +452,48 @@ object Relational4 {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** XML surface (Spark 4 `to_xml`/`from_xml` + the xpath extractor
+    * family): serialize a struct per order, parse it back against a
+    * declared schema, and extract the same fields a third way via
+    * XPath (`xpath_long`/`xpath_string`) — three independent paths
+    * that must agree. The serialized document ALSO crosses verbatim:
+    * to_xml's layout (ROW root, 4-space indent, one field per line)
+    * is a stable contract, and the DuckDB oracle — which has no XML
+    * type — reconstructs the byte-identical string from base columns
+    * with chr(10) concatenation, so an upstream formatting change
+    * surfaces as a hash break instead of silent drift. All per-row
+    * codegen'd projections, zero shuffle before the final sort. */
+  def q66Xml(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") % 30 === 11)
+      .select(col("o_orderkey"),
+        expr("to_xml(named_struct('k', o_orderkey, 'st', o_orderstatus, " +
+          "'pr', o_orderpriority))").as("doc"))
+      .select(col("o_orderkey"), col("doc"),
+        expr("from_xml(doc, 'k BIGINT, st STRING, pr STRING')").as("r"),
+        expr("xpath_long(doc, '/ROW/k')").as("xk"),
+        expr("xpath_string(doc, '/ROW/st')").as("xst"),
+        expr("xpath_string(doc, '/ROW/pr')").as("xpr"))
+      .select(col("o_orderkey"), col("doc"),
+        col("r.k").as("rk"), col("r.st").as("rst"), col("r.pr").as("rpr"),
+        col("xk"), col("xst"), col("xpr"))
+      .orderBy(col("o_orderkey"))
+
+  val q66Sql: String =
+    """SELECT o_orderkey,
+      |  '<ROW>' || chr(10) ||
+      |  '    <k>' || CAST(o_orderkey AS VARCHAR) || '</k>' || chr(10) ||
+      |  '    <st>' || o_orderstatus || '</st>' || chr(10) ||
+      |  '    <pr>' || o_orderpriority || '</pr>' || chr(10) ||
+      |  '</ROW>' AS doc,
+      |  o_orderkey AS rk, o_orderstatus AS rst, o_orderpriority AS rpr,
+      |  o_orderkey AS xk, o_orderstatus AS xst, o_orderpriority AS xpr
+      |FROM orders WHERE o_orderkey % 30 = 11
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q60_param_query" -> ((q60ParamQuery _, q60Sql)),
+    "q66_xml" -> ((q66Xml _, q66Sql)),
     "q61_comparator_sort" -> ((q61ComparatorSort _, q61Sql)),
     "q62_struct_ops" -> ((q62StructOps _, q62Sql)),
     "q56_percentile" -> ((q56Percentile _, q56Sql)),

@@ -154,8 +154,130 @@ object Warehouse {
        |  min(z) AS z_min, max(z) AS z_max
        |FROM ranked GROUP BY blk ORDER BY blk""".stripMargin
 
+  /** Robust outlier detection by median absolute deviation — the
+    * data-quality screen that survives the contamination it hunts
+    * (mean/stddev z-scores move WITH the outliers; medians don't).
+    * The measure is exact integer cents with a keyed 10× inflation
+    * injected on o_orderkey % 997 = 0 rows — the gate must flag
+    * exactly the injected contamination, per priority group. Both
+    * median and MAD are `percentile_disc(0.5)` — an exact order
+    * statistic picked FROM the data (integer cents in, integer cents
+    * out; no interpolated doubles), so the 3×MAD threshold compare is
+    * pure BIGINT arithmetic on both engines.
+    *
+    * Plan: two grouped exact-percentile passes (median, then MAD of
+    * deviations) + joins back on the 5-value group key — broadcast
+    * both ways, the detail rows shuffle once per percentile. At
+    * 100 TB exact percentiles per SMALL group key are fine (per-group
+    * sort of that group's values); for high-cardinality keys the
+    * approx_percentile sketch (q19) is the documented fallback. */
+  def q67MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+          .multiply(when(col("o_orderkey") % 997 === 0, 10L).otherwise(1L))
+          .as("cents"))
+    val med = base.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint").as("med"))
+    val dev = base.join(med, "o_orderpriority")
+      .withColumn("ad", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+        .cast("bigint").as("mad"))
+    dev.join(mad, "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med")).as("med_cents"),
+        min(col("mad")).as("mad_cents"),
+        sum(when(col("ad") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q67Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+      |      CASE WHEN o_orderkey % 997 = 0 THEN 10 ELSE 1 END AS cents
+      |  FROM orders),
+      |med AS (
+      |  SELECT o_orderpriority, CAST(quantile_disc(cents, 0.5) AS BIGINT)
+      |    AS med FROM c GROUP BY 1),
+      |dev AS (
+      |  SELECT c.o_orderpriority, c.cents, ABS(c.cents - m.med) AS ad
+      |  FROM c JOIN med m USING (o_orderpriority)),
+      |mad AS (
+      |  SELECT o_orderpriority, CAST(quantile_disc(ad, 0.5) AS BIGINT)
+      |    AS mad FROM dev GROUP BY 1)
+      |SELECT d.o_orderpriority, COUNT(*) AS n,
+      |  MIN(m2.med) AS med_cents, MIN(m3.mad) AS mad_cents,
+      |  CAST(SUM(CASE WHEN d.ad > 3 * m3.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d
+      |JOIN med m2 USING (o_orderpriority)
+      |JOIN mad m3 USING (o_orderpriority)
+      |GROUP BY d.o_orderpriority ORDER BY d.o_orderpriority""".stripMargin
+
+  /** Single-pass data-quality audit — the expectations report a
+    * pipeline runs before publishing a batch (null counts, range and
+    * freshness violations, natural-key uniqueness, FK orphans), as
+    * ONE aggregation so the table is read once. The FK check rides a
+    * broadcast left join to the customer dim inside the same pass; a
+    * keyed perturbation (o_orderkey % 500 = 0 → custkey shifted out
+    * of range) injects orphans the audit must count exactly — on
+    * clean synthetic data every check passing proves nothing about
+    * the checker. One row out; every metric an exact BIGINT.
+    *
+    * Scale: scan → broadcast join → single partial-aggregable pass;
+    * the report costs one reduction regardless of corpus size. The
+    * distinct natural-key count is the one non-mergeable term — at
+    * 100 TB swap it for approx_count_distinct or a two-phase exact
+    * count (documented trade; exact here since the gate is the
+    * contract). */
+  def q68DqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .withColumn("fk_custkey",
+        col("o_custkey") + when(col("o_orderkey") % 500 === 0, 1000000L)
+          .otherwise(0L))
+    val cust = t(spark, dir, "customer").select(col("c_custkey"))
+    orders.join(broadcast(cust), col("fk_custkey") === col("c_custkey"),
+        "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+          .as("n_null_status"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_fk_orphans"),
+        sum(when(col("o_totalprice") < 0.0 || col("o_totalprice") > 450000.0,
+          1L).otherwise(0L)).as("n_range_viol"),
+        sum(when(col("o_orderdate") > to_timestamp(lit("2000-12-31")), 1L)
+          .otherwise(0L)).as("n_stale_viol"),
+        (count(lit(1)) -
+          countDistinct(struct(col("o_custkey"), col("o_orderdate"))))
+          .as("n_natkey_dups"))
+  }
+
+  val q68Sql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o.o_orderstatus IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_null_status,
+      |  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fk_orphans,
+      |  CAST(SUM(CASE WHEN o.o_totalprice < 0.0 OR o.o_totalprice > 450000.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_range_viol,
+      |  CAST(SUM(CASE WHEN o.o_orderdate > TIMESTAMP '2000-12-31'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_viol,
+      |  CAST(COUNT(*) - COUNT(DISTINCT (o.o_custkey, o.o_orderdate))
+      |    AS BIGINT) AS n_natkey_dups
+      |FROM (SELECT *, o_custkey +
+      |        CASE WHEN o_orderkey % 500 = 0 THEN 1000000 ELSE 0 END
+      |        AS fk_custkey FROM orders) o
+      |LEFT JOIN customer c ON o.fk_custkey = c.c_custkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q63_scd2" -> ((q63Scd2 _, q63Sql)),
     "q64_histogram" -> ((q64Histogram _, q64Sql)),
-    "q65_zorder_layout" -> ((q65ZorderLayout _, q65Sql)))
+    "q65_zorder_layout" -> ((q65ZorderLayout _, q65Sql)),
+    "q67_mad_outliers" -> ((q67MadOutliers _, q67Sql)),
+    "q68_dq_audit" -> ((q68DqAudit _, q68Sql)))
 }

@@ -81,7 +81,13 @@ class DeterminismSpec extends AnyFunSuite {
     // block cut on the global (z, o_orderkey) rank; the LSH eval's
     // confusion counts on md5-deterministic signatures — none may
     // notice which partition delivered which row
-    "q63_scd2", "q65_zorder_layout", "dedup_lsh_eval")
+    "q63_scd2", "q65_zorder_layout", "dedup_lsh_eval",
+    // r8: EWMA's positional weights ride on the array_sort'ed frame
+    // (the whole point of the order-pinning); must not notice layout
+    "alpaca_ewma",
+    // r8: exact order-statistic (percentile_disc) median/MAD must
+    // select the same element at any partitioning
+    "q67_mad_outliers")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
