@@ -6,6 +6,51 @@ import org.apache.spark.sql.functions._
 
 import graft.stub.AlpacaFixtures
 
+/** One EWMA point emitted per bar by [[EwmaProcessor]]. */
+case class EwmaOut(symbol: String, time_us: Long, n_bars: Int, ewma: Double)
+
+/** `transformWithState` processor holding the K-bar EWMA frame as
+  * typed ListState: the STREAMING form of [[AlpacaAnalytics.ewma]].
+  * State per symbol = at most K (hour-index, close×4) pairs; each
+  * batch's rows are sorted by hour index before folding (rows within
+  * a micro-batch arrive unordered; batches themselves tile time in
+  * order — the connector's offset contract, gated by
+  * `alpaca_stream_bars_scan`). The arithmetic is the batch gate's
+  * exact op chain (BIGINT shifts, one IEEE division), so the drained
+  * output must hash-equal the SAME oracle. */
+class EwmaProcessor(k: Int)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Long, Long), EwmaOut] {
+  import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.streaming.OutputMode
+  import org.apache.spark.sql.Encoders
+
+  @transient private var frame: ListState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    frame = getHandle.getListState[(Long, Long)]("frame",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+      timerValues: TimerValues): Iterator[EwmaOut] = {
+    val incoming = rows.toVector.sortBy(_._2) // (symbol, j, c4) by hour index
+    var fr = frame.get().toVector // ≤ k entries, ascending j
+    val out = Vector.newBuilder[EwmaOut]
+    incoming.foreach { case (_, j, c4) =>
+      fr = (fr :+ (j, c4)).takeRight(k)
+      var num = 0L
+      var i = 0
+      while (i < fr.size) { num += fr(i)._2 << i; i += 1 }
+      val den = (1L << fr.size) - 1L
+      out += EwmaOut(key, j * AlpacaFixtures.HourUs, fr.size,
+        num.toDouble / (den.toDouble * 4.0))
+    }
+    frame.clear()
+    fr.foreach(frame.appendValue)
+    out.result().iterator
+  }
+}
+
 /**
  * Time-series analytics over connector data — the queries a market-data
  * user of the reference actually runs on bars once they are in Spark
@@ -558,6 +603,51 @@ object AlpacaAnalytics {
        |ORDER BY symbol, bar_time""".stripMargin
   }
 
+  /** The EWMA as a STREAM: connector micro-batches (6-hour offset
+    * tiles) → `transformWithState` with the K-bar frame in ListState →
+    * drained and formatted. Shares [[ewmaSql]] verbatim — the
+    * streaming path must produce bit-identical points to the batch
+    * window, proving cross-batch frame continuation under the Spark 4
+    * arbitrary-state API on real connector data (the tws gate proves
+    * the API on synthetic events; this one closes the loop to the
+    * source). RocksDB provider is the API's contract, set and
+    * restored around the drain.
+    *
+    * Scale: state = K (long, long) pairs per symbol in RocksDB;
+    * emission is per-bar append — no watermark needed because the
+    * fold is driven by arrival order, which the connector's offset
+    * tiling already serializes per symbol. */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.format("Alpaca_Stocks_Bars")
+        .options(baseOptions(symbols: _*) ++ Map(
+          "timeframe" -> "1Hour", "start" -> ewmaStart, "end" -> ewmaEnd,
+          "stream_step" -> "6Hours"))
+        .load()
+        .select(col("symbol"), expr(s"unix_micros(time) div $Hour").as("j"),
+          (col("close") * 4).cast("bigint").as("c4"))
+        .as[(String, Long, Long)]
+      val out = stream.groupByKey(_._1)
+        .transformWithState(new EwmaProcessor(EwmaK),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      Streaming.drainToTable(spark, out.toDF(), "append")
+        .select(col("symbol"),
+          date_format(timestamp_micros(col("time_us")), "yyyy-MM-dd HH:mm:ss")
+            .as("bar_time"),
+          col("n_bars"), col("ewma"))
+        .orderBy(col("symbol"), col("bar_time"))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   // --------------------------------------------- ATR (true range)
   /** Average True Range (14-bar SMA form): TR = max(H−L, |H−C₋₁|,
     * |L−C₋₁|) — entirely exact cent longs (greatest/abs of integer
@@ -1014,6 +1104,7 @@ object AlpacaAnalytics {
     "alpaca_rsi" -> ((rsi _, rsiSql)),
     "alpaca_bollinger" -> ((bollinger _, bollingerSql)),
     "alpaca_ewma" -> ((ewma _, ewmaSql)),
+    "alpaca_stream_ewma" -> ((streamEwma _, ewmaSql)),
     "alpaca_atr" -> ((atr _, atrSql)),
     "alpaca_obv" -> ((obv _, obvSql)),
     "alpaca_stochastic" -> ((stochastic _, stochasticSql)),
