@@ -491,9 +491,45 @@ object Relational4 {
       |FROM orders WHERE o_orderkey % 30 = 11
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Dynamic SQL (Spark 4 `EXECUTE IMMEDIATE` with `USING` binds and
+    * the `IDENTIFIER()` clause): the statement text lives in a
+    * session variable, the table name arrives as a BOUND PARAMETER
+    * routed through IDENTIFIER() — the injection-safe way to template
+    * over object names, where q60 templates over values (a name can't
+    * be a `:param` literal; IDENTIFIER is the analyzer's typed hole
+    * for it). The inner query is the same aggregate q60's oracle
+    * states, so the dynamic path must plan and execute identically to
+    * the static text. Session variables are dropped in finally —
+    * they are session-global, unlike temp views they have no
+    * namespace suffix discipline to lean on. */
+  def q69ExecImmediate(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID.toString.replace("-", "")
+    val cus = s"graft_ei_c_$suffix"
+    t(spark, dir, "customer").createOrReplaceTempView(cus)
+    try {
+      spark.sql("DECLARE VARIABLE graft_ei_stmt STRING")
+      try {
+        spark.sql(
+          """SET VARIABLE graft_ei_stmt =
+            |  'SELECT c_mktsegment, COUNT(*) AS n,
+            |     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+            |   FROM IDENTIFIER(?) WHERE c_custkey % 3 = ?
+            |   GROUP BY c_mktsegment ORDER BY c_mktsegment'""".stripMargin)
+        spark.sql(s"EXECUTE IMMEDIATE graft_ei_stmt USING '$cus', 1")
+      } finally spark.sql("DROP TEMPORARY VARIABLE graft_ei_stmt")
+    } finally spark.catalog.dropTempView(cus)
+  }
+
+  val q69Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer WHERE c_custkey % 3 = 1
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q60_param_query" -> ((q60ParamQuery _, q60Sql)),
     "q66_xml" -> ((q66Xml _, q66Sql)),
+    "q69_exec_immediate" -> ((q69ExecImmediate _, q69Sql)),
     "q61_comparator_sort" -> ((q61ComparatorSort _, q61Sql)),
     "q62_struct_ops" -> ((q62StructOps _, q62Sql)),
     "q56_percentile" -> ((q56Percentile _, q56Sql)),
