@@ -282,6 +282,78 @@ class StreamingSpec extends AnyFunSuite {
       s"state did not continue across restart: extra=${got -- expected}, missing=${expected -- got}")
   }
 
+  test("EwmaProcessor resumes from checkpoint: ListState frame continues across restart") {
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_ewma_src").toString
+    val ckpt = Files.createTempDirectory("graft_ewma_ckpt").toString
+    val sink = Files.createTempDirectory("graft_ewma_sink").toString
+    // the same (symbol, hour-index, close×4) rows the connector serves
+    // (alpaca_bars_scan pins connector == fixtures), split by TIME at
+    // the midpoint: the restart's first emissions need the pre-restart
+    // frame tail, so a dropped ListState breaks them
+    val start = "2021-01-04T00:00:00Z"
+    val end = "2021-01-07T00:00:00Z"
+    def usOf(s: String) = java.time.Instant.parse(s).toEpochMilli * 1000L
+    val hour = graft.stub.AlpacaFixtures.HourUs
+    val rows = Seq("AAPL", "MSFT").flatMap { s =>
+      graft.stub.AlpacaFixtures.bars(s, usOf(start), usOf(end), hour)
+        .map(b => (b.symbol, b.timeUs / hour, (b.close * 4).toLong))
+    }
+    val jMid = (usOf(start) / hour + usOf(end) / hour) / 2
+    def stage(half: Seq[(String, Long, Long)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_ewma_stage").toString
+      half.toDF("symbol", "j", "c4").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, s"$name.parquet"))
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("symbol STRING, j BIGINT, c4 BIGINT").parquet(src)
+        .as[(String, Long, Long)]
+      val out = stream.groupByKey(_._1)
+        .transformWithState(new operators.EwmaProcessor(16),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      val q = out.toDF().writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", sink)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      stage(rows.filter(_._2 < jMid), "h1")
+      run()
+      stage(rows.filter(_._2 >= jMid), "h2")
+      run()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    val got = spark.read.parquet(sink)
+      .select(col("symbol"),
+        date_format(timestamp_micros(col("time_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("bar_time"),
+        col("n_bars"), col("ewma"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // the batch window gate is the ground truth: identical point set
+    // means the frame tail crossed the restart intact
+    val expected = SparkEntry.queries("alpaca_ewma")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"frame state did not continue across restart: extra=${(got -- expected).take(4)}, missing=${(expected -- got).take(4)}")
+  }
+
   test("stream-stream join resumes from checkpoint: exact pair set across restart") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_ssj_src").toString
