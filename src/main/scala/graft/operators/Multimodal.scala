@@ -352,8 +352,89 @@ object Multimodal {
       |FROM documents WHERE doc_id % 50 = 0
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- video scene cuts
+  private val SceneTau = 4L
+
+  /** Scene-cut detection on the stubbed video stream: consecutive
+    * 256-byte "frames" per payload, boundary where the inter-frame
+    * mean-intensity jump exceeds τ. A real pipeline swaps the byte
+    * mean for a decoded-luma mean (or histogram distance) — the
+    * SHAPE is the contract: a serial scan over a record's frames
+    * inside the partition iterator (state = previous frame's
+    * statistics only), emitting one narrow summary row per asset;
+    * frames never leave the executor, and at 100 TB the scan
+    * parallelizes per-asset, not per-frame.
+    *
+    * Exactness: the mean comparison is cleared of division —
+    * |mean_f − mean_p| > τ  ⇔  |s_f·L_p − s_p·L_f| > τ·L_f·L_p —
+    * so both engines compare exact BIGINTs (ASCII corpus ⇒ byte sums
+    * = code-point sums). The per-doc summary carries n_frames,
+    * n_cuts, the first cut index (scene-1 length) and the cut-index
+    * sum (certifies WHICH frames cut, not just how many). */
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = mediaRecords(spark, dir).as[MediaRecord]
+    ds.mapPartitions { records =>
+      records.map { r =>
+        val n = r.payload.length
+        val nFrames = (n + FrameBytes - 1) / FrameBytes
+        var prevS = 0L
+        var prevL = 0L
+        var nCuts = 0L
+        var firstCut = -1L
+        var cutSum = 0L
+        var f = 0
+        while (f < nFrames) {
+          val lo = f * FrameBytes
+          val hi = math.min(n, lo + FrameBytes)
+          var s = 0L
+          var i = lo
+          while (i < hi) { s += (r.payload(i) & 0xff); i += 1 }
+          val L = (hi - lo).toLong
+          if (f > 0 && math.abs(s * prevL - prevS * L) > SceneTau * L * prevL) {
+            nCuts += 1
+            cutSum += f
+            if (firstCut < 0) firstCut = f
+          }
+          prevS = s; prevL = L; f += 1
+        }
+        (r.doc_id, nFrames.toLong, nCuts,
+          if (firstCut < 0) None else Some(firstCut), cutSum)
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "first_cut", "cut_idx_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val mmSceneCutSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, strlen(text) AS n,
+       |    (strlen(text) + ${FrameBytes - 1}) // $FrameBytes AS n_frames
+       |  FROM documents),
+       |frames AS (
+       |  SELECT doc_id, CAST(f AS BIGINT) AS fi, n_frames,
+       |    CAST(list_aggregate(list_transform(
+       |      range(1, LEAST(n, (f+1)*$FrameBytes) - f*$FrameBytes + 1),
+       |      i -> ascii(substr(substr(text, f*$FrameBytes + 1, $FrameBytes), i, 1))),
+       |      'sum') AS BIGINT) AS s,
+       |    CAST(LEAST(n, (f+1)*$FrameBytes) - f*$FrameBytes AS BIGINT) AS L
+       |  FROM b, UNNEST(RANGE(0, n_frames)) AS r(f)),
+       |d AS (
+       |  SELECT doc_id, fi, n_frames, s, L,
+       |    lag(s) OVER w AS ps, lag(L) OVER w AS pL
+       |  FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
+       |cuts AS (
+       |  SELECT doc_id, fi, n_frames,
+       |    ps IS NOT NULL AND ABS(s*pL - ps*L) > $SceneTau*L*pL AS cut
+       |  FROM d)
+       |SELECT doc_id, CAST(MIN(n_frames) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_cuts,
+       |  MIN(fi) FILTER (WHERE cut) AS first_cut,
+       |  CAST(COALESCE(SUM(fi) FILTER (WHERE cut), 0) AS BIGINT) AS cut_idx_sum
+       |FROM cuts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
+    "mm_scene_cut" -> ((mmSceneCut _, mmSceneCutSql)),
     "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
     "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),
     "mm_resize_stub" -> ((mmResizeStub _, mmResizeStubSql)),
