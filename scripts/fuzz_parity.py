@@ -89,7 +89,12 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "dedup_incremental_minhash",
              # r5: the composed v2 curation recipe (split gate +
              # quality bar + bloom decontam + substring-span drops)
-             "pipeline_curate_v2"]
+             "pipeline_curate_v2",
+             # r8: the LSH quality-eval harness — exact shingle-join
+             # truth LEFT-joined to band candidates; the md5-parity
+             # and band-hash contracts on hostile shingles, plus the
+             # COALESCE(0) empty-truth path on degenerate corpora
+             "dedup_lsh_eval"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the
@@ -122,7 +127,11 @@ MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
             "mm_resize_stub", "mm_audio_energy",
             # r8: binaryFile landing-dir ingestion — md5/strlen are
             # byte-exact on any UTF-8 content incl. the hostile pool
-            "mm_binary_ingest"]
+            "mm_binary_ingest",
+            # r8: scene-cut frame scan — division-free BIGINT mean
+            # jumps; empty docs (0 frames), single-frame docs (no
+            # transition), 5KB tokens (multi-frame) all in the pool
+            "mm_scene_cut"]
 # r5: similarity family over hostile embeddings (zero-norm → NaN
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)
 EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
@@ -145,7 +154,15 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              # all-identical corpora tie-break on vec_id, negative
              # ids stay out of the codebook/centroid sets)
              "sim_ann_ivfpq_768", "sim_ann_recall_curve_768"]
-GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES
+# r8: warehouse gates over hostile orders/customer fixtures. Each
+# gate's documented data contract bounds the generator (see
+# gen_orders): non-negative keys, dates in [1992, 2200), prices on the
+# 0.25 grid inside [0, 500000) — hostile WITHIN those bounds (unicode
+# and NUL-bearing attribute strings, equal change-dates per entity,
+# bucket-boundary prices, int64-large keys, degenerate cardinalities).
+WAREHOUSE_GATES = ["q63_scd2", "q64_histogram", "q65_zorder_layout",
+                   "q67_mad_outliers", "q68_dq_audit"]
+GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES + WAREHOUSE_GATES
 ALL_GATES = GATES + MM_GATES
 
 I64_EDGES = [0, 1, -1, 2**31, -(2**31) - 1, 2**62, -(2**62), 2**63 - 1]
@@ -293,6 +310,66 @@ def gen_events(rng, n, cardinality):
     })
 
 
+def gen_orders(rng, n, cardinality):
+    # warehouse-gate contracts (each documented at its gate): keys are
+    # non-negative and unique (q63's tie-break + q65's unsigned bit
+    # interleave), o_orderdate in [1992, 2200) (non-negative
+    # datediff-from-1992; strftime/date_format century parity),
+    # o_totalprice on the 0.25 binary-exact grid inside [0, 500000)
+    # (q64's bounds-cover-data contract — 25k bucket-width BOUNDARY
+    # multiples included on purpose: the IEEE floor((v-0)/25000)+1
+    # oracle must agree with WidthBucket exactly there too).
+    price_pool = [0.0, 0.25, 25000.0, 24999.75, 250000.5, 499999.75,
+                  100.25, 450000.25, 475000.0]
+    prio_pool = ["", "1-URGENT", "urgent", "Å-PRIO", "中文", "p\x00q",
+                 "1-URGENT "]
+    status_pool = ["", "O", "F", "!"]
+    dates_ms = [694224000000, 694310400000, 820454400000,   # 1992×2, 1996
+                1609459200000, 4102444800000, 7258118400000]  # 2021, 2100, 2200
+    if cardinality == "one":
+        custs = [1]                      # % 50 == 1: every row in q63
+    elif cardinality == "all":
+        custs = None                     # every order its own entity
+    else:
+        custs = [0, 1, 7, 51, 101, 151, 2**40 + 1]
+    rows = []
+    for i in range(n):
+        okey = i * 3 + (2**50 if i % 97 == 0 else 0)  # unique, some huge
+        ckey = i if custs is None else rng.choice(custs)
+        rows.append((okey, ckey,
+                     status_pool[i % len(status_pool)],
+                     rng.choice(price_pool),
+                     rng.choice(dates_ms),
+                     rng.choice(prio_pool)))
+    assert len({r[0] for r in rows}) == len(rows)
+    return pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("ms")),
+        "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+    })
+
+
+def gen_customer(rng, n, cardinality):
+    # FK side for q68: keys cover the orders custkey pools only
+    # PARTIALLY — natural orphans exist beyond the gate's injected
+    # ones, and the audit must count both exactly. Money on the grid.
+    seg_pool = ["", "BUILDING", "MACHINERY", "中文", "b\x00m"]
+    bal_pool = [0.0, -0.25, 999.75, 9999.5]
+    keys = sorted(set(list(range(0, 120)) + [151, 2**40 + 1]))
+    rows = [(k, f"Customer#{k}", k % 25, rng.choice(bal_pool),
+             seg_pool[k % len(seg_pool)]) for k in keys]
+    return pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([r[1] for r in rows], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+        "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+    })
+
+
 DIM = 64  # the similarity oracles unroll exactly 64 SQL terms
 
 
@@ -366,10 +443,21 @@ def empty_tables():
                    "event_type": pa.array([], pa.string()),
                    "value": pa.array([], pa.float64()),
                    "props": pa.array([], pa.string())})
+    orders = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                       "o_custkey": pa.array([], pa.int64()),
+                       "o_orderstatus": pa.array([], pa.string()),
+                       "o_totalprice": pa.array([], pa.float64()),
+                       "o_orderdate": pa.array([], pa.timestamp("ms")),
+                       "o_orderpriority": pa.array([], pa.string())})
+    cust = pa.table({"c_custkey": pa.array([], pa.int64()),
+                     "c_name": pa.array([], pa.string()),
+                     "c_nationkey": pa.array([], pa.int32()),
+                     "c_acctbal": pa.array([], pa.float64()),
+                     "c_mktsegment": pa.array([], pa.string())})
     emb = pa.table({"vec_id": pa.array([], pa.int64()),
                     "embedding": pa.array([], pa.list_(pa.float32())),
                     "label": pa.array([], pa.int32())})
-    return docs, li, ev, emb
+    return docs, li, ev, emb, orders, cust
 
 
 def single_row_tables():
@@ -401,7 +489,21 @@ def single_row_tables():
     emb = pa.table({"vec_id": pa.array([0], pa.int64()),
                     "embedding": pa.array([[0.5] * DIM], pa.list_(pa.float32())),
                     "label": pa.array([0], pa.int32())})
-    return docs, li, ev, emb
+    # single order whose custkey EXISTS (okey 1 % 500 != 0 → no
+    # injected orphan; the audit must report all-zero violations)
+    orders = pa.table({"o_orderkey": pa.array([1], pa.int64()),
+                       "o_custkey": pa.array([7], pa.int64()),
+                       "o_orderstatus": pa.array(["O"], pa.string()),
+                       "o_totalprice": pa.array([0.25], pa.float64()),
+                       "o_orderdate": pa.array([820454400000],
+                                               pa.timestamp("ms")),
+                       "o_orderpriority": pa.array(["1-URGENT"], pa.string())})
+    cust = pa.table({"c_custkey": pa.array([7], pa.int64()),
+                     "c_name": pa.array(["Customer#7"], pa.string()),
+                     "c_nationkey": pa.array([0], pa.int32()),
+                     "c_acctbal": pa.array([0.25], pa.float64()),
+                     "c_mktsegment": pa.array(["BUILDING"], pa.string())})
+    return docs, li, ev, emb, orders, cust
 
 
 def canon(df):
@@ -422,7 +524,8 @@ def values_equal(a, b):
 
 def compare(out_dir, sf_dir, oracle_sql, gates=None):
     con = duckdb.connect()
-    for t in ["documents", "lineitem", "events", "embeddings"]:
+    for t in ["documents", "lineitem", "events", "embeddings",
+              "orders", "customer"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = []
     for name in (gates if gates is not None else GATES):
@@ -466,6 +569,10 @@ def main(seeds):
                        sf_dir / "events.parquet")
         pq.write_table(gen_embeddings(rng, 200, cardinality),
                        sf_dir / "embeddings.parquet")
+        pq.write_table(gen_orders(rng, 1500, cardinality),
+                       sf_dir / "orders.parquet")
+        pq.write_table(gen_customer(rng, 130, cardinality),
+                       sf_dir / "customer.parquet")
         runs.append((f"seed={seed} "
                      f"({['one-group', 'all-distinct', 'mixed'][seed % 3]})",
                      sf_dir, work / f"out_seed{seed}", GATES))
@@ -475,8 +582,8 @@ def main(seeds):
                         ("single-row", single_row_tables())]:
         sf_dir = work / f"sf_{tag.replace('-', '_')}"
         sf_dir.mkdir(parents=True)
-        for name, t in zip(["documents", "lineitem", "events", "embeddings"],
-                           tables):
+        for name, t in zip(["documents", "lineitem", "events", "embeddings",
+                            "orders", "customer"], tables):
             pq.write_table(t, sf_dir / f"{name}.parquet")
         runs.append((tag, sf_dir, work / f"out_{tag.replace('-', '_')}",
                      ALL_GATES))
@@ -499,7 +606,8 @@ def main(seeds):
         mm_docs.schema.get_field_index("n_chars"),
         "n_chars", pa.array([len(t) for t in mm_texts], pa.int64()))
     pq.write_table(mm_docs, mm_dir / "documents.parquet")
-    for name, t in zip(["lineitem", "events", "embeddings"],
+    for name, t in zip(["lineitem", "events", "embeddings",
+                        "orders", "customer"],
                        single_row_tables()[1:]):
         pq.write_table(t, mm_dir / f"{name}.parquet")
     runs.append(("mm-singlebyte", mm_dir, work / "out_mm", MM_GATES))

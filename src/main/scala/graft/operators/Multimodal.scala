@@ -423,14 +423,25 @@ object Multimodal {
        |    lag(s) OVER w AS ps, lag(L) OVER w AS pL
        |  FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY fi)),
        |cuts AS (
-       |  SELECT doc_id, fi, n_frames,
+       |  SELECT doc_id, fi,
        |    ps IS NOT NULL AND ABS(s*pL - ps*L) > $SceneTau*L*pL AS cut
-       |  FROM d)
-       |SELECT doc_id, CAST(MIN(n_frames) AS BIGINT) AS n_frames,
-       |  CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_cuts,
-       |  MIN(fi) FILTER (WHERE cut) AS first_cut,
-       |  CAST(COALESCE(SUM(fi) FILTER (WHERE cut), 0) AS BIGINT) AS cut_idx_sum
-       |FROM cuts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM d),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) FILTER (WHERE cut) AS BIGINT) AS n_cuts,
+       |    MIN(fi) FILTER (WHERE cut) AS first_cut,
+       |    CAST(COALESCE(SUM(fi) FILTER (WHERE cut), 0) AS BIGINT)
+       |      AS cut_idx_sum
+       |  FROM cuts GROUP BY doc_id)
+       |-- LEFT JOIN from the asset table: a 0-byte payload has no frame
+       |-- rows to aggregate but must still REPORT (n_frames=0, no cuts)
+       |-- — the fuzz sweep's empty-document find; Spark's per-record
+       |-- map emits unconditionally and the oracle must agree
+       |SELECT b.doc_id, CAST(b.n_frames AS BIGINT) AS n_frames,
+       |  CAST(COALESCE(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+       |  a.first_cut,
+       |  CAST(COALESCE(a.cut_idx_sum, 0) AS BIGINT) AS cut_idx_sum
+       |FROM b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
