@@ -115,20 +115,20 @@ object Warehouse {
     * dimension and full-range envelopes on the other; the Z-curve
     * bounds BOTH, which is the entire point of Z-ordering (the gate's
     * envelopes demonstrate it: max-min spans ≤ 64 of 256 on both
-    * dims at sf0.01). The rank is one global sort — at scale this is
-    * `repartitionByRange(z)` + in-partition sort, the same
-    * total-order machinery Spark's own sort uses; block id = rank
+    * dims at sf0.01). The global rank is [[Ranks.globalRowNumber]] —
+    * range-repartition on (z, key) + per-partition offsets — NOT a
+    * partitionless window (which would plan a single-partition sort,
+    * the scale-killer this gate exists to avoid); block id = rank
     * div B keeps blocks size-balanced by construction. */
   def q65ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val wAll = Window.orderBy(col("z"), col("o_orderkey"))
-    t(spark, dir, "orders")
+    val dims = t(spark, dir, "orders")
       .select(col("o_orderkey"),
         (col("o_custkey") % 256).cast("int").as("x"),
         (datediff(col("o_orderdate"),
           to_date(lit("1992-01-01"))) % 256).cast("int").as("y"))
       .withColumn("z", expr(zExprSql))
-      .withColumn("blk", ((row_number().over(wAll) - 1) / 500)
-        .cast("long"))
+    Ranks.globalRowNumber(dims, 32, "rn", col("z"), col("o_orderkey"))
+      .withColumn("blk", ((col("rn") - 1) / 500).cast("long"))
       .groupBy(col("blk"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
