@@ -1,64 +1,63 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed exact total-order ranking.
   *
   * `Window.orderBy(...)` with no PARTITION BY plans a SINGLE-partition
   * window — the whole input through one task, the classic scale-killer
-  * for global ranks. This is the scale path instead, the same
-  * machinery Spark's own total sort uses plus the zipWithIndex offset
-  * trick:
+  * for global ranks. The scale path here is the bucket-offset form of
+  * zipWithIndex:
   *
-  *   1. `repartitionByRange` on the sort key: partition i's keys all
-  *      precede partition i+1's (sampled bounds — the SAME sampling
-  *      Spark's orderBy does);
-  *   2. sort within partitions;
-  *   3. one tiny job counts rows per partition; prefix sums become
-  *      per-partition rank offsets (driver state bounded by the
-  *      partition COUNT, never rows);
-  *   4. one `mapPartitionsWithIndex` pass assigns rank = offset +
-  *      local position.
+  *   1. the caller supplies a MONOTONE BUCKET of the sort key (all
+  *      keys in bucket b sort before all keys in bucket b+1 — e.g.
+  *      the key's high bits). Value-derived bucketing replaces
+  *      `repartitionByRange`'s sampled bounds on purpose: the
+  *      RangePartitioner seeds its reservoir sample with the RDD id,
+  *      so two executions of the same lineage pick DIFFERENT bounds —
+  *      the counts job and the rank job would disagree (measured:
+  *      interleaved block envelopes at ×100 soak). Static buckets are
+  *      execution-independent by construction;
+  *   2. one tiny job counts rows per bucket; prefix sums in bucket
+  *      order become per-bucket offsets (driver state bounded by the
+  *      BUCKET count, never rows);
+  *   3. local rank = `row_number()` windowed BY BUCKET (parallel, one
+  *      hash exchange); global rank = local + broadcast offset.
   *
-  * The rank is EXACT and layout-independent: range partitioning
-  * guarantees cross-partition order whatever boundaries the sampling
-  * picked, and in-partition positions come from the explicit sort.
-  * The RDD hop is the documented per-partition-imperative exception
-  * (this is zipWithIndex, which has no Dataset equivalent); the
-  * pipeline re-enters codegen immediately after. */
+  * Fully whole-stage-codegen (the first cut assigned ranks in an RDD
+  * `mapPartitionsWithIndex`; the InternalRow→Row conversion made it
+  * slower than the single-partition window below ~10M rows). Skew =
+  * the largest bucket; pick granularity ≫ parallelism (a 256-way
+  * bucket over a 16-bit key keeps the worst task at 1/256th). */
 object Ranks {
 
   /** Appends `rnCol` = 1-based global row number under the total
     * order `sortCols` (which MUST be a total order — ties would make
-    * the rank layout-dependent). */
-  def globalRowNumber(df: DataFrame, numParts: Int, rnCol: String,
+    * the rank nondeterministic). `bucket` MUST be monotone in that
+    * order: min(keys in b+1) ≥ max(keys in b). */
+  def globalRowNumber(df: DataFrame, bucket: Column, rnCol: String,
       sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(numParts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val rdd = sorted.rdd
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val counts = rdd
-        .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-        .collect().sortBy(_._1) // one (pid, n) pair per partition
-      val offsets = counts.scanLeft((0, 0L)) {
-        case ((_, acc), (pid, n)) => (pid, acc + n)
-      }.init.map(_._2) // exclusive prefix sums, indexed by pid
-      val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
-        var r = if (pid < offsets.length) offsets(pid) else 0L
-        it.map { row => r += 1; Row.fromSeq(row.toSeq :+ r) }
-      }
-      val schema = StructType(sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField(rnCol, LongType, nullable = false))
-      // ranks are final before unpersist: createDataFrame is lazy, so
-      // materialize through the caller's action — the persist covers
-      // both jobs above; the downstream plan re-reads the cached rdd
-      spark.createDataFrame(ranked, schema)
-    } finally {
-      // lazy unpersist: blocks nothing, frees after downstream reads
-      rdd.unpersist(blocking = false)
-    }
+    val bCol = "_graft_rank_bucket"
+    val offCol = "_graft_rank_off"
+    val bucketed = df.withColumn(bCol, bucket.cast("long"))
+    val counts = bucketed.groupBy(col(bCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.init.map(_._2) // exclusive prefix sums, aligned with counts order
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        counts.map(_._1).zip(offsets).map { case (b, off) => Row(b, off) }
+          .toSeq, 1),
+      StructType(Seq(StructField(bCol, LongType, nullable = false),
+        StructField(offCol, LongType, nullable = false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(bCol)).orderBy(sortCols: _*)
+    bucketed.join(broadcast(offsetsDf), bCol)
+      .withColumn(rnCol, row_number().over(w).cast("long") + col(offCol))
+      .drop(bCol, offCol)
   }
 }

@@ -116,10 +116,11 @@ object Warehouse {
     * bounds BOTH, which is the entire point of Z-ordering (the gate's
     * envelopes demonstrate it: max-min spans ≤ 64 of 256 on both
     * dims at sf0.01). The global rank is [[Ranks.globalRowNumber]] —
-    * range-repartition on (z, key) + per-partition offsets — NOT a
-    * partitionless window (which would plan a single-partition sort,
-    * the scale-killer this gate exists to avoid); block id = rank
-    * div B keeps blocks size-balanced by construction. */
+    * monotone z-bucket (the key's high 8 bits) + broadcast prefix
+    * offsets — NOT a partitionless window (which would plan a
+    * single-partition sort, the scale-killer this gate exists to
+    * avoid); block id = rank div B keeps blocks size-balanced by
+    * construction. */
   def q65ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val dims = t(spark, dir, "orders")
       .select(col("o_orderkey"),
@@ -127,7 +128,8 @@ object Warehouse {
         (datediff(col("o_orderdate"),
           to_date(lit("1992-01-01"))) % 256).cast("int").as("y"))
       .withColumn("z", expr(zExprSql))
-    Ranks.globalRowNumber(dims, 32, "rn", col("z"), col("o_orderkey"))
+    Ranks.globalRowNumber(dims, expr("z div 256"), "rn",
+      col("z"), col("o_orderkey"))
       .withColumn("blk", ((col("rn") - 1) / 500).cast("long"))
       .groupBy(col("blk"))
       .agg(count(lit(1)).as("n_rows"),

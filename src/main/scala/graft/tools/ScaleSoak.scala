@@ -35,6 +35,10 @@ object ScaleSoak {
     // connector — an nSym-symbol bars scan joined to a keep-symbol
     // watchlist, HTTP request counts measured with DPP on vs off
     if (args.headOption.contains("dpp")) { dppProbe(args); return }
+    // "zorder [N]": the distributed global rank vs the partitionless
+    // window at ×N amplified orders — both compute the identical
+    // Z-order block envelopes; only the rank machinery differs
+    if (args.headOption.contains("zorder")) { zorderProbe(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -256,6 +260,69 @@ object ScaleSoak {
     * run must issue ~keep/nSym of the OFF run's requests — the
     * 10k-symbol-universe × 50-symbol-watchlist contract stated in
     * AlpacaScan's Scaladoc, observed instead of asserted. */
+  /** The q65 rank upgrade, measured: identical Z-order block
+    * envelopes computed two ways over ×N amplified orders —
+    * `Ranks.globalRowNumber` (monotone z-bucket + broadcast prefix
+    * offsets) vs the partitionless `row_number()` window
+    * (single-partition sort). Results must be identical; the window
+    * path's wall time is the cost of the one-task sort every naive
+    * global-rank query pays at scale. */
+  private def zorderProbe(args: Array[String]): Unit = {
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    val nBase = src.count()
+    val dir = "/tmp/graft_soak/zorder_orders"
+    // key-shift replication keeps o_orderkey unique (the rank's
+    // total-order requirement) while spreading x/y buckets
+    src.crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .select((col("o_orderkey") * factor + col("rep")).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * 37).as("o_custkey"),
+        col("o_orderdate"))
+      .write.mode("overwrite").parquet(dir)
+    val zExpr = (0 until 8).map { i =>
+      s"((((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" + ")
+    def dims = spark.read.parquet(dir)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 256).cast("int").as("x"),
+        (datediff(col("o_orderdate"),
+          to_date(lit("1992-01-01"))) % 256).cast("int").as("y"))
+      .withColumn("z", expr(zExpr))
+    def envelopes(ranked: org.apache.spark.sql.DataFrame) = ranked
+      .withColumn("blk", ((col("rn") - 1) / 500000).cast("long"))
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"))
+      .orderBy(col("blk")).collect().toSeq
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths at factor 1 scale, uncounted
+    envelopes(graft.operators.Ranks.globalRowNumber(
+      dims.limit(1000), expr("z div 256"), "rn", col("z"), col("o_orderkey")))
+    val (distRes, tDist) = time(envelopes(graft.operators.Ranks
+      .globalRowNumber(dims, expr("z div 256"), "rn",
+        col("z"), col("o_orderkey"))))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("z"), col("o_orderkey"))
+    val (winRes, tWin) = time(envelopes(
+      dims.withColumn("rn", row_number().over(wAll).cast("long"))))
+    require(distRes == winRes,
+      s"rank paths disagree: ${distRes.take(2)} vs ${winRes.take(2)}")
+    println(f"ZORDER_SUMMARY rows=${nBase * factor} " +
+      f"distributed_rank=$tDist%.2f s single_partition_window=$tWin%.2f s " +
+      f"(${tWin / math.max(1e-9, tDist)}%.1fx) blocks=${distRes.size}")
+    spark.stop()
+  }
+
   private def dppProbe(args: Array[String]): Unit = {
     val nSym = args.lift(1).map(_.toInt).getOrElse(100)
     val keep = args.lift(2).map(_.toInt).getOrElse(5)
