@@ -301,6 +301,102 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ------------------------------------- production-shape minhash
+  private val ProdPerms = 128
+  private val ProdBands = 16 // × 8 rows per band (b=16, r=8)
+
+  /** 128-permutation signatures — the production operating point
+    * (the 16-perm pipeline above is the pedagogic/cheap variant; its
+    * b=4,r=4 S-curve admits J≈0.3 pairs, far too loose for a corpus
+    * where "near-dup" means J≥0.7). Same Kirsch–Mitzenmacher
+    * construction, but h2 narrows to 13 hex chars (52 bits) so
+    * h1 + 128·h2 < 2⁵⁶ + 2⁵⁹ — exact in BIGINT on both engines
+    * (the 14-char h2 of the 16-perm variant would overflow at
+    * k=128: 129·2⁵⁶ > 2⁶³). Still ONE md5 per shingle; the
+    * aggregation is 128 partial-aggregable LONG min()s, and the
+    * shuffle carries one 128-long row per document — 1 KB/doc,
+    * which at 100 TB of text is ~0.1% of the corpus moving. */
+  private[operators] def prodSigDf(spark: SparkSession, dir: String): DataFrame = {
+    val h1 = conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("bigint")
+    val h2 = conv(substring(md5(col("shingle")), 17, 13), 16, 10).cast("bigint")
+    val sigCols = (1 to ProdPerms).map { k =>
+      min(h1 + lit(k.toLong) * h2).as(s"s$k")
+    }
+    shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  private val prodSigCte: String = {
+    val sigs = (1 to ProdPerms).map(k => s"MIN(h1 + $k*h2) AS s$k").mkString(", ")
+    s"""hashed AS (
+       |  SELECT doc_id,
+       |    ('0x' || SUBSTR(md5(shingle), 1, 14))::BIGINT AS h1,
+       |    ('0x' || SUBSTR(md5(shingle), 17, 13))::BIGINT AS h2
+       |  FROM shingles),
+       |sigs AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  private def prodBandDf(sigs: DataFrame): DataFrame = {
+    val bands = (0 until ProdBands).map { b =>
+      struct(lit(b).as("band_id"),
+        md5(concat_ws("|",
+          (1 to 8).map(r => col(s"s${8 * b + r}").cast("string")): _*)).as("bh"))
+    }
+    val sigArr = array((1 to ProdPerms).map(k => col(s"s$k")): _*).as("sigs")
+    sigs.select(col("doc_id"), sigArr, explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"),
+        col("band.bh").as("bh"), col("sigs"))
+  }
+
+  private val prodBandCte: String = {
+    val parts = (0 until ProdBands).map { b =>
+      val cc = (1 to 8).map(r => s"s${8 * b + r}::VARCHAR").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, md5($cc) AS bh FROM sigs"
+    }
+    s"bands AS (${parts.mkString(" UNION ALL ")})"
+  }
+
+  /** Near-dup pairs at the PRODUCTION operating point: 128 perms,
+    * b=16 bands of r=8 rows. The S-curve threshold (1/b)^(1/r) ≈ 0.71
+    * means J≈0.5 pairs have ~6% candidate probability while J≥0.9
+    * pairs are certain — this is the b/r a 100 TB dedup would ship
+    * (the tuning route is [[dedupLshEval]]: measure recall at a
+    * sampled SF, then pick b/r). est_jaccard resolution rises from
+    * 1/16 to 1/128. Identical plan scaffold to the 16-perm gate —
+    * merge-pinned band self-join, signatures ride along packed, the
+    * 0..128 component match via the codegen'd matchCountF loop — so
+    * the only scale deltas are constant factors: 8× wider signature
+    * rows, 4× more band rows. */
+  def dedupMinhashProd(spark: SparkSession, dir: String): DataFrame = {
+    val bandsWithSigs = prodBandDf(prodSigDf(spark, dir))
+    val eq = graft.functions.VectorFunctions.matchCountF(
+      col("a.sigs"), col("b.sigs"))
+    bandsWithSigs.as("a")
+      .join(bandsWithSigs.as("b").hint("merge"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (eq.cast("double") / lit(ProdPerms.toDouble)).as("est_jaccard"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashProdSql: String = {
+    // grouped parens keep DuckDB's binder under its depth-128 limit
+    // (a flat 128-term chain binds left-deep and exceeds it)
+    val eq = (1 to ProdPerms)
+      .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END")
+      .grouped(16).map(g => s"(${g.mkString(" + ")})").mkString(" + ")
+    s"""WITH $shingleCte,
+       |$prodSigCte,
+       |$prodBandCte,
+       |$pairCte
+       |SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / $ProdPerms.0 AS est_jaccard
+       |FROM cand_pairs
+       |JOIN sigs sa ON doc_a = sa.doc_id
+       |JOIN sigs sb ON doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ------------------------------------------------------ ngram jaccard
   /** Exact 3-gram Jaccard for pairs sharing ≥1 shingle: |∩| via a
     * shingle equi-join, |∪| = |A|+|B|−|∩|; keep J ≥ 0.2.
@@ -719,6 +815,7 @@ object Dedup {
     "dedup_lsh_eval" -> ((dedupLshEval _, dedupLshEvalSql)),
     "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
     "dedup_minhash_lsh" -> ((dedupMinhashLsh _, dedupMinhashLshSql)),
+    "dedup_minhash_prod" -> ((dedupMinhashProd _, dedupMinhashProdSql)),
     "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),
     "dedup_ngram_jaccard_capped" -> ((dedupNgramJaccardCapped _, dedupNgramJaccardCappedSql)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
