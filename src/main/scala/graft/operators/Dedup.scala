@@ -221,7 +221,15 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** Unordered (node, label) fixpoint — reused by composed pipelines. */
-  private[operators] def clustersCore(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def clustersCore(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(minhashPairsCore(spark, dir)
+      .filter(col("est_jaccard") >= ClusterThreshold)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** HashMin fixpoint over an arbitrary (doc_a, doc_b) pair frame —
+    * the shared CC engine behind [[dedupClusters]] (16-perm pairs at
+    * J≥0.5) and [[dedupClustersProd]] (128-perm pairs at J≥0.7). */
+  private[operators] def clustersFromPairs(pairsIn: DataFrame): DataFrame = {
     // reliable (HDFS/S3) checkpoints when the cluster has
     // setCheckpointDir configured — survives executor loss;
     // executor-local otherwise (this gate). An adversarially-chained
@@ -231,9 +239,7 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val pairs = minhashPairsCore(spark, dir)
-      .filter(col("est_jaccard") >= ClusterThreshold)
-      .select(col("doc_a"), col("doc_b"))
+    val pairs = pairsIn
     val edges = ckpt(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst"))
     // seed = identity labels with the FIRST HashMin step fused in:
@@ -304,6 +310,7 @@ object Dedup {
   // ------------------------------------- production-shape minhash
   private val ProdPerms = 128
   private val ProdBands = 16 // × 8 rows per band (b=16, r=8)
+  private val ProdClusterThreshold = 0.7
 
   /** 128-permutation signatures — the production operating point
     * (the 16-perm pipeline above is the pedagogic/cheap variant; its
@@ -366,7 +373,10 @@ object Dedup {
     * 0..128 component match via the codegen'd matchCountF loop — so
     * the only scale deltas are constant factors: 8× wider signature
     * rows, 4× more band rows. */
-  def dedupMinhashProd(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashProd(spark: SparkSession, dir: String): DataFrame =
+    prodPairsCore(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  private[operators] def prodPairsCore(spark: SparkSession, dir: String): DataFrame = {
     val bandsWithSigs = prodBandDf(prodSigDf(spark, dir))
     val eq = graft.functions.VectorFunctions.matchCountF(
       col("a.sigs"), col("b.sigs"))
@@ -377,7 +387,48 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (eq.cast("double") / lit(ProdPerms.toDouble)).as("est_jaccard"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Production dedup keep-map: connected components over the
+    * [[dedupMinhashProd]] pair graph at the shipping threshold
+    * J≥0.7 — every clustered doc labeled with its component's min
+    * doc_id (the doc a curation pipeline keeps). Same HashMin
+    * fixpoint as [[dedupClusters]]; only the pair generator and the
+    * cut differ. At 100 TB the CC input is pair-count sized (two
+    * longs per edge), orders of magnitude below the corpus. */
+  def dedupClustersProd(spark: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(prodPairsCore(spark, dir)
+      .filter(col("est_jaccard") >= ProdClusterThreshold)
+      .select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+
+  val dedupClustersProdSql: String = {
+    val eq = (1 to ProdPerms)
+      .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END")
+      .grouped(16).map(g => s"(${g.mkString(" + ")})").mkString(" + ")
+    s"""WITH RECURSIVE $shingleCte,
+       |$prodSigCte,
+       |$prodBandCte,
+       |$pairCte,
+       |est_pairs AS (
+       |  SELECT doc_a, doc_b, CAST($eq AS DOUBLE) / $ProdPerms.0 AS est_jaccard
+       |  FROM cand_pairs
+       |  JOIN sigs sa ON doc_a = sa.doc_id
+       |  JOIN sigs sb ON doc_b = sb.doc_id),
+       |pe AS (SELECT doc_a, doc_b FROM est_pairs
+       |       WHERE est_jaccard >= $ProdClusterThreshold),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pe
+       |          UNION ALL SELECT doc_b, doc_a FROM pe),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS node, LEAST(src, MIN(dst)) AS label
+       |  FROM reach GROUP BY src)
+       |SELECT node AS doc_id, label AS cluster_rep
+       |FROM labels ORDER BY doc_id""".stripMargin
   }
 
   val dedupMinhashProdSql: String = {
@@ -816,6 +867,7 @@ object Dedup {
     "dedup_normalized" -> ((dedupNormalized _, dedupNormalizedSql)),
     "dedup_minhash_lsh" -> ((dedupMinhashLsh _, dedupMinhashLshSql)),
     "dedup_minhash_prod" -> ((dedupMinhashProd _, dedupMinhashProdSql)),
+    "dedup_clusters_prod" -> ((dedupClustersProd _, dedupClustersProdSql)),
     "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),
     "dedup_ngram_jaccard_capped" -> ((dedupNgramJaccardCapped _, dedupNgramJaccardCappedSql)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
