@@ -14,8 +14,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // constant-from-first-gate so no plan depends on gate order
+    graft.core.SessionTuning.nanosAsLong(spark)
     // Untimed generic JVM/codegen warmup (~2 s): without it the first
     // measured query absorbs ~10 s of classloading + Janino compilation
     // regardless of which query runs first. Deliberately NOT a dry run

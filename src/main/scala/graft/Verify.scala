@@ -17,16 +17,35 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // constant-from-first-gate so no plan depends on gate order
+    graft.core.SessionTuning.nanosAsLong(spark)
     new java.io.File(outDir).mkdirs()
+    new java.io.File(s"$outDir/_canon").mkdirs()
+    // Flake forensics (VERDICT r8 next #1a): alongside each dump,
+    // persist a canonical self-hash computed FROM THE WRITTEN PARQUET
+    // (so it certifies the dump file the driver will read, not just
+    // the in-memory result) plus, for small gates, the full sorted
+    // canonical text for byte-level diffing by RepeatVerify.
+    val selfHashes = scala.collection.mutable.LinkedHashMap[String, (String, Long)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val lines = Canon.canonicalLines(spark.read.parquet(s"$outDir/$name"))
+        selfHashes(name) = (Canon.md5(lines), lines.length.toLong)
+        if (lines.length <= 20000)
+          Files.writeString(Paths.get(s"$outDir/_canon/$name.txt"),
+            lines.mkString("", "\n", "\n"))
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    val hashJson = selfHashes
+      .map { case (k, (h, n)) => s""""$k": {"hash": "$h", "rows": $n}""" }
+      .mkString("{", ",\n ", "}")
+    Files.writeString(Paths.get(s"$outDir/_self_hash.json"), hashJson)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

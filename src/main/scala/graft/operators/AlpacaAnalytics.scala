@@ -37,6 +37,16 @@ class EwmaProcessor(k: Int)
     var fr = frame.get().toVector // ≤ k entries, ascending j
     val out = Vector.newBuilder[EwmaOut]
     incoming.foreach { case (_, j, c4) =>
+      // The 2^i weights assume strictly increasing hour indices: a
+      // late/replayed bar with j ≤ the stored frame tail would be
+      // appended POSITIONALLY, silently misweighting every subsequent
+      // EWMA point for this symbol. The connector's offset-tiling
+      // contract guarantees order; enforce it loudly rather than
+      // emitting wrong values if that contract is ever broken.
+      require(fr.isEmpty || j > fr.last._1,
+        s"EwmaProcessor[$key]: out-of-order hour index $j ≤ frame tail " +
+          s"${fr.last._1} — late or replayed micro-batch violates the " +
+          "source's non-decreasing offset-tiling contract")
       fr = (fr :+ (j, c4)).takeRight(k)
       var num = 0L
       var i = 0
@@ -97,7 +107,7 @@ object AlpacaAnalytics {
     * no effect on scans that don't report a partitioning. */
   private def barsDf(spark: SparkSession, timeframe: String,
       start: String, end: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    graft.core.SessionTuning.enableSpj(spark)
     spark.read.format("Alpaca_Stocks_Bars")
       .options(baseOptions(symbols: _*) ++ Map(
         "timeframe" -> timeframe, "start" -> start, "end" -> end,

@@ -802,8 +802,7 @@ object AlpacaQueries {
     * the bars⋈trades reconciliation running without either corpus
     * ever shuffling: the network cost is exactly the API fetch. */
   def spjBarsTrades(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    graft.core.SessionTuning.enableSpj(spark)
     val bars = spark.read.format("Alpaca_Stocks_Bars")
       .options(baseOptions(barsSymbols: _*) ++ Map(
         "timeframe" -> "1Hour", "start" -> barsStart, "end" -> barsEnd,
@@ -854,11 +853,8 @@ object AlpacaQueries {
     * around it. */
   private val spjSectors = Seq(("AAPL", "hardware", 2L), ("MSFT", "software", 3L))
   def spjParquetEnrich(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_spj_dim_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.core.SessionTuning.enableSpj(spark)
+    val dimPath = graft.core.Scratch.dir("spj_dim", dir)
     import spark.implicits._
     spjSectors.toDF("symbol", "sector", "weight")
       .write.mode("overwrite").parquet(dimPath)

@@ -130,8 +130,7 @@ object Events {
     * extraction on the stored bytes (with column shredding as the
     * format matures), never a JSON re-parse. */
   def sinkVariantRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_variant_sink_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.core.Scratch.dir("variant_sink", dir)
     eventsUs(spark, dir)
       .withColumn("vj", concat(
         lit("{\"meta\": {\"u\": "), col("user_id"),
@@ -293,10 +292,15 @@ object Events {
     * survivor count is ≤ 200 (floor 1: the script never halves).
     * Money math follows the q1 DECIMAL contract. */
   def q37SqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    // scripting.enabled gates the PARSER only; the script body (and its
+    // driver-side WHILE loop) executes inside this spark.sql call, so
+    // restoring the previous value afterwards cannot change the plan —
+    // it just stops the flag leaking into every later gate's session.
+    val prevScripting = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     val view = "graft_script_events"
     eventsUs(spark, dir).createOrReplaceTempView(view)
-    spark.sql(
+    try spark.sql(
       s"""BEGIN
          |  DECLARE thr BIGINT DEFAULT 1;
          |  DECLARE n BIGINT DEFAULT 0;
@@ -309,6 +313,7 @@ object Events {
          |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
          |  FROM IDENTIFIER('$view') WHERE value >= thr;
          |END""".stripMargin)
+    finally spark.conf.set("spark.sql.scripting.enabled", prevScripting)
   }
 
   val q37Sql: String =
@@ -379,9 +384,15 @@ object Events {
         "CASE WHEN user_id + 1L > 9223372036854775807L DIV 72057594037927936L " +
           "THEN CAST(NULL AS BIGINT) " +
           "ELSE try_multiply(user_id + 1L, 72057594037927936L) END"))
+      // the guard's edge class must be AT LEAST as wide as what
+      // try_cast trims (all Unicode whitespace/separators + ISO
+      // control chars), else strings like "123" that try_cast
+      // parses would be NULLed by the guard — \s alone is ASCII-only
       .withColumn("cast_try", expr(
         "try_cast(CASE WHEN user_id % 5 = 0 THEN CAST(user_id AS STRING) " +
-          "WHEN event_type RLIKE '^\\\\s*[+-]?[0-9]+(\\\\.[0-9]*)?\\\\s*$' " +
+          "WHEN event_type RLIKE " +
+          "'^[\\\\s\\\\p{Z}\\\\p{Cntrl}]*[+-]?[0-9]+(\\\\.[0-9]*)?" +
+          "[\\\\s\\\\p{Z}\\\\p{Cntrl}]*$' " +
           "THEN event_type ELSE NULL END AS INT)"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

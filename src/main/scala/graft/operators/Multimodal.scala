@@ -316,8 +316,7 @@ object Multimodal {
     * pathGlobFilter to prune non-media files at listing time. */
   def mmBinaryIngest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val landing = s"${System.getProperty("java.io.tmpdir")}/graft_mm_ingest_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val landing = graft.core.Scratch.dir("mm_ingest", dir)
     val lp = Paths.get(landing)
     if (Files.exists(lp)) {
       val w = Files.walk(lp)

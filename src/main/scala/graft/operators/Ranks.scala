@@ -44,7 +44,14 @@ object Ranks {
     val offCol = "_graft_rank_off"
     val bucketed = df.withColumn(bCol, bucket.cast("long"))
     val counts = bucketed.groupBy(col(bCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        // fail fast, not NPE: a null bucket means the caller's bucket
+        // expression doesn't cover its domain
+        require(!r.isNullAt(0),
+          s"globalRowNumber: null bucket value (${r.getLong(1)} rows) — " +
+            "the bucket expression must be total over the input")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     val offsets = counts.scanLeft((0L, 0L)) {
       case ((_, acc), (b, n)) => (b, acc + n)
     }.init.map(_._2) // exclusive prefix sums, aligned with counts order
@@ -56,8 +63,18 @@ object Ranks {
         StructField(offCol, LongType, nullable = false))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(bCol)).orderBy(sortCols: _*)
-    bucketed.join(broadcast(offsetsDf), bCol)
-      .withColumn(rnCol, row_number().over(w).cast("long") + col(offCol))
+    // LEFT join + loud failure instead of an inner join: if a
+    // nondeterministic upstream re-derives DIFFERENT bucket values in
+    // this second execution of the plan, the inner join would silently
+    // DROP those rows; here they surface as a raised error inside the
+    // rank expression (coalesce only evaluates the raise on a miss, so
+    // the happy path stays codegen'd with zero extra jobs).
+    val missMsg = "globalRowNumber: bucket value absent from the counts " +
+      "pass — nondeterministic upstream re-derived different buckets " +
+      "(cache/checkpoint the input) or the bucket expression is unstable"
+    bucketed.join(broadcast(offsetsDf), Seq(bCol), "left")
+      .withColumn(rnCol, row_number().over(w).cast("long") +
+        coalesce(col(offCol), raise_error(lit(missMsg)).cast("long")))
       .drop(bCol, offCol)
   }
 }

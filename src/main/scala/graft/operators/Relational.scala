@@ -14,7 +14,7 @@ object Tables {
     * unless nanos are read as long) and as plain TIMESTAMP(MICROS) in
     * others; normalize either to a µs TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.SessionTuning.nanosAsLong(spark)
     normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 

@@ -23,8 +23,7 @@ object Sinks {
   import Tables.t
 
   private def outDir(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.core.Scratch.dir("sink_roundtrip", dir)
 
   def sinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = outDir(dir)
@@ -64,7 +63,7 @@ object Sinks {
     * misrouting or dropped rows break the hash. */
   def sinkBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$suffix"
+    val base = graft.core.Scratch.dir("bucketed", dir)
     val liTable = s"graft_li_bucketed_$suffix"
     val ordTable = s"graft_ord_bucketed_$suffix"
     t(spark, dir, "lineitem")
@@ -108,8 +107,7 @@ object Sinks {
     * schema explicitly (or in a catalog) instead of re-inferring per
     * query, exactly as the explicit `schema(...)` read here would. */
   def sinkSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.core.Scratch.dir("schema_evo", dir)
     val orders = t(spark, dir, "orders")
     orders.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"))
@@ -170,8 +168,7 @@ object Sinks {
     * a daily-delta merge touching a few hundred of a million
     * partitions. */
   def sinkUpsertRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sink_upsert_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = graft.core.Scratch.dir("sink_upsert", dir)
     val staging = out + "_staging"
     val base = t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
@@ -194,7 +191,11 @@ object Sinks {
       .collect().map(_.getLong(0)).toSeq
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
+    // Empty delta (tiny scale factors never reach pkeys 2/5): nothing
+    // to merge — a dynamic overwrite of zero partitions would write no
+    // staging files at all and the read-back would fail on schema
+    // inference. Production semantics are identical: a no-op publish.
+    if (affected.nonEmpty) try {
       val current = spark.read.parquet(out)
         .withColumn("pkey", col("pkey").cast("long"))
         .filter(col("pkey").isin(affected: _*))

@@ -88,7 +88,7 @@ object Streaming {
   }
 
   def streamEventBars(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.SessionTuning.nanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file-stream source wants a directory; glob down to events.
     val events = Tables.normalizeEventTs(spark.readStream
@@ -312,7 +312,7 @@ object Streaming {
     * epoch-nanos LONG or a µs timestamp (Tables.normalizeEventTs). */
   private[graft] def attribJoinedStream(spark: SparkSession, streamDir: String,
       glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.SessionTuning.nanosAsLong(spark)
     val schema = spark.read.option("pathGlobFilter", glob)
       .parquet(streamDir).schema
     def stream = Tables.normalizeEventTs(spark.readStream
@@ -377,8 +377,7 @@ object Streaming {
     * side, watermark horizon × per-user rate, one shuffle on user_id
     * each; the outer form adds no state, only deferred emission. */
   def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_louter_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.core.Scratch.dir("stream_louter", dir)
     val ev = Tables.events(spark, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
@@ -522,8 +521,7 @@ object Streaming {
   }
 
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.core.Scratch.dir("stream_sess", dir)
     val ev = Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         timestamp_millis(expr("unix_micros(ts) div 1000")).as("ts"))
@@ -572,7 +570,7 @@ object Streaming {
     * everywhere. Complete-mode drain is gate scaffolding; production
     * appends with a watermark exactly as the tumbling twin. */
   def streamSlidingBars(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.SessionTuning.nanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val events = Tables.normalizeEventTs(spark.readStream
       .schema(schema)
@@ -616,8 +614,7 @@ object Streaming {
     * bounded by |open windows| × |types| (one watermark horizon),
     * which is the 100 TB memory story. */
   def streamEventBarsAppend(spark: SparkSession, dir: String): DataFrame = {
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_stream_append_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.core.Scratch.dir("stream_append", dir)
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("value"))
     def sentinel(us: Long): DataFrame = spark.range(1)
@@ -765,7 +762,7 @@ object Streaming {
     * in-flight. */
   private[graft] def dedupWatermarkStream(spark: SparkSession, dir: String,
       glob: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.core.SessionTuning.nanosAsLong(spark)
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     val ev = Tables.normalizeEventTs(spark.readStream
       .schema(schema)
@@ -821,8 +818,7 @@ object Streaming {
     * spaces, which mapGroupsWithState left to hand-rolled timers). */
   def streamTwsCounter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stage = s"${System.getProperty("java.io.tmpdir")}/graft_tws_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+    val stage = graft.core.Scratch.dir("tws", dir)
     val ev = Tables.events(spark, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("event_id").cast("long").as("event_id"))

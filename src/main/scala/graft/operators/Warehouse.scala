@@ -74,26 +74,35 @@ object Warehouse {
 
   /** `width_bucket` histogram profiling — the one-pass equi-width
     * profile a table-stats job emits per numeric column. Spark's
-    * codegen'd WidthBucket computes floor((v-min)/((max-min)/n))+1;
-    * the oracle spells out the identical IEEE double expression
-    * (DuckDB evaluates the same literal arithmetic), so bucket edges
-    * agree bit-for-bit. Bounds chosen to cover the data (no
-    * under/overflow rows at any SF — asserted by the n_rows total).
-    * Plan: scan → partial agg → 21-row final agg; nothing but the
+    * codegen'd WidthBucket computes floor((v-min)/((max-min)/n))+1
+    * and PINS out-of-range values to buckets 0 / n+1; the oracle
+    * spells out the identical IEEE double expression and mirrors the
+    * pinning with GREATEST/LEAST, so the two engines agree at EVERY
+    * scale factor — including ones whose o_totalprice exceeds the
+    * bounds (TPC-H reaches ~555k at sf≥1, so the old 500k max
+    * silently diverged above 525k). `n_out_of_range` makes any
+    * bounds violation loud: nonzero only in the pinned buckets, and
+    * both engines count it from the raw predicate, not the bucket.
+    * Plan: scan → partial agg → ≤22-row final agg; nothing but the
     * histogram ever shuffles. */
   def q64Histogram(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .groupBy(width_bucket(col("o_totalprice"),
-        lit(0.0d), lit(500000.0d), lit(20L)).as("bucket"))
+        lit(0.0d), lit(600000.0d), lit(20L)).as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") < 0.0d ||
+          col("o_totalprice") >= 600000.0d, 1L).otherwise(0L))
+          .as("n_out_of_range"),
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("double").as("sum_price"))
       .orderBy(col("bucket"))
 
   val q64Sql: String =
-    """SELECT CAST(FLOOR((o_totalprice - 0.0) / ((500000.0 - 0.0) / 20))
-      |    + 1 AS BIGINT) AS bucket,
+    """SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0)
+      |    / ((600000.0 - 0.0) / 20)) + 1 AS BIGINT), 0), 21) AS bucket,
       |  COUNT(*) AS n_rows,
+      |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice >= 600000.0
+      |    THEN 1 ELSE 0 END) AS n_out_of_range,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 

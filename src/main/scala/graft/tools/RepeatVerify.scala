@@ -1,0 +1,101 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Flake-reproduction harness (VERDICT r8 next #1a): runs the full
+  * Verify dump N times, EACH IN A FRESH JVM (the driver's conditions —
+  * fresh session, fresh codegen cache, fresh task scheduling), then
+  * compares the per-gate canonical self-hashes across runs and
+  * byte-diffs the canonical row dumps of any gate that moved.
+  *
+  * Usage (fresh-JVM spawning needs a real classpath, so run via the
+  * wrapper which exports it once):
+  *   scripts/repeat_verify.sh <sfDir> <n> [gate,gate,...]
+  * or directly:
+  *   GRAFT_CP=$(cat target/cp.txt) java -cp $GRAFT_CP \
+  *     graft.tools.RepeatVerify <sfDir> <outBase> <n> [gates]
+  *
+  * Exit 0 = every gate produced an identical canonical hash in every
+  * run (the dump side is proven stable under repetition); exit 1 =
+  * at least one gate flickered, and the first differing canonical
+  * lines are printed with run indices — the localization the r8
+  * flake hunt lacked.
+  */
+object RepeatVerify {
+  // Keep in sync with build.sbt's jdk17AddOpens (Spark 4 on JDK 17+
+  // outside spark-submit).
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private val hashLine =
+    """"([^"]+)":\s*\{"hash":\s*"([0-9a-f]+)",\s*"rows":\s*(\d+)\}""".r
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outBase = args(1)
+    val n = args(2).toInt
+    val gates = args.lift(3)
+    val cp = sys.env.getOrElse("GRAFT_CP", System.getProperty("java.class.path"))
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+
+    (1 to n).foreach { i =>
+      val out = s"$outBase/run_$i"
+      val cmd = (Seq(java) ++ addOpens ++ Seq(
+        s"-Xmx$mem", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Verify", sfDir, out) ++ gates.toSeq)
+      println(s"[repeat-verify] run $i/$n -> $out")
+      val p = new ProcessBuilder(cmd.asJava).inheritIO().start()
+      val rc = p.waitFor()
+      require(rc == 0, s"verify run $i exited $rc")
+    }
+
+    // gate -> run -> hash
+    val perRun: Seq[(Int, Map[String, String])] = (1 to n).map { i =>
+      val txt = Files.readString(Paths.get(s"$outBase/run_$i/_self_hash.json"))
+      i -> hashLine.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+    val allGates = perRun.flatMap(_._2.keys).distinct.sorted
+    var unstable = 0
+    allGates.foreach { g =>
+      val hs = perRun.map { case (i, m) => i -> m.get(g) }
+      val distinct = hs.map(_._2).distinct
+      if (distinct.size > 1) {
+        unstable += 1
+        println(s"[repeat-verify] UNSTABLE $g: " +
+          hs.map { case (i, h) => s"run$i=${h.map(_.take(8)).getOrElse("MISSING")}" }
+            .mkString(" "))
+        // byte-diff the first two runs that disagree
+        val byHash = hs.collect { case (i, Some(h)) => (i, h) }
+        for {
+          (i1, h1) <- byHash.headOption
+          (i2, _) <- byHash.find(_._2 != h1)
+        } {
+          val l1 = Files.readAllLines(
+            Paths.get(s"$outBase/run_$i1/_canon/$g.txt")).asScala
+          val l2 = Files.readAllLines(
+            Paths.get(s"$outBase/run_$i2/_canon/$g.txt")).asScala
+          val diffs = l1.zipAll(l2, "<missing>", "<missing>")
+            .zipWithIndex.filter { case ((a, b), _) => a != b }.take(5)
+          diffs.foreach { case ((a, b), ln) =>
+            println(s"  line ${ln + 1}: run$i1=$a")
+            println(s"  line ${ln + 1}: run$i2=$b")
+          }
+        }
+      }
+    }
+    println(s"[repeat-verify] ${allGates.size} gates x $n runs: " +
+      s"${allGates.size - unstable} stable, $unstable unstable")
+    if (unstable > 0) sys.exit(1)
+  }
+}

@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // constant-from-first-gate so no plan depends on suite order
+    graft.core.SessionTuning.nanosAsLong(s)
     s
   }
 }
