@@ -442,8 +442,158 @@ object Multimodal {
        |  CAST(COALESCE(a.cut_idx_sum, 0) AS BIGINT) AS cut_idx_sum
        |FROM b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------ REAL JDK decode (r9)
+  // The decode stubs above stand in for codec-dependent formats the
+  // container can't decode; WAV (javax.sound.sampled) and PNG
+  // (javax.imageio) need NO external codecs, so these two gates do
+  // the genuine round trip: deterministic samples/pixels → the JDK's
+  // real container WRITER → opaque bytes → the JDK's real PARSER →
+  // statistics. The oracle computes the same statistics from the
+  // generating formula alone — any header, endianness, compression
+  // or color-model mistake in the byte path breaks the hash. The
+  // plumbing contract matches the stubs: bytes never leave the
+  // partition, only narrow stat rows shuffle.
+
+  /** Max samples per clip / max image edge (bounds the oracle's
+    * closed-form range join). */
+  private val WavMaxN = 128
+  private val PngMaxW = 16
+  private val PngMaxH = 13
+
+  def mmWavDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      import javax.sound.sampled._
+      import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i.toLong * 17) % 2001 - 1000).toShort)
+        // ENCODE through the JDK's WAV writer (PCM_SIGNED 16-bit LE mono)
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          pcm(2 * i) = (samples(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        AudioSystem.write(new AudioInputStream(
+          new ByteArrayInputStream(pcm), fmt, n.toLong),
+          AudioFileFormat.Type.WAVE, baos)
+        val bytes = baos.toByteArray
+        val riffOk = if (bytes.length >= 12 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+          bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+          bytes(10) == 'V' && bytes(11) == 'E') 1L else 0L
+        // DECODE through the JDK's WAV parser; trust ONLY its output
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian, s"unexpected decoded format: $f")
+        val data = in.readAllBytes()
+        val m = data.length / 2
+        var sum = 0L; var energy = 0L; var peak = 0L
+        var j = 0
+        while (j < m) {
+          val s = (data(2 * j + 1).toInt << 8) | (data(2 * j) & 0xff)
+          sum += s; energy += s.toLong * s
+          peak = math.max(peak, math.abs(s.toLong))
+          j += 1
+        }
+        (id, m.toLong, riffOk, sum, energy, peak)
+      }
+    }.toDF("doc_id", "n_samples", "riff_ok", "sum_samples", "energy", "peak")
+      .orderBy(col("doc_id"))
+  }
+
+  val mmWavDecodeSql: String =
+    s"""WITH ids AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |g AS (SELECT UNNEST(RANGE(0, $WavMaxN)) AS i),
+       |s AS (SELECT doc_id, ((doc_id * 31 + i * 17) % 2001 - 1000) AS smp
+       |      FROM ids JOIN g ON g.i < ids.n)
+       |SELECT doc_id, COUNT(*) AS n_samples, CAST(1 AS BIGINT) AS riff_ok,
+       |  CAST(SUM(smp) AS BIGINT) AS sum_samples,
+       |  CAST(SUM(smp * smp) AS BIGINT) AS energy,
+       |  CAST(MAX(ABS(smp)) AS BIGINT) AS peak
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def mmPngDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      import java.awt.image.BufferedImage
+      import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+      import javax.imageio.ImageIO
+      it.map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (8 + id % 5).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + 7L * x + y) % 256).toInt
+            val b = ((11L * x + 13L * y) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", baos)
+        val bytes = baos.toByteArray
+        val sig = if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+          bytes(2) == 'N' && bytes(3) == 'G') 1L else 0L
+        val dec = ImageIO.read(new ByteArrayInputStream(bytes))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        y = 0
+        while (y < dec.getHeight) {
+          var x = 0
+          while (x < dec.getWidth) {
+            val p = dec.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val corner = dec.getRGB(dec.getWidth - 1, dec.getHeight - 1) & 0xffffff
+        (id, sig, dec.getWidth.toLong, dec.getHeight.toLong,
+          sr, sg, sb, corner.toLong)
+      }
+    }.toDF("doc_id", "png_sig", "w", "h", "sum_r", "sum_g", "sum_b",
+        "corner_rgb")
+      .orderBy(col("doc_id"))
+  }
+
+  val mmPngDecodeSql: String =
+    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+       |  FROM documents),
+       |gx AS (SELECT UNNEST(RANGE(0, $PngMaxW)) AS x),
+       |gy AS (SELECT UNNEST(RANGE(0, $PngMaxH)) AS y),
+       |px AS (
+       |  SELECT doc_id, w, h,
+       |    (doc_id + 3 * x + 5 * y) % 256 AS r,
+       |    (2 * doc_id + 7 * x + y) % 256 AS g,
+       |    (11 * x + 13 * y) % 256 AS b
+       |  FROM ids JOIN gx ON gx.x < ids.w JOIN gy ON gy.y < ids.h)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS png_sig,
+       |  CAST(MIN(w) AS BIGINT) AS w, CAST(MIN(h) AS BIGINT) AS h,
+       |  CAST(SUM(r) AS BIGINT) AS sum_r,
+       |  CAST(SUM(g) AS BIGINT) AS sum_g,
+       |  CAST(SUM(b) AS BIGINT) AS sum_b,
+       |  CAST(MIN((doc_id + 3 * (w - 1) + 5 * (h - 1)) % 256) * 65536
+       |    + MIN((2 * doc_id + 7 * (w - 1) + (h - 1)) % 256) * 256
+       |    + MIN((11 * (w - 1) + 13 * (h - 1)) % 256) AS BIGINT) AS corner_rgb
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
+    "mm_wav_decode" -> ((mmWavDecode _, mmWavDecodeSql)),
+    "mm_png_decode" -> ((mmPngDecode _, mmPngDecodeSql)),
     "mm_scene_cut" -> ((mmSceneCut _, mmSceneCutSql)),
     "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
     "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),

@@ -1302,6 +1302,141 @@ object Similarity {
        |FROM nps LEFT JOIN hits h ON nps.nprobe = h.nprobe
        |ORDER BY nprobe""".stripMargin
 
+  // ------------- parameterized production IVF (the √N nlist rule, r9)
+  // The r8 soak measured above-linear per-query growth 10k→20k vectors
+  // with nlist pinned at 16 (SCALE.md): probed candidates per query =
+  // nprobe·N/nlist grow linearly when nlist is fixed. The FAISS rule is
+  // nlist ~ √N, keeping probed candidates at nprobe·√N. Build cost is
+  // N·nlist assignments — paid once per index build and amortized over
+  // the query stream, which is why build and query are separate phases
+  // here (the soak times them separately).
+
+  /** √N rule, rounded UP to a power of two, floored at the gate shape
+    * (16): 10k vecs → 128 cells, 50k → 256, 1M → 1024, 1B → 32768. */
+  def nlistFor(n: Long): Int = {
+    val target = math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt
+    var p = PNlist
+    while (p < target) p <<= 1
+    p
+  }
+
+  /** Built 768-dim IVF-PQ index, all frames localCheckpoint'ed:
+    * `emb` (vec_id, e768, codesD), `corpCell` (c_vec, cell),
+    * `enc` (vec_id, m, code), `cellDistQ` (query × cell distances,
+    * for probe selection at any nprobe), `lut` (query ADC tables). */
+  case class Ivf768Index(emb: DataFrame, corpCell: DataFrame,
+      enc: DataFrame, cellDistQ: DataFrame, lut: DataFrame)
+
+  /** Array-based index build — the production shape of [[probe768]]:
+    * identical math (Σ(v−c)² over int8 codes, ties by centroid id)
+    * but computed as codegen'd whole-vector dot products over a
+    * crossJoin with the BROADCAST centroid/codebook tables instead of
+    * a 768-way posexplode join, so the assignment relation is
+    * N×nlist ROWS (each one fused 768-loop) rather than
+    * N×768×nlist JOIN ROWS — the difference between seconds and
+    * hours once nlist grows past the pedagogic 16. Identity used:
+    * Σ(v−c)² = Σv² − 2Σvc + Σc²; code values ≤ 255 over 768 terms
+    * keep every sum < 2²⁶, exactly representable in double, so this
+    * path is bit-equal to the BIGINT posexplode path (gated:
+    * `sim_ann_ivfpq_768_prod` shares the 768 gate's DuckDB oracle). */
+  def buildIvf768(spark: SparkSession, dir: String, nlist: Int): Ivf768Index = {
+    import graft.functions.VectorFunctions.dotF
+    val w = org.apache.spark.sql.expressions.Window
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(E768Spark).as("e768"))
+      .withColumn("codesD",
+        expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", dotF(col("codesD"), col("codesD")))
+      .localCheckpoint()
+    val cent = emb.filter(col("vec_id") >= 0 && col("vec_id") < nlist)
+      .select(col("vec_id").as("cent_id"), col("codesD").as("ccodes"),
+        col("norm2").as("cnorm2"))
+    val cellDist = emb.select(col("vec_id"), col("codesD"), col("norm2"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
+          col("cnorm2")).as("cdist"))
+    // nearest cell via partial-aggregable min(struct): the map side
+    // collapses to one row per (partition, vec) before the shuffle —
+    // no N×nlist window sort anywhere
+    val corpCell = cellDist
+      .groupBy(col("vec_id")).agg(min(struct(col("cdist"), col("cent_id"))).as("s"))
+      .select(col("vec_id").as("c_vec"), col("s.cent_id").as("cell"))
+      .localCheckpoint()
+    val cellDistQ = cellDist
+      .filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .localCheckpoint() // Q×nlist rows — tiny at any nlist
+    // PQ: codebook = first PPqK corpus vectors, per-subspace slices
+    val mRange = (0 until PDim / PSub)
+    val cbSub = emb.filter(col("vec_id") >= 0 && col("vec_id") < PPqK)
+      .select(col("vec_id").as("j"), col("codesD"))
+      .select(col("j"), explode(array(mRange.map(m =>
+        struct(lit(m).as("m"),
+          slice(col("codesD"), m * PSub + 1, PSub).as("cslice"))): _*)).as("e"))
+      .select(col("j"), col("e.m").as("m"), col("e.cslice").as("cslice"))
+      .withColumn("cn2", dotF(col("cslice"), col("cslice")))
+    val encDist = emb.select(col("vec_id"), col("codesD"))
+      .crossJoin(broadcast(cbSub))
+      .select(col("vec_id"), col("m"), col("j"),
+        { val vslice = slice(col("codesD"),
+            col("m").cast("int") * PSub + 1, lit(PSub))
+          (dotF(vslice, vslice) - lit(2.0d) * dotF(vslice, col("cslice")) +
+            col("cn2")).cast("bigint").as("dist") })
+    val enc = encDist
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("j"))).as("s"))
+      .select(col("vec_id"), col("m"), col("s.j").as("code"))
+      .localCheckpoint()
+    val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("lq_id"), col("m").as("qm"),
+        col("j").as("qj"), col("dist"))
+      .localCheckpoint()
+    Ivf768Index(emb, corpCell, enc, cellDistQ, lut)
+  }
+
+  /** Query phase against a built index: probe `nprobe` cells, ADC,
+    * exact re-rank — the per-request cost the √N rule bounds. */
+  def queryIvf768(idx: Ivf768Index, nprobe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val qProbe = idx.cellDistQ.withColumn("cr", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cent_id"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("qcell"))
+    val adc = idx.enc.join(idx.corpCell, col("vec_id") === col("c_vec"))
+      .join(broadcast(qProbe),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .join(broadcast(idx.lut),
+        col("q_id") === col("lq_id") && col("m") === col("qm") &&
+          col("code") === col("qj"))
+      .groupBy(col("q_id").as("query_id"), col("vec_id"))
+      .agg(sum(col("dist")).as("adc_dist"))
+    val cand = adc.withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rk") <= PCand)
+      .select(col("query_id"), col("vec_id"))
+    val qe = idx.emb.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("rr_id"), col("e768").as("qe"))
+    cand.join(idx.emb.select(col("vec_id"), col("e768")), "vec_id")
+      .join(broadcast(qe), col("query_id") === col("rr_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineOf(graft.functions.VectorFunctions.dotF(col("e768"), col("qe")),
+          sqrt(graft.functions.VectorFunctions.dotF(col("e768"), col("e768"))),
+          sqrt(graft.functions.VectorFunctions.dotF(col("qe"), col("qe"))))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(
+        w.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rk") <= PTopK)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  /** Gate: the production array-based path at the 768 gate's
+    * constants must reproduce the posexplode path's oracle exactly —
+    * proving the two formulations compute the same index before the
+    * soak trusts the scaled one. */
+  def simAnnIvfPq768Prod(spark: SparkSession, dir: String): DataFrame =
+    queryIvf768(buildIvf768(spark, dir, PNlist), PNprobe)
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_mmr_select" -> ((simMmrSelect _, simMmrSelectSql)),
@@ -1316,5 +1451,6 @@ object Similarity {
     "sim_ann_pq" -> ((simAnnPq _, simAnnPqSql)),
     "sim_ann_ivfpq" -> ((simAnnIvfPq _, simAnnIvfPqSql)),
     "sim_ann_ivfpq_768" -> ((simAnnIvfPq768 _, simAnnIvfPq768Sql)),
+    "sim_ann_ivfpq_768_prod" -> ((simAnnIvfPq768Prod _, simAnnIvfPq768Sql)),
     "sim_ann_recall_curve_768" -> ((simAnnRecallCurve768 _, simAnnRecallCurve768Sql)))
 }

@@ -403,15 +403,30 @@ object ScaleSoak {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     locally { val d = amplifyEmb(1); timeIt(Similarity.simAnnIvfPq768(spark, d)) }
-    Seq(1, math.max(2, factor / 2), factor).distinct.foreach { n =>
+    // r9 points: 2k → 10k → 20k → 50k vectors. The r8 finding was
+    // above-linear per-query growth 10k→20k at FIXED nlist=16; the √N
+    // rule (nlistFor) must flatten the query phase — build and query
+    // are timed separately because build is N·nlist and amortized.
+    Seq(1, 5, math.max(2, factor / 2), factor).distinct.sorted.foreach { n =>
       val dir = amplifyEmb(n)
       spark.read.parquet(s"$dir/embeddings.parquet")
         .select(sum(expr("aggregate(embedding, 0.0D, (a, x) -> a + x)"))).collect()
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val (tI, ni) = timeIt(Similarity.simAnnIvfPq768(spark, dir))
       val (tC, nc) = timeIt(Similarity.simAnnRecallCurve768(spark, dir))
+      val nl = Similarity.nlistFor(vecs)
+      val t0f = System.nanoTime()
+      val idxFixed = Similarity.buildIvf768(spark, dir, 16)
+      val buildF = (System.nanoTime() - t0f) / 1e9
+      val (qF, nF) = timeIt(Similarity.queryIvf768(idxFixed, 4))
+      val t0s = System.nanoTime()
+      val idxScaled = Similarity.buildIvf768(spark, dir, nl)
+      val buildS = (System.nanoTime() - t0s) / 1e9
+      val (qS, nS) = timeIt(Similarity.queryIvf768(idxScaled, 4))
       println(f"SOAK_ANN768 n=$n vecs=$vecs ivfpq768=$tI%.2f s ($ni rows) " +
-        f"recall_curve=$tC%.2f s ($nc rows)")
+        f"recall_curve=$tC%.2f s ($nc rows) | prod nlist16: build=$buildF%.2f " +
+        f"query=$qF%.2f ($nF rows) | prod nlist=$nl: build=$buildS%.2f " +
+        f"query=$qS%.2f ($nS rows)")
     }
     spark.stop()
   }
