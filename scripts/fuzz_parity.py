@@ -162,7 +162,39 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
 # bucket-boundary prices, int64-large keys, degenerate cardinalities).
 WAREHOUSE_GATES = ["q63_scd2", "q64_histogram", "q65_zorder_layout",
                    "q67_mad_outliers", "q68_dq_audit"]
-GATES = DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES + WAREHOUSE_GATES
+# r9 (VERDICT r8 next #3): the q3x/q4x/q5x/q6x SQL-surface families —
+# exactly the dialect-edge gates where the r8 intermittent flakes were
+# recorded (q48/q57/q59 are all here). Contracts bounding the
+# generators, documented at each gate / in PARITY.md:
+#   - q33 sums user_id and $.k per group → |user_id| <= 2^40 and props
+#     is valid JSON with a small integer k (the pool below);
+#   - q40's try_cast parity holds for INTEGER-shaped strings only
+#     (DuckDB TRY_CAST('3.5' AS INT) rounds to 4 where Spark NULLs —
+#     a real dialect split, so decimal strings stay out of the types
+#     pool);
+#   - q66 strips XML-illegal control chars + &<> on BOTH sides (XML
+#     1.0 cannot represent them; entity escaping would diverge from
+#     the oracle's raw concat);
+#   - nation/region/supplier keep CANONICAL keys (gates derive
+#     hierarchies and parities from them) with hostile STRING content.
+SQL_GATES = ["q33_variant", "q36_collation", "q37_sql_scripting",
+             "q39_approx_topk", "q40_try_arith", "q42_datetime",
+             "q43_listagg", "q44_grouping_sets", "q45_generators",
+             "q46_string_fns", "q47_scalar_subquery", "q48_bitwise",
+             "q49_date_arith", "q50_recursive_cte", "q51_sql_udf",
+             "q52_ignore_nulls", "q53_map_hof", "q54_sql_udtf",
+             "q55_explode_outer", "q56_percentile", "q57_set_ops_all",
+             "q58_csv_map", "q59_interval_frame", "q60_param_query",
+             "q61_comparator_sort", "q62_struct_ops", "q66_xml",
+             "q69_exec_immediate"]
+GATES = (DOC_GATES + ["q1_agg"] + EVENT_GATES + EMB_GATES +
+         WAREHOUSE_GATES + SQL_GATES)
+# Per-cardinality contract exclusions: q39's exactness contract needs
+# the top-k boundary to be UNIQUE (strictly decreasing counts at rank
+# k) — the all-distinct corpus makes every count 1, so which 10 of
+# 3000 tied items the sketch returns is arbitrary by design, on any
+# engine. Not a bug; a documented tie contract (PARITY.md).
+CARDINALITY_EXCLUDE = {"q39_approx_topk": {"all"}}
 ALL_GATES = GATES + MM_GATES
 
 I64_EDGES = [0, 1, -1, 2**31, -(2**31) - 1, 2**62, -(2**62), 2**63 - 1]
@@ -281,11 +313,25 @@ def gen_events(rng, n, cardinality):
         users = [10**6 + i for i in range(n)]
         types = [f"t{i}" for i in range(n)]
     else:
-        users = [0, 1, -1, 2**62, 12345]
-        types = ["", "view", "click", "purchase", "視聴"]
+        # 2^40, not 2^62: q33 SUMs user_id per event_type, and the
+        # cross-engine contract is that group sums fit int64 (Spark
+        # ANSI throws on long-sum overflow; DuckDB's HUGEINT→BIGINT
+        # cast errors). 3000 rows × 2^40 ≈ 3e15 stays comfortably in.
+        users = [0, 1, -1, 2**40, 12345]
+        # integer-shaped strings exercise q40's try_cast guard on the
+        # ACCEPT path; decimal-shaped ("3.5") stay out — DuckDB
+        # TRY_CAST rounds them to int where Spark NULLs (dialect
+        # split, PARITY.md)
+        types = ["", "view", "click", "purchase", "視聴",
+                 "123", " 42 ", "+7", "99999999999999999999"]
     val_pool = [0.0, -0.0, 0.25, -0.25, 1e6, -1e6, 999999.75]
     base_pool = [0, 3600 * 10**9, 86400 * 10**9, 2_000_000_000 * 10**9]
-    props_pool = ["{}", "", '{"k": 1}', "not json", '{"a": [1, {"b": 2}]}']
+    # valid JSON with a small integer k throughout: q33 extracts and
+    # SUMS $.k (its documented contract); hostility lives in nesting,
+    # extra keys and unicode values, not in malformed JSON
+    props_pool = ['{"k": 0}', '{"k": 1}',
+                  '{"k": -7, "a": [1, {"b": 2}]}', '{"k": 999999}',
+                  '{"k": 42, "extra": "文", "deep": {"x": [null, true]}}']
     rows, used = [], set()
     for i in range(n):
         uid = users[i % len(users)]
@@ -367,6 +413,51 @@ def gen_customer(rng, n, cardinality):
         "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
         "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
         "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+    })
+
+
+def gen_nation(rng, cardinality):
+    # CANONICAL keys (25 nations, regionkey = k % 5): q50's recursive
+    # walk and q43/q47's parity predicates derive structure from the
+    # keys. Hostility lives in the NAMES — the surface listagg /
+    # substring / initials actually exercise. Duplicate names are IN
+    # contract (listagg output is order-insensitive for equal values).
+    name_pool = ["", "ALGERIA", "中国", "n\x00m", "a" * 300, "NOR WAY",
+                 "émirats", "!", "ALGERIA"]
+    rows = [(k, name_pool[k % len(name_pool)] +
+             ("" if k < len(name_pool) else f"_{k}"), k % 5)
+            for k in range(25)]
+    return pa.table({
+        "n_nationkey": pa.array([r[0] for r in rows], pa.int32()),
+        "n_name": pa.array([r[1] for r in rows], pa.string()),
+        "n_regionkey": pa.array([r[2] for r in rows], pa.int32()),
+    })
+
+
+def gen_region(rng, cardinality):
+    name_pool = ["", "ASIA", "中", "E UROPE", "r" * 200]
+    rows = [(k, name_pool[k]) for k in range(5)]
+    return pa.table({
+        "r_regionkey": pa.array([r[0] for r in rows], pa.int32()),
+        "r_name": pa.array([r[1] for r in rows], pa.string()),
+    })
+
+
+def gen_supplier(rng, n, cardinality):
+    # s_nationkey drives q47's correlated counts; cardinality extremes
+    # concentrate every supplier in one nation or spread them flat
+    bal_pool = [0.0, -0.25, 999.75, 9999.5]
+    rows = []
+    for k in range(n):
+        nk = 0 if cardinality == "one" else (
+            k % 25 if cardinality == "all" else rng.randrange(25))
+        rows.append((k if k % 13 else 2**40 + k, f"Supplier#{k}", nk,
+                     rng.choice(bal_pool)))
+    return pa.table({
+        "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "s_name": pa.array([r[1] for r in rows], pa.string()),
+        "s_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        "s_acctbal": pa.array([r[3] for r in rows], pa.float64()),
     })
 
 
@@ -457,7 +548,16 @@ def empty_tables():
     emb = pa.table({"vec_id": pa.array([], pa.int64()),
                     "embedding": pa.array([], pa.list_(pa.float32())),
                     "label": pa.array([], pa.int32())})
-    return docs, li, ev, emb, orders, cust
+    nation = pa.table({"n_nationkey": pa.array([], pa.int32()),
+                       "n_name": pa.array([], pa.string()),
+                       "n_regionkey": pa.array([], pa.int32())})
+    region = pa.table({"r_regionkey": pa.array([], pa.int32()),
+                       "r_name": pa.array([], pa.string())})
+    supp = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                     "s_name": pa.array([], pa.string()),
+                     "s_nationkey": pa.array([], pa.int32()),
+                     "s_acctbal": pa.array([], pa.float64())})
+    return docs, li, ev, emb, orders, cust, nation, region, supp
 
 
 def single_row_tables():
@@ -477,12 +577,14 @@ def single_row_tables():
                    "l_returnflag": pa.array(["A"], pa.string()),
                    "l_linestatus": pa.array(["F"], pa.string()),
                    "l_shipdate": pa.array([10**6], pa.timestamp("ms"))})
+    # props carries a numeric $.k — q33's contract (it extracts and
+    # sums it; a k-less "{}" made sum_u NULL-poisoned vs the oracle)
     ev = pa.table({"event_id": pa.array([1], pa.int64()),
                    "ts": pa.array([3600 * 10**9], pa.timestamp("ns")),
                    "user_id": pa.array([7], pa.int64()),
                    "event_type": pa.array(["view"], pa.string()),
                    "value": pa.array([0.25], pa.float64()),
-                   "props": pa.array(["{}"], pa.string())})
+                   "props": pa.array(['{"k": 1}'], pa.string())})
     # vec_id 0 is simultaneously the only corpus vector, a query, and
     # the only centroid — the maximal-degeneracy case for the
     # driver-collected k-means init (k=1) and self-excluding top-k
@@ -503,7 +605,16 @@ def single_row_tables():
                      "c_nationkey": pa.array([0], pa.int32()),
                      "c_acctbal": pa.array([0.25], pa.float64()),
                      "c_mktsegment": pa.array(["BUILDING"], pa.string())})
-    return docs, li, ev, emb, orders, cust
+    nation = pa.table({"n_nationkey": pa.array([0], pa.int32()),
+                       "n_name": pa.array(["ALGERIA"], pa.string()),
+                       "n_regionkey": pa.array([0], pa.int32())})
+    region = pa.table({"r_regionkey": pa.array([0], pa.int32()),
+                       "r_name": pa.array(["ASIA"], pa.string())})
+    supp = pa.table({"s_suppkey": pa.array([1], pa.int64()),
+                     "s_name": pa.array(["Supplier#1"], pa.string()),
+                     "s_nationkey": pa.array([0], pa.int32()),
+                     "s_acctbal": pa.array([0.25], pa.float64())})
+    return docs, li, ev, emb, orders, cust, nation, region, supp
 
 
 def canon(df):
@@ -525,7 +636,7 @@ def values_equal(a, b):
 def compare(out_dir, sf_dir, oracle_sql, gates=None):
     con = duckdb.connect()
     for t in ["documents", "lineitem", "events", "embeddings",
-              "orders", "customer"]:
+              "orders", "customer", "nation", "region", "supplier"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     failures = []
     for name in (gates if gates is not None else GATES):
@@ -573,9 +684,17 @@ def main(seeds):
                        sf_dir / "orders.parquet")
         pq.write_table(gen_customer(rng, 130, cardinality),
                        sf_dir / "customer.parquet")
+        pq.write_table(gen_nation(rng, cardinality),
+                       sf_dir / "nation.parquet")
+        pq.write_table(gen_region(rng, cardinality),
+                       sf_dir / "region.parquet")
+        pq.write_table(gen_supplier(rng, 60, cardinality),
+                       sf_dir / "supplier.parquet")
+        seed_gates = [g for g in GATES
+                      if cardinality not in CARDINALITY_EXCLUDE.get(g, ())]
         runs.append((f"seed={seed} "
                      f"({['one-group', 'all-distinct', 'mixed'][seed % 3]})",
-                     sf_dir, work / f"out_seed{seed}", GATES))
+                     sf_dir, work / f"out_seed{seed}", seed_gates))
     # degenerate corpora: every table empty, then every table single-row
     # (ALL gates incl. multimodal — single-byte by construction)
     for tag, tables in [("empty", empty_tables()),
@@ -583,7 +702,8 @@ def main(seeds):
         sf_dir = work / f"sf_{tag.replace('-', '_')}"
         sf_dir.mkdir(parents=True)
         for name, t in zip(["documents", "lineitem", "events", "embeddings",
-                            "orders", "customer"], tables):
+                            "orders", "customer", "nation", "region",
+                            "supplier"], tables):
             pq.write_table(t, sf_dir / f"{name}.parquet")
         runs.append((tag, sf_dir, work / f"out_{tag.replace('-', '_')}",
                      ALL_GATES))
@@ -607,7 +727,8 @@ def main(seeds):
         "n_chars", pa.array([len(t) for t in mm_texts], pa.int64()))
     pq.write_table(mm_docs, mm_dir / "documents.parquet")
     for name, t in zip(["lineitem", "events", "embeddings",
-                        "orders", "customer"],
+                        "orders", "customer", "nation", "region",
+                        "supplier"],
                        single_row_tables()[1:]):
         pq.write_table(t, mm_dir / f"{name}.parquet")
     runs.append(("mm-singlebyte", mm_dir, work / "out_mm", MM_GATES))

@@ -79,6 +79,28 @@ object Bench {
     // warmup pass, which accumulated driver/GC state and was measured
     // worse.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(3)
+    // Per-job dispatch floor (VERDICT r8 next #7): this box schedules
+    // a trivial job in ~0.1 s, and a many-micro-batch streaming drain
+    // pays that floor ONCE PER JOB — so its wall time tracks box
+    // latency, not data volume, and cross-round diffs false-alarm.
+    // Count jobs per gate and report floor-adjusted drain times for
+    // the streaming gates alongside the raw numbers.
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+    val floorS = {
+      val ts = (1 to 15).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
     val results = selected.map { case (name, fn) =>
       // Untimed GC between queries: without it, garbage promoted by
       // earlier queries gets collected DURING later ones, charging
@@ -86,16 +108,17 @@ object Bench {
       // run-to-run variance in the 50-query sweep).
       System.gc()
       val attempts = (1 to runs).map { _ =>
+        val j0 = jobCounter.get()
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable =>
             Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, err, jobCounter.get() - j0)
       }
-      val best = attempts.minBy { case (t, err) => (err.isDefined, t) }
-      val ok = attempts.collect { case (t, None) => t }.sorted
+      val best = attempts.minBy { case (t, err, _) => (err.isDefined, t) }
+      val ok = attempts.collect { case (t, None, _) => t }.sorted
       // spread = second-best − best, NOT max − min: the max is usually
       // the cold first attempt (codegen/JIT attribution), which would
       // overstate steady-state noise for every query and make the
@@ -104,7 +127,7 @@ object Bench {
       // noise, and a fabricated 0.0 would read as "perfectly stable" —
       // the opposite of what a mostly-failing query deserves.
       val spread = if (ok.size > 1) Some(ok(1) - ok(0)) else None
-      (name, best._1, spread, best._2)
+      (name, best._1, spread, best._2, best._3)
     }
     // 3-decimal (ms) timings: full Double.toString rendered the
     // 111-query line past the driver's stdout-tail window, truncating
@@ -112,20 +135,32 @@ object Bench {
     // run-to-run noise and halves the line length.
     def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     def fmt2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", d)
-    val qs = results.collect { case (k, v, _, None) => s"\"${esc(k)}\":${fmt(v)}" }
+    val qs = results.collect { case (k, v, _, None, _) => s"\"${esc(k)}\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val spreads = results.collect { case (k, _, Some(s), None) => s"\"${esc(k)}\":${fmt(s)}" }
+    val spreads = results.collect { case (k, _, Some(s), None, _) => s"\"${esc(k)}\":${fmt(s)}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
+    val errs = results.collect { case (k, _, _, Some(m), _) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _, None) => v }.sum
+    val total = results.collect { case (_, v, _, None, _) => v }.sum
     val nOk = results.count(_._4.isEmpty)
+    // Floor-adjusted drain times for the streaming gates: raw −
+    // floor × jobs-of-best-attempt, clamped at 0. A many-micro-batch
+    // gate that "regressed" only because the box's dispatch floor
+    // moved shows a FLAT adjusted number — the cross-round signal.
+    val streamAdj = results.collect {
+      case (k, v, _, None, nJobs)
+          if k.startsWith("stream_") || k.contains("_stream_") =>
+        s"\"${esc(k)}\":${fmt2(math.max(0.0, v - floorS * nJobs))}"
+    }.mkString("{", ",", "}")
+    val jobsJson = results.collect { case (k, _, _, None, nJobs) =>
+      s"\"${esc(k)}\":$nJobs"
+    }.mkString("{", ",", "}")
     // Durable artifact first (stdout-tail capture proved lossy in r3):
     // the COMPLETE per-query JSON (3-decimal timings, spreads, full
     // error strings) always lands in target/bench.json — copy it into
     // the repo as BENCHFULL_r{N}.json each round for regression diffs.
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"stream_floor_s":${fmt(floorS)},"stream_adjusted":$streamAdj,"jobs":$jobsJson,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
@@ -144,21 +179,21 @@ object Bench {
       md.update(selected.map(_._1).mkString(",").getBytes("UTF-8"))
       md.digest().map("%02x".format(_)).mkString.take(12)
     }
-    val qt = results.map { case (_, v, _, err) =>
+    val qt = results.map { case (_, v, _, err, _) =>
       if (err.isDefined) "-1" else fmt2(v)
     }.mkString("[", ",", "]")
-    val sortedSpreads = results.collect { case (_, _, Some(s), None) => s }.sorted
+    val sortedSpreads = results.collect { case (_, _, Some(s), None, _) => s }.sorted
     val noiseFloor =
       if (sortedSpreads.isEmpty) 0.0 else sortedSpreads(sortedSpreads.length / 2)
-    val errNames = results.collect { case (k, _, _, Some(_)) => s"\"${esc(k)}\"" }
+    val errNames = results.collect { case (k, _, _, Some(_), _) => s"\"${esc(k)}\"" }
       .take(8).mkString("[", ",", "]")
     // "queries" keeps the driver-contract key with the 10 slowest —
     // the regression hotlist — while qt carries the complete suite
-    val slowest = results.collect { case (k, v, _, None) => (k, v) }
+    val slowest = results.collect { case (k, v, _, None, _) => (k, v) }
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$slowest,"names_md5":"$namesMd5","qt":$qt,"noise_floor_s":${fmt(noiseFloor)},"err_names":$errNames,"full":"target/bench.json","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$slowest,"names_md5":"$namesMd5","qt":$qt,"noise_floor_s":${fmt(noiseFloor)},"stream_floor_s":${fmt(floorS)},"stream_adj":$streamAdj,"err_names":$errNames,"full":"target/bench.json","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     println(json)
     spark.stop()
     graft.stub.AlpacaStubServer.stop()

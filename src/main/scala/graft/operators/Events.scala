@@ -323,10 +323,13 @@ object Events {
       |  SELECT thr,
       |    (SELECT COUNT(*) FROM events WHERE value >= thr) AS n FROM ks),
       |pick AS (SELECT COALESCE(MIN(thr), 1) AS thr FROM counted WHERE n <= 200)
-      |SELECT p.thr AS threshold, COUNT(*) AS n_above,
+      |SELECT (SELECT thr FROM pick) AS threshold, COUNT(*) AS n_above,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
-      |FROM events, pick p WHERE value >= p.thr
-      |GROUP BY p.thr""".stripMargin
+      |FROM events WHERE value >= (SELECT thr FROM pick)""".stripMargin
+  // ^ scalar-subquery form, not GROUP BY p.thr: the script's final
+  //   SELECT aggregates WITHOUT grouping, so on an EMPTY corpus Spark
+  //   emits one (thr, 0, NULL) row — a grouped oracle would emit zero
+  //   rows and diverge (r9 fuzz hardening; values identical otherwise)
 
   /** Sketch-based top-k (Spark 4.1's `approx_top_k`): frequent-item
     * counts per event_type via the native ItemsSketch aggregate,

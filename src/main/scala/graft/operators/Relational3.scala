@@ -100,6 +100,12 @@ object Relational3 {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name),
       |                        (c_mktsegment), ())
+      |-- Spark emits NO rows for any grouping set over EMPTY input
+      |-- (grouping-id becomes a grouping key), where the standard —
+      |-- and DuckDB — emit one () grand-total row with n=0. Guard the
+      |-- oracle to Spark's shape; on any nonempty input every group
+      |-- has n >= 1 and this clause is a no-op (r9 fuzz).
+      |HAVING COUNT(*) > 0
       |ORDER BY gid, r_name NULLS FIRST, c_mktsegment NULLS FIRST"""
       .stripMargin
 
@@ -160,7 +166,13 @@ object Relational3 {
         length(regexp_replace(col("text"), "[aeiou]", ""))
           .cast("bigint").as("len_novowel"),
         expr("split_part(text, ' ', 2)").as("second_token"),
-        levenshtein(col("lang"), lit("en")).cast("bigint").as("lev_en"),
+        // ASCII-projected operand: Spark's levenshtein counts CODE
+        // POINTS where DuckDB's counts BYTES, so multibyte chars give
+        // different distances ("中"→"en": 2 vs 3). Folding non-ASCII
+        // to '?' (1 char = 1 byte) makes the metric engine-portable;
+        // a no-op on ASCII language tags (r9 fuzz).
+        levenshtein(regexp_replace(col("lang"), "[^\\x00-\\x7F]", "?"),
+          lit("en")).cast("bigint").as("lev_en"),
         lpad(col("lang"), 5, "_").as("lang_pad"),
         translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"))
       .orderBy(col("doc_id"))
@@ -173,7 +185,9 @@ object Relational3 {
       |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
       |    AS len_novowel,
       |  split_part(text, ' ', 2) AS second_token,
-      |  CAST(levenshtein(lang, 'en') AS BIGINT) AS lev_en,
+      |  CAST(levenshtein(
+      |    regexp_replace(lang, '[^\x00-\x7f]', '?', 'g'), 'en')
+      |    AS BIGINT) AS lev_en,
       |  lpad(lang, 5, '_') AS lang_pad,
       |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr
       |FROM documents ORDER BY doc_id""".stripMargin

@@ -93,9 +93,11 @@ object Relational4 {
         ser("transform_values(m, (k, v) -> v * CAST(10 AS BIGINT))")
           .as("tv"),
         ser("map_filter(m, (k, v) -> v % 2 = 0)").as("mf"),
+        // b (= max event_id) rides in MOD 1000: int64-edge ids would
+        // overflow a*1000+b — DuckDB errors, Spark wraps (r9 fuzz)
         ser("""map_zip_with(m, m2, (k, a, b) ->
           coalesce(a, CAST(0 AS BIGINT)) * 1000 +
-          coalesce(b, CAST(0 AS BIGINT)))""").as("mz"))
+          coalesce(b, CAST(0 AS BIGINT)) % 1000)""").as("mz"))
       .orderBy(col("user_id"))
   }
 
@@ -106,8 +108,10 @@ object Relational4 {
       |SELECT user_id,
       |  COUNT(*) AS n_types,
       |  COUNT(*) FILTER (WHERE n >= 3) AS n_hot,
+      |  -- tk sorts by the TRANSFORMED key (type || '#'): appending
+      |  -- '#' (0x23) reorders '' vs ' 42 ' since '#' > ' ' (r9 fuzz)
       |  STRING_AGG(event_type || '#:' || CAST(n AS STRING), ','
-      |    ORDER BY event_type) AS tk,
+      |    ORDER BY event_type || '#') AS tk,
       |  STRING_AGG(event_type || ':' || CAST(n * 10 AS STRING), ','
       |    ORDER BY event_type) AS tv,
       |  -- Spark serializes an empty map_filter to '' (array_join over
@@ -115,7 +119,8 @@ object Relational4 {
       |  COALESCE(STRING_AGG(event_type || ':' || CAST(n AS STRING), ','
       |    ORDER BY event_type) FILTER (WHERE n % 2 = 0), '') AS mf,
       |  STRING_AGG(event_type || ':' ||
-      |    CAST(n * 1000 + CASE WHEN n >= 3 THEN mx ELSE 0 END AS STRING),
+      |    CAST(n * 1000 + CASE WHEN n >= 3 THEN mx % 1000 ELSE 0 END
+      |      AS STRING),
       |    ',' ORDER BY event_type) AS mz
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -312,9 +317,17 @@ object Relational4 {
 
   val q58Sql: String =
     """SELECT o_orderkey,
-      |  CAST(o_orderkey AS STRING) || ',' || o_orderstatus || ',' ||
-      |    o_orderpriority AS line,
-      |  o_orderkey AS rk, o_orderstatus AS rst, o_orderpriority AS rpr,
+      |  -- to_csv renders an EMPTY string field as a quoted "" (to
+      |  -- distinguish it from NULL); mirror that quoting (r9 fuzz)
+      |  CAST(o_orderkey AS STRING) || ',' ||
+      |    CASE WHEN o_orderstatus = '' THEN '""' ELSE o_orderstatus END
+      |    || ',' ||
+      |    CASE WHEN o_orderpriority = '' THEN '""' ELSE o_orderpriority END
+      |    AS line,
+      |  -- ...and from_csv parses that quoted empty field back to
+      |  -- NULL (the CSV reader's nullValue default) — NULLIF mirrors
+      |  o_orderkey AS rk, NULLIF(o_orderstatus, '') AS rst,
+      |  NULLIF(o_orderpriority, '') AS rpr,
       |  o_orderstatus AS m_st, CAST(2 AS BIGINT) AS m_n
       |FROM orders WHERE o_orderkey % 30 = 4
       |ORDER BY o_orderkey""".stripMargin
@@ -462,10 +475,21 @@ object Relational4 {
     * type — reconstructs the byte-identical string from base columns
     * with chr(10) concatenation, so an upstream formatting change
     * surfaces as a hash break instead of silent drift. All per-row
-    * codegen'd projections, zero shuffle before the final sort. */
+    * codegen'd projections, zero shuffle before the final sort.
+    *
+    * Input totalization (r9): XML 1.0 cannot represent control chars
+    * at all (in any escaping), and `&`/`<`/`>` would diverge between
+    * to_xml's entity escaping and the oracle's raw concat — so both
+    * sides strip exactly that class first. This is the policy a
+    * production XML exporter must define anyway; on the driver
+    * fixtures (plain priorities/statuses) the strip is a no-op. */
   def q66Xml(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .filter(col("o_orderkey") % 30 === 11)
+      .withColumn("o_orderstatus",
+        regexp_replace(col("o_orderstatus"), "[\\x00-\\x1f&<>]", ""))
+      .withColumn("o_orderpriority",
+        regexp_replace(col("o_orderpriority"), "[\\x00-\\x1f&<>]", ""))
       .select(col("o_orderkey"),
         expr("to_xml(named_struct('k', o_orderkey, 'st', o_orderstatus, " +
           "'pr', o_orderpriority))").as("doc"))
@@ -480,16 +504,20 @@ object Relational4 {
       .orderBy(col("o_orderkey"))
 
   val q66Sql: String =
-    """SELECT o_orderkey,
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    regexp_replace(o_orderstatus, '[\x00-\x1f&<>]', '', 'g') AS st,
+      |    regexp_replace(o_orderpriority, '[\x00-\x1f&<>]', '', 'g') AS pr
+      |  FROM orders WHERE o_orderkey % 30 = 11)
+      |SELECT o_orderkey,
       |  '<ROW>' || chr(10) ||
       |  '    <k>' || CAST(o_orderkey AS VARCHAR) || '</k>' || chr(10) ||
-      |  '    <st>' || o_orderstatus || '</st>' || chr(10) ||
-      |  '    <pr>' || o_orderpriority || '</pr>' || chr(10) ||
+      |  '    <st>' || st || '</st>' || chr(10) ||
+      |  '    <pr>' || pr || '</pr>' || chr(10) ||
       |  '</ROW>' AS doc,
-      |  o_orderkey AS rk, o_orderstatus AS rst, o_orderpriority AS rpr,
-      |  o_orderkey AS xk, o_orderstatus AS xst, o_orderpriority AS xpr
-      |FROM orders WHERE o_orderkey % 30 = 11
-      |ORDER BY o_orderkey""".stripMargin
+      |  o_orderkey AS rk, st AS rst, pr AS rpr,
+      |  o_orderkey AS xk, st AS xst, pr AS xpr
+      |FROM src ORDER BY o_orderkey""".stripMargin
 
   /** Dynamic SQL (Spark 4 `EXECUTE IMMEDIATE` with `USING` binds and
     * the `IDENTIFIER()` clause): the statement text lives in a
