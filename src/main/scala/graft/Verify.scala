@@ -46,6 +46,17 @@ object Verify {
       .map { case (k, (h, n)) => s""""$k": {"hash": "$h", "rows": $n}""" }
       .mkString("{", ",\n ", "}")
     Files.writeString(Paths.get(s"$outDir/_self_hash.json"), hashJson)
+    // provenance for mismatch adjudication: WHICH process produced
+    // this dump, when, under what session knobs
+    Files.writeString(Paths.get(s"$outDir/_env.json"),
+      s"""{"pid": ${ProcessHandle.current().pid()},
+         | "spark": "${spark.version}",
+         | "cpus": "$cpus", "sfDir": "$sfDir",
+         | "wallclock_utc": "${java.time.Instant.now()}",
+         | "shuffle_partitions": "${spark.conf.get("spark.sql.shuffle.partitions")}",
+         | "timezone": "${spark.conf.get("spark.sql.session.timeZone")}",
+         | "ansi": "${spark.conf.getOption("spark.sql.ansi.enabled")
+          .getOrElse("default")}"}""".stripMargin)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
