@@ -1197,7 +1197,20 @@ object Similarity {
     * fleet. */
   def simAnnRecallCurve768(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val (emb, corpCell, qProbe, enc, lut) = probe768(spark, dir, CurveProbes.max)
+    // r9: index built on the ARRAY path (buildIvf768) — bit-equal to
+    // the posexplode construction (the `_prod` gate pins that against
+    // the shared oracle) at ~2× less build cost; the posexplode shape
+    // itself stays exercised by sim_ann_ivfpq_768.
+    val idx = buildIvf768(spark, dir, PNlist)
+    val emb = idx.emb
+    val corpCell = idx.corpCell
+    val enc = idx.enc
+    val lut = idx.lut
+    val qProbe = idx.cellDistQ.withColumn("cr", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cent_id"))))
+      .filter(col("cr") <= CurveProbes.max)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("qcell"),
+        col("cr").as("probe_rank"))
     val nps = spark.range(0, CurveProbes.length)
       .select(explode(array(CurveProbes.map(lit): _*)).as("nprobe")).distinct()
     val adc = enc.join(corpCell, col("vec_id") === col("c_vec"))
