@@ -153,7 +153,13 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              # hostile corpora (zero-norm vectors cosine to NULL,
              # all-identical corpora tie-break on vec_id, negative
              # ids stay out of the codebook/centroid sets)
-             "sim_ann_ivfpq_768", "sim_ann_recall_curve_768"]
+             "sim_ann_ivfpq_768", "sim_ann_recall_curve_768",
+             # r9: the array-based production index (same oracle as the
+             # 768 gate) and the IVF-cell-blocked semantic dedup audit
+             # (zero-norm → NULL cosine drops from n_neardup on both
+             # engines; all-identical corpora collapse into one cell
+             # with n²/2 pairs and max_cosine 1.0)
+             "sim_ann_ivfpq_768_prod", "sim_semantic_dedup_768"]
 # r8: warehouse gates over hostile orders/customer fixtures. Each
 # gate's documented data contract bounds the generator (see
 # gen_orders): non-negative keys, dates in [1992, 2200), prices on the

@@ -1369,12 +1369,18 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"),
         (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
           col("cnorm2")).as("cdist"))
-    // nearest cell via partial-aggregable min(struct): the map side
-    // collapses to one row per (partition, vec) before the shuffle —
-    // no N×nlist window sort anywhere
+    // nearest cell via a PACKED-LONG argmin: cdist is an exact
+    // integer-valued double (≤ 768·255² < 2²⁶), so
+    // cdist·65536 + cent_id is exact in BIGINT and min() over it is
+    // the (cdist, cent_id)-lexicographic pick — same tie-break as the
+    // oracle's ROW_NUMBER — while keeping the aggregate HASH-able
+    // (min over a struct buffer plans SortAggregate) and map-side
+    // partial: one row per (partition, vec) before the shuffle.
     val corpCell = cellDist
-      .groupBy(col("vec_id")).agg(min(struct(col("cdist"), col("cent_id"))).as("s"))
-      .select(col("vec_id").as("c_vec"), col("s.cent_id").as("cell"))
+      .select(col("vec_id"),
+        (col("cdist").cast("bigint") * lit(65536L) + col("cent_id")).as("k"))
+      .groupBy(col("vec_id")).agg(min(col("k")).as("k"))
+      .select(col("vec_id").as("c_vec"), (col("k") % 65536L).as("cell"))
       .localCheckpoint()
     val cellDistQ = cellDist
       .filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
@@ -1450,6 +1456,91 @@ object Similarity {
   def simAnnIvfPq768Prod(spark: SparkSession, dir: String): DataFrame =
     queryIvf768(buildIvf768(spark, dir, PNlist), PNprobe)
 
+  // ------------- ANN-blocked semantic dedup at production dims (r9)
+  private val SemDedup768Tau = 0.35
+
+  /** SemDeDup at transformer dimensionality: near-dup candidate pairs
+    * are generated by IVF-CELL BLOCKING (two vectors are compared iff
+    * they share a nearest centroid) and confirmed by the exact 768-dim
+    * cosine — the production shape of embedding dedup, where the
+    * all-pairs O(N²) never exists: with nlist ∝ N/B the cell
+    * population is bounded at B, so confirmed comparisons are ≤ N·B/2
+    * regardless of corpus size (the gate runs nlist=16 at gate scale;
+    * [[nlistFor]] is the sizing rule). Output is the per-cell audit a
+    * dedup run ships: members, compared pairs, pairs over the bar,
+    * and the cell's max cosine — all exactly reproducible (left-fold
+    * dot, one IEEE division; grouped MAX/SUM of exact doubles are
+    * order-independent). Cells of one member report zero pairs rather
+    * than vanishing (report-don't-drop, PARITY.md #26). */
+  def simSemanticDedup768(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(E768Spark).as("e768"))
+      .withColumn("codesD",
+        expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", dotF(col("codesD"), col("codesD")))
+      .localCheckpoint()
+    val cent = emb.filter(col("vec_id") >= 0 && col("vec_id") < PNlist)
+      .select(col("vec_id").as("cent_id"), col("codesD").as("ccodes"),
+        col("norm2").as("cnorm2"))
+    val cells = emb.select(col("vec_id"), col("codesD"), col("norm2"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
+          col("cnorm2")).as("cdist"))
+      .select(col("vec_id"),
+        // packed-long argmin (see buildIvf768): hash-aggregable,
+        // exact, tie-broken by cent_id like the oracle's ROW_NUMBER
+        (col("cdist").cast("bigint") * lit(65536L) + col("cent_id")).as("k"))
+      .groupBy(col("vec_id")).agg(min(col("k")).as("k"))
+      .select(col("vec_id"), (col("k") % 65536L).as("cell"))
+    val withV = cells.join(emb.select(col("vec_id"), col("e768")), "vec_id")
+    val pairs = withV.as("a")
+      .join(withV.as("b").hint("merge"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        cosineOf(dotF(col("a.e768"), col("b.e768")),
+          sqrt(dotF(col("a.e768"), col("a.e768"))),
+          sqrt(dotF(col("b.e768"), col("b.e768")))).as("c"))
+    val pairStats = pairs.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("c") >= SemDedup768Tau, 1L).otherwise(0L))
+          .as("n_neardup"),
+        max(col("c")).as("max_cosine"))
+    cells.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(pairStats, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        col("max_cosine"))
+      .orderBy(col("cell"))
+  }
+
+  lazy val simSemanticDedup768Sql: String =
+    s"""WITH $index768Ctes,
+       |memb AS (SELECT cell, COUNT(*) AS n_members FROM corpcell
+       |         GROUP BY cell),
+       |p AS (
+       |  SELECT a.cell AS cell,
+       |    ${cos768Sql("ea.e768", "eb.e768")} AS c
+       |  FROM corpcell a JOIN corpcell b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN e ea ON a.vec_id = ea.vec_id
+       |  JOIN e eb ON b.vec_id = eb.vec_id),
+       |ps AS (
+       |  SELECT cell, COUNT(*) AS n_pairs,
+       |    SUM(CASE WHEN c >= $SemDedup768Tau THEN 1 ELSE 0 END)
+       |      AS n_neardup,
+       |    MAX(c) AS max_cosine
+       |  FROM p GROUP BY cell)
+       |SELECT CAST(m.cell AS BIGINT) AS cell,
+       |  CAST(m.n_members AS BIGINT) AS n_members,
+       |  CAST(COALESCE(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(ps.n_neardup, 0) AS BIGINT) AS n_neardup,
+       |  ps.max_cosine
+       |FROM memb m LEFT JOIN ps ON m.cell = ps.cell
+       |ORDER BY cell""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "sim_cosine_topk" -> ((simCosineTopK _, simCosineTopKSql)),
     "sim_mmr_select" -> ((simMmrSelect _, simMmrSelectSql)),
@@ -1465,5 +1556,6 @@ object Similarity {
     "sim_ann_ivfpq" -> ((simAnnIvfPq _, simAnnIvfPqSql)),
     "sim_ann_ivfpq_768" -> ((simAnnIvfPq768 _, simAnnIvfPq768Sql)),
     "sim_ann_ivfpq_768_prod" -> ((simAnnIvfPq768Prod _, simAnnIvfPq768Sql)),
+    "sim_semantic_dedup_768" -> ((simSemanticDedup768 _, simSemanticDedup768Sql)),
     "sim_ann_recall_curve_768" -> ((simAnnRecallCurve768 _, simAnnRecallCurve768Sql)))
 }

@@ -38,7 +38,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // query broadcast, both bounded by construction
     "sim_ann_recall_curve_768",
     // 1-row confusion-matrix agg × 1-row candidate-count agg
-    "dedup_lsh_eval")
+    "dedup_lsh_eval",
+    // nlist-row (16 at gate scale) broadcast centroid cross for the
+    // cell assignment — the same bounded-constant cross as
+    // sim_ann_ivf/sim_ann_filtered, at 768 dims
+    "sim_semantic_dedup_768")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
