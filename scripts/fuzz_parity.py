@@ -328,8 +328,13 @@ def gen_events(rng, n, cardinality):
         # ACCEPT path; decimal-shaped ("3.5") stay out — DuckDB
         # TRY_CAST rounds them to int where Spark NULLs (dialect
         # split, PARITY.md)
+        # control-padded numerics ("\x01 123") exercise the REJECT
+        # path: Spark try_cast trims ASCII control chars, DuckDB does
+        # not — the guard must NULL them on the Spark side to match
         types = ["", "view", "click", "purchase", "視聴",
-                 "123", " 42 ", "+7", "99999999999999999999"]
+                 "123", " 42 ", "+7", "99999999999999999999",
+                 "\x01123", "123\x7f", "\x00 55", "\x1f+9\x0e",
+                 "\u00a07\u00a0", "\u20287\u2029"]
     val_pool = [0.0, -0.0, 0.25, -0.25, 1e6, -1e6, 999999.75]
     base_pool = [0, 3600 * 10**9, 86400 * 10**9, 2_000_000_000 * 10**9]
     # valid JSON with a small integer k throughout: q33 extracts and

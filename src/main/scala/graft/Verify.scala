@@ -20,12 +20,16 @@ object Verify {
     // constant-from-first-gate so no plan depends on gate order
     graft.core.SessionTuning.nanosAsLong(spark)
     new java.io.File(outDir).mkdirs()
-    new java.io.File(s"$outDir/_canon").mkdirs()
     // Flake forensics (VERDICT r8 next #1a): alongside each dump,
     // persist a canonical self-hash computed FROM THE WRITTEN PARQUET
     // (so it certifies the dump file the driver will read, not just
     // the in-memory result) plus, for small gates, the full sorted
     // canonical text for byte-level diffing by RepeatVerify.
+    // Forensics live in a SIBLING directory, never inside outDir: the
+    // driver enumerates outDir's children as gates, so anything else
+    // in there becomes a spurious correctness entry (r9's `_canon` err).
+    val forensicsDir = s"${outDir.stripSuffix("/")}__forensics"
+    new java.io.File(s"$forensicsDir/_canon").mkdirs()
     val selfHashes = scala.collection.mutable.LinkedHashMap[String, (String, Long)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -36,7 +40,7 @@ object Verify {
         val lines = Canon.canonicalLines(spark.read.parquet(s"$outDir/$name"))
         selfHashes(name) = (Canon.md5(lines), lines.length.toLong)
         if (lines.length <= 20000)
-          Files.writeString(Paths.get(s"$outDir/_canon/$name.txt"),
+          Files.writeString(Paths.get(s"$forensicsDir/_canon/$name.txt"),
             lines.mkString("", "\n", "\n"))
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -45,10 +49,10 @@ object Verify {
     val hashJson = selfHashes
       .map { case (k, (h, n)) => s""""$k": {"hash": "$h", "rows": $n}""" }
       .mkString("{", ",\n ", "}")
-    Files.writeString(Paths.get(s"$outDir/_self_hash.json"), hashJson)
+    Files.writeString(Paths.get(s"$forensicsDir/_self_hash.json"), hashJson)
     // provenance for mismatch adjudication: WHICH process produced
     // this dump, when, under what session knobs
-    Files.writeString(Paths.get(s"$outDir/_env.json"),
+    Files.writeString(Paths.get(s"$forensicsDir/_env.json"),
       s"""{"pid": ${ProcessHandle.current().pid()},
          | "spark": "${spark.version}",
          | "cpus": "$cpus", "sfDir": "$sfDir",

@@ -38,15 +38,21 @@ class EwmaProcessor(k: Int)
     val out = Vector.newBuilder[EwmaOut]
     incoming.foreach { case (_, j, c4) =>
       // The 2^i weights assume strictly increasing hour indices: a
-      // late/replayed bar with j ≤ the stored frame tail would be
-      // appended POSITIONALLY, silently misweighting every subsequent
-      // EWMA point for this symbol. The connector's offset-tiling
-      // contract guarantees order; enforce it loudly rather than
-      // emitting wrong values if that contract is ever broken.
-      require(fr.isEmpty || j > fr.last._1,
+      // late bar with j < the stored frame tail would be appended
+      // POSITIONALLY, silently misweighting every subsequent EWMA
+      // point for this symbol. The connector's offset-tiling contract
+      // guarantees non-decreasing order; enforce it loudly rather
+      // than emitting wrong values if that contract is ever broken.
+      // An exact redelivery of the boundary bar (same j, same close —
+      // the at-least-once replay a restarted micro-batch produces) is
+      // idempotently skipped, not failed: replay is allowed by the
+      // contract, regression is not.
+      val isReplay = fr.nonEmpty && j == fr.last._1 && c4 == fr.last._2
+      require(isReplay || fr.isEmpty || j > fr.last._1,
         s"EwmaProcessor[$key]: out-of-order hour index $j ≤ frame tail " +
-          s"${fr.last._1} — late or replayed micro-batch violates the " +
-          "source's non-decreasing offset-tiling contract")
+          s"${fr.last._1} — a regressing or value-conflicting bar " +
+          "violates the source's non-decreasing offset-tiling contract")
+      if (!isReplay) {
       fr = (fr :+ (j, c4)).takeRight(k)
       var num = 0L
       var i = 0
@@ -54,6 +60,7 @@ class EwmaProcessor(k: Int)
       val den = (1L << fr.size) - 1L
       out += EwmaOut(key, j * AlpacaFixtures.HourUs, fr.size,
         num.toDouble / (den.toDouble * 4.0))
+      }
     }
     frame.clear()
     fr.foreach(frame.appendValue)

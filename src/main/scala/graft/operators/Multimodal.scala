@@ -14,11 +14,14 @@ case class MediaFeatures(doc_id: Long, n_bytes: Long, mean_byte: Double,
     chunk_means: Array[Double])
 
 /**
- * Multimodal-column plumbing over synthesized binary payloads (the
- * container ships no image/audio codecs — decode is a clearly-marked
- * deterministic STUB; the Spark-side plumbing — schema, binary
- * columns, per-partition batch processing, feature arrays — is real
- * and tested).
+ * Multimodal-column plumbing over synthesized binary payloads. Formats
+ * the JDK decodes natively are REAL round trips — WAV
+ * (javax.sound.sampled), PNG/BMP/JPEG (javax.imageio) writer → bytes →
+ * parser — plus a real 2-D bilinear resize over the decoded pixels;
+ * only codec-dependent formats the container can't decode remain
+ * clearly-marked deterministic stubs. The Spark-side plumbing —
+ * schema, binary columns, per-partition batch processing, feature
+ * arrays — is real and tested throughout.
  *
  * Scale design: payloads stay in the executor partition end-to-end
  * (mapPartitions = the Scala analogue of mapInPandas batch iteration);
@@ -187,14 +190,12 @@ object Multimodal {
   // --------------------------------------------------- resize/resample
   private val ResizeBuckets = 16
 
-  /** Resize/resample — the remaining multimodal seam: every payload is
-    * resampled to a FIXED-length 16-bucket signal (bucket k = mean
-    * byte over [k·n/16, (k+1)·n/16)), the 1-D analogue of image
-    * resize / audio resample: variable-size media in, fixed-size
-    * representation out, computed inside the partition iterator. A
-    * real pipeline swaps the bucket mean for bilinear/sinc kernels
-    * over decoded samples; the contract — fixed output arity
-    * per record, bytes never leaving the executor — is identical.
+  /** Resize/resample — 1-D bucket-mean stand-in, kept as the cheap
+    * text-payload twin of the REAL 2-D bilinear resize over decoded
+    * pixels ([[mmResizeReal]], r10): every payload is resampled to a
+    * FIXED-length 16-bucket signal (bucket k = mean byte over
+    * [k·n/16, (k+1)·n/16)) — variable-size media in, fixed-size
+    * representation out, computed inside the partition iterator.
     * Oracled like the decode stub (ASCII corpus ⇒ exact integer sums,
     * one IEEE division per bucket). */
   def mmResizeStub(spark: SparkSession, dir: String): DataFrame = {
@@ -535,9 +536,14 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val r = ((id + 3L * x + 5L * y) % 256).toInt
-            val g = ((2L * id + 7L * x + y) % 256).toInt
-            val b = ((11L * x + 13L * y) % 256).toInt
+            // floorMod, not %: Scala % keeps the dividend's sign, so a
+            // negative doc_id would yield negative channels that
+            // sign-extend through (r<<16)|(g<<8)|b and corrupt higher
+            // bytes — floorMod keeps the gate total over int64 doc_ids
+            // (oracle mirrors with ((v % 256) + 256) % 256)
+            val r = Math.floorMod(id + 3L * x + 5L * y, 256L).toInt
+            val g = Math.floorMod(2L * id + 7L * x + y, 256L).toInt
+            val b = Math.floorMod(11L * x + 13L * y, 256L).toInt
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
             x += 1
           }
@@ -576,24 +582,270 @@ object Multimodal {
        |gy AS (SELECT UNNEST(RANGE(0, $PngMaxH)) AS y),
        |px AS (
        |  SELECT doc_id, w, h,
-       |    (doc_id + 3 * x + 5 * y) % 256 AS r,
-       |    (2 * doc_id + 7 * x + y) % 256 AS g,
-       |    (11 * x + 13 * y) % 256 AS b
+       |    ((doc_id + 3 * x + 5 * y) % 256 + 256) % 256 AS r,
+       |    ((2 * doc_id + 7 * x + y) % 256 + 256) % 256 AS g,
+       |    ((11 * x + 13 * y) % 256 + 256) % 256 AS b
        |  FROM ids JOIN gx ON gx.x < ids.w JOIN gy ON gy.y < ids.h)
        |SELECT doc_id, CAST(1 AS BIGINT) AS png_sig,
        |  CAST(MIN(w) AS BIGINT) AS w, CAST(MIN(h) AS BIGINT) AS h,
        |  CAST(SUM(r) AS BIGINT) AS sum_r,
        |  CAST(SUM(g) AS BIGINT) AS sum_g,
        |  CAST(SUM(b) AS BIGINT) AS sum_b,
-       |  CAST(MIN((doc_id + 3 * (w - 1) + 5 * (h - 1)) % 256) * 65536
-       |    + MIN((2 * doc_id + 7 * (w - 1) + (h - 1)) % 256) * 256
-       |    + MIN((11 * (w - 1) + 13 * (h - 1)) % 256) AS BIGINT) AS corner_rgb
+       |  CAST(MIN(((doc_id + 3 * (w - 1) + 5 * (h - 1)) % 256 + 256) % 256) * 65536
+       |    + MIN(((2 * doc_id + 7 * (w - 1) + (h - 1)) % 256 + 256) % 256) * 256
+       |    + MIN(((11 * (w - 1) + 13 * (h - 1)) % 256 + 256) % 256) AS BIGINT) AS corner_rgb
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** BMP round trip — the second lossless imageio path (r10, VERDICT
+    * r9 next #3): same generating pixels as [[mmPngDecode]] but
+    * written through the JDK's BMP encoder (BI_RGB 24-bit, BOTTOM-UP
+    * row order, 4-byte row padding) and re-parsed — a genuinely
+    * different container/byte layout than PNG's zlib-filtered
+    * top-down scanlines, sharing the same closed-form oracle family.
+    * A row-order, padding, or channel-order mistake in either
+    * direction of the codec breaks the per-channel sums. */
+  def mmBmpDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      import java.awt.image.BufferedImage
+      import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+      import javax.imageio.ImageIO
+      it.map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (8 + id % 5).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = Math.floorMod(id + 3L * x + 5L * y, 256L).toInt
+            val g = Math.floorMod(2L * id + 7L * x + y, 256L).toInt
+            val b = Math.floorMod(11L * x + 13L * y, 256L).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(img, "bmp", baos)
+        val bytes = baos.toByteArray
+        val sig = if (bytes(0) == 'B' && bytes(1) == 'M') 1L else 0L
+        val dec = ImageIO.read(new ByteArrayInputStream(bytes))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        y = 0
+        while (y < dec.getHeight) {
+          var x = 0
+          while (x < dec.getWidth) {
+            val p = dec.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val corner = dec.getRGB(dec.getWidth - 1, dec.getHeight - 1) & 0xffffff
+        (id, sig, dec.getWidth.toLong, dec.getHeight.toLong,
+          sr, sg, sb, corner.toLong)
+      }
+    }.toDF("doc_id", "bmp_sig", "w", "h", "sum_r", "sum_g", "sum_b",
+        "corner_rgb")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Same closed-form oracle family as PNG (the pixels are identical —
+    * only the container differs), with the BMP signature constant. */
+  val mmBmpDecodeSql: String =
+    mmPngDecodeSql.replace("AS png_sig", "AS bmp_sig")
+
+  /** JPEG round trip (r10): grayscale pattern → the JDK's REAL JPEG
+    * encoder at quality 1.0 → SOI/EOI-checked bytes → the real JPEG
+    * parser. JPEG is LOSSY, so unlike PNG/BMP the decoded pixel sums
+    * have no closed form; what IS exact — and what the oracle checks —
+    * is the container round trip (signature, decoded dimensions) plus
+    * a measured error bound: at quality 1.0 the quantization tables
+    * are all-1s and the DCT round trip is within ±1 of the source on
+    * EVERY pixel (probed exhaustively over the full input residue
+    * space — all (id mod 256, id mod 8, id mod 5) classes, so the
+    * bound holds for all int64 doc_ids, not just the fixtures).
+    * Grayscale (TYPE_BYTE_GRAY single-component) sidesteps chroma
+    * subsampling, the lossy step that would break even the bound. */
+  def mmJpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      import java.awt.image.BufferedImage
+      import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+      import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+      it.map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (8 + id % 5).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0,
+              Math.floorMod(id + 3L * x + 5L * y, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(1.0f)
+        val baos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), param)
+        ios.close(); writer.dispose()
+        val bytes = baos.toByteArray
+        val n = bytes.length
+        val sig = if (n >= 4 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8 && (bytes(n - 2) & 0xff) == 0xff &&
+          (bytes(n - 1) & 0xff) == 0xd9) 1L else 0L
+        val dec = ImageIO.read(new ByteArrayInputStream(bytes))
+        var maxErr = 0
+        y = 0
+        while (y < dec.getHeight) {
+          var x = 0
+          while (x < dec.getWidth) {
+            val e = math.abs(dec.getRaster.getSample(x, y, 0) -
+              Math.floorMod(id + 3L * x + 5L * y, 256L).toInt)
+            if (e > maxErr) maxErr = e
+            x += 1
+          }
+          y += 1
+        }
+        (id, sig, dec.getWidth.toLong, dec.getHeight.toLong,
+          dec.getWidth.toLong * dec.getHeight, if (maxErr <= 1) 1L else 0L)
+      }
+    }.toDF("doc_id", "jpeg_sig", "w", "h", "n_px", "err_le_1")
+      .orderBy(col("doc_id"))
+  }
+
+  val mmJpegDecodeSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS jpeg_sig,
+      |  CAST(8 + doc_id % 8 AS BIGINT) AS w,
+      |  CAST(8 + doc_id % 5 AS BIGINT) AS h,
+      |  CAST((8 + doc_id % 8) * (8 + doc_id % 5) AS BIGINT) AS n_px,
+      |  CAST(1 AS BIGINT) AS err_le_1
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** REAL 2-D bilinear resize over really-decoded pixels (r10,
+    * replacing the 1-D byte-bucket arithmetic of [[mmResizeStub]] as
+    * the production path): the PNG bytes from the real encoder are
+    * re-decoded by the real parser, then the RGB image is upsampled
+    * 2× (rw = 2w−1, rh = 2h−1, output (x,y) samples source position
+    * (x/2, y/2)) with an EXPLICIT bilinear kernel — weights are
+    * quarter-integers at half-pixel positions, so 4·interpolant is an
+    * exact integer and the per-channel sums are closed-form oracle-
+    * able. Java2D's own AffineTransformOp was probed and rejected for
+    * this gate: TYPE_BYTE_GRAY routes through a linear→sRGB colorspace
+    * conversion and even TYPE_INT_RGB uses opaque fixed-point edge
+    * weights (10,20→12, not the 15 of textbook bilinear), so its
+    * arithmetic cannot be mirrored in an oracle — the kernel here IS
+    * the standard definition a production resampler implements. */
+  def mmResizeReal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      import java.awt.image.BufferedImage
+      import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+      import javax.imageio.ImageIO
+      it.map { id =>
+        val w = (8 + id % 8).toInt
+        val h = (8 + id % 5).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = Math.floorMod(id + 3L * x + 5L * y, 256L).toInt
+            val g = Math.floorMod(2L * id + 7L * x + y, 256L).toInt
+            val b = Math.floorMod(11L * x + 13L * y, 256L).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", baos)
+        val dec = ImageIO.read(new ByteArrayInputStream(baos.toByteArray))
+        val rw = 2 * w - 1
+        val rh = 2 * h - 1
+        // 4·bilinear at source position (x/2, y/2): even coords hit a
+        // pixel (weight 1), one odd coord averages 2 neighbors (½,½),
+        // both odd average 4 (¼ each) — all exact in integers
+        def ch(p: Int, c: Int): Long = ((p >> c) & 0xff).toLong
+        var s4r = 0L; var s4g = 0L; var s4b = 0L
+        var ry = 0
+        while (ry < rh) {
+          var rx = 0
+          while (rx < rw) {
+            val x0 = rx / 2; val y0 = ry / 2
+            val x1 = (rx + 1) / 2; val y1 = (ry + 1) / 2
+            val p00 = dec.getRGB(x0, y0); val p10 = dec.getRGB(x1, y0)
+            val p01 = dec.getRGB(x0, y1); val p11 = dec.getRGB(x1, y1)
+            s4r += ch(p00, 16) + ch(p10, 16) + ch(p01, 16) + ch(p11, 16)
+            s4g += ch(p00, 8) + ch(p10, 8) + ch(p01, 8) + ch(p11, 8)
+            s4b += ch(p00, 0) + ch(p10, 0) + ch(p01, 0) + ch(p11, 0)
+            rx += 1
+          }
+          ry += 1
+        }
+        val pc = dec.getRGB(w - 1, h - 1)
+        (id, rw.toLong, rh.toLong, s4r, s4g, s4b, 4L * ch(pc, 16))
+      }
+    }.toDF("doc_id", "rw", "rh", "sum4_r", "sum4_g", "sum4_b", "corner4_r")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Closed form: Σ over the resized grid of the 4-neighbor sums is a
+    * range join over resized coordinates with the same floor/ceil
+    * index arithmetic; pixel values come from the generating formulas
+    * (the PNG round trip is bit-exact, proven by `mm_png_decode`). */
+  val mmResizeRealSql: String =
+    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+       |  FROM documents),
+       |gx AS (SELECT UNNEST(RANGE(0, ${2 * PngMaxW - 1})) AS rx),
+       |gy AS (SELECT UNNEST(RANGE(0, ${2 * PngMaxH - 1})) AS ry),
+       |cells AS (
+       |  SELECT doc_id, w, h, rx // 2 AS x0, ry // 2 AS y0,
+       |    (rx + 1) // 2 AS x1, (ry + 1) // 2 AS y1
+       |  FROM ids JOIN gx ON gx.rx < 2 * ids.w - 1
+       |            JOIN gy ON gy.ry < 2 * ids.h - 1),
+       |terms AS (
+       |  SELECT doc_id, w, h,
+       |    ((doc_id + 3 * x0 + 5 * y0) % 256 + 256) % 256
+       |      + ((doc_id + 3 * x1 + 5 * y0) % 256 + 256) % 256
+       |      + ((doc_id + 3 * x0 + 5 * y1) % 256 + 256) % 256
+       |      + ((doc_id + 3 * x1 + 5 * y1) % 256 + 256) % 256 AS r4,
+       |    ((2 * doc_id + 7 * x0 + y0) % 256 + 256) % 256
+       |      + ((2 * doc_id + 7 * x1 + y0) % 256 + 256) % 256
+       |      + ((2 * doc_id + 7 * x0 + y1) % 256 + 256) % 256
+       |      + ((2 * doc_id + 7 * x1 + y1) % 256 + 256) % 256 AS g4,
+       |    ((11 * x0 + 13 * y0) % 256 + 256) % 256
+       |      + ((11 * x1 + 13 * y0) % 256 + 256) % 256
+       |      + ((11 * x0 + 13 * y1) % 256 + 256) % 256
+       |      + ((11 * x1 + 13 * y1) % 256 + 256) % 256 AS b4
+       |  FROM cells)
+       |SELECT doc_id, CAST(MIN(2 * w - 1) AS BIGINT) AS rw,
+       |  CAST(MIN(2 * h - 1) AS BIGINT) AS rh,
+       |  CAST(SUM(r4) AS BIGINT) AS sum4_r,
+       |  CAST(SUM(g4) AS BIGINT) AS sum4_g,
+       |  CAST(SUM(b4) AS BIGINT) AS sum4_b,
+       |  CAST(4 * (((doc_id + 3 * (MIN(w) - 1) + 5 * (MIN(h) - 1)) % 256
+       |    + 256) % 256) AS BIGINT) AS corner4_r
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
     "mm_wav_decode" -> ((mmWavDecode _, mmWavDecodeSql)),
     "mm_png_decode" -> ((mmPngDecode _, mmPngDecodeSql)),
+    "mm_bmp_decode" -> ((mmBmpDecode _, mmBmpDecodeSql)),
+    "mm_jpeg_decode" -> ((mmJpegDecode _, mmJpegDecodeSql)),
+    "mm_resize_real" -> ((mmResizeReal _, mmResizeRealSql)),
     "mm_scene_cut" -> ((mmSceneCut _, mmSceneCutSql)),
     "mm_decode_stub" -> ((mmDecodeStub _, mmDecodeStubSql)),
     "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),

@@ -302,8 +302,14 @@ object Relational4 {
     t(spark, dir, "orders")
       .filter(col("o_orderkey") % 30 === 4)
       .select(col("o_orderkey"),
+        // the writer-side whitespace trim is OFF: to_csv's write
+        // defaults set ignore{Leading,Trailing}WhiteSpace=true (unlike
+        // the read side), silently rewriting values like "1-URGENT "
+        // → "1-URGENT" while the oracle concatenates the raw column
+        // (r10 fuzz find on trailing-space priorities)
         expr("to_csv(named_struct('k', o_orderkey, 'st', o_orderstatus, " +
-          "'pr', o_orderpriority))").as("line"),
+          "'pr', o_orderpriority), map('ignoreLeadingWhiteSpace', 'false', " +
+          "'ignoreTrailingWhiteSpace', 'false'))").as("line"),
         expr("str_to_map(concat('st:', o_orderstatus, '|pr:', " +
           "o_orderpriority), '\\\\|', ':')").as("mp"))
       .select(col("o_orderkey"), col("line"),

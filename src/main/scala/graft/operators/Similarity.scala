@@ -1354,6 +1354,14 @@ object Similarity {
     * `sim_ann_ivfpq_768_prod` shares the 768 gate's DuckDB oracle). */
   def buildIvf768(spark: SparkSession, dir: String, nlist: Int): Ivf768Index = {
     import graft.functions.VectorFunctions.dotF
+    // the packed-long argmin below reserves 16 bits for cent_id; a
+    // larger nlist (nlistFor returns 65536+ above ~2^32 vectors) would
+    // silently bleed cent_id into the cdist field and assign
+    // wrong-but-plausible cells — fail loudly instead
+    require(nlist <= 65536,
+      s"buildIvf768: nlist=$nlist exceeds the 16-bit cent_id field of " +
+        "the packed-long argmin (max 65536) — widen the pack multiplier " +
+        "before raising nlist")
     val w = org.apache.spark.sql.expressions.Window
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr(E768Spark).as("e768"))

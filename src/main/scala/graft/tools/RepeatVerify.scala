@@ -59,14 +59,37 @@ object RepeatVerify {
       require(rc == 0, s"verify run $i exited $rc")
     }
 
-    // gate -> run -> hash
+    // gate -> run -> hash (forensics live in the sibling __forensics dir
+    // so the driver never enumerates them as gates)
     val perRun: Seq[(Int, Map[String, String])] = (1 to n).map { i =>
-      val txt = Files.readString(Paths.get(s"$outBase/run_$i/_self_hash.json"))
+      val txt = Files.readString(
+        Paths.get(s"$outBase/run_${i}__forensics/_self_hash.json"))
       i -> hashLine.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
     }
+    // gate -> run -> raw-parquet-byte hash (VERDICT r9 next #2): hashes
+    // the actual file bytes the driver reads, not just canonical rows.
+    // Part-file NAMES carry task UUIDs and differ per run by design, so
+    // the hash covers content bytes only, concatenated in sorted-name
+    // order (coalesce(1) means one part file per gate in practice).
+    val perRunBytes: Seq[(Int, Map[String, String])] = (1 to n).map { i =>
+      val runDir = Paths.get(s"$outBase/run_$i")
+      val m = Files.list(runDir).iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map { gateDir =>
+          val md = _root_.java.security.MessageDigest.getInstance("MD5")
+          Files.list(gateDir).iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .toSeq.sortBy(_.getFileName.toString)
+            .foreach(p => md.update(Files.readAllBytes(p)))
+          gateDir.getFileName.toString ->
+            md.digest().map("%02x".format(_)).mkString
+        }.toMap
+      i -> m
+    }
     val allGates = perRun.flatMap(_._2.keys).distinct.sorted
     var unstable = 0
+    var byteUnstable = 0
     allGates.foreach { g =>
       val hs = perRun.map { case (i, m) => i -> m.get(g) }
       val distinct = hs.map(_._2).distinct
@@ -81,21 +104,41 @@ object RepeatVerify {
           (i1, h1) <- byHash.headOption
           (i2, _) <- byHash.find(_._2 != h1)
         } {
-          val l1 = Files.readAllLines(
-            Paths.get(s"$outBase/run_$i1/_canon/$g.txt")).asScala
-          val l2 = Files.readAllLines(
-            Paths.get(s"$outBase/run_$i2/_canon/$g.txt")).asScala
-          val diffs = l1.zipAll(l2, "<missing>", "<missing>")
-            .zipWithIndex.filter { case ((a, b), _) => a != b }.take(5)
-          diffs.foreach { case ((a, b), ln) =>
-            println(s"  line ${ln + 1}: run$i1=$a")
-            println(s"  line ${ln + 1}: run$i2=$b")
+          val p1 = Paths.get(s"$outBase/run_${i1}__forensics/_canon/$g.txt")
+          val p2 = Paths.get(s"$outBase/run_${i2}__forensics/_canon/$g.txt")
+          if (Files.exists(p1) && Files.exists(p2)) {
+            val l1 = Files.readAllLines(p1).asScala
+            val l2 = Files.readAllLines(p2).asScala
+            val diffs = l1.zipAll(l2, "<missing>", "<missing>")
+              .zipWithIndex.filter { case ((a, b), _) => a != b }.take(5)
+            diffs.foreach { case ((a, b), ln) =>
+              println(s"  line ${ln + 1}: run$i1=$a")
+              println(s"  line ${ln + 1}: run$i2=$b")
+            }
+          } else {
+            // Verify only captures canonical text for gates <= 20000 rows;
+            // report and keep going rather than aborting the loop.
+            println(s"  canonical text not captured for $g (>20000 rows)")
           }
         }
       }
+      // parquet-byte comparison is reported separately: a gate whose
+      // canonical rows hold but whose file bytes flicker indicates
+      // nondeterministic row/row-group order inside the dump — the one
+      // mechanism canonical hashing can't see.
+      val bs = perRunBytes.map { case (i, m) => i -> m.get(g) }
+      if (bs.map(_._2).distinct.size > 1) {
+        byteUnstable += 1
+        println(s"[repeat-verify] PARQUET-BYTES-UNSTABLE $g" +
+          (if (distinct.size == 1) " (canonical rows stable)" else "") + ": " +
+          bs.map { case (i, h) => s"run$i=${h.map(_.take(8)).getOrElse("MISSING")}" }
+            .mkString(" "))
+      }
     }
     println(s"[repeat-verify] ${allGates.size} gates x $n runs: " +
-      s"${allGates.size - unstable} stable, $unstable unstable")
-    if (unstable > 0) sys.exit(1)
+      s"${allGates.size - unstable} row-stable, $unstable row-unstable; " +
+      s"${allGates.size - byteUnstable} parquet-byte-stable, " +
+      s"$byteUnstable parquet-byte-unstable")
+    if (unstable > 0 || byteUnstable > 0) sys.exit(1)
   }
 }
