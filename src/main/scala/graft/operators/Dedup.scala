@@ -226,49 +226,87 @@ object Dedup {
       .filter(col("est_jaccard") >= ClusterThreshold)
       .select(col("doc_a"), col("doc_b")))
 
-  /** HashMin fixpoint over an arbitrary (doc_a, doc_b) pair frame —
-    * the shared CC engine behind [[dedupClusters]] (16-perm pairs at
-    * J≥0.5) and [[dedupClustersProd]] (128-perm pairs at J≥0.7). */
+  /** Rounds the last [[clustersFromPairs]] call took — driver-side
+    * instrumentation for the soak record (VERDICT r9 next #4: the
+    * iteration count must be observable, not inferred from timing). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
+  /** Two-phase star contraction (large-star/small-star alternation —
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) over an arbitrary (doc_a, doc_b) pair frame — the
+    * shared CC engine behind [[dedupClusters]] (16-perm pairs at
+    * J≥0.5) and [[dedupClustersProd]] (128-perm pairs at J≥0.7).
+    *
+    * Replaces the r1–r9 HashMin fixpoint, whose round count was the
+    * component DIAMETER: correct, but the one un-engineered lever at
+    * scale — the r9 soak measured a 4.5–10 s spread at 40k docs from
+    * diameter variation alone, and a 100 TB adversarially-chained
+    * corpus makes diameter unbounded. Star contraction halves
+    * component height every alternation (O(log n) rounds REGARDLESS
+    * of diameter), so wall-clock collapses to rounds × per-round cost
+    * with rounds a small data-independent constant (≈⌈log₂ height⌉).
+    *
+    * Each phase re-points nodes at their neighborhood minimum:
+    * large-star connects every neighbor LARGER than the center to
+    * min(Γ⁺(center)); small-star connects the not-larger neighbors
+    * (and the center) to that minimum. Both preserve connectivity and
+    * never create an edge to outside the component, so the fixpoint —
+    * a depth-1 star forest rooted at each component's minimum — yields
+    * exactly the HashMin labels: (node, min doc_id of its component).
+    * All emitted edges are (hi, lo)-oriented, so the convergence check
+    * is plain set equality. One shuffle per phase (the groupBy;
+    * the min re-join rides the same hash partitioning) plus the
+    * convergence anti-joins; per-phase frames are checkpointed to cut
+    * lineage exactly as before. */
   private[operators] def clustersFromPairs(pairsIn: DataFrame): DataFrame = {
     // reliable (HDFS/S3) checkpoints when the cluster has
+    // reliable (HDFS/S3) checkpoints when the cluster has
     // setCheckpointDir configured — survives executor loss;
-    // executor-local otherwise (this gate). An adversarially-chained
-    // corpus (diameter > MaxCcIters) would switch to
-    // large-star/small-star contraction (O(log n) rounds), same
-    // join-per-round shape.
+    // executor-local otherwise (this gate).
     def ckpt(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
-    val pairs = pairsIn
-    val edges = ckpt(pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst"))
-    // seed = identity labels with the FIRST HashMin step fused in:
-    // label₀(v) = min(v, min direct neighbor) — one aggregation
-    // replaces the distinct-nodes pass plus a whole join iteration
-    // (edges are symmetric, so grouping by src covers every node)
-    var labels = ckpt(edges.groupBy(col("src").as("node"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("label")))
-    var iter = 0
+    // canonical undirected edge set, (hi, lo)-oriented like every
+    // frame both phases emit — the orientation that makes the
+    // convergence check a plain set comparison
+    var edges = ckpt(pairsIn.filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .distinct())
+    var rounds = 0
     var done = false
-    while (!done && iter < MaxCcIters) {
-      val nbrMin = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // `changed` rides along in the checkpointed frame, so the
-      // convergence check is a filter over the cached result — not a
-      // second join back to the previous labels (one fewer
-      // shuffle-join per iteration)
-      val newLabel = least(col("label"), coalesce(col("nbr_label"), col("label")))
-      val next = ckpt(labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"), newLabel.as("label"),
-          (newLabel =!= col("label")).as("changed")))
-      done = next.filter(col("changed")).isEmpty
-      labels = next.select(col("node"), col("label"))
-      iter += 1
+    while (!done && rounds < MaxCcIters) {
+      // LARGE-STAR: center every node, m = min(Γ⁺); re-point each
+      // strictly-larger neighbor at m. Tall chains halve in height.
+      val sym = edges.select(col("hi").as("c"), col("lo").as("n"))
+        .union(edges.select(col("lo").as("c"), col("hi").as("n")))
+      val mins = sym.groupBy(col("c"))
+        .agg(least(col("c"), min(col("n"))).as("m"))
+      val ls = ckpt(sym.join(mins, "c")
+        .filter(col("n") > col("c") && col("n") =!= col("m"))
+        .select(col("n").as("hi"), col("m").as("lo"))
+        .distinct())
+      // SMALL-STAR: center the hi side of each edge, m = min of its
+      // lo-neighbors; re-point those neighbors and the center at m.
+      val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ckpt(ls.join(sMins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(sMins.select(col("hi"), col("m").as("lo")))
+        .distinct())
+      // fixpoint = the (hi, lo) set is invariant under a full round
+      done = ss.exceptAll(edges).union(edges.exceptAll(ss)).isEmpty
+      edges = ss
+      rounds += 1
     }
     if (!done) throw new IllegalStateException(
-      s"dedupClusters did not converge in $MaxCcIters iterations")
-    labels
+      s"dedupClusters did not converge in $MaxCcIters star rounds")
+    lastCcRounds = rounds
+    // converged: a star forest (child, root) with root = component
+    // min; labels = children → root, roots → themselves
+    edges.select(col("hi").as("node"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("node"), col("lo").as("label"))
+        .distinct())
   }
 
   /** DuckDB twin: transitive closure via a recursive CTE (fine at

@@ -487,9 +487,11 @@ object ScaleSoak {
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
       val (tP, np) = timeIt(Dedup.dedupMinhashProd(spark, dir))
       val (tC, nc) = timeIt(Dedup.dedupClustersProd(spark, dir))
+      val ccRounds = Dedup.lastCcRounds
       val (tI, ni) = timeIt(Dedup.dedupIncrementalMinhashProd(spark, dir))
       println(f"SOAK_DEDUPPROD n=$n docs=$docs pairs=$tP%.2f s ($np pairs) " +
-        f"clusters=$tC%.2f s ($nc docs) incremental=$tI%.2f s ($ni docs)")
+        f"clusters=$tC%.2f s ($nc docs, $ccRounds star rounds) " +
+        f"incremental=$tI%.2f s ($ni docs)")
     }
     spark.stop()
   }
