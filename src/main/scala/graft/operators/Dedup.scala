@@ -348,7 +348,7 @@ object Dedup {
   // ------------------------------------- production-shape minhash
   private val ProdPerms = 128
   private val ProdBands = 16 // × 8 rows per band (b=16, r=8)
-  private val ProdClusterThreshold = 0.7
+  private[operators] val ProdClusterThreshold = 0.7
 
   /** 128-permutation signatures — the production operating point
     * (the 16-perm pipeline above is the pedagogic/cheap variant; its
@@ -831,7 +831,14 @@ object Dedup {
     * signature rows, 4× band rows, est_jaccard resolution 1/128.
     * At 100 TB: the index is a table bucketed on (band_id, bh), the
     * daily probe shuffles ONLY the delta's ~1 KB/doc signatures. */
-  def dedupIncrementalMinhashProd(spark: SparkSession, dir: String): DataFrame = {
+  def dedupIncrementalMinhashProd(spark: SparkSession, dir: String): DataFrame =
+    incrementalMinhashProdCore(spark, dir).orderBy(col("doc_id"))
+
+  /** Unordered (doc_id, status, match_doc_id, best_est_jaccard) frame —
+    * the composable form [[Pipeline.dailyDelta]] builds its keep-set
+    * from. */
+  private[operators] def incrementalMinhashProdCore(
+      spark: SparkSession, dir: String): DataFrame = {
     val bands = prodBandDf(prodSigDf(spark, dir))
     val batchB = bands.filter(col("doc_id") % 5 === 0)
     val corpusB = bands.filter(col("doc_id") % 5 =!= 0)
@@ -856,14 +863,16 @@ object Dedup {
           .as("status"),
         col("c_doc").as("match_doc_id"),
         col("ej").as("best_est_jaccard"))
-      .orderBy(col("doc_id"))
   }
 
-  val dedupIncrementalMinhashProdSql: String = {
+  /** The prod-constant CTE bundle up to `est` (delta×corpus estimated
+    * Jaccard) — shared by the incremental gate's oracle and the
+    * composed daily-delta pipeline's. */
+  private[operators] val incrementalProdCtes: String = {
     val eq = (1 to ProdPerms)
       .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END")
       .grouped(16).map(g => s"(${g.mkString(" + ")})").mkString(" + ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |$prodSigCte,
        |$prodBandCte,
        |batch_bands AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
@@ -876,7 +885,11 @@ object Dedup {
        |  SELECT b_doc, c_doc,
        |    CAST($eq AS DOUBLE) / $ProdPerms.0 AS ej
        |  FROM cand JOIN sigs sa ON b_doc = sa.doc_id
-       |            JOIN sigs sb ON c_doc = sb.doc_id),
+       |            JOIN sigs sb ON c_doc = sb.doc_id)""".stripMargin
+  }
+
+  val dedupIncrementalMinhashProdSql: String = {
+    s"""WITH $incrementalProdCtes,
        |best AS (
        |  SELECT b_doc, c_doc, ej,
        |    ROW_NUMBER() OVER (PARTITION BY b_doc ORDER BY ej DESC, c_doc) AS rk

@@ -416,7 +416,104 @@ object Pipeline {
        |ORDER BY source, shard_id""".stripMargin
   }
 
+  // --------------------------- the daily-delta run (r10, VERDICT #8)
+  /** What a 100 TB corpus actually executes EVERY DAY: the ingest
+    * delta (the incremental gates' doc_id % 5 convention) probes the
+    * persistent 128-perm band index and keeps only docs with NO
+    * corpus near-dup at the shipping threshold
+    * (`dedup_incremental_minhash_prod`'s keep-set), the survivors are
+    * screened against the benchmark Bloom filter
+    * (`text_bloom_decontam` — map-side prefilter, exact confirm), and
+    * what remains is packed into token-budget shards per source for
+    * the trainer. Each stage is a gate-pinned operator; the output
+    * hash certifies the COMPOSITION — delta isolation, keep-set
+    * semantics, decontam exactness, and deterministic packing —
+    * end to end at production constants.
+    *
+    * Scale: the delta is the only full-text scan; dedup shuffles
+    * ~1 KB/doc signatures against the (bucketed) index, decontam adds
+    * no train-side shuffle (broadcast bitset + broadcast confirm),
+    * and the packing window runs over the day's SURVIVORS only,
+    * per-source. All output measures are exact integers. */
+  def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val keep = Dedup.incrementalMinhashProdCore(spark, dir)
+      .filter(col("status") === "new")
+      .select(col("doc_id"))
+    val contaminated = TextOps.textBloomDecontam(spark, dir)
+      .select(col("doc_id"))
+    val meta = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+    keep
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(meta, Seq("doc_id"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("shard_id", expr(s"(cum - tokens) div ${TextOps.ShardTokens}"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
+  /** Oracle recomposition: the incremental-prod CTE bundle supplies
+    * the keep-set; decontam is restated in its exact (Bloom-free)
+    * form with dd-prefixed CTE names (the shingle bundle already owns
+    * the generic ones); packing mirrors the per-source window. */
+  val dailyDeltaSql: String = {
+    val k5 = TextOps.DecontamN
+    s"""WITH ${Dedup.incrementalProdCtes},
+       |dup_delta AS (
+       |  SELECT DISTINCT b_doc AS doc_id FROM est
+       |  WHERE ej >= ${Dedup.ProdClusterThreshold}),
+       |keepset AS (
+       |  SELECT doc_id FROM sigs
+       |  WHERE doc_id % 5 = 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM dup_delta)),
+       |dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || SUBSTR(md5(text), 1, 4))::INT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    STRING_SPLIT(text, ' ') AS ws
+       |  FROM documents
+       |  WHERE LEN(STRING_SPLIT(text, ' ')) >= $k5),
+       |dd_grams AS (
+       |  SELECT doc_id, split,
+       |    md5(ARRAY_TO_STRING(ws[i : i + ${k5 - 1}], ' ')) AS gram
+       |  FROM dd, UNNEST(RANGE(1, LEN(ws) - ${k5 - 2})) AS r(i)),
+       |dd_test AS (SELECT DISTINCT gram FROM dd_grams WHERE split = 'test'),
+       |dd_contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM dd_grams t JOIN dd_test g ON t.gram = g.gram
+       |  WHERE t.split = 'train'),
+       |survivors AS (
+       |  SELECT k.doc_id, d.source,
+       |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS tokens
+       |  FROM keepset k JOIN documents d ON k.doc_id = d.doc_id
+       |  WHERE k.doc_id NOT IN (SELECT doc_id FROM dd_contaminated)),
+       |packed AS (
+       |  SELECT doc_id, source, tokens,
+       |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM survivors)
+       |SELECT source, (cum - tokens) // ${TextOps.ShardTokens} AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM packed
+       |GROUP BY source, shard_id
+       |ORDER BY source, shard_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "pipeline_daily_delta" -> ((dailyDelta _, dailyDeltaSql)),
     "pipeline_curate" -> ((curate _, curateSql)),
     "pipeline_train_build" -> ((trainBuild _, trainBuildSql)),
     "pipeline_curate_v2" -> ((curateV2 _, curateV2Sql)),

@@ -1480,15 +1480,25 @@ object Similarity {
     * dot, one IEEE division; grouped MAX/SUM of exact doubles are
     * order-independent). Cells of one member report zero pairs rather
     * than vanishing (report-don't-drop, PARITY.md #26). */
-  def simSemanticDedup768(spark: SparkSession, dir: String): DataFrame = {
+  def simSemanticDedup768(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup768Core(spark, dir, PNlist)
+
+  /** [[simSemanticDedup768]] with the cell count as a parameter — the
+    * soak drives this at nlistFor/constant-B sizings; the gate pins
+    * nlist=16 (the oracle's shape). */
+  private[graft] def semanticDedup768Core(spark: SparkSession, dir: String,
+      nlist: Int): DataFrame = {
     import graft.functions.VectorFunctions.dotF
+    require(nlist <= 65536,
+      s"semanticDedup768Core: nlist=$nlist exceeds the 16-bit cent_id " +
+        "field of the packed-long argmin (max 65536)")
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr(E768Spark).as("e768"))
       .withColumn("codesD",
         expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm2", dotF(col("codesD"), col("codesD")))
       .localCheckpoint()
-    val cent = emb.filter(col("vec_id") >= 0 && col("vec_id") < PNlist)
+    val cent = emb.filter(col("vec_id") >= 0 && col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("codesD").as("ccodes"),
         col("norm2").as("cnorm2"))
     val cells = emb.select(col("vec_id"), col("codesD"), col("norm2"))

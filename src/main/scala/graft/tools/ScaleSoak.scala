@@ -35,6 +35,10 @@ object ScaleSoak {
     // encode + route + ADC + re-rank at 768 dims over an amplified
     // corpus (vectors, not docs, are the axis here)
     if (args.headOption.contains("ann768")) { ann768Soak(args); return }
+    // "semdedup N": cell-blocked SemDeDup pair generation at 768 dims
+    // — compared-pairs slope + wall-clock under two cell sizings
+    // (VERDICT r9 next #7)
+    if (args.headOption.contains("semdedup")) { semDedupSoak(args); return }
     // "dpp [nSym] [keep]": quantify runtime partition pruning on the
     // connector — an nSym-symbol bars scan joined to a keep-symbol
     // watchlist, HTTP request counts measured with DPP on vs off
@@ -373,6 +377,65 @@ object ScaleSoak {
     // explicit stop + exit the probe JVM outlives its last print
     graft.stub.AlpacaStubServer.stop()
     sys.exit(0)
+  }
+
+  /** SemDeDup pair-generation scaling (VERDICT r9 next #7): the
+    * cell-blocked comparison at 10k/25k/50k vectors under BOTH cell
+    * sizings — nlistFor's √N rule (cells grow as √N ⇒ pairs ≈
+    * N·√N/2, sub-quadratic) and the SemDeDup-native constant-B rule
+    * nlist = N/B (B pinned ⇒ pairs ≈ N·B/2, LINEAR — the sizing a
+    * 100 TB dedup ships). Records compared pairs (Σ n_pairs over the
+    * per-cell audit) next to wall-clock so the slope is measured, not
+    * asserted. */
+  private def semDedupSoak(args: Array[String]): Unit = {
+    val factor = args.lift(1).map(_.toInt).getOrElse(25)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val baseEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def amplifyEmb(n: Int): String = {
+      val dir = s"/tmp/graft_soak/emb_x$n"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
+        baseEmb.crossJoin(spark.range(n).toDF("copy"))
+          .select(($"vec_id" * n + $"copy").as("vec_id"),
+            when($"copy" === 0, $"embedding").otherwise(
+              expr("transform(embedding, (x, i) -> " +
+                "CAST(x * IF(pmod(hash(copy, i), 2) = 0, 1.0D, -1.0D) AS FLOAT))"))
+              .as("embedding"),
+            $"label")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      dir
+    }
+    val TargetB = 64 // constant-B sizing: nlist = max(16, N/B)
+    def runOnce(dir: String, nlist: Int): (Double, Long, Long, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val agg = Similarity.semanticDedup768Core(spark, dir, nlist)
+        .agg(sum(col("n_pairs")).as("pairs"),
+          sum(col("n_neardup")).as("neardup"),
+          count(lit(1)).as("cells")).collect()(0)
+      ((System.nanoTime() - t0) / 1e9,
+        agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    }
+    locally { val d = amplifyEmb(1); runOnce(d, 16) } // warm, uncounted
+    Seq(5, math.max(6, factor / 2), factor).distinct.sorted.foreach { n =>
+      val dir = amplifyEmb(n)
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val nlSqrt = Similarity.nlistFor(vecs)
+      val nlConstB = math.max(16, (vecs / TargetB).toInt)
+      val (tS, pS, dS, cS) = runOnce(dir, nlSqrt)
+      val (tB, pB, dB, cB) = runOnce(dir, nlConstB)
+      println(f"SOAK_SEMDEDUP n=$n vecs=$vecs | sqrtN nlist=$nlSqrt: " +
+        f"t=$tS%.2f s pairs=$pS neardup=$dS cells=$cS | " +
+        f"constB nlist=$nlConstB: t=$tB%.2f s pairs=$pB neardup=$dB cells=$cB")
+    }
+    spark.stop()
   }
 
   private def ann768Soak(args: Array[String]): Unit = {
