@@ -294,8 +294,12 @@ object Dedup {
         .select(col("lo").as("hi"), col("m").as("lo"))
         .union(sMins.select(col("hi"), col("m").as("lo")))
         .distinct())
-      // fixpoint = the (hi, lo) set is invariant under a full round
-      done = ss.exceptAll(edges).union(edges.exceptAll(ss)).isEmpty
+      // fixpoint = the (hi, lo) set is invariant under a full round.
+      // Both frames are distinct() sets, so equal cardinality plus
+      // one-direction emptiness proves equality — one anti-join
+      // instead of two (counts are cheap: both frames are already
+      // materialized by their checkpoints).
+      done = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
       edges = ss
       rounds += 1
     }

@@ -47,16 +47,20 @@ object RepeatVerify {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
 
-    (1 to n).foreach { i =>
-      val out = s"$outBase/run_$i"
-      val cmd = (Seq(java) ++ addOpens ++ Seq(
-        s"-Xmx$mem", "-Dspark.ui.enabled=false",
-        "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Verify", sfDir, out) ++ gates.toSeq)
-      println(s"[repeat-verify] run $i/$n -> $out")
-      val p = new ProcessBuilder(cmd.asJava).inheritIO().start()
-      val rc = p.waitFor()
-      require(rc == 0, s"verify run $i exited $rc")
+    // GRAFT_REPEAT_ANALYZE_ONLY=1 re-runs only the comparison phase
+    // over an existing outBase (e.g. after upgrading the hashers).
+    if (!sys.env.get("GRAFT_REPEAT_ANALYZE_ONLY").contains("1")) {
+      (1 to n).foreach { i =>
+        val out = s"$outBase/run_$i"
+        val cmd = (Seq(java) ++ addOpens ++ Seq(
+          s"-Xmx$mem", "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC",
+          "-cp", cp, "graft.Verify", sfDir, out) ++ gates.toSeq)
+        println(s"[repeat-verify] run $i/$n -> $out")
+        val p = new ProcessBuilder(cmd.asJava).inheritIO().start()
+        val rc = p.waitFor()
+        require(rc == 0, s"verify run $i exited $rc")
+      }
     }
 
     // gate -> run -> hash (forensics live in the sibling __forensics dir
@@ -67,29 +71,54 @@ object RepeatVerify {
       i -> hashLine.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
     }
-    // gate -> run -> raw-parquet-byte hash (VERDICT r9 next #2): hashes
-    // the actual file bytes the driver reads, not just canonical rows.
-    // Part-file NAMES carry task UUIDs and differ per run by design, so
-    // the hash covers content bytes only, concatenated in sorted-name
-    // order (coalesce(1) means one part file per gate in practice).
-    val perRunBytes: Seq[(Int, Map[String, String])] = (1 to n).map { i =>
+    // gate -> run -> (data-region hash, full-file hash) (VERDICT r9
+    // next #2): hashes the actual file bytes the driver reads, not
+    // just canonical rows. Part-file NAMES carry task UUIDs and differ
+    // per run by design, so the hash covers content bytes only,
+    // concatenated in sorted-name order (coalesce(1) means one part
+    // file per gate in practice). The hash is SPLIT at the thrift
+    // footer boundary (trailer = 4-byte LE footer length + "PAR1"):
+    // the r10 20×-run record proved the ONLY byte variance across
+    // fresh JVMs is the footer's per-column `encodings` list order —
+    // parquet-mr serializes a HashSet of Encoding enums whose
+    // iteration order follows per-JVM identity hash codes — with
+    // schema, statistics, page offsets and table values identical
+    // (pyarrow-verified). Data pages must be byte-stable; the footer
+    // artifact is library-internal and value-invariant, so it is
+    // reported but not failed.
+    val perRunBytes: Seq[(Int, Map[String, (String, String)])] = (1 to n).map { i =>
       val runDir = Paths.get(s"$outBase/run_$i")
       val m = Files.list(runDir).iterator().asScala
         .filter(p => Files.isDirectory(p))
         .map { gateDir =>
-          val md = _root_.java.security.MessageDigest.getInstance("MD5")
+          val mdData = _root_.java.security.MessageDigest.getInstance("MD5")
+          val mdFull = _root_.java.security.MessageDigest.getInstance("MD5")
           Files.list(gateDir).iterator().asScala
             .filter(p => p.getFileName.toString.endsWith(".parquet"))
             .toSeq.sortBy(_.getFileName.toString)
-            .foreach(p => md.update(Files.readAllBytes(p)))
+            .foreach { p =>
+              val bytes = Files.readAllBytes(p)
+              mdFull.update(bytes)
+              val n = bytes.length
+              val dataEnd =
+                if (n >= 12 && bytes(n - 4) == 'P' && bytes(n - 3) == 'A' &&
+                  bytes(n - 2) == 'R' && bytes(n - 1) == '1') {
+                  val fl = (bytes(n - 8) & 0xff) | ((bytes(n - 7) & 0xff) << 8) |
+                    ((bytes(n - 6) & 0xff) << 16) | ((bytes(n - 5) & 0xff) << 24)
+                  math.max(0, n - 8 - fl)
+                } else n
+              mdData.update(bytes, 0, dataEnd)
+            }
           gateDir.getFileName.toString ->
-            md.digest().map("%02x".format(_)).mkString
+            (mdData.digest().map("%02x".format(_)).mkString,
+              mdFull.digest().map("%02x".format(_)).mkString)
         }.toMap
       i -> m
     }
     val allGates = perRun.flatMap(_._2.keys).distinct.sorted
     var unstable = 0
     var byteUnstable = 0
+    var footerOnly = 0
     allGates.foreach { g =>
       val hs = perRun.map { case (i, m) => i -> m.get(g) }
       val distinct = hs.map(_._2).distinct
@@ -122,23 +151,29 @@ object RepeatVerify {
           }
         }
       }
-      // parquet-byte comparison is reported separately: a gate whose
-      // canonical rows hold but whose file bytes flicker indicates
+      // parquet DATA-byte comparison is a hard check: a gate whose
+      // canonical rows hold but whose data pages flicker indicates
       // nondeterministic row/row-group order inside the dump — the one
-      // mechanism canonical hashing can't see.
+      // mechanism canonical hashing can't see. Footer-only variance is
+      // the known parquet-mr encodings-set artifact (value-invariant)
+      // and is reported informationally.
       val bs = perRunBytes.map { case (i, m) => i -> m.get(g) }
-      if (bs.map(_._2).distinct.size > 1) {
+      if (bs.map(_._2.map(_._1)).distinct.size > 1) {
         byteUnstable += 1
-        println(s"[repeat-verify] PARQUET-BYTES-UNSTABLE $g" +
+        println(s"[repeat-verify] PARQUET-DATA-UNSTABLE $g" +
           (if (distinct.size == 1) " (canonical rows stable)" else "") + ": " +
-          bs.map { case (i, h) => s"run$i=${h.map(_.take(8)).getOrElse("MISSING")}" }
+          bs.map { case (i, h) =>
+            s"run$i=${h.map(_._1.take(8)).getOrElse("MISSING")}" }
             .mkString(" "))
+      } else if (bs.map(_._2.map(_._2)).distinct.size > 1) {
+        footerOnly += 1
       }
     }
     println(s"[repeat-verify] ${allGates.size} gates x $n runs: " +
       s"${allGates.size - unstable} row-stable, $unstable row-unstable; " +
-      s"${allGates.size - byteUnstable} parquet-byte-stable, " +
-      s"$byteUnstable parquet-byte-unstable")
+      s"${allGates.size - byteUnstable} parquet-data-byte-stable, " +
+      s"$byteUnstable parquet-data-byte-unstable; $footerOnly footer-only " +
+      "variance (known parquet-mr encodings-order artifact, not failed)")
     if (unstable > 0 || byteUnstable > 0) sys.exit(1)
   }
 }
