@@ -71,6 +71,10 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # token-budget cumsums, boilerplate chunk counts)
              "text_chunk_dedup", "text_lm_score", "text_stratified_sample",
              "text_source_cap", "text_mix_weights", "text_shard_pack",
+             # r10: fixed-context sequence packing (span explode +
+             # per-sequence overlap sums; token conservation must hold
+             # on hostile text and int64-edge doc_ids)
+             "text_seq_pack",
              "dedup_simhash",
              # r5: the capped DSIR filter + the pair-generating dedup
              # family (md5-parity + band-hash contracts on hostile
@@ -131,7 +135,20 @@ MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
             # r8: scene-cut frame scan — division-free BIGINT mean
             # jumps; empty docs (0 frames), single-frame docs (no
             # transition), 5KB tokens (multi-frame) all in the pool
-            "mm_scene_cut"]
+            "mm_scene_cut",
+            # r10: the image-codec round trips are total over int64
+            # doc_ids — Spark uses floorMod (wrap-safe mod 256: 256
+            # divides 2^64) and the oracles reduce doc_id mod 256
+            # BEFORE any addition, so int64-edge ids neither overflow
+            # DuckDB nor sign-corrupt the packing. The JPEG +-1 bound
+            # was probed over the full NEGATIVE residue space and the
+            # int64 edges too (1-pixel-wide dims included).
+            # mm_wav_decode stays out: its oracle's mod-2001 sample
+            # formula is NOT wrap-safe (2001 does not divide 2^64) and
+            # doc_id*31 overflows at the edges — the documented
+            # contract bound for that gate.
+            "mm_png_decode", "mm_bmp_decode", "mm_jpeg_decode",
+            "mm_resize_real"]
 # r5: similarity family over hostile embeddings (zero-norm → NaN
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)
 EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",

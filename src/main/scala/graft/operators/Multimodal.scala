@@ -575,15 +575,24 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The oracle reduces doc_id mod 256 BEFORE any addition (`did`):
+    * (doc_id + 3x + 5y) overflows int64 at the edges — DuckDB raises
+    * where Scala wraps — and the congruence (did + 3x + 5y) ≡
+    * (doc_id + 3x + 5y) (mod 256) makes the reduced form exact. The
+    * Spark side needs no guard: floorMod of a WRAPPED int64 linear
+    * combination still equals the true mathematical mod because 256
+    * divides 2⁶⁴. w/h stay on raw doc_id % 8 / % 5 (sign-preserving
+    * identically in both engines, and addition-free so no overflow). */
   val mmPngDecodeSql: String =
-    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+       |  (doc_id % 256 + 256) % 256 AS did
        |  FROM documents),
        |gx AS (SELECT UNNEST(RANGE(0, $PngMaxW)) AS x),
        |gy AS (SELECT UNNEST(RANGE(0, $PngMaxH)) AS y),
        |px AS (
-       |  SELECT doc_id, w, h,
-       |    ((doc_id + 3 * x + 5 * y) % 256 + 256) % 256 AS r,
-       |    ((2 * doc_id + 7 * x + y) % 256 + 256) % 256 AS g,
+       |  SELECT doc_id, w, h, did,
+       |    ((did + 3 * x + 5 * y) % 256 + 256) % 256 AS r,
+       |    ((2 * did + 7 * x + y) % 256 + 256) % 256 AS g,
        |    ((11 * x + 13 * y) % 256 + 256) % 256 AS b
        |  FROM ids JOIN gx ON gx.x < ids.w JOIN gy ON gy.y < ids.h)
        |SELECT doc_id, CAST(1 AS BIGINT) AS png_sig,
@@ -591,8 +600,8 @@ object Multimodal {
        |  CAST(SUM(r) AS BIGINT) AS sum_r,
        |  CAST(SUM(g) AS BIGINT) AS sum_g,
        |  CAST(SUM(b) AS BIGINT) AS sum_b,
-       |  CAST(MIN(((doc_id + 3 * (w - 1) + 5 * (h - 1)) % 256 + 256) % 256) * 65536
-       |    + MIN(((2 * doc_id + 7 * (w - 1) + (h - 1)) % 256 + 256) % 256) * 256
+       |  CAST(MIN(((did + 3 * (w - 1) + 5 * (h - 1)) % 256 + 256) % 256) * 65536
+       |    + MIN(((2 * did + 7 * (w - 1) + (h - 1)) % 256 + 256) % 256) * 256
        |    + MIN(((11 * (w - 1) + 13 * (h - 1)) % 256 + 256) % 256) AS BIGINT) AS corner_rgb
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -665,8 +674,10 @@ object Multimodal {
     * a measured error bound: at quality 1.0 the quantization tables
     * are all-1s and the DCT round trip is within ±1 of the source on
     * EVERY pixel (probed exhaustively over the full input residue
-    * space — all (id mod 256, id mod 8, id mod 5) classes, so the
-    * bound holds for all int64 doc_ids, not just the fixtures).
+    * space — all (id mod 256, id mod 8, id mod 5) classes for BOTH
+    * sign regimes plus the int64 edge ids, covering the 1-pixel-wide
+    * dims negative ids produce — so the bound holds for all int64
+    * doc_ids, not just the fixtures; fuzz-swept with edge ids).
     * Grayscale (TYPE_BYTE_GRAY single-component) sidesteps chroma
     * subsampling, the lossy step that would break even the bound. */
   def mmJpegDecode(spark: SparkSession, dir: String): DataFrame = {
@@ -806,25 +817,26 @@ object Multimodal {
     * index arithmetic; pixel values come from the generating formulas
     * (the PNG round trip is bit-exact, proven by `mm_png_decode`). */
   val mmResizeRealSql: String =
-    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+       |  (doc_id % 256 + 256) % 256 AS did
        |  FROM documents),
        |gx AS (SELECT UNNEST(RANGE(0, ${2 * PngMaxW - 1})) AS rx),
        |gy AS (SELECT UNNEST(RANGE(0, ${2 * PngMaxH - 1})) AS ry),
        |cells AS (
-       |  SELECT doc_id, w, h, rx // 2 AS x0, ry // 2 AS y0,
+       |  SELECT doc_id, w, h, did, rx // 2 AS x0, ry // 2 AS y0,
        |    (rx + 1) // 2 AS x1, (ry + 1) // 2 AS y1
        |  FROM ids JOIN gx ON gx.rx < 2 * ids.w - 1
        |            JOIN gy ON gy.ry < 2 * ids.h - 1),
        |terms AS (
-       |  SELECT doc_id, w, h,
-       |    ((doc_id + 3 * x0 + 5 * y0) % 256 + 256) % 256
-       |      + ((doc_id + 3 * x1 + 5 * y0) % 256 + 256) % 256
-       |      + ((doc_id + 3 * x0 + 5 * y1) % 256 + 256) % 256
-       |      + ((doc_id + 3 * x1 + 5 * y1) % 256 + 256) % 256 AS r4,
-       |    ((2 * doc_id + 7 * x0 + y0) % 256 + 256) % 256
-       |      + ((2 * doc_id + 7 * x1 + y0) % 256 + 256) % 256
-       |      + ((2 * doc_id + 7 * x0 + y1) % 256 + 256) % 256
-       |      + ((2 * doc_id + 7 * x1 + y1) % 256 + 256) % 256 AS g4,
+       |  SELECT doc_id, w, h, did,
+       |    ((did + 3 * x0 + 5 * y0) % 256 + 256) % 256
+       |      + ((did + 3 * x1 + 5 * y0) % 256 + 256) % 256
+       |      + ((did + 3 * x0 + 5 * y1) % 256 + 256) % 256
+       |      + ((did + 3 * x1 + 5 * y1) % 256 + 256) % 256 AS r4,
+       |    ((2 * did + 7 * x0 + y0) % 256 + 256) % 256
+       |      + ((2 * did + 7 * x1 + y0) % 256 + 256) % 256
+       |      + ((2 * did + 7 * x0 + y1) % 256 + 256) % 256
+       |      + ((2 * did + 7 * x1 + y1) % 256 + 256) % 256 AS g4,
        |    ((11 * x0 + 13 * y0) % 256 + 256) % 256
        |      + ((11 * x1 + 13 * y0) % 256 + 256) % 256
        |      + ((11 * x0 + 13 * y1) % 256 + 256) % 256
@@ -835,7 +847,7 @@ object Multimodal {
        |  CAST(SUM(r4) AS BIGINT) AS sum4_r,
        |  CAST(SUM(g4) AS BIGINT) AS sum4_g,
        |  CAST(SUM(b4) AS BIGINT) AS sum4_b,
-       |  CAST(4 * (((doc_id + 3 * (MIN(w) - 1) + 5 * (MIN(h) - 1)) % 256
+       |  CAST(4 * (((MIN(did) + 3 * (MIN(w) - 1) + 5 * (MIN(h) - 1)) % 256
        |    + 256) % 256) AS BIGINT) AS corner4_r
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

@@ -486,6 +486,73 @@ object TextOps {
        |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens
        |FROM cums GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin
 
+  // ------------------------------------- fixed-context sequence packing
+  private[operators] val SeqLen = 512L
+
+  /** Fixed-context SEQUENCE packing — the step between shard packing
+    * and the trainer: documents are concatenated per source (in
+    * doc_id order) and cut into fixed $SeqLen-token training
+    * sequences (concat-and-chunk, the GPT-style recipe), emitting per
+    * sequence the document-boundary stats a masking/attention config
+    * needs: how many documents the sequence spans (n_docs − 1
+    * cross-document boundaries to mask or not), its first/last
+    * doc_id, and its token fill (= $SeqLen for every sequence but a
+    * source's last). A document spanning sequences contributes its
+    * exact per-sequence token overlap, so Σ seq_tokens = Σ tokens —
+    * the conservation the gate's oracle enforces.
+    *
+    * Scale shape: one window shuffle on the source partition (the
+    * same partitioned-cumsum story as [[textShardPack]] — a global
+    * sequence would serialize; production partitions the stream or
+    * two-passes per-partition offsets). The span explode emits
+    * ⌈tokens/$SeqLen⌉ + 1 rows per doc — linear in corpus tokens
+    * divided by the context length — then one partial-aggregable
+    * groupBy. Integer-only arithmetic cross-engine; COALESCE makes
+    * null text one empty token, so every doc has tokens ≥ 1 and the
+    * span range is never empty. */
+  def textSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("bigint").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("strt", col("cum") - col("tokens"))
+      .withColumn("sq",
+        explode(expr(s"sequence(strt div $SeqLen, (cum - 1) div $SeqLen)")))
+      .groupBy(col("source"), col("sq").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cum"), (col("sq") + 1) * SeqLen) -
+          greatest(col("strt"), col("sq") * SeqLen)).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  val textSeqPackSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |cums AS (
+       |  SELECT doc_id, source, tokens,
+       |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, source, tokens, cum, cum - tokens AS strt, sq
+       |  FROM cums, UNNEST(RANGE((cum - tokens) // $SeqLen,
+       |    (cum - 1) // $SeqLen + 1)) AS r(sq))
+       |SELECT source, sq AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(LEAST(cum, (sq + 1) * $SeqLen)
+       |    - GREATEST(strt, sq * $SeqLen)) AS BIGINT) AS seq_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM spans GROUP BY source, sq
+       |ORDER BY source, seq_id""".stripMargin
+
   // ---------------------------------------------- per-source capping
   private val SourceCap = 15
 
@@ -1330,6 +1397,7 @@ object TextOps {
     "text_repetition" -> ((textRepetition _, textRepetitionSql)),
     "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)),
     "text_shard_pack" -> ((textShardPack _, textShardPackSql)),
+    "text_seq_pack" -> ((textSeqPack _, textSeqPackSql)),
     "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
     "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)),
     "text_lm_score" -> ((textLmScore _, textLmScoreSql)),

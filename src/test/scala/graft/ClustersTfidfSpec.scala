@@ -114,6 +114,32 @@ class ClustersTfidfSpec extends AnyFunSuite {
       f"mean est $meanEst%.3f vs mean exact $meanExact%.3f drifted")
   }
 
+  test("text_seq_pack: token conservation and fixed fill") {
+    import org.apache.spark.sql.functions._
+    val seqs = operators.TextOps.textSeqPack(spark, dir).collect()
+    assert(seqs.nonEmpty)
+    // columns: source(0), seq_id(1), n_docs(2), seq_tokens(3),
+    // first_doc(4), last_doc(5)
+    // conservation: every source token lands in exactly one sequence
+    val totalSeqTokens = seqs.map(_.getLong(3)).sum
+    val totalTokens = operators.Tables.t(spark, dir, "documents")
+      .select(sum(size(split(coalesce(col("text"), lit("")), " "))
+        .cast("bigint"))).head.getLong(0)
+    assert(totalSeqTokens == totalTokens,
+      s"seq tokens $totalSeqTokens != corpus tokens $totalTokens")
+    // every sequence but each source's LAST is filled to exactly SeqLen,
+    // and sequence ids are contiguous from 0 per source
+    seqs.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length))
+      sorted.dropRight(1).foreach(r => assert(r.getLong(3) == 512L))
+      assert(sorted.last.getLong(3) <= 512L && sorted.last.getLong(3) >= 1L)
+      // boundary sanity: n_docs >= 1, first_doc <= last_doc
+      sorted.foreach(r => assert(r.getLong(2) >= 1L))
+      sorted.foreach(r => assert(r.getLong(4) <= r.getLong(5)))
+    }
+  }
+
   test("alpaca_sma_crossover: sma equals close where the window is flat") {
     val rows = operators.AlpacaAnalytics.smaCrossover(spark, dir).collect()
     assert(rows.nonEmpty)
