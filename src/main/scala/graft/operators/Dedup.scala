@@ -205,16 +205,15 @@ object Dedup {
     * (as in pipeline_curate) under-merges transitive chains A~B~C.
     * Every clustered doc maps to its component's minimum doc_id.
     *
-    * Algorithm: HashMin label propagation (the standard large-graph
-    * CC — iterate label := min(label, neighbors' labels) to fixpoint).
-    * Each iteration is one shuffle join + partial-aggregable min;
-    * iteration count is the component diameter (tiny for dup
-    * clusters). Driver only checks an isEmpty() convergence flag —
-    * no data is collected. Edges and per-iteration labels are
-    * checkpointed: the lineage would otherwise re-derive the whole
-    * MinHash pipeline every iteration. Throws if MaxCcIters hits
-    * without a fixpoint rather than returning silently-wrong
-    * labels. */
+    * Algorithm: two-phase star contraction (see
+    * [[clustersFromPairs]] — large-star/small-star alternation,
+    * O(log n) rounds independent of component diameter). Each phase
+    * is one shuffle + partial-aggregable min; the driver only checks
+    * a count + anti-join convergence flag — no data is collected.
+    * Per-phase frames are checkpointed: the lineage would otherwise
+    * re-derive the whole MinHash pipeline every round. Throws if
+    * MaxCcIters hits without a fixpoint rather than returning
+    * silently-wrong labels. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersCore(spark, dir)
       .select(col("node").as("doc_id"), col("label").as("cluster_rep"))
@@ -228,7 +227,10 @@ object Dedup {
 
   /** Rounds the last [[clustersFromPairs]] call took — driver-side
     * instrumentation for the soak record (VERDICT r9 next #4: the
-    * iteration count must be observable, not inferred from timing). */
+    * iteration count must be observable, not inferred from timing).
+    * Shared JVM-global: valid only under the harness's sequential
+    * execution (Verify/Bench/soaks run gates one at a time); a
+    * parallelized caller would read another call's count. */
   @volatile private[graft] var lastCcRounds: Int = -1
 
   /** Two-phase star contraction (large-star/small-star alternation —
@@ -259,7 +261,6 @@ object Dedup {
     * convergence anti-joins; per-phase frames are checkpointed to cut
     * lineage exactly as before. */
   private[operators] def clustersFromPairs(pairsIn: DataFrame): DataFrame = {
-    // reliable (HDFS/S3) checkpoints when the cluster has
     // reliable (HDFS/S3) checkpoints when the cluster has
     // setCheckpointDir configured — survives executor loss;
     // executor-local otherwise (this gate).
@@ -314,9 +315,9 @@ object Dedup {
   }
 
   /** DuckDB twin: transitive closure via a recursive CTE (fine at
-    * oracle scale), then min over reachable nodes — the same fixpoint
-    * HashMin converges to. */
-  /** Recursive-CTE bundle ending in per-node labels (composable). */
+    * oracle scale), then min over reachable nodes — the same labels
+    * star contraction converges to. Recursive-CTE bundle ending in
+    * per-node labels (composable). */
   private[operators] val clusterCtes: String =
     s"""$minhashPairsCtes,
        |pe AS (SELECT doc_a, doc_b FROM est_pairs WHERE est_jaccard >= $ClusterThreshold),

@@ -447,7 +447,13 @@ object Pipeline {
       .select(col("doc_id"))
     val meta = Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+        // coalesce makes the token expression TOTAL (null text → 1
+        // empty token, as textSeqPack): the keep-set currently admits
+        // only sigs docs (≥3 words, non-null text), but if that source
+        // ever widens, size(split(NULL)) = -1 here vs NULL in the
+        // oracle would be a silent parity divergence (ADVICE r10)
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("bigint").as("tokens"))
     keep
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(meta, Seq("doc_id"))
@@ -494,7 +500,7 @@ object Pipeline {
        |  WHERE t.split = 'train'),
        |survivors AS (
        |  SELECT k.doc_id, d.source,
-       |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS tokens
+       |    CAST(LEN(STRING_SPLIT(COALESCE(d.text, ''), ' ')) AS BIGINT) AS tokens
        |  FROM keepset k JOIN documents d ON k.doc_id = d.doc_id
        |  WHERE k.doc_id NOT IN (SELECT doc_id FROM dd_contaminated)),
        |packed AS (

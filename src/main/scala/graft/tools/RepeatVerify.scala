@@ -66,8 +66,20 @@ object RepeatVerify {
     // gate -> run -> hash (forensics live in the sibling __forensics dir
     // so the driver never enumerates them as gates)
     val perRun: Seq[(Int, Map[String, String])] = (1 to n).map { i =>
-      val txt = Files.readString(
-        Paths.get(s"$outBase/run_${i}__forensics/_self_hash.json"))
+      // r10 moved forensics to the sibling run_<i>__forensics dir;
+      // fall back to the pre-r10 in-run layout so ANALYZE_ONLY still
+      // works on dumps produced by older Verify builds, and name the
+      // layout change if neither exists (ADVICE r10)
+      val current = Paths.get(s"$outBase/run_${i}__forensics/_self_hash.json")
+      val legacy = Paths.get(s"$outBase/run_$i/_self_hash.json")
+      val path =
+        if (Files.exists(current)) current
+        else if (Files.exists(legacy)) legacy
+        else throw new IllegalStateException(
+          s"no _self_hash.json for run $i: looked in $current (r10+ layout) " +
+            s"and $legacy (pre-r10 layout) — re-dump with the current Verify " +
+            "or point outBase at a complete dump")
+      val txt = Files.readString(path)
       i -> hashLine.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2)).toMap
     }
