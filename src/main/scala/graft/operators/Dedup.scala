@@ -197,7 +197,12 @@ object Dedup {
 
   // ------------------------------------------------ dedup clusters
   private val ClusterThreshold = 0.5
-  private val MaxCcIters = 20
+  // convergence ceiling, not a tuning knob: star contraction needs
+  // ≈⌈log₂ height⌉+1 rounds, so 40 covers components 2³⁹ ≈ 5·10¹¹
+  // nodes tall — beyond any physical corpus. Real dup graphs converge
+  // in 2–3 (r10 soak); the adversarial chain soak (r11, 200k-node
+  // path) measures ~18 and must not hit the ceiling.
+  private val MaxCcIters = 40
 
   /** Connected-components cluster assignment over the near-dup pair
     * graph — the step a real dedup pipeline needs between "candidate

@@ -296,27 +296,36 @@ object Pipeline {
     * DSIR-important docs (importance weight ≥ the bar, the
     * capped-and-smoothed models of `text_dsir_filter`), order each
     * source's docs by importance, and PACK them into token-budget
-    * shards. The packing window runs per SOURCE over the CURATED
-    * corpus (orders of magnitude smaller than raw ingest), ordered by
-    * (weight DESC, doc_id) — a total order, so shard assignment is
-    * layout-independent. Every stage reuses a gate-pinned operator:
+    * shards. The packing cumsum runs over the CURATED corpus (orders
+    * of magnitude smaller than raw ingest), ordered by (weight DESC,
+    * doc_id) — a total order, so shard assignment is layout-
+    * independent — via the distributed monotone-bucket prefix (r11),
+    * so even a single dominant source never funnels through one
+    * task. Every stage reuses a gate-pinned operator:
     * the output hash certifies split gate + quality bar + decontam +
     * span drops + importance selection + packing END TO END. */
   def trainBuild(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("dsir_weight").desc, col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val toks = graft.operators.Tables.t(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("tokens"))
-    curatedV2Docs(spark, dir)
+    // r11: the pack cumsum rides the distributed prefix (VERDICT r10
+    // next #1). The sort here is (dsir_weight DESC, doc_id), so the
+    // monotone bucket is a pure function of the WEIGHT: bucket =
+    // floor(−log₂(w)·16) is non-decreasing along a weight-descending
+    // order (log is monotone; 16 sub-octave steps keep buckets fine
+    // enough to spread a source). Weights are > 0 by construction
+    // (likelihood ratios ≥ DsirKeep), so the log is total. The
+    // survivors frame is checkpointed because the helper executes the
+    // plan twice and the upstream is the full curation pipeline.
+    val survivors = curatedV2Docs(spark, dir)
       .select(col("doc_id"), col("source"))
       .join(TextOps.textDsirFilter(spark, dir)
         .select(col("doc_id"), col("dsir_weight")), Seq("doc_id"))
       .join(toks, Seq("doc_id"))
-      .withColumn("cum", sum(col("tokens")).over(w))
+      .localCheckpoint()
+    Ranks.partitionedRunningSum(survivors, Seq("source"),
+      floor(-log(2.0, col("dsir_weight")) * 16),
+      col("tokens"), "cum", col("dsir_weight").desc, col("doc_id"))
       .withColumn("shard_id",
         expr(s"(cum - tokens) div ${TextOps.ShardTokens}"))
       .groupBy(col("source"), col("shard_id"))
@@ -433,13 +442,10 @@ object Pipeline {
     * Scale: the delta is the only full-text scan; dedup shuffles
     * ~1 KB/doc signatures against the (bucketed) index, decontam adds
     * no train-side shuffle (broadcast bitset + broadcast confirm),
-    * and the packing window runs over the day's SURVIVORS only,
+    * and the packing cumsum (distributed monotone-bucket prefix,
+    * r11) runs over the day's SURVIVORS only,
     * per-source. All output measures are exact integers. */
   def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     val keep = Dedup.incrementalMinhashProdCore(spark, dir)
       .filter(col("status") === "new")
       .select(col("doc_id"))
@@ -454,10 +460,19 @@ object Pipeline {
         // oracle would be a silent parity divergence (ADVICE r10)
         size(split(coalesce(col("text"), lit("")), " "))
           .cast("bigint").as("tokens"))
-    keep
+    // r11: the pack stage's running sum rides the distributed
+    // monotone-bucket prefix (VERDICT r10 next #1) — the survivors
+    // frame is checkpointed first because partitionedRunningSum
+    // executes its plan twice (subtotals job + cumsum pass) and the
+    // upstream here is three joins deep; bit-identical to the old
+    // per-source window, so gate hash and oracle are unchanged.
+    val survivors = keep
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(meta, Seq("doc_id"))
-      .withColumn("cum", sum(col("tokens")).over(w))
+      .localCheckpoint()
+    Ranks.partitionedRunningSum(survivors, Seq("source"),
+      expr(s"doc_id div ${TextOps.PackBucketWidth}"),
+      col("tokens"), "cum", col("doc_id"))
       .withColumn("shard_id", expr(s"(cum - tokens) div ${TextOps.ShardTokens}"))
       .groupBy(col("source"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),

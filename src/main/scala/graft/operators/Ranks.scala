@@ -77,4 +77,88 @@ object Ranks {
         coalesce(col(offCol), raise_error(lit(missMsg)).cast("long")))
       .drop(bCol, offCol)
   }
+
+  /** Appends `cumCol` = inclusive running SUM of `value` under the
+    * total order `sortCols`, computed INDEPENDENTLY within each
+    * `partKeys` group — the generalization of [[globalRowNumber]]'s
+    * monotone-bucket-offset technique from row_number to SUM, built
+    * for the token-packing family (VERDICT r10 next #1): their
+    * per-source `Window.partitionBy(source).orderBy(doc_id)` cumsum
+    * is correct but funnels each source's ENTIRE survivor set through
+    * one task (source/lang are low-cardinality keys — the last
+    * single-task-per-key shape in the engine at 100 TB).
+    *
+    * Mechanics (same three-phase story as the rank):
+    *   1. `bucket` MUST be monotone under the sort WITHIN each part
+    *      group (all rows of bucket b sort before bucket b+1) and a
+    *      pure function of each row — e.g. `doc_id div 256` for a
+    *      doc_id order, `floor(-log2(w)·16)` for a weight-desc order;
+    *   2. one tiny job aggregates per-(part, bucket) value subtotals
+    *      (bounded by |parts|·|buckets| ≪ rows); per part group, the
+    *      exclusive prefix over bucket order becomes the bucket's
+    *      offset, shipped back via broadcast join;
+    *   3. local cumsum = the SAME window as the naive form but
+    *      partitioned by (part, bucket) — parallel across buckets —
+    *      plus the broadcast offset. Output is bit-identical to the
+    *      per-part window (LONG addition is associative; subtotal
+    *      grouping only reorders it).
+    *
+    * The left join + raise_error guard is [[globalRowNumber]]'s: a
+    * nondeterministic upstream that re-derives different buckets in
+    * the second execution surfaces loudly instead of dropping rows.
+    * Part keys and bucket must be non-null (fail-fast below); value
+    * must cast losslessly to LONG (token counts do). */
+  def partitionedRunningSum(df: DataFrame, partKeys: Seq[String],
+      bucket: Column, value: Column, cumCol: String,
+      sortCols: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val bCol = "_graft_psum_bucket"
+    val vCol = "_graft_psum_val"
+    val offCol = "_graft_psum_off"
+    val bucketed = df
+      .withColumn(vCol, value.cast("long"))
+      .withColumn(bCol, bucket.cast("long"))
+    val keyCols = partKeys.map(col) :+ col(bCol)
+    val subtotals = bucketed.groupBy(keyCols: _*)
+      .agg(sum(col(vCol)).as(vCol))
+      .collect()
+    subtotals.foreach { r =>
+      (0 to partKeys.size).foreach { i =>
+        require(!r.isNullAt(i),
+          s"partitionedRunningSum: null ${if (i < partKeys.size) s"part key ${partKeys(i)}" else "bucket"} " +
+            "— keys and bucket must be total over the input (coalesce " +
+            "nulls to a sentinel upstream)")
+      }
+    }
+    val nKeys = partKeys.size
+    val offsetRows: Seq[Row] = subtotals.toSeq
+      .groupBy(r => (0 until nKeys).map(r.get))
+      .valuesIterator.flatMap { group =>
+        val sorted = group.sortBy(_.getLong(nKeys))
+        var acc = 0L
+        sorted.map { r =>
+          val off = acc
+          acc += r.getLong(nKeys + 1)
+          Row.fromSeq((0 until nKeys).map(r.get) ++ Seq(r.getLong(nKeys), off))
+        }
+      }.toSeq
+    val offSchema = StructType(
+      partKeys.map(k => df.schema(df.schema.fieldIndex(k))) ++
+        Seq(StructField(bCol, LongType, nullable = false),
+          StructField(offCol, LongType, nullable = false)))
+    val offsetsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val missMsg = "partitionedRunningSum: (part, bucket) absent from the " +
+      "subtotals pass — nondeterministic upstream re-derived different " +
+      "buckets (cache/checkpoint the input) or the bucket expression is " +
+      "unstable"
+    bucketed.join(broadcast(offsetsDf), partKeys :+ bCol, "left")
+      .withColumn(cumCol, sum(col(vCol)).over(w) +
+        coalesce(col(offCol), raise_error(lit(missMsg)).cast("long")))
+      .drop(bCol, vCol, offCol)
+  }
 }

@@ -461,15 +461,45 @@ object TextOps {
       .orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs(spark, dir)
+    shardPackFromCum(docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("bigint").as("tokens"))
-      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("cum", sum(col("tokens")).over(w)))
+  }
+
+  /** Shared tail of both shard-pack variants: shard assignment +
+    * per-shard aggregation over a (doc_id, lang, tokens, cum) frame. */
+  private def shardPackFromCum(cumDf: DataFrame): DataFrame =
+    cumDf
       .withColumn("shard_id", expr(s"(cum - tokens) div $ShardTokens"))
       .groupBy(col("lang"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
       .orderBy(col("lang"), col("shard_id"))
-  }
+
+  /** Doc_id-range bucket width for the distributed-cumsum pack
+    * variants: at gate scale (~6k docs/SF0.01) this yields dozens of
+    * buckets; a deployment sizes it as idRange / (32 × parallelism)
+    * so the largest bucket is a small task and the subtotal collect
+    * stays ≪ rows (it is |parts|·|buckets|, never rows). */
+  private[operators] val PackBucketWidth = 256L
+
+  /** Production twin of [[textShardPack]] (VERDICT r10 next #1): the
+    * running token sum via [[Ranks.partitionedRunningSum]]'s
+    * monotone-bucket offsets — per-(lang, doc_id-range-bucket) local
+    * windows plus broadcast per-bucket offsets — instead of one
+    * sequential window per lang. Lang is a LOW-cardinality key: the
+    * naive window funnels each lang's entire corpus through ONE task
+    * at 100 TB; here the funnel is a subtotal aggregation (tiny) and
+    * every bucket cumsums in parallel. Output is bit-identical to the
+    * window path (LONG addition reassociated), so the oracle SQL is
+    * shared verbatim. */
+  def textShardPackProd(spark: SparkSession, dir: String): DataFrame =
+    shardPackFromCum(Ranks.partitionedRunningSum(
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("bigint").as("tokens")),
+      Seq("lang"), expr(s"doc_id div $PackBucketWidth"),
+      col("tokens"), "cum", col("doc_id")))
 
   val textShardPackSql: String =
     s"""WITH toks AS (
@@ -515,11 +545,21 @@ object TextOps {
       .orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    seqPackFromCum(seqPackTokens(spark, dir)
+      .withColumn("cum", sum(col("tokens")).over(w)))
+  }
+
+  private def seqPackTokens(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("source"),
         size(split(coalesce(col("text"), lit("")), " "))
           .cast("bigint").as("tokens"))
-      .withColumn("cum", sum(col("tokens")).over(w))
+
+  /** Shared tail of both seq-pack variants: the span explode +
+    * per-sequence aggregation over a (doc_id, source, tokens, cum)
+    * frame. */
+  private def seqPackFromCum(cumDf: DataFrame): DataFrame =
+    cumDf
       .withColumn("strt", col("cum") - col("tokens"))
       .withColumn("sq",
         explode(expr(s"sequence(strt div $SeqLen, (cum - 1) div $SeqLen)")))
@@ -530,7 +570,20 @@ object TextOps {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("source"), col("seq_id"))
-  }
+
+  /** Production twin of [[textSeqPack]] (VERDICT r10 next #1): the
+    * per-source running token sum via
+    * [[Ranks.partitionedRunningSum]] — (source, doc_id-range-bucket)
+    * local windows + broadcast offsets — so no task ever holds more
+    * than one bucket of one source, where the naive window holds the
+    * WHOLE source (the engine's last single-task-per-key shape at
+    * 100 TB). Downstream span explode and aggregation are shared;
+    * output and oracle are bit-identical to the window path. */
+  def textSeqPackProd(spark: SparkSession, dir: String): DataFrame =
+    seqPackFromCum(Ranks.partitionedRunningSum(
+      seqPackTokens(spark, dir),
+      Seq("source"), expr(s"doc_id div $PackBucketWidth"),
+      col("tokens"), "cum", col("doc_id")))
 
   val textSeqPackSql: String =
     s"""WITH toks AS (
@@ -1397,7 +1450,9 @@ object TextOps {
     "text_repetition" -> ((textRepetition _, textRepetitionSql)),
     "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)),
     "text_shard_pack" -> ((textShardPack _, textShardPackSql)),
+    "text_shard_pack_prod" -> ((textShardPackProd _, textShardPackSql)),
     "text_seq_pack" -> ((textSeqPack _, textSeqPackSql)),
+    "text_seq_pack_prod" -> ((textSeqPackProd _, textSeqPackSql)),
     "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
     "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)),
     "text_lm_score" -> ((textLmScore _, textLmScoreSql)),

@@ -230,6 +230,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no partial WindowGroupLimit below the source exchange:\n$p")
   }
 
+  test("pack _prod twins: cumsum window is partitioned by (key, bucket), never key alone") {
+    // The r11 fix for the engine's last single-task-per-key shape:
+    // the running token sum must plan as a Window partitioned by the
+    // LOW-cardinality key PLUS the doc_id-range bucket (parallel
+    // across buckets), with the per-bucket offsets arriving via a
+    // broadcast-hash join — NOT as one sequential window per source/
+    // lang (which funnels each key's whole corpus through one task).
+    Seq("text_seq_pack_prod" -> "source", "text_shard_pack_prod" -> "lang")
+      .foreach { case (gate, key) =>
+        val p = planOf(gate)
+        val spec = s"windowspecdefinition\\($key#\\d+, _graft_psum_bucket".r
+        assert(spec.findFirstIn(p).isDefined,
+          s"$gate: window must be partitioned by ($key, bucket):\n$p")
+        val naive = s"windowspecdefinition\\($key#\\d+, doc_id".r
+        assert(naive.findFirstIn(p).isEmpty,
+          s"$gate: a per-$key-only window survives (single-task funnel):\n$p")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$gate: bucket offsets must arrive via broadcast-hash join:\n$p")
+      }
+  }
+
+  test("pipeline pack stages ride the distributed prefix (no per-source window)") {
+    // trainBuild's sort is (dsir_weight DESC, doc_id) → its bucket is
+    // the log-scaled weight; dailyDelta packs by doc_id → range
+    // bucket. Both must show the (key, bucket) window and no window
+    // partitioned by source alone in the pack tail. (The upstream
+    // curation/dedup stages are checkpointed, so the audited plan IS
+    // the pack tail.)
+    Seq("pipeline_daily_delta", "pipeline_train_build").foreach { gate =>
+      val p = planOf(gate)
+      assert("windowspecdefinition\\(source#\\d+, _graft_psum_bucket".r
+        .findFirstIn(p).isDefined,
+        s"$gate: pack window must be partitioned by (source, bucket):\n$p")
+      val naiveDoc = "windowspecdefinition\\(source#\\d+, doc_id".r
+      val naiveW = "windowspecdefinition\\(source#\\d+, dsir_weight".r
+      assert(naiveDoc.findFirstIn(p).isEmpty && naiveW.findFirstIn(p).isEmpty,
+        s"$gate: a per-source-only pack window survives:\n$p")
+    }
+  }
+
   test("text_lm_score: vocab cap is a partial top-V, not a global row_number") {
     // The top-V vocabulary cut must plan as TakeOrderedAndProject
     // (per-partition V-element heaps, driver merge) — a global
