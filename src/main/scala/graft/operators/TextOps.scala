@@ -960,10 +960,11 @@ object TextOps {
     *
     * Scale shape: ONE shuffle on source with a per-source sort.
     * Sources are few and large at 100 TB, so the production variant
-    * computes each source's score threshold approximately
-    * (approx_percentile per source, broadcast, filter — no full
-    * sort); the exact window here is the gate-scale reference
-    * semantics. */
+    * [[textQualityPercentileProd]] (r11, its own gate) computes each
+    * source's score threshold approximately via a histogram quantile,
+    * broadcasts it, and filters — no full sort; the exact window here
+    * is the gate-scale reference semantics the spec bounds it
+    * against. */
   def textQualityPercentile(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
@@ -985,6 +986,82 @@ object TextOps {
        |  FROM quality q JOIN documents d ON q.doc_id = d.doc_id)
        |SELECT doc_id, source, quality_score, pr
        |FROM ranked WHERE pr <= $PctKeep
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------- production quality-percentile (histogram threshold)
+  private[operators] val PctBuckets = 64.0
+
+  /** Production twin of [[textQualityPercentile]] (VERDICT r10 next
+    * #2 — the shape that gate's own Scaladoc promised): per-source
+    * score threshold computed APPROXIMATELY, broadcast, filtered —
+    * no full per-source sort of the document stream anywhere.
+    *
+    * The approximation is a fixed-width histogram quantile rather
+    * than `approx_percentile`: Spark's sketch is merge-order-
+    * dependent and NOT reproducible in the oracle engine, while a
+    * histogram threshold is exact integer arithmetic over exact IEEE
+    * bucket ids in both engines (score arithmetic is already
+    * parity-proven by text_quality). Bucket = ⌊score·64⌋; per source
+    * the threshold T is the highest bucket whose from-the-top
+    * cumulative count reaches the exact gate's keep size
+    * ⌊(n+1)/2⌋; survivors = every doc in buckets ≥ T. Guarantees
+    * (specced in QualityPercentileProdSpec): the exact top-half is a
+    * SUBSET of the survivors, and the overshoot is < the threshold
+    * bucket's population — the granularity bound, shrinking as 1/64
+    * of the score range.
+    *
+    * Scale shape: one partial-aggregable groupBy(source, bucket) —
+    * the ONLY pass over the corpus until the final filter; the
+    * cumulative window runs over the HISTOGRAM (|sources|·|buckets|
+    * rows, hundreds); thresholds return to the stream via a
+    * broadcast-hash join; the filter is map-side. Compare the exact
+    * gate: one shuffle + full per-source SORT of every document.
+    * Null scores (empty docs — digit_ratio undefined) are excluded
+    * from histogram, keep budget, and survivors identically in both
+    * engines. */
+  def textQualityPercentileProd(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityCore(spark, dir)
+      .join(docs(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("b", floor(col("quality_score") * PctBuckets))
+      .filter(col("b").isNotNull)
+    val hist = q.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = hist.withColumn("cum_ge", sum(col("c")).over(wTop))
+      .join(tot, "source")
+      .filter(col("cum_ge") >= expr("(n + 1) div 2"))
+      .groupBy(col("source")).agg(max(col("b")).as("thr_bucket"))
+    q.join(broadcast(thr), "source")
+      .filter(col("b") >= col("thr_bucket"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("thr_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualityPercentileProdSql: String =
+    s"""WITH quality AS ($qualitySelectSql),
+       |q AS (
+       |  SELECT q.doc_id, d.source, q.quality_score,
+       |    CAST(FLOOR(q.quality_score * $PctBuckets) AS BIGINT) AS b
+       |  FROM quality q JOIN documents d ON q.doc_id = d.doc_id
+       |  WHERE q.quality_score IS NOT NULL),
+       |hist AS (SELECT source, b, COUNT(*) AS c FROM q GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY source),
+       |cum AS (
+       |  SELECT source, b,
+       |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY b DESC) AS BIGINT)
+       |      AS cum_ge
+       |  FROM hist),
+       |thr AS (
+       |  SELECT c.source, MAX(c.b) AS thr_bucket
+       |  FROM cum c JOIN tot t ON c.source = t.source
+       |  WHERE c.cum_ge >= (t.n + 1) // 2
+       |  GROUP BY c.source)
+       |SELECT q.doc_id, q.source, q.quality_score, t.thr_bucket
+       |FROM q JOIN thr t ON q.source = t.source AND q.b >= t.thr_bucket
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------- exact n-gram decontamination
@@ -1459,6 +1536,7 @@ object TextOps {
     "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)),
     "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),
     "text_quality_percentile" -> ((textQualityPercentile _, textQualityPercentileSql)),
+    "text_quality_percentile_prod" -> ((textQualityPercentileProd _, textQualityPercentileProdSql)),
     "text_ngram_decontam" -> ((textNgramDecontam _, textNgramDecontamSql)),
     "text_bloom_decontam" -> ((textBloomDecontam _, textBloomDecontamSql)),
     "text_substring_dedup" -> ((textSubstringDedup _, textSubstringDedupSql)),

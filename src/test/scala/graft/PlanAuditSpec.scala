@@ -270,6 +270,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_quality_percentile_prod: threshold from the histogram, never a doc-stream sort") {
+    // The production percentile filter must compute its per-source
+    // threshold over the tiny (source, bucket) HISTOGRAM — the only
+    // window orders by the bucket id above a HashAggregate — and
+    // return it to the stream via broadcast. A window ordered by
+    // quality_score would be the exact gate's full per-source sort of
+    // every document, the shape this gate exists to avoid.
+    val p = planOf("text_quality_percentile_prod")
+    assert("windowspecdefinition\\(source#\\d+, quality_score".r
+      .findFirstIn(p).isEmpty,
+      s"doc-stream window over quality_score (full per-source sort):\n$p")
+    assert("windowspecdefinition\\(source#\\d+, b#\\d+L? DESC".r
+      .findFirstIn(p).isDefined,
+      s"expected the cumulative window over histogram buckets:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"thresholds must return via broadcast-hash join:\n$p")
+  }
+
   test("text_lm_score: vocab cap is a partial top-V, not a global row_number") {
     // The top-V vocabulary cut must plan as TakeOrderedAndProject
     // (per-partition V-element heaps, driver merge) — a global
