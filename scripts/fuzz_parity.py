@@ -127,8 +127,8 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
 # bound (PARITY.md). The fixture still carries NULs, empty docs, 5KB
 # tokens and int64-edge doc_ids — the hostile cases that found the
 # height-derivation overflow and the empty-doc NULL divergence.
-MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
-            "mm_resize_stub", "mm_audio_energy",
+MM_GATES = ["mm_meta", "mm_chunk_features", "mm_framesample",
+            "mm_resample_1d", "mm_audio_energy",
             # r8: binaryFile landing-dir ingestion — md5/strlen are
             # byte-exact on any UTF-8 content incl. the hostile pool
             "mm_binary_ingest",
@@ -147,7 +147,7 @@ MM_GATES = ["mm_meta", "mm_decode_stub", "mm_framesample",
             # formula is NOT wrap-safe (2001 does not divide 2^64) and
             # doc_id*31 overflows at the edges — the documented
             # contract bound for that gate.
-            "mm_png_decode", "mm_bmp_decode", "mm_jpeg_decode",
+            "mm_png_decode", "mm_bmp_decode", "mm_gif_decode", "mm_jpeg_decode",
             "mm_resize_real"]
 # r5: similarity family over hostile embeddings (zero-norm → NaN
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)

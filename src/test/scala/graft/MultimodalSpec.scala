@@ -12,8 +12,8 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("mm_decode_stub features match independently computed byte means") {
-    val got = Multimodal.mmDecodeStub(spark, dir)
+  test("mm_chunk_features features match independently computed byte means") {
+    val got = Multimodal.mmChunkFeatures(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
 
     val texts = spark.read.parquet(s"$dir/documents.parquet")
