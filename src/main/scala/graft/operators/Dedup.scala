@@ -550,6 +550,80 @@ object Dedup {
   // ------------------------------------- ngram jaccard with a DF cap
   private val DfCapFraction = 0.05
 
+  // --------------------------------------------- ngram containment
+  private val ContainmentThreshold = 0.5
+
+  /** ASYMMETRIC near-dup: containment C(A,B) = |∩| / min(|A|,|B|) —
+    * the measure Jaccard structurally misses. A 50-shingle excerpt
+    * fully quoted inside a 5000-shingle page has J ≈ 0.01 (the union
+    * is dominated by the long side) but C = 1.0; excerpt/quotation/
+    * boilerplate-wrapper duplication is exactly what a web-scale
+    * training corpus is full of, and a Jaccard-thresholded pipeline
+    * trains on every copy. Same plan skeleton as the capped Jaccard
+    * (shared [[cappedShingles]], same merge-pinned shingle self-join,
+    * same per-doc counts join-back) — only the final scalar changes,
+    * so the 100 TB story is the capped one: every join bucket bounded
+    * by construction, pairs generated only for docs sharing a
+    * surviving shingle, never all-pairs. */
+  def dedupNgramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val kept = cappedShingles(spark, dir)
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
+    val inter = kept.as("x")
+      .join(kept.as("y").hint("merge"), col("x.shingle") === col("y.shingle") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+        (col("inter_cnt").cast("double") /
+          least(col("ca.cnt"), col("cb.cnt"))).as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupNgramContainmentSql: String =
+    s"""WITH $shingleCte,
+       |sdf AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+       |kept AS (
+       |  SELECT s.doc_id, s.shingle FROM shingles s
+       |  JOIN sdf ON s.shingle = sdf.shingle
+       |  WHERE sdf.df <= (SELECT COUNT(*) FROM documents) * $DfCapFraction),
+       |counts AS (SELECT doc_id, COUNT(*) AS cnt FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter_cnt
+       |  FROM kept x JOIN kept y
+       |    ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter_cnt,
+       |  CAST(inter_cnt AS DOUBLE) / LEAST(ca.cnt, cb.cnt) AS containment
+       |FROM inter
+       |JOIN counts ca ON doc_a = ca.doc_id
+       |JOIN counts cb ON doc_b = cb.doc_id
+       |WHERE CAST(inter_cnt AS DOUBLE) / LEAST(ca.cnt, cb.cnt)
+       |  >= $ContainmentThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The DF-capped shingle set shared by the capped-Jaccard and
+    * containment operators: shingles occurring in more than
+    * [[DfCapFraction]] of documents are dropped before any pair
+    * generation (they carry no dedup signal and are exactly the hot
+    * join keys). The DF pass is a window count on the same shuffle
+    * key the pair join uses, so both sides of the downstream
+    * self-join reuse one exchange. */
+  private def cappedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val nDocs = t(spark, dir, "documents")
+      .groupBy().agg(count(lit(1)).as("n_docs"))
+    val byShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shingle"))
+    shingleDf(spark, dir)
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * DfCapFraction)
+      .select(col("doc_id"), col("shingle"))
+  }
+
   /** THE DEFAULT n-gram Jaccard shape at scale: shingles occurring in
     * more than 5% of documents are dropped before pair generation.
     * They carry no dedup signal (near-universal phrases) and are
@@ -561,15 +635,7 @@ object Dedup {
     * window count on the same shuffle key the pair join uses, so both
     * sides of the self-join reuse one exchange. */
   def dedupNgramJaccardCapped(spark: SparkSession, dir: String): DataFrame = {
-    val nDocs = t(spark, dir, "documents")
-      .groupBy().agg(count(lit(1)).as("n_docs"))
-    val byShingle = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shingle"))
-    val kept = shingleDf(spark, dir)
-      .withColumn("df", count(lit(1)).over(byShingle))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= col("n_docs") * DfCapFraction)
-      .select(col("doc_id"), col("shingle"))
+    val kept = cappedShingles(spark, dir)
     val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("cnt"))
     val inter = kept.as("x")
       .join(kept.as("y").hint("merge"), col("x.shingle") === col("y.shingle") &&
@@ -1000,6 +1066,7 @@ object Dedup {
     "dedup_clusters_prod" -> ((dedupClustersProd _, dedupClustersProdSql)),
     "dedup_ngram_jaccard" -> ((dedupNgramJaccard _, dedupNgramJaccardSql)),
     "dedup_ngram_jaccard_capped" -> ((dedupNgramJaccardCapped _, dedupNgramJaccardCappedSql)),
+    "dedup_ngram_containment" -> ((dedupNgramContainment _, dedupNgramContainmentSql)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
     "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),

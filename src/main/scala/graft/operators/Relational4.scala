@@ -560,7 +560,57 @@ object Relational4 {
       |FROM customer WHERE c_custkey % 3 = 1
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  private val SkewSalts = 8
+
+  /** Salted SKEW JOIN — the join-side twin of q21's salted
+    * aggregation. events is hot on event_type (5 keys carry the whole
+    * fact table), so a plain fact⋈dim equi-join puts each hot key's
+    * entire bucket in ONE task. Salting bounds that bucket BY
+    * CONSTRUCTION: the dim side is replicated [[SkewSalts]]× (one row
+    * per salt value — dim replication is cheap, dims are small
+    * relative to facts even when too big to broadcast), the fact side
+    * derives salt = pmod(user_id, S) as a pure projection, and the
+    * join key becomes (event_type, salt) — S tasks per hot key
+    * instead of one, with NO second shuffle: the post-join aggregate
+    * is partial-aggregable on event_type alone.
+    *
+    * The result is bit-identical to the unsalted join (the oracle
+    * states the PLAIN join): every fact row meets exactly one replica
+    * of its dim row. At 100 TB the hierarchy is: broadcast when the
+    * dim fits (free), AQE skew-split when skew is runtime-discovered,
+    * SALT when the bucket bound must hold by construction — this gate
+    * pins the third. The merge hint keeps the demo honest (a
+    * broadcast of this tiny fixture dim would short-circuit the
+    * mechanism being exercised). */
+  def q70SkewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.groupBy(col("event_type"))
+      .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("type_avg"))
+    val dimSalted = dim.select(col("event_type").as("d_type"), col("type_avg"),
+      explode(sequence(lit(0L), lit(SkewSalts - 1L))).as("d_salt"))
+    ev.withColumn("salt", pmod(coalesce(col("user_id"), lit(0L)), lit(SkewSalts.toLong)))
+      .join(dimSalted.hint("merge"),
+        col("event_type") === col("d_type") && col("salt") === col("d_salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("type_avg"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy(col("event_type"))
+  }
+
+  val q70Sql: String =
+    """WITH dim AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_above
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
+    "q70_skew_join_salted" -> ((q70SkewJoinSalted _, q70Sql)),
     "q60_param_query" -> ((q60ParamQuery _, q60Sql)),
     "q66_xml" -> ((q66Xml _, q66Sql)),
     "q69_exec_immediate" -> ((q69ExecImmediate _, q69Sql)),

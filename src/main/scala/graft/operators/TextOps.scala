@@ -265,6 +265,50 @@ object TextOps {
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------ global shuffle/shard
+  private val ShuffleShardSize = 256
+
+  /** Deterministic GLOBAL corpus shuffle + training-shard assignment —
+    * the step between curation and training: examples must reach the
+    * trainer in a pseudo-random order that is REPRODUCIBLE (re-runs,
+    * engines, partitionings all agree), and contiguous runs of the
+    * shuffled order become shards. The shuffle key is md5 over a
+    * seeded doc_id — a pure per-row projection, stable where `rand()`
+    * and `repartition` orderings are not.
+    *
+    * Scale shape: the naive form is `row_number() OVER (ORDER BY k)` —
+    * a SINGLE-partition window, the global-sort funnel. Here the
+    * position comes from [[Ranks.globalRowNumber]]: the key's first
+    * hex byte is a 256-way monotone bucket, one tiny counts job builds
+    * per-bucket offsets, and the rank window runs 256-way parallel —
+    * at 100 TB each task handles 1/256th of the corpus and the driver
+    * holds 256 longs. Shard = contiguous [[ShuffleShardSize]]-position
+    * blocks of the shuffled order (`(pos-1) div size`), so shard files
+    * can be written by a partitioned sink with no further shuffle. */
+  def textGlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir)
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    Ranks.globalRowNumber(keyed,
+        conv(substring(col("k"), 1, 2), 16, 10).cast("long"),
+        "pos", col("k"), col("doc_id"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"(pos - 1) DIV $ShuffleShardSize").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textGlobalShuffleSql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |pos AS (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS pos
+       |  FROM keyed)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST((pos - 1) // $ShuffleShardSize AS BIGINT) AS shard_id
+       |FROM pos ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ repetition metrics
   /** Gopher-style within-document repetition signals: fraction of
     * duplicate bigrams and the share of the single most frequent
@@ -1523,6 +1567,7 @@ object TextOps {
     "text_tfidf" -> ((textTfidf _, textTfidfSql)),
     "text_redact" -> ((textRedact _, textRedactSql)),
     "text_hash_split" -> ((textHashSplit _, textHashSplitSql)),
+    "text_global_shuffle" -> ((textGlobalShuffle _, textGlobalShuffleSql)),
     "text_chunk_dedup" -> ((textChunkDedup _, textChunkDedupSql)),
     "text_repetition" -> ((textRepetition _, textRepetitionSql)),
     "text_stratified_sample" -> ((textStratifiedSample _, textStratifiedSampleSql)),

@@ -42,7 +42,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // nlist-row (16 at gate scale) broadcast centroid cross for the
     // cell assignment — the same bounded-constant cross as
     // sim_ann_ivf/sim_ann_filtered, at 768 dims
-    "sim_semantic_dedup_768")
+    "sim_semantic_dedup_768",
+    // shares dedup_ngram_jaccard_capped's DF-cap scalar cross
+    "dedup_ngram_containment")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
@@ -268,6 +270,34 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(naiveDoc.findFirstIn(p).isEmpty && naiveW.findFirstIn(p).isEmpty,
         s"$gate: a per-source-only pack window survives:\n$p")
     }
+  }
+
+  test("text_global_shuffle: bucketed rank window + broadcast offsets, no global sort window") {
+    // The shuffle position must come from Ranks.globalRowNumber's
+    // monotone-bucket form: a window PARTITIONED by the key's first
+    // hex byte (256-way parallel) plus broadcast per-bucket offsets —
+    // never row_number() OVER (ORDER BY k), whose empty partition
+    // spec funnels the whole corpus through one task.
+    val p = planOf("text_global_shuffle")
+    assert(p.contains("windowspecdefinition(_graft_rank_bucket"),
+      s"rank window must be partitioned by the monotone bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"bucket offsets must arrive via a broadcast join:\n$p")
+    // an empty-partition windowspec starts directly with the order key
+    assert(!"windowspecdefinition\\(k#\\d+ ASC".r.findFirstIn(p).isDefined,
+      s"a global (single-partition) rank window survives:\n$p")
+  }
+
+  test("q70_skew_join_salted: the fact⋈dim join key carries the salt") {
+    // The salted join must actually shuffle on (event_type, salt) —
+    // if the salt is projected but the join plans on event_type alone
+    // (or the dim gets broadcast, short-circuiting the mechanism),
+    // the skew bound the gate documents does not exist.
+    val p = planOf("q70_skew_join_salted")
+    val keys = "(?:SortMergeJoin|ShuffledHashJoin) \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(keys.contains("event_type") && keys.contains("salt"),
+      s"expected (event_type, salt) join keys, got [$keys] in:\n$p")
   }
 
   test("text_quality_percentile_prod: threshold from the histogram, never a doc-stream sort") {
