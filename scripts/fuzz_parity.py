@@ -81,7 +81,7 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # shingles: unicode, NULs, 5KB tokens, sub-shingle docs)
              "text_dsir_filter", "dedup_minhash_lsh", "dedup_ngram_jaccard",
              "dedup_ngram_jaccard_capped", "dedup_simhash_pairs",
-             "dedup_clusters", "dedup_incremental",
+             "dedup_clusters", "dedup_keep_best", "dedup_incremental",
              # r5: bloom-prefiltered decontam — the no-false-negative +
              # exact-confirm argument must hold on hostile gram content
              "text_bloom_decontam",
@@ -98,7 +98,12 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # truth LEFT-joined to band candidates; the md5-parity
              # and band-hash contracts on hostile shingles, plus the
              # COALESCE(0) empty-truth path on degenerate corpora
-             "dedup_lsh_eval"]
+             "dedup_lsh_eval",
+             # r11: asymmetric containment (same md5-shingle + DF-cap
+             # contracts as the capped Jaccard, LEAST denominator) and
+             # the md5-keyed global shuffle/shard (hex-string order +
+             # bucket-offset rank parity on int64-edge / NULL doc_ids)
+             "dedup_ngram_containment", "text_global_shuffle"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the
@@ -118,7 +123,12 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                "q23_window_ranks", "q30_null_semantics",
                # r5: correlated LATERAL (per-user ordered LIMIT) —
                # unique event_ids keep the top-2 selection total
-               "q31_lateral"]
+               "q31_lateral",
+               # r11: salted fact⋈dim join — the DECIMAL-exact
+               # per-type average and the value>avg comparison must
+               # agree on hostile magnitudes; the salt must stay
+               # result-invisible on every fixture
+               "q70_skew_join_salted"]
 # r5: multimodal plumbing (payload = documents.text bytes). These run
 # on a DEDICATED single-byte hostile fixture (plus the degenerate
 # runs), not the shared seeds: their DuckDB oracles index code points

@@ -341,6 +341,59 @@ object Dedup {
        |SELECT node AS doc_id, label AS cluster_rep
        |FROM labels ORDER BY doc_id""".stripMargin
 
+  /** Cluster-representative selection by QUALITY — what a production
+    * dedup actually keeps. [[dedupClusters]] labels each component
+    * with its minimum doc_id, but "keep the lowest id" discards the
+    * best copy whenever the duplicates differ (truncated mirrors,
+    * boilerplate-wrapped rehosts): real pipelines keep the
+    * highest-quality member per component. Score here is the
+    * document's length (`n_chars`, null→0 — any per-row quality
+    * projection slots in, e.g. text_quality's composite), winner =
+    * max score with min-doc_id tie-break — deterministic in both
+    * engines.
+    *
+    * Scale shape: the winner window and the member count aggregate
+    * both shuffle on cluster_rep — a HIGH-cardinality key (one per
+    * component), so the window partitions well and the two consumers
+    * reuse one exchange; the label frame itself is the checkpointed
+    * star-contraction output, never recomputed. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("score"))
+    val member = clustersCore(spark, dir)
+      .join(scored, col("node") === col("doc_id"))
+      .select(col("label").as("cluster_rep"), col("doc_id"), col("score"))
+    val counts = member.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("score").desc, col("doc_id"))
+    member.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("keep_id"),
+        col("score").as("keep_score"))
+      .join(counts, "cluster_rep")
+      .orderBy(col("cluster_rep"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |member AS (
+       |  SELECT l.label AS cluster_rep, d.doc_id,
+       |    COALESCE(d.n_chars, 0) AS score
+       |  FROM labels l JOIN documents d ON l.node = d.doc_id),
+       |counts AS (
+       |  SELECT cluster_rep, COUNT(*) AS n_members
+       |  FROM member GROUP BY cluster_rep),
+       |win AS (
+       |  SELECT cluster_rep, doc_id AS keep_id, score AS keep_score,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY cluster_rep ORDER BY score DESC, doc_id) AS rn
+       |  FROM member)
+       |SELECT w.cluster_rep, w.keep_id, w.keep_score, c.n_members
+       |FROM win w JOIN counts c USING (cluster_rep)
+       |WHERE rn = 1 ORDER BY cluster_rep""".stripMargin
+
   val dedupMinhashLshSql: String = {
     val eq = (1 to NumPerms)
       .map(k => s"CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END").mkString(" + ")
@@ -1070,6 +1123,7 @@ object Dedup {
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashSql)),
     "dedup_simhash_pairs" -> ((dedupSimhashPairs _, dedupSimhashPairsSql)),
     "dedup_clusters" -> ((dedupClusters _, dedupClustersSql)),
+    "dedup_keep_best" -> ((dedupKeepBest _, dedupKeepBestSql)),
     "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalSql)),
     "dedup_incremental_minhash" -> ((dedupIncrementalMinhash _, dedupIncrementalMinhashSql)),
     "dedup_incremental_minhash_prod" ->
