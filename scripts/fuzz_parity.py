@@ -93,7 +93,7 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "dedup_incremental_minhash",
              # r5: the composed v2 curation recipe (split gate +
              # quality bar + bloom decontam + substring-span drops)
-             "pipeline_curate_v2",
+             "pipeline_curate_v2", "pipeline_curate_best",
              # r8: the LSH quality-eval harness — exact shingle-join
              # truth LEFT-joined to band candidates; the md5-parity
              # and band-hash contracts on hostile shingles, plus the

@@ -102,6 +102,70 @@ object Pipeline {
        |GROUP BY predicted_lang
        |ORDER BY predicted_lang""".stripMargin
 
+  /** Curation with QUALITY-BEST representatives: [[curateCc]] keeps
+    * each component's minimum-id member — an arbitrary convention
+    * that discards the best copy whenever duplicates differ. This
+    * variant drops every member EXCEPT the component's
+    * highest-quality one (quality_score desc, min-doc_id tie-break —
+    * the `dedup_keep_best` selection composed into the curation
+    * recipe). Same quality bar and langid tail; only the drop list
+    * changes, so the two gates' outputs differ exactly where a
+    * component's min-id member is not its best one. The winner
+    * window is a top-1 on the HIGH-cardinality component key —
+    * partial+final WindowGroupLimit, no low-cardinality funnel. */
+  def curateBest(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityCore(spark, dir)
+    // null scores (empty text → NULLIF division) are coalesced to
+    // -1e308 INSIDE the order key: Spark sorts DESC nulls-last but
+    // DuckDB DESC nulls-first — a silent winner divergence on any
+    // component containing an empty doc. -1e308 is below every
+    // reachable score (ratios of finite counts), so null never wins.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(coalesce(col("quality_score"), lit(-1e308)).desc, col("doc_id"))
+    val dropped = Dedup.clustersCore(spark, dir)
+      .join(quality.select(col("doc_id"), col("quality_score")),
+        col("node") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") =!= 1)
+      .select(col("node").as("doc_id"))
+    val predicted = when(col("stop_ratio") >= 0.06, lit("en"))
+      .otherwise(lit("unk")).as("predicted_lang")
+    quality
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= QualityBar)
+      .select(col("doc_id"), col("n_chars_actual"), col("quality_score"),
+        predicted)
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars_actual")).as("sum_chars"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("predicted_lang"))
+  }
+
+  val curateBestSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |quality AS (${TextOps.qualitySelectSql}),
+       |member AS (
+       |  SELECT l.label, l.node, q.quality_score,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY l.label
+       |      ORDER BY COALESCE(q.quality_score, -1e308) DESC, l.node) AS rn
+       |  FROM labels l JOIN quality q ON l.node = q.doc_id),
+       |dropped AS (SELECT node AS doc_id FROM member WHERE rn <> 1),
+       |curated AS (
+       |  SELECT doc_id, n_chars_actual, quality_score,
+       |    CASE WHEN stop_ratio >= 0.06 THEN 'en' ELSE 'unk' END AS predicted_lang
+       |  FROM quality
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+       |    AND quality_score >= $QualityBar)
+       |SELECT predicted_lang, COUNT(*) AS n_docs, CAST(SUM(n_chars_actual) AS BIGINT) AS sum_chars,
+       |  MIN(quality_score) AS min_quality, MAX(quality_score) AS max_quality
+       |FROM curated
+       |GROUP BY predicted_lang
+       |ORDER BY predicted_lang""".stripMargin
+
   /** Train/test CONTAMINATION check — the audit every training
     * pipeline needs after splitting: near-duplicate pairs whose
     * members landed in DIFFERENT splits of the deterministic hash
@@ -539,6 +603,7 @@ object Pipeline {
     "pipeline_train_build" -> ((trainBuild _, trainBuildSql)),
     "pipeline_curate_v2" -> ((curateV2 _, curateV2Sql)),
     "pipeline_curate_cc" -> ((curateCc _, curateCcSql)),
+    "pipeline_curate_best" -> ((curateBest _, curateBestSql)),
     "pipeline_contamination" -> ((contamination _, contaminationSql)),
     "dedup_hybrid" -> ((dedupHybrid _, dedupHybridSql)))
 }

@@ -87,7 +87,16 @@ class DeterminismSpec extends AnyFunSuite {
     "alpaca_ewma",
     // r8: exact order-statistic (percentile_disc) median/MAD must
     // select the same element at any partitioning
-    "q67_mad_outliers")
+    "q67_mad_outliers",
+    // r11 batch: the global-shuffle rank's counts/offsets jobs and
+    // bucketed window must agree at any layout; the keep-best and
+    // curate-best winners rest on (score DESC, doc_id) total window
+    // orders (score a coalesced double); the containment ratio is a
+    // single division of exact ints; the salted join's per-type
+    // average is a DECIMAL sum + one IEEE division, and its salt must
+    // be result-invisible whatever the partitioning
+    "text_global_shuffle", "dedup_keep_best", "pipeline_curate_best",
+    "dedup_ngram_containment", "q70_skew_join_salted")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
