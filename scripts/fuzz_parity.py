@@ -74,7 +74,7 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # r10: fixed-context sequence packing (span explode +
              # per-sequence overlap sums; token conservation must hold
              # on hostile text and int64-edge doc_ids)
-             "text_seq_pack",
+             "text_seq_pack", "text_seq_pack_shuffled",
              "dedup_simhash",
              # r5: the capped DSIR filter + the pair-generating dedup
              # family (md5-parity + band-hash contracts on hostile

@@ -629,6 +629,50 @@ object TextOps {
       Seq("source"), expr(s"doc_id div $PackBucketWidth"),
       col("tokens"), "cum", col("doc_id")))
 
+  /** Shuffled-order sequence packing — the composed daily shape a
+    * trainer actually consumes: documents are concatenated per source
+    * in the REPRODUCIBLE pseudo-random order (the same seeded-md5 key
+    * as `text_global_shuffle`), not doc_id/arrival order, then cut
+    * into fixed sequences. Packing in ingestion order correlates
+    * neighbors (same crawl batch, same site); packing in shuffled
+    * order is what curriculum-free training assumes.
+    *
+    * Scale shape: proves [[Ranks.partitionedRunningSum]] generalizes
+    * beyond doc_id ranges — the monotone bucket here is the shuffle
+    * key's first hex byte under the (k, doc_id) sort, so the cumsum
+    * parallelizes 256-way per source exactly like the _prod twin, and
+    * no re-sort precedes the pack (the shuffle IS the pack order).
+    * Downstream span explode/aggregation shared; token conservation
+    * identical. */
+  def textSeqPackShuffled(spark: SparkSession, dir: String): DataFrame =
+    seqPackFromCum(Ranks.partitionedRunningSum(
+      seqPackTokens(spark, dir)
+        .withColumn("k", md5(concat(lit("shuf:"), col("doc_id").cast("string")))),
+      Seq("source"), conv(substring(col("k"), 1, 2), 16, 10).cast("long"),
+      col("tokens"), "cum", col("k"), col("doc_id")))
+
+  val textSeqPackShuffledSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(LEN(STRING_SPLIT(COALESCE(text, ''), ' ')) AS BIGINT) AS tokens,
+       |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents),
+       |cums AS (
+       |  SELECT doc_id, source, tokens,
+       |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, source, tokens, cum, cum - tokens AS strt, sq
+       |  FROM cums, UNNEST(RANGE((cum - tokens) // $SeqLen,
+       |    (cum - 1) // $SeqLen + 1)) AS r(sq))
+       |SELECT source, sq AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(LEAST(cum, (sq + 1) * $SeqLen)
+       |    - GREATEST(strt, sq * $SeqLen)) AS BIGINT) AS seq_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM spans GROUP BY source, sq
+       |ORDER BY source, seq_id""".stripMargin
+
   val textSeqPackSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source,
@@ -1575,6 +1619,7 @@ object TextOps {
     "text_shard_pack_prod" -> ((textShardPackProd _, textShardPackSql)),
     "text_seq_pack" -> ((textSeqPack _, textSeqPackSql)),
     "text_seq_pack_prod" -> ((textSeqPackProd _, textSeqPackSql)),
+    "text_seq_pack_shuffled" -> ((textSeqPackShuffled _, textSeqPackShuffledSql)),
     "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
     "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)),
     "text_lm_score" -> ((textLmScore _, textLmScoreSql)),

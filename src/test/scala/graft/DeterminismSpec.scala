@@ -96,7 +96,8 @@ class DeterminismSpec extends AnyFunSuite {
     // average is a DECIMAL sum + one IEEE division, and its salt must
     // be result-invisible whatever the partitioning
     "text_global_shuffle", "dedup_keep_best", "pipeline_curate_best",
-    "dedup_ngram_containment", "q70_skew_join_salted")
+    "dedup_ngram_containment", "q70_skew_join_salted",
+    "text_seq_pack_shuffled")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

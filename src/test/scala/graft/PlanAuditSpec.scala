@@ -253,6 +253,22 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
+  test("text_seq_pack_shuffled: shuffled-order cumsum stays bucketed, never per-source") {
+    // The shuffled pack sorts by the md5 key, so its "naive" shape
+    // would be a window partitioned by source alone and ORDERED by k
+    // — the same single-task-per-source funnel, in shuffle clothing.
+    // The plan must show the (source, bucket) window and no
+    // source-only windowspec of any order key.
+    val p = planOf("text_seq_pack_shuffled")
+    assert("windowspecdefinition\\(source#\\d+, _graft_psum_bucket".r
+      .findFirstIn(p).isDefined,
+      s"shuffled pack window must be partitioned by (source, bucket):\n$p")
+    assert("windowspecdefinition\\(source#\\d+, [kd]".r.findFirstIn(p).isEmpty,
+      s"a per-source-only window survives in the shuffled pack:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must arrive via broadcast-hash join:\n$p")
+  }
+
   test("pipeline pack stages ride the distributed prefix (no per-source window)") {
     // trainBuild's sort is (dsir_weight DESC, doc_id) → its bucket is
     // the log-scaled weight; dailyDelta packs by doc_id → range

@@ -83,6 +83,27 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(c == d)
   }
 
+  test("shuffled pack: conserves tokens and genuinely reorders vs doc_id pack") {
+    // The shuffled pack must be the SAME partition of the token
+    // stream (Σ seq_tokens and per-source sequence counts identical —
+    // packing is order-invariant in totals) while the md5 order
+    // actually changes which docs share a sequence. A silent
+    // fall-through to doc_id order would pass its own oracle, so the
+    // cross-gate invariant is pinned here.
+    val dir = "/root/testdata/sf0.001"
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("source"))
+        .agg(sum(col("seq_tokens")).as("t"), count(lit(1)).as("n"))
+        .orderBy(col("source")).collect().toSeq
+    val plain = TextOps.textSeqPack(spark, dir)
+    val shuffled = TextOps.textSeqPackShuffled(spark, dir)
+    assert(totals(plain) == totals(shuffled),
+      "shuffled pack must conserve per-source token totals and sequence counts")
+    val a = plain.collect().toSeq
+    val b = shuffled.collect().toSeq
+    assert(a != b, "shuffled pack produced the doc_id-order composition")
+  }
+
   test("weight-descending order via a log-bucket (the trainBuild shape)") {
     import spark.implicits._
     // positive weights over 4 octaves; sort (w desc, id); bucket =
