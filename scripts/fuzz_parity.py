@@ -137,7 +137,7 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
 # bound (PARITY.md). The fixture still carries NULs, empty docs, 5KB
 # tokens and int64-edge doc_ids — the hostile cases that found the
 # height-derivation overflow and the empty-doc NULL divergence.
-MM_GATES = ["mm_meta", "mm_chunk_features", "mm_framesample",
+MM_GATES = ["mm_meta", "mm_phash_dedup", "mm_chunk_features", "mm_framesample",
             "mm_resample_1d", "mm_audio_energy",
             # r8: binaryFile landing-dir ingestion — md5/strlen are
             # byte-exact on any UTF-8 content incl. the hostile pool

@@ -951,6 +951,169 @@ object Multimodal {
        |    + 256) % 256) AS BIGINT) AS corner4_r
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------ perceptual-hash image dedup
+  private val PhashHammingMax = 4
+
+  /** Image DEDUP by perceptual hash — the multimodal twin of
+    * `dedup_simhash_pairs`, and the operator an image-corpus curation
+    * pipeline runs where text runs MinHash: decode → average-hash
+    * (8×8 grid of the decoded pixels, each bit = sample above the
+    * grid mean) → banded Hamming join. Images are formula-generated
+    * per doc (16 content classes × 2 variants, the variant perturbing
+    * one corner pixel — so the corpus REALLY contains exact dups,
+    * near-dups a few bits apart, and unrelated pairs) and go through
+    * the REAL PNG writer→parser round trip (bit-exact, proven by
+    * `mm_png_decode`); the hash is computed from the DECODED pixels.
+    *
+    * Scale shape: decode + hash are partition-local (bytes never
+    * leave the partition — the mm-family rule); only (doc_id, two
+    * 32-bit hash halves) cross the shuffle. Candidates come from a
+    * 4×16-bit band equi-join exactly like SimHash — never all-pairs —
+    * and the exact popcount Hamming check runs on candidates only.
+    * Pairs at distance ≤ [[PhashHammingMax]] survive. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val hashes = ids.mapPartitions { it =>
+      import java.awt.image.BufferedImage
+      import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+      import javax.imageio.ImageIO
+      it.map { id =>
+        // 16 content classes × 2 variants; all derived via floorMod
+        // so the gate is total over int64 doc_ids (oracle mirrors
+        // with ((x % 32) + 32) % 32 — and its // on the NON-NEGATIVE
+        // cls32 agrees with Scala's truncating /)
+        val cls32 = Math.floorMod(id, 32L).toInt
+        val cls = cls32 % 16
+        val delta = cls32 / 16
+        val w = 8 + cls % 8
+        val h = 8 + cls % 5
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // per-class multiplicative ramp — the mod-256 wraps give
+            // each class a structurally DISTINCT threshold pattern (a
+            // plain additive ramp made every class the same diagonal
+            // split: measured 54k candidate pairs at 500 docs, i.e.
+            // everything matched everything); the variant bumps the
+            // (0,0) corner by 64
+            val v = (((cls * 41 + 7) * (x + w * y)) % 256 +
+              (if (x == 0 && y == 0) 64 * delta else 0)) % 256
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", baos)
+        val dec = ImageIO.read(new ByteArrayInputStream(baos.toByteArray))
+        // average hash over the 8×8 sample grid of DECODED pixels:
+        // bit(i,j) = 64·sample > Σ samples (strict — ties are zeros
+        // identically in both engines; integer-only arithmetic)
+        val s = Array.ofDim[Long](8, 8)
+        var ssum = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val sx = i * (w - 1) / 7
+            val sy = j * (h - 1) / 7
+            s(j)(i) = (dec.getRGB(sx, sy) & 0xff).toLong
+            ssum += s(j)(i)
+            i += 1
+          }
+          j += 1
+        }
+        var hLo = 0L; var hHi = 0L
+        j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            if (64L * s(j)(i) > ssum) {
+              val idx = j * 8 + i
+              if (idx < 32) hLo |= 1L << idx else hHi |= 1L << (idx - 32)
+            }
+            i += 1
+          }
+          j += 1
+        }
+        (id, hHi, hLo)
+      }
+    }.toDF("doc_id", "h_hi", "h_lo")
+    val bands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      explode(expr(
+        """array(
+          |  struct(0L as b, h_lo % 65536 as bv),
+          |  struct(1L as b, h_lo div 65536 as bv),
+          |  struct(2L as b, h_hi % 65536 as bv),
+          |  struct(3L as b, h_hi div 65536 as bv))""".stripMargin)).as("bd"))
+      .select(col("doc_id"), col("h_hi"), col("h_lo"),
+        col("bd.b").as("b"), col("bd.bv").as("bv"))
+    val cand = bands.as("x")
+      .join(bands.as("y").hint("merge"), col("x.b") === col("y.b") &&
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.h_hi").as("ha_hi"), col("x.h_lo").as("ha_lo"),
+        col("y.h_hi").as("hb_hi"), col("y.h_lo").as("hb_lo"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(expr("ha_hi ^ hb_hi")) +
+          bit_count(expr("ha_lo ^ hb_lo"))).cast("bigint").as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Closed-form oracle: the PNG round trip is bit-exact, so samples
+    * come straight from the generating ramp; the hash, bands and
+    * popcount Hamming reproduce in integer SQL (xor(a,b) — DuckDB's
+    * `^` is POWER; sums cast back from HUGEINT before xor). */
+  val mmPhashDedupSql: String =
+    s"""WITH cfg AS (
+       |  SELECT doc_id,
+       |    ((doc_id % 32) + 32) % 32 % 16 AS cls,
+       |    ((doc_id % 32) + 32) % 32 // 16 AS delta,
+       |    8 + (((doc_id % 32) + 32) % 32 % 16) % 8 AS w,
+       |    8 + (((doc_id % 32) + 32) % 32 % 16) % 5 AS h
+       |  FROM documents),
+       |gi AS (SELECT UNNEST(RANGE(0, 8)) AS i),
+       |gj AS (SELECT UNNEST(RANGE(0, 8)) AS j),
+       |samp AS (
+       |  SELECT doc_id, i, j,
+       |    (((cls * 41 + 7) * ((i * (w - 1) // 7) + w * (j * (h - 1) // 7)))
+       |       % 256
+       |      + CASE WHEN i * (w - 1) // 7 = 0 AND j * (h - 1) // 7 = 0
+       |             THEN 64 * delta ELSE 0 END) % 256 AS s
+       |  FROM cfg, gi, gj),
+       |sums AS (SELECT doc_id, SUM(s) AS ssum FROM samp GROUP BY doc_id),
+       |bits AS (
+       |  SELECT s.doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN 64 * s.s > m.ssum AND j * 8 + i < 32
+       |      THEN 1::BIGINT << (j * 8 + i) ELSE 0 END), 0) AS BIGINT) AS h_lo,
+       |    CAST(COALESCE(SUM(CASE WHEN 64 * s.s > m.ssum AND j * 8 + i >= 32
+       |      THEN 1::BIGINT << (j * 8 + i - 32) ELSE 0 END), 0) AS BIGINT) AS h_hi
+       |  FROM samp s JOIN sums m USING (doc_id) GROUP BY s.doc_id),
+       |bands AS (
+       |  SELECT doc_id, h_hi, h_lo, b,
+       |    CASE b WHEN 0 THEN h_lo % 65536 WHEN 1 THEN h_lo // 65536
+       |           WHEN 2 THEN h_hi % 65536 ELSE h_hi // 65536 END AS bv
+       |  FROM bits, (SELECT UNNEST(RANGE(0, 4)) AS b) bx),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(a.h_hi, bb.h_hi))
+       |    + bit_count(xor(a.h_lo, bb.h_lo)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN bits a ON doc_a = a.doc_id
+       |JOIN bits bb ON doc_b = bb.doc_id
+       |WHERE bit_count(xor(a.h_hi, bb.h_hi))
+       |  + bit_count(xor(a.h_lo, bb.h_lo)) <= $PhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "mm_meta" -> ((mmMeta _, mmMetaSql)),
     "mm_wav_decode" -> ((mmWavDecode _, mmWavDecodeSql)),
@@ -964,5 +1127,6 @@ object Multimodal {
     "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),
     "mm_resample_1d" -> ((mmResample1d _, mmResample1dSql)),
     "mm_audio_energy" -> ((mmAudioEnergy _, mmAudioEnergySql)),
-    "mm_binary_ingest" -> ((mmBinaryIngest _, mmBinaryIngestSql)))
+    "mm_binary_ingest" -> ((mmBinaryIngest _, mmBinaryIngestSql)),
+    "mm_phash_dedup" -> ((mmPhashDedup _, mmPhashDedupSql)))
 }

@@ -97,7 +97,10 @@ class DeterminismSpec extends AnyFunSuite {
     // be result-invisible whatever the partitioning
     "text_global_shuffle", "dedup_keep_best", "pipeline_curate_best",
     "dedup_ngram_containment", "q70_skew_join_salted",
-    "text_seq_pack_shuffled")
+    "text_seq_pack_shuffled",
+    // r11: banded Hamming join + integer popcount — candidates and
+    // distances must not notice which partition decoded which image
+    "mm_phash_dedup")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
