@@ -70,7 +70,7 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # arithmetic (ceil-division strata, millage weights,
              # token-budget cumsums, boilerplate chunk counts)
              "text_chunk_dedup", "text_lm_score", "text_stratified_sample",
-             "text_source_cap", "text_mix_weights", "text_shard_pack",
+             "text_source_cap", "text_mix_weights", "text_mix_temperature", "text_shard_pack",
              # r10: fixed-context sequence packing (span explode +
              # per-sequence overlap sums; token conservation must hold
              # on hostile text and int64-edge doc_ids)

@@ -770,6 +770,59 @@ object TextOps {
       .orderBy(col("source"), col("doc_id"), col("copy"))
   }
 
+  private val MixTempTarget = 10.0
+
+  /** COUNT-ADAPTIVE source mix at temperature α = 0.5 — the
+    * Gopher/LLaMA-family recipe ([[textMixWeights]] applies STATIC
+    * per-source weights; this derives them from the live corpus):
+    * expected copies per doc = T/√n_source, so a source's total
+    * contribution grows as √n — over-represented domains are damped,
+    * small ones boosted, with no hand-set table to go stale as the
+    * corpus shifts. α is fixed at ½ deliberately: `sqrt` is an IEEE
+    * correctly-rounded operation in BOTH engines where `pow(x, α)` is
+    * libm-implementation-defined in its last ulp — the one
+    * temperature whose weights are bit-exact cross-engine. The
+    * fractional part becomes a copy via the same deterministic
+    * content-hash millage as textMixWeights (reruns, engines and
+    * partitionings pick identical copies).
+    *
+    * Scale shape: one partial-aggregable count per source (tiny —
+    * sources ≪ docs), broadcast back, then a pure per-row projection;
+    * no explode, so output rows = input rows at any corpus size. */
+  def textMixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val docH = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("text"))), 1, 15), 16, 10).cast("bigint")
+    docs(spark, dir)
+      .join(broadcast(counts), "source")
+      .select(col("doc_id"), col("source"), col("n_src"),
+        (lit(MixTempTarget) / sqrt(col("n_src").cast("double"))).as("weight"),
+        (docH % 1000).as("frac_mill"))
+      .select(col("source"), col("doc_id"), col("n_src"), col("weight"),
+        (floor(col("weight")).cast("bigint") +
+          when(col("frac_mill") <
+            ((col("weight") - floor(col("weight"))) * 1000).cast("bigint"), 1L)
+            .otherwise(0L)).as("n_copies"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val textMixTemperatureSql: String =
+    s"""WITH counts AS (
+       |  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+       |weighted AS (
+       |  SELECT d.doc_id, d.source, c.n_src,
+       |    CAST($MixTempTarget AS DOUBLE) / SQRT(CAST(c.n_src AS DOUBLE)) AS weight,
+       |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.text), 1, 15))::BIGINT
+       |      % 1000 AS frac_mill
+       |  FROM documents d JOIN counts c USING (source))
+       |SELECT source, doc_id, CAST(n_src AS BIGINT) AS n_src,
+       |  CAST(weight AS DOUBLE) AS weight,
+       |  CAST(FLOOR(weight)::BIGINT +
+       |    CASE WHEN frac_mill < ((weight - FLOOR(weight)) * 1000)::BIGINT
+       |         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+       |FROM weighted ORDER BY source, doc_id""".stripMargin
+
   val textMixWeightsSql: String =
     """WITH weighted AS (
       |  SELECT doc_id, source,
@@ -1622,6 +1675,7 @@ object TextOps {
     "text_seq_pack_shuffled" -> ((textSeqPackShuffled _, textSeqPackShuffledSql)),
     "text_source_cap" -> ((textSourceCap _, textSourceCapSql)),
     "text_mix_weights" -> ((textMixWeights _, textMixWeightsSql)),
+    "text_mix_temperature" -> ((textMixTemperature _, textMixTemperatureSql)),
     "text_lm_score" -> ((textLmScore _, textLmScoreSql)),
     "text_dsir_filter" -> ((textDsirFilter _, textDsirFilterSql)),
     "text_chunk_overlap" -> ((textChunkOverlap _, textChunkOverlapSql)),

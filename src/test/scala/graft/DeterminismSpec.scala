@@ -100,7 +100,9 @@ class DeterminismSpec extends AnyFunSuite {
     "text_seq_pack_shuffled",
     // r11: banded Hamming join + integer popcount — candidates and
     // distances must not notice which partition decoded which image
-    "mm_phash_dedup")
+    "mm_phash_dedup",
+    // r11: sqrt + one IEEE division weight — bit-exact at any layout
+    "text_mix_temperature")
 
   private def runWith(partitions: Int, name: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
