@@ -19,7 +19,7 @@ object TextOps {
 
   private val Stopwords = Seq("the", "a", "of", "and", "in", "is")
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
 
   // ----------------------------------------------------------- langid
@@ -783,8 +783,17 @@ object TextOps {
     * libm-implementation-defined in its last ulp — the one
     * temperature whose weights are bit-exact cross-engine. The
     * fractional part becomes a copy via the same deterministic
-    * content-hash millage as textMixWeights (reruns, engines and
-    * partitionings pick identical copies).
+    * content-hash millage as textMixWeights — but UNLIKE
+    * textMixWeights (frac(w) ∈ {0, .5}, so the ×1000 product is an
+    * exact integer and cast semantics are moot), here frac(w) is a
+    * general double, and Spark's CAST(double AS BIGINT) truncates
+    * toward zero while DuckDB's ::BIGINT rounds to nearest — an
+    * integer cast on the threshold would make n_copies differ by 1
+    * for any doc whose frac_mill lands between the two. So the
+    * threshold is compared as a raw DOUBLE on both sides: frac_mill
+    * (an exact integer < 1000) against (w − ⌊w⌋)·1000, which is the
+    * same chain of correctly-rounded IEEE ops in both engines —
+    * bit-identical, no rounding-direction dependence.
     *
     * Scale shape: one partial-aggregable count per source (tiny —
     * sources ≪ docs), broadcast back, then a pure per-row projection;
@@ -801,8 +810,8 @@ object TextOps {
         (docH % 1000).as("frac_mill"))
       .select(col("source"), col("doc_id"), col("n_src"), col("weight"),
         (floor(col("weight")).cast("bigint") +
-          when(col("frac_mill") <
-            ((col("weight") - floor(col("weight"))) * 1000).cast("bigint"), 1L)
+          when(col("frac_mill").cast("double") <
+            (col("weight") - floor(col("weight"))) * 1000, 1L)
             .otherwise(0L)).as("n_copies"))
       .orderBy(col("source"), col("doc_id"))
   }
@@ -819,7 +828,7 @@ object TextOps {
        |SELECT source, doc_id, CAST(n_src AS BIGINT) AS n_src,
        |  CAST(weight AS DOUBLE) AS weight,
        |  CAST(FLOOR(weight)::BIGINT +
-       |    CASE WHEN frac_mill < ((weight - FLOOR(weight)) * 1000)::BIGINT
+       |    CASE WHEN frac_mill::DOUBLE < (weight - FLOOR(weight)) * 1000
        |         THEN 1 ELSE 0 END AS BIGINT) AS n_copies
        |FROM weighted ORDER BY source, doc_id""".stripMargin
 
