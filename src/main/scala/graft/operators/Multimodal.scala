@@ -745,6 +745,169 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- animated (multi-frame) GIF
+  private val GifSceneTau = 8L
+
+  /** Encode K deterministic grayscale frames as ONE ANIMATED GIF
+    * (writer sequence API, interlace explicitly off — PARITY §38's
+    * h ≤ 4 scramble applies per frame), then decode every frame back
+    * by INDEX through the JDK reader and return the decoded pixel
+    * sums. This is the multi-frame real-decode core both
+    * [[mmGifFrameSample]] and [[mmGifSceneCut]] share (VERDICT r11
+    * next #3: the byte-chunk `mm_framesample`/`mm_scene_cut` treat
+    * payload slices as "frames"; these twins compute over frames a
+    * real codec actually decoded). Frame f's pattern adds an 11·f
+    * drift to the still-image family's gray ramp, so per-frame sums
+    * have the same closed form the oracle computes.
+    *
+    * Scale shape: encode+decode never leave the partition iterator —
+    * one record in, one row of per-frame sums out; no shuffle sees
+    * pixel data. */
+  private def gifFramesRoundTrip(id: Long): (Long, Int, Int, Array[Long]) = {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    val k = (3 + Math.floorMod(id, 4L)).toInt
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+    val baos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < k) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0,
+            Math.floorMod(id + 3L * x + 5L * y + 11L * f, 256L).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    val bytes = baos.toByteArray
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val nF = reader.getNumImages(true)
+    val sums = (0 until nF).map { i =>
+      val dec = reader.read(i)
+      var s = 0L
+      var y = 0
+      while (y < dec.getHeight) {
+        var x = 0
+        while (x < dec.getWidth) { s += dec.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      s
+    }.toArray
+    reader.dispose(); iis.close()
+    (nF.toLong, w, h, sums)
+  }
+
+  /** Frame sampling over REAL decoded frames: container frame count
+    * (the reader's own index scan, not the generator's K) plus the
+    * decoded pixel sums of the first / middle / last frame — the
+    * stride-sample a video pipeline keeps. Equality with the oracle's
+    * closed form proves every sampled frame decoded exactly. */
+  def mmGifFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (nF, _, _, sums) = gifFramesRoundTrip(id)
+        val n = sums.length
+        (id, nF, sums(0), sums(n / 2), sums(n - 1))
+      }
+    }.toDF("doc_id", "n_frames", "sum_first", "sum_mid", "sum_last")
+      .orderBy(col("doc_id"))
+  }
+
+  val mmGifFrameSampleSql: String =
+    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+       |  (doc_id % 256 + 256) % 256 AS did,
+       |  3 + (doc_id % 4 + 4) % 4 AS k
+       |  FROM documents),
+       |gx AS (SELECT UNNEST(RANGE(0, $PngMaxW)) AS x),
+       |gy AS (SELECT UNNEST(RANGE(0, $PngMaxH)) AS y),
+       |fs AS (
+       |  SELECT doc_id, k, f,
+       |    SUM(((did + 3 * x + 5 * y + 11 * f) % 256 + 256) % 256) AS s
+       |  FROM ids JOIN gx ON gx.x < ids.w JOIN gy ON gy.y < ids.h,
+       |       UNNEST(RANGE(0, k)) AS r(f)
+       |  GROUP BY doc_id, k, f)
+       |SELECT doc_id, CAST(MIN(k) AS BIGINT) AS n_frames,
+       |  CAST(MIN(CASE WHEN f = 0 THEN s END) AS BIGINT) AS sum_first,
+       |  CAST(MIN(CASE WHEN f = k // 2 THEN s END) AS BIGINT) AS sum_mid,
+       |  CAST(MIN(CASE WHEN f = k - 1 THEN s END) AS BIGINT) AS sum_last
+       |FROM fs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Scene-cut over REAL decoded frames: adjacent-frame decoded-sum
+    * jumps against an integer per-pixel threshold (|s_f − s_{f−1}| >
+    * $GifSceneTau·w·h ⇒ cut). The 11·f drift advances every pixel by
+    * 11 per frame until it WRAPS mod 256 — wraps drop the sum by
+    * 256 per wrapped pixel, so frames where a band of pixels crosses
+    * 255 fire the detector: deterministic, engine-exact cut
+    * positions. Same output shape as the byte-chunk [[mmSceneCut]]. */
+  def mmGifSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val (nF, w, h, sums) = gifFramesRoundTrip(id)
+        var nCuts = 0L
+        var firstCut = -1L
+        var cutSum = 0L
+        var f = 1
+        while (f < sums.length) {
+          if (math.abs(sums(f) - sums(f - 1)) > GifSceneTau * w * h) {
+            nCuts += 1; cutSum += f
+            if (firstCut < 0) firstCut = f
+          }
+          f += 1
+        }
+        (id, nF, nCuts, if (firstCut < 0) None else Some(firstCut), cutSum)
+      }
+    }.toDF("doc_id", "n_frames", "n_cuts", "first_cut", "cut_idx_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  val mmGifSceneCutSql: String =
+    s"""WITH ids AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+       |  (doc_id % 256 + 256) % 256 AS did,
+       |  3 + (doc_id % 4 + 4) % 4 AS k
+       |  FROM documents),
+       |gx AS (SELECT UNNEST(RANGE(0, $PngMaxW)) AS x),
+       |gy AS (SELECT UNNEST(RANGE(0, $PngMaxH)) AS y),
+       |fs AS (
+       |  SELECT doc_id, w, h, k, f,
+       |    SUM(((did + 3 * x + 5 * y + 11 * f) % 256 + 256) % 256) AS s
+       |  FROM ids JOIN gx ON gx.x < ids.w JOIN gy ON gy.y < ids.h,
+       |       UNNEST(RANGE(0, k)) AS r(f)
+       |  GROUP BY doc_id, w, h, k, f),
+       |d AS (
+       |  SELECT doc_id, w, h, k, f, s, lag(s) OVER w2 AS ps
+       |  FROM fs WINDOW w2 AS (PARTITION BY doc_id ORDER BY f)),
+       |cuts AS (
+       |  SELECT doc_id, k, f
+       |  FROM d WHERE ps IS NOT NULL AND ABS(s - ps) > $GifSceneTau * w * h)
+       |SELECT i.doc_id, CAST(i.k AS BIGINT) AS n_frames,
+       |  CAST(COUNT(c.f) AS BIGINT) AS n_cuts,
+       |  CAST(MIN(c.f) AS BIGINT) AS first_cut,
+       |  CAST(COALESCE(SUM(c.f), 0) AS BIGINT) AS cut_idx_sum
+       |FROM ids i LEFT JOIN cuts c ON i.doc_id = c.doc_id
+       |GROUP BY i.doc_id, i.k ORDER BY i.doc_id""".stripMargin
+
   /** Single-channel member of the PNG/BMP closed-form family — the
     * generating gray is the PNG red channel, with the same wrap-safe
     * mod-reduced `did` (256 | 2⁶⁴ exactness note at
@@ -1120,6 +1283,8 @@ object Multimodal {
     "mm_png_decode" -> ((mmPngDecode _, mmPngDecodeSql)),
     "mm_bmp_decode" -> ((mmBmpDecode _, mmBmpDecodeSql)),
     "mm_gif_decode" -> ((mmGifDecode _, mmGifDecodeSql)),
+    "mm_gif_framesample" -> ((mmGifFrameSample _, mmGifFrameSampleSql)),
+    "mm_gif_scene_cut" -> ((mmGifSceneCut _, mmGifSceneCutSql)),
     "mm_jpeg_decode" -> ((mmJpegDecode _, mmJpegDecodeSql)),
     "mm_resize_real" -> ((mmResizeReal _, mmResizeRealSql)),
     "mm_scene_cut" -> ((mmSceneCut _, mmSceneCutSql)),

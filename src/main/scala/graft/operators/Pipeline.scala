@@ -535,7 +535,7 @@ object Pipeline {
       .join(meta, Seq("doc_id"))
       .localCheckpoint()
     Ranks.partitionedRunningSum(survivors, Seq("source"),
-      expr(s"doc_id div ${TextOps.PackBucketWidth}"),
+      expr(s"doc_id div ${Ranks.packBucketWidth(survivors, col("doc_id"))}"),
       col("tokens"), "cum", col("doc_id"))
       .withColumn("shard_id", expr(s"(cum - tokens) div ${TextOps.ShardTokens}"))
       .groupBy(col("source"), col("shard_id"))

@@ -33,6 +33,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * bucket over a 16-bit key keeps the worst task at 1/256th). */
 object Ranks {
 
+  /** Doc_id-range bucket width for the pack cumsum call sites
+    * (VERDICT r11 next #5): width = idRange / (32 × parallelism),
+    * floored at 256 — so the subtotal frame
+    * [[partitionedRunningSum]] collects stays ≈ 32·parallelism rows
+    * per part key REGARDLESS of how the ids are spread. The r11
+    * hardcoded 256 was sized for the gate fixtures' dense 0..6k ids;
+    * on a corpus whose ids span 10⁹ (sharded allocators, snowflake
+    * ids) a fixed 256 yields ~4M buckets — the subtotal collect
+    * approaches one row PER INPUT ROW and the driver becomes the
+    * funnel the helper exists to remove. One tiny min/max job at
+    * plan-build time; at gate scale (range ≤ 32·par·256) the helper
+    * returns exactly the legacy 256, so every gate's bucket layout —
+    * and its bit-exact output, which never depends on width — is
+    * unchanged. Empty/all-null input → 256 (nothing to bucket). */
+  def packBucketWidth(df: DataFrame, idCol: Column): Long = {
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val r = df.agg(min(idCol.cast("long")).as("lo"),
+      max(idCol.cast("long")).as("hi")).head()
+    if (r.isNullAt(0)) 256L
+    else math.max(256L, (r.getLong(1) - r.getLong(0) + 1) / (32L * par))
+  }
+
   /** Appends `rnCol` = 1-based global row number under the total
     * order `sortCols` (which MUST be a total order — ties would make
     * the rank nondeterministic). `bucket` MUST be monotone in that
@@ -160,5 +182,9 @@ object Ranks {
       .withColumn(cumCol, sum(col(vCol)).over(w) +
         coalesce(col(offCol), raise_error(lit(missMsg)).cast("long")))
       .drop(bCol, vCol, offCol)
+      // the USING join hoists (partKeys, bucket) to the front; restore
+      // the caller's column order so the helper is a pure "append
+      // cumCol" from the caller's point of view
+      .select(df.columns.map(col) :+ col(cumCol): _*)
   }
 }

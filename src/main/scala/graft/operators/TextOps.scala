@@ -132,6 +132,132 @@ object TextOps {
       |  LENGTH(REGEXP_REPLACE(text, '[^a-z]', '', 'g')) AS n_alpha_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- subword (BPE-style) tokens
+  private[operators] val BpeVocabSize = 200
+
+  /** Corpus-derived subword vocabulary: the [[BpeVocabSize]] most
+    * frequent character pieces of length 2–4 across all words, ties
+    * broken piece-ASC — a WordPiece-style frequency vocab rather than
+    * iterative merge learning, chosen because frequency counting is
+    * one partial-aggregable groupBy where true BPE merge rounds are a
+    * sequential fixpoint (and the gate's point is budget CALIBRATION,
+    * not a production tokenizer: VERDICT r11 next #2 — whitespace
+    * `SeqLen=512` tokens systematically under-count subword budget).
+    *
+    * Scale shape: the piece explode is ≤3 rows per character of
+    * corpus but flows straight into a map-side-combined count (the
+    * per-piece partial collapses each task's explosion before the
+    * shuffle); top-K is TakeOrdered over the counted frame — K rows
+    * to the driver, never the piece population. Vocab-size scaling:
+    * everything downstream holds a K-entry ≤4-char map (~8·K bytes
+    * broadcast) and does O(1) lookups per character — K can grow to
+    * real 50k–100k vocabs without changing any plan shape. */
+  private[operators] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(expr(
+        "filter(split(coalesce(text, ''), ' '), w -> length(w) > 0)")).as("w"))
+      .select(explode(expr(
+        """flatten(transform(sequence(2, 4),
+          |  L -> CASE WHEN length(w) >= L
+          |    THEN transform(sequence(1, length(w) - L + 1),
+          |                   i -> substring(w, i, L))
+          |    ELSE CAST(array() AS array<string>) END))""".stripMargin))
+        .as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("piece"))
+      .limit(BpeVocabSize)
+      .select(col("piece"))
+
+  private val bpeVocabCtes: String =
+    s"""docwords AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(STRING_SPLIT(COALESCE(text, ''), ' ')) AS w
+       |    FROM documents)
+       |  WHERE LEN(w) > 0),
+       |bpe_pieces AS (
+       |  SELECT SUBSTR(w, i, L) AS piece
+       |  FROM docwords, UNNEST([2, 3, 4]) AS ls(L),
+       |       UNNEST(RANGE(1, LEN(w) - L + 2)) AS rs(i)
+       |  WHERE LEN(w) >= L),
+       |vocab AS (
+       |  SELECT piece FROM (
+       |    SELECT piece, COUNT(*) AS c FROM bpe_pieces GROUP BY piece
+       |    ORDER BY c DESC, piece LIMIT $BpeVocabSize)),
+       |uw AS (SELECT DISTINCT w FROM docwords),
+       |step(w, pos, cnt) AS (
+       |  SELECT w, 1, CAST(0 AS BIGINT) FROM uw
+       |  UNION ALL
+       |  SELECT s.w,
+       |    s.pos + COALESCE((SELECT MAX(LEN(v.piece)) FROM vocab v
+       |      WHERE v.piece = SUBSTR(s.w, s.pos, LEN(v.piece))), 1),
+       |    s.cnt + 1
+       |  FROM step s WHERE s.pos <= LEN(s.w)),
+       |wtok AS (SELECT w, MAX(cnt) AS t FROM step GROUP BY w)""".stripMargin
+
+  /** The greedy longest-match fold, SQL-expr form: one pass over the
+    * word's character positions carrying (pos, cnt); at each position
+    * it owns (i = pos) it advances by the longest vocab piece
+    * matching there (4→3→2, else 1). Near the word's end
+    * `substring(w, pos, L)` returns the SHORTER suffix, so a longer
+    * branch can fire on a shorter piece — it then over-advances past
+    * the end, which changes the exit position but NEVER the count
+    * (one token either way), so counts are exactly the DuckDB
+    * recursive CTE's MAX(LEN(piece)) semantics. Everything is
+    * integer/string ops inside whole-stage codegen; `vmap` is the
+    * broadcast K-entry vocab map, O(1) per lookup. */
+  private val bpeFoldSql: String =
+    """aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + aggregate(
+      |  sequence(1, length(w)),
+      |  named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
+      |  (st, i) -> IF(i = st.pos,
+      |    named_struct(
+      |      'pos', st.pos + CASE
+      |        WHEN map_contains_key(vmap, substring(w, st.pos, 4)) THEN 4
+      |        WHEN map_contains_key(vmap, substring(w, st.pos, 3)) THEN 3
+      |        WHEN map_contains_key(vmap, substring(w, st.pos, 2)) THEN 2
+      |        ELSE 1 END,
+      |      'cnt', st.cnt + CAST(1 AS BIGINT)),
+      |    st),
+      |  st -> st.cnt))""".stripMargin
+
+  /** (doc_id, source, ws, vmap) — the shared front of both BPE gates:
+    * the non-empty word list per doc and the broadcast vocab map.
+    * The vocab rides a crossJoin(broadcast(one-row map)) — the plan
+    * audit pins that no shuffle of documents against vocab exists. */
+  private def bpeTokensCore(spark: SparkSession, dir: String): DataFrame = {
+    val vocabRow = bpeVocab(spark, dir)
+      .agg(collect_list(col("piece")).as("ps"))
+      .select(expr("map_from_arrays(ps, transform(ps, p -> true))").as("vmap"))
+    docs(spark, dir)
+      .crossJoin(broadcast(vocabRow))
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(coalesce(text, ''), ' '), w -> length(w) > 0)")
+          .as("ws"),
+        col("vmap"))
+  }
+
+  /** Per-document SUBWORD token counts (VERDICT r11 next #2 — the
+    * honest budget unit: `SeqLen` whitespace tokens ≠ `SeqLen` BPE
+    * tokens, so every packing/budget gate calibrated in whitespace
+    * tokens under-fills real trainer sequences). Deterministic greedy
+    * longest-match over the corpus-derived [[bpeVocab]]. */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    bpeTokensCore(spark, dir)
+      .select(col("doc_id"),
+        size(col("ws")).cast("bigint").as("n_words"),
+        expr(bpeFoldSql).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val textTokensBpeSql: String =
+    s"""WITH RECURSIVE $bpeVocabCtes
+       |SELECT doc.doc_id,
+       |  CAST(COUNT(d.w) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(wtok.t), 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents doc
+       |LEFT JOIN docwords d ON doc.doc_id = d.doc_id
+       |LEFT JOIN wtok ON d.w = wtok.w
+       |GROUP BY doc.doc_id ORDER BY doc.doc_id""".stripMargin
+
   // ------------------------------------------------------ fingerprint
   /** Document fingerprinting (winnowing-lite): min and max 60-bit
     * shingle hashes + the shingle count — a compact, order-independent
@@ -520,12 +646,6 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
       .orderBy(col("lang"), col("shard_id"))
 
-  /** Doc_id-range bucket width for the distributed-cumsum pack
-    * variants: at gate scale (~6k docs/SF0.01) this yields dozens of
-    * buckets; a deployment sizes it as idRange / (32 × parallelism)
-    * so the largest bucket is a small task and the subtotal collect
-    * stays ≪ rows (it is |parts|·|buckets|, never rows). */
-  private[operators] val PackBucketWidth = 256L
 
   /** Production twin of [[textShardPack]] (VERDICT r10 next #1): the
     * running token sum via [[Ranks.partitionedRunningSum]]'s
@@ -537,13 +657,15 @@ object TextOps {
     * every bucket cumsums in parallel. Output is bit-identical to the
     * window path (LONG addition reassociated), so the oracle SQL is
     * shared verbatim. */
-  def textShardPackProd(spark: SparkSession, dir: String): DataFrame =
+  def textShardPackProd(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("tokens"))
+    val width = Ranks.packBucketWidth(toks, col("doc_id"))
     shardPackFromCum(Ranks.partitionedRunningSum(
-      docs(spark, dir)
-        .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("bigint").as("tokens")),
-      Seq("lang"), expr(s"doc_id div $PackBucketWidth"),
+      toks, Seq("lang"), expr(s"doc_id div $width"),
       col("tokens"), "cum", col("doc_id")))
+  }
 
   val textShardPackSql: String =
     s"""WITH toks AS (
@@ -623,11 +745,68 @@ object TextOps {
     * WHOLE source (the engine's last single-task-per-key shape at
     * 100 TB). Downstream span explode and aggregation are shared;
     * output and oracle are bit-identical to the window path. */
-  def textSeqPackProd(spark: SparkSession, dir: String): DataFrame =
+  def textSeqPackProd(spark: SparkSession, dir: String): DataFrame = {
+    val toks = seqPackTokens(spark, dir)
+    val width = Ranks.packBucketWidth(toks, col("doc_id"))
     seqPackFromCum(Ranks.partitionedRunningSum(
-      seqPackTokens(spark, dir),
-      Seq("source"), expr(s"doc_id div $PackBucketWidth"),
+      toks, Seq("source"), expr(s"doc_id div $width"),
       col("tokens"), "cum", col("doc_id")))
+  }
+
+  /** Sequence packing by REAL SUBWORD budget (VERDICT r11 next #2's
+    * second half): [[textSeqPackProd]]'s concat-and-chunk with the
+    * per-doc token count swapped from whitespace `split` to
+    * [[textTokensBpe]]'s greedy longest-match subword count — the
+    * unit a trainer's `SeqLen` is actually denominated in. Zero-token
+    * docs (empty text) are excluded BEFORE the cumsum: they occupy no
+    * sequence span, and the span explode's `sequence(strt div L,
+    * (cum-1) div L)` is only monotone for tokens ≥ 1 (Spark's
+    * `sequence` runs DESCENDING when start > stop — a silent
+    * wrong-span hazard, not an error). Σ seq_tokens = Σ tokens over
+    * the surviving docs — the same conservation oracle as the
+    * whitespace twin.
+    *
+    * Scale shape: tokenize is a broadcast-map fold (no extra
+    * shuffle); the token frame is localCheckpoint'd so the
+    * vocab+fold runs ONCE, not once per [[Ranks.partitionedRunningSum]]
+    * pass (the checkpoint also discharges its nondeterminism guard
+    * the way pipeline_daily_delta does); the cumsum itself is the
+    * bucket-offset prefix under [[Ranks.packBucketWidth]]. */
+  def textSeqPackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val toks = bpeTokensCore(spark, dir)
+      .select(col("doc_id"), col("source"), expr(bpeFoldSql).as("tokens"))
+      .filter(col("tokens") > 0)
+      .localCheckpoint()
+    val width = Ranks.packBucketWidth(toks, col("doc_id"))
+    seqPackFromCum(Ranks.partitionedRunningSum(
+      toks, Seq("source"), expr(s"doc_id div $width"),
+      col("tokens"), "cum", col("doc_id")))
+  }
+
+  val textSeqPackBpeSql: String =
+    s"""WITH RECURSIVE $bpeVocabCtes,
+       |toks AS (
+       |  SELECT doc.doc_id, doc.source,
+       |    CAST(SUM(wtok.t) AS BIGINT) AS tokens
+       |  FROM documents doc
+       |  JOIN docwords d ON doc.doc_id = d.doc_id
+       |  JOIN wtok ON d.w = wtok.w
+       |  GROUP BY doc.doc_id, doc.source),
+       |cums AS (
+       |  SELECT doc_id, source, tokens,
+       |    CAST(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, source, tokens, cum, cum - tokens AS strt, sq
+       |  FROM cums, UNNEST(RANGE((cum - tokens) // $SeqLen,
+       |    (cum - 1) // $SeqLen + 1)) AS r(sq))
+       |SELECT source, sq AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(LEAST(cum, (sq + 1) * $SeqLen)
+       |    - GREATEST(strt, sq * $SeqLen)) AS BIGINT) AS seq_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM spans GROUP BY source, sq
+       |ORDER BY source, seq_id""".stripMargin
 
   /** Shuffled-order sequence packing — the composed daily shape a
     * trainer actually consumes: documents are concatenated per source
@@ -1669,6 +1848,8 @@ object TextOps {
     "text_langid" -> ((textLangid _, textLangidSql)),
     "text_quality" -> ((textQuality _, textQualitySql)),
     "text_tokens" -> ((textTokens _, textTokensSql)),
+    "text_tokens_bpe" -> ((textTokensBpe _, textTokensBpeSql)),
+    "text_seq_pack_bpe" -> ((textSeqPackBpe _, textSeqPackBpeSql)),
     "text_fingerprint" -> ((textFingerprint _, textFingerprintSql)),
     "text_tfidf" -> ((textTfidf _, textTfidfSql)),
     "text_redact" -> ((textRedact _, textRedactSql)),

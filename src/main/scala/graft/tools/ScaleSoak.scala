@@ -55,6 +55,10 @@ object ScaleSoak {
     // adversarial chain/star/clique-mix graphs at 100k+ nodes
     // (VERDICT r10 next #4)
     if (args.headOption.contains("ccadv")) { ccAdversarialSoak(args); return }
+    // "packwidth [N]": the r12 bucket-width helper under a SPARSE,
+    // skewed id allocation (ids span ~10⁹) — subtotal-frame size with
+    // the derived width vs the legacy fixed 256 (VERDICT r11 next #5)
+    if (args.headOption.contains("packwidth")) { packWidthSoak(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -627,6 +631,59 @@ object ScaleSoak {
           f"seqs=${a.size} us_per_doc_window=${tWin * 1e6 / docs}%.1f " +
           f"us_per_doc_prod=${tProd * 1e6 / docs}%.1f")
       }
+    spark.stop()
+  }
+
+  /** Bucket-width helper soak (VERDICT r11 next #5): rows whose ids
+    * are SPARSE over ~10⁹ (a snowflake-style allocator: large strides
+    * plus per-row jitter, one hot source). With the legacy fixed 256
+    * width the (key, bucket) subtotal frame approaches ONE ROW PER
+    * INPUT ROW — the driver collect becomes the funnel
+    * partitionedRunningSum exists to remove; with
+    * [[Ranks.packBucketWidth]] it stays ≈ 32·parallelism regardless
+    * of the spread. The cumsum under the derived width is asserted
+    * equal to the sequential window (bit-identical, not just sized
+    * right). */
+  private def packWidthSoak(args: Array[String]): Unit = {
+    val factor = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    Seq(factor / 4, factor).distinct.filter(_ > 0).foreach { n =>
+      val rows = n * 100000
+      // stride ≫ 1 with deterministic jitter: ids span rows×9973+…,
+      // nothing aligns to a power of two, one source holds everything
+      val df = spark.range(rows.toLong)
+        .select(($"id" * 9973L + ($"id" % 37L)).as("doc_id"),
+          lit("hot").as("source"), ($"id" % 211L + 1L).as("tokens"))
+        .localCheckpoint()
+      val width = Ranks.packBucketWidth(df, col("doc_id"))
+      def subtotals(w: Long): Long =
+        df.groupBy(col("source"), expr(s"doc_id div $w")).count().count()
+      val nDerived = subtotals(width)
+      val nLegacy = subtotals(256L)
+      val t0 = System.nanoTime()
+      val prod = Ranks.partitionedRunningSum(df, Seq("source"),
+        expr(s"doc_id div $width"), col("tokens"), "cum", col("doc_id"))
+        .orderBy(col("doc_id")).collect()
+      val tProd = (System.nanoTime() - t0) / 1e9
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val win = df.withColumn("cum", sum(col("tokens")).over(w))
+        .orderBy(col("doc_id")).collect()
+      require(prod.toSeq == win.toSeq,
+        s"derived-width cumsum diverged from the window at n=$n")
+      println(f"SOAK_PACKWIDTH n=$n rows=$rows idrange=${rows.toLong * 9973L} " +
+        f"width=$width subtotal_rows_derived=$nDerived " +
+        f"subtotal_rows_fixed256=$nLegacy prod=$tProd%.2f s " +
+        f"ratio_fixed_over_derived=${nLegacy.toDouble / nDerived}%.0f")
+    }
     spark.stop()
   }
 

@@ -44,7 +44,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // sim_ann_ivf/sim_ann_filtered, at 768 dims
     "sim_semantic_dedup_768",
     // shares dedup_ngram_jaccard_capped's DF-cap scalar cross
-    "dedup_ngram_containment")
+    "dedup_ngram_containment",
+    // 1-row broadcast vocab MAP crossed onto every doc — the whole
+    // point of the BPE fold is that the vocab arrives without a
+    // shuffle (text_seq_pack_bpe hides the same cross behind its
+    // localCheckpoint, so only the tokens gate shows it)
+    "text_tokens_bpe")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
