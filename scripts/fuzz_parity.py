@@ -103,7 +103,13 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # contracts as the capped Jaccard, LEAST denominator) and
              # the md5-keyed global shuffle/shard (hex-string order +
              # bucket-offset rank parity on int64-edge / NULL doc_ids)
-             "dedup_ngram_containment", "text_global_shuffle"]
+             "dedup_ngram_containment", "text_global_shuffle",
+             # r12: subword tokenizer + BPE-budget packing — greedy
+             # longest-match parity on hostile words (unicode, NULs,
+             # 5KB tokens = 5000-step recursion in the oracle CTE);
+             # the pack twin adds the zero-token exclusion path that
+             # whitespace packs can never reach (split('') has 1 token)
+             "text_tokens_bpe", "text_seq_pack_bpe"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the

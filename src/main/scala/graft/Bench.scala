@@ -93,7 +93,7 @@ object Bench {
           jobCounter.incrementAndGet(); ()
         }
       })
-    val floorS = {
+    def floorNow(): Double = {
       val ts = (1 to 15).map { _ =>
         val t0 = System.nanoTime()
         spark.range(1).count()
@@ -101,12 +101,27 @@ object Bench {
       }.sorted
       ts(ts.length / 2)
     }
+    // r12 (VERDICT r11 what's-wrong #2): the floor was measured ONCE
+    // at session start, but it is a NOISY box quantity (r12 isolates:
+    // 0.10–0.19 s medians within one JVM minute-to-minute), and the
+    // adjusted metric multiplies it by 5–15 jobs — a single low
+    // startup sample (r11's 0.09 vs r10's 0.136) inflated every
+    // stream gate's adjusted time by up to ~0.6 s with zero real
+    // change. Measure the floor IMMEDIATELY BEFORE each stream gate
+    // instead (same 15-probe median, untimed), so the subtraction
+    // uses the dispatch cost the drain actually pays; the compact
+    // line reports the median of the per-gate floors.
+    def isStream(k: String): Boolean =
+      k.startsWith("stream_") || k.contains("_stream_")
+    val floorS = floorNow()
+    val gateFloors = scala.collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
       // Untimed GC between queries: without it, garbage promoted by
       // earlier queries gets collected DURING later ones, charging
       // one query's timing with another's cleanup (the main source of
       // run-to-run variance in the 50-query sweep).
       System.gc()
+      if (isStream(name)) gateFloors(name) = floorNow()
       val attempts = (1 to runs).map { _ =>
         val j0 = jobCounter.get()
         val t0 = System.nanoTime()
@@ -148,10 +163,17 @@ object Bench {
     // gate that "regressed" only because the box's dispatch floor
     // moved shows a FLAT adjusted number — the cross-round signal.
     val streamAdj = results.collect {
-      case (k, v, _, None, nJobs)
-          if k.startsWith("stream_") || k.contains("_stream_") =>
-        s"\"${esc(k)}\":${fmt2(math.max(0.0, v - floorS * nJobs))}"
+      case (k, v, _, None, nJobs) if isStream(k) =>
+        val f = gateFloors.getOrElse(k, floorS)
+        s"\"${esc(k)}\":${fmt2(math.max(0.0, v - f * nJobs))}"
     }.mkString("{", ",", "}")
+    val gateFloorsJson = gateFloors.toSeq.sortBy(_._1).map { case (k, f) =>
+      s"\"${esc(k)}\":${fmt(f)}"
+    }.mkString("{", ",", "}")
+    val floorMed = {
+      val fs = gateFloors.values.toSeq.sorted
+      if (fs.isEmpty) floorS else fs(fs.length / 2)
+    }
     val jobsJson = results.collect { case (k, _, _, None, nJobs) =>
       s"\"${esc(k)}\":$nJobs"
     }.mkString("{", ",", "}")
@@ -160,7 +182,7 @@ object Bench {
     // error strings) always lands in target/bench.json — copy it into
     // the repo as BENCHFULL_r{N}.json each round for regression diffs.
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"stream_floor_s":${fmt(floorS)},"stream_adjusted":$streamAdj,"jobs":$jobsJson,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"stream_floor_s":${fmt(floorMed)},"stream_floor_startup_s":${fmt(floorS)},"stream_gate_floors":$gateFloorsJson,"stream_adjusted":$streamAdj,"jobs":$jobsJson,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
@@ -193,7 +215,7 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$slowest,"names_md5":"$namesMd5","qt":$qt,"noise_floor_s":${fmt(noiseFloor)},"stream_floor_s":${fmt(floorS)},"stream_adj":$streamAdj,"err_names":$errNames,"full":"target/bench.json","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$slowest,"names_md5":"$namesMd5","qt":$qt,"noise_floor_s":${fmt(noiseFloor)},"stream_floor_s":${fmt(floorMed)},"stream_adj":$streamAdj,"err_names":$errNames,"full":"target/bench.json","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     println(json)
     spark.stop()
     graft.stub.AlpacaStubServer.stop()

@@ -37,7 +37,13 @@ object Dedup {
   /** Distinct 3-word shingles per document (guarding size >= 3).
     * Spark arrays are 0-based; the DuckDB twin uses 1-based offsets. */
   private[operators] def shingleDf(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    shingleDfFrom(t(spark, dir, "documents"))
+
+  /** Shingles from an ALREADY-LOADED (doc_id, text, …) frame — the
+    * r12 streaming daily delta hands each micro-batch through here
+    * instead of re-reading the table. */
+  private[operators] def shingleDfFrom(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -432,13 +438,16 @@ object Dedup {
     * aggregation is 128 partial-aggregable LONG min()s, and the
     * shuffle carries one 128-long row per document — 1 KB/doc,
     * which at 100 TB of text is ~0.1% of the corpus moving. */
-  private[operators] def prodSigDf(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def prodSigDf(spark: SparkSession, dir: String): DataFrame =
+    prodSigDfFrom(shingleDf(spark, dir))
+
+  private[operators] def prodSigDfFrom(shingles: DataFrame): DataFrame = {
     val h1 = conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("bigint")
     val h2 = conv(substring(md5(col("shingle")), 17, 13), 16, 10).cast("bigint")
     val sigCols = (1 to ProdPerms).map { k =>
       min(h1 + lit(k.toLong) * h2).as(s"s$k")
     }
-    shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   private val prodSigCte: String = {
@@ -975,10 +984,19 @@ object Dedup {
     * the composable form [[Pipeline.dailyDelta]] builds its keep-set
     * from. */
   private[operators] def incrementalMinhashProdCore(
-      spark: SparkSession, dir: String): DataFrame = {
-    val bands = prodBandDf(prodSigDf(spark, dir))
-    val batchB = bands.filter(col("doc_id") % 5 === 0)
-    val corpusB = bands.filter(col("doc_id") % 5 =!= 0)
+      spark: SparkSession, dir: String): DataFrame =
+    incrementalStatusFrom(spark, dir,
+      t(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+
+  /** The incremental probe with the DELTA side supplied as a frame
+    * (r12: the streaming daily delta probes each micro-batch against
+    * the same static corpus index; the batch gate passes the
+    * fixture's doc_id%5 slice and gets the identical result). */
+  private[operators] def incrementalStatusFrom(
+      spark: SparkSession, dir: String, deltaDocs: DataFrame): DataFrame = {
+    val batchB = prodBandDf(prodSigDfFrom(shingleDfFrom(deltaDocs)))
+    val corpusB = prodBandDf(prodSigDf(spark, dir))
+      .filter(col("doc_id") % 5 =!= 0)
     val eq = graft.functions.VectorFunctions.matchCountF(
       col("a.sigs"), col("b.sigs"))
     val cand = batchB.as("a")

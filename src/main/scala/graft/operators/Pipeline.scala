@@ -509,13 +509,23 @@ object Pipeline {
     * and the packing cumsum (distributed monotone-bucket prefix,
     * r11) runs over the day's SURVIVORS only,
     * per-source. All output measures are exact integers. */
-  def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
-    val keep = Dedup.incrementalMinhashProdCore(spark, dir)
+  def dailyDelta(spark: SparkSession, dir: String): DataFrame =
+    dailyDeltaFrom(spark, dir,
+      Tables.t(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+
+  /** The daily composition with the DELTA supplied as a frame — the
+    * r12 streaming mirror [[Streaming.streamDailyDelta]] runs this
+    * EXACT pipeline per micro-batch (foreachBatch), so the batch gate
+    * and the stream gate certify the same code path; the batch gate
+    * passes the fixture's doc_id%5 slice. */
+  private[graft] def dailyDeltaFrom(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame): DataFrame = {
+    val keep = Dedup.incrementalStatusFrom(spark, dir, deltaDocs)
       .filter(col("status") === "new")
       .select(col("doc_id"))
     val contaminated = TextOps.textBloomDecontam(spark, dir)
       .select(col("doc_id"))
-    val meta = Tables.t(spark, dir, "documents")
+    val meta = deltaDocs
       .select(col("doc_id"), col("source"),
         // coalesce makes the token expression TOTAL (null text → 1
         // empty token, as textSeqPack): the keep-set currently admits

@@ -736,6 +736,72 @@ object Streaming {
        |ORDER BY band_id""".stripMargin
   }
 
+  // --------------------------- the streaming daily delta (r12, VERDICT #6)
+  /** Micro-batch mirror of [[Pipeline.dailyDelta]] — the shape a
+    * 100 TB ingest actually runs: the delta arrives as a STREAM, and
+    * every micro-batch goes through the EXACT batch composition
+    * (incremental band probe against the static corpus index → Bloom
+    * decontam anti-join → per-source token-budget shard pack) inside
+    * `foreachBatch`, appending that batch's shard manifest to the
+    * output. foreachBatch is deliberate, not a compromise: the daily
+    * pipeline chains two aggregations and a window (disallowed as a
+    * single continuous streaming plan), and per-batch batch-mode
+    * execution with checkpointed offsets is Spark's intended pattern
+    * for exactly this — each day's delta is one batch, shard ids are
+    * per-batch (per-day manifests), and a restart neither loses nor
+    * reprocesses a day (StreamingSpec proves both halves).
+    *
+    * On the gate fixture the whole delta lands in ONE micro-batch, so
+    * the appended manifest is bit-identical to the batch gate's and
+    * the oracle SQL is shared VERBATIM ([[Pipeline.dailyDeltaSql]]).
+    *
+    * Scale: the stream side is a projection+filter (no state); all
+    * heavy lifting happens batch-side per micro-batch with the same
+    * plans the batch gate pins — banded merge probe, broadcast bloom,
+    * bucketed pack prefix. The corpus band index is re-derived per
+    * batch at gate scale; production persists it (the incremental
+    * gate's documented contract). */
+  def streamDailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sdd_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sdd_ckpt").toString
+    streamDailyDeltaCore(spark, dir, dir, "documents.parquet", out, ckpt)
+  }
+
+  private[graft] def streamDailyDeltaCore(spark: SparkSession,
+      staticDir: String, srcDir: String, glob: String,
+      outDir: String, ckpt: String): DataFrame = {
+    graft.core.SessionTuning.nanosAsLong(spark)
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val delta = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", glob)
+      .parquet(srcDir)
+      .filter(col("doc_id") % 5 === 0)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = delta.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.dailyDeltaFrom(spark, staticDir, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // explicit schema: a no-batch run leaves outDir empty, and a
+    // schemaless parquet read of an empty dir throws
+    spark.read.schema("source STRING, shard_id BIGINT, n_docs BIGINT, " +
+        "sum_tokens BIGINT, min_doc BIGINT, max_doc BIGINT")
+      .parquet(outDir)
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   // --------------------------- watermarked dedup (production shape)
   /** `dropDuplicatesWithinWatermark` — the PRODUCTION streaming-dedup
     * operator (plain `dropDuplicates` on a stream keeps ALL keys in
@@ -956,6 +1022,7 @@ object Streaming {
     "stream_tws_counter" -> ((streamTwsCounter _, streamTwsCounterSql)),
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
+    "stream_daily_delta" -> ((streamDailyDelta _, Pipeline.dailyDeltaSql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
     "stream_join_outer" -> ((streamJoinOuter _, streamJoinOuterSql)),
     "stream_sessionize" -> ((streamSessionize _, streamSessionizeSql)))

@@ -152,18 +152,36 @@ object TextOps {
     * everything downstream holds a K-entry ≤4-char map (~8·K bytes
     * broadcast) and does O(1) lookups per character — K can grow to
     * real 50k–100k vocabs without changing any plan shape. */
-  private[operators] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+  /** One row per word OCCURRENCE — the shared explode both the vocab
+    * build and the tokenize ride (kept to (doc_id, source, w): pixel
+    * rule's text analogue — the heavy string column never fans out). */
+  private def docWords(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(explode(expr(
-        "filter(split(coalesce(text, ''), ' '), w -> length(w) > 0)")).as("w"))
-      .select(explode(expr(
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "filter(split(coalesce(text, ''), ' '), w -> length(w) > 0)")).as("w"))
+
+  /** (w, wc) — distinct words with occurrence counts. Zipf is the
+    * whole optimization: the corpus has ~66× more word OCCURRENCES
+    * than distinct words, so counting pieces weighted by `wc` and
+    * folding each distinct word ONCE (r12 rework; the first cut
+    * exploded pieces and ran the fold per occurrence — 10.4 s at
+    * sf0.1, ~7× this form) does the same arithmetic on 1/66th the
+    * rows. The groupBy is one word-shuffle, reused by both consumers
+    * (same exchange). */
+  private def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    docWords(spark, dir).groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  private[operators] def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    wordCounts(spark, dir)
+      .select(col("wc"), explode(expr(
         """flatten(transform(sequence(2, 4),
           |  L -> CASE WHEN length(w) >= L
           |    THEN transform(sequence(1, length(w) - L + 1),
           |                   i -> substring(w, i, L))
           |    ELSE CAST(array() AS array<string>) END))""".stripMargin))
         .as("piece"))
-      .groupBy(col("piece")).agg(count(lit(1)).as("c"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
       .orderBy(col("c").desc, col("piece"))
       .limit(BpeVocabSize)
       .select(col("piece"))
@@ -205,8 +223,8 @@ object TextOps {
     * recursive CTE's MAX(LEN(piece)) semantics. Everything is
     * integer/string ops inside whole-stage codegen; `vmap` is the
     * broadcast K-entry vocab map, O(1) per lookup. */
-  private val bpeFoldSql: String =
-    """aggregate(ws, CAST(0 AS BIGINT), (acc, w) -> acc + aggregate(
+  private val bpeWordFoldSql: String =
+    """aggregate(
       |  sequence(1, length(w)),
       |  named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
       |  (st, i) -> IF(i = st.pos,
@@ -218,22 +236,32 @@ object TextOps {
       |        ELSE 1 END,
       |      'cnt', st.cnt + CAST(1 AS BIGINT)),
       |    st),
-      |  st -> st.cnt))""".stripMargin
+      |  st -> st.cnt)""".stripMargin
 
-  /** (doc_id, source, ws, vmap) — the shared front of both BPE gates:
-    * the non-empty word list per doc and the broadcast vocab map.
-    * The vocab rides a crossJoin(broadcast(one-row map)) — the plan
-    * audit pins that no shuffle of documents against vocab exists. */
+  /** (doc_id, source, n_words, tokens) — the shared front of both BPE
+    * gates, mirroring the ORACLE's own uw/wtok structure: each
+    * DISTINCT word is folded once against the broadcast one-row vocab
+    * map (crossJoin(broadcast) — no shuffle of words against vocab;
+    * the plan audit exempts exactly this BNLJ), then per-word counts
+    * join back to the occurrence frame and aggregate per doc. Docs
+    * with no words (empty text) survive via the left join, counts
+    * coalesced to 0. */
   private def bpeTokensCore(spark: SparkSession, dir: String): DataFrame = {
     val vocabRow = bpeVocab(spark, dir)
       .agg(collect_list(col("piece")).as("ps"))
       .select(expr("map_from_arrays(ps, transform(ps, p -> true))").as("vmap"))
-    docs(spark, dir)
+    val wordTok = wordCounts(spark, dir)
       .crossJoin(broadcast(vocabRow))
+      .select(col("w"), expr(bpeWordFoldSql).as("t"))
+    val perDoc = docWords(spark, dir)
+      .join(wordTok, "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nw"), sum(col("t")).as("tok"))
+    docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id", "source"), "left")
       .select(col("doc_id"), col("source"),
-        expr("filter(split(coalesce(text, ''), ' '), w -> length(w) > 0)")
-          .as("ws"),
-        col("vmap"))
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("tok"), lit(0L)).as("tokens"))
   }
 
   /** Per-document SUBWORD token counts (VERDICT r11 next #2 — the
@@ -243,9 +271,8 @@ object TextOps {
     * longest-match over the corpus-derived [[bpeVocab]]. */
   def textTokensBpe(spark: SparkSession, dir: String): DataFrame =
     bpeTokensCore(spark, dir)
-      .select(col("doc_id"),
-        size(col("ws")).cast("bigint").as("n_words"),
-        expr(bpeFoldSql).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"),
+        col("tokens").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   val textTokensBpeSql: String =
@@ -774,7 +801,7 @@ object TextOps {
     * bucket-offset prefix under [[Ranks.packBucketWidth]]. */
   def textSeqPackBpe(spark: SparkSession, dir: String): DataFrame = {
     val toks = bpeTokensCore(spark, dir)
-      .select(col("doc_id"), col("source"), expr(bpeFoldSql).as("tokens"))
+      .select(col("doc_id"), col("source"), col("tokens"))
       .filter(col("tokens") > 0)
       .localCheckpoint()
     val width = Ranks.packBucketWidth(toks, col("doc_id"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -411,5 +412,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture produced no attributed pairs")
     assert(got == expected,
       s"pair multiset diverged: extra=${got -- expected}, missing=${expected -- got}")
+  }
+
+  test("streamDailyDelta resumes from checkpoint: per-day manifests, no loss, no reprocess") {
+    import java.nio.file.{Files, Paths}
+    val staticDir = "/root/testdata/sf0.001"
+    val src = Files.createTempDirectory("graft_sdd_src").toString
+    val ckpt = Files.createTempDirectory("graft_sdd_ckpt2").toString
+    val out = Files.createTempDirectory("graft_sdd_out2").toString
+    val docs = operators.Tables.t(spark, staticDir, "documents")
+    val deltaIds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(deltaIds.length >= 4, "fixture delta too small to split")
+    val mid = deltaIds(deltaIds.length / 2)
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_sdd_stage").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, s"$name.parquet"))
+    }
+    def run(): Seq[Row] =
+      operators.Streaming
+        .streamDailyDeltaCore(spark, staticDir, src, "*.parquet", out, ckpt)
+        .collect().toSeq
+    // day 1: the first half of the delta arrives
+    stage(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < mid), "day1")
+    val afterDay1 = run()
+    val expectDay1 = operators.Pipeline.dailyDeltaFrom(spark, staticDir,
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < mid))
+      .collect().toSeq
+    assert(expectDay1.nonEmpty)
+    assert(afterDay1 == expectDay1,
+      s"day-1 manifest diverged from the batch composition")
+    // restart with NOTHING new: the checkpoint must prevent reprocessing
+    val afterIdle = run()
+    assert(afterIdle == afterDay1,
+      "an idle restart re-emitted day-1 shards (offsets not honored)")
+    // day 2 arrives; restart processes ONLY day 2, appending its manifest
+    stage(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= mid), "day2")
+    val afterDay2 = run()
+    val expectDay2 = operators.Pipeline.dailyDeltaFrom(spark, staticDir,
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") >= mid))
+      .collect().toSeq
+    // manifests are per-day: the union, not a re-pack of the total
+    val expected = (expectDay1 ++ expectDay2)
+      .sortBy(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val gotSorted = afterDay2
+      .sortBy(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(gotSorted == expected,
+      s"post-restart manifests diverged: got=$gotSorted expected=$expected")
   }
 }
