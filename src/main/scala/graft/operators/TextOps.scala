@@ -202,14 +202,21 @@ object TextOps {
        |    SELECT piece, COUNT(*) AS c FROM bpe_pieces GROUP BY piece
        |    ORDER BY c DESC, piece LIMIT $BpeVocabSize)),
        |uw AS (SELECT DISTINCT w FROM docwords),
+       |positions AS (
+       |  SELECT w, i FROM uw, UNNEST(RANGE(1, LEN(w) + 1)) AS r(i)),
+       |adv AS (
+       |  SELECT c.w, c.i,
+       |    COALESCE(MAX(CASE WHEN v.piece IS NOT NULL THEN c.L END), 1) AS step
+       |  FROM (SELECT p.w, p.i, SUBSTR(p.w, p.i, L) AS k, L
+       |        FROM positions p, UNNEST([2, 3, 4]) AS ls(L)) c
+       |  LEFT JOIN vocab v ON v.piece = c.k AND LEN(v.piece) = c.L
+       |  GROUP BY c.w, c.i),
        |step(w, pos, cnt) AS (
        |  SELECT w, 1, CAST(0 AS BIGINT) FROM uw
        |  UNION ALL
-       |  SELECT s.w,
-       |    s.pos + COALESCE((SELECT MAX(LEN(v.piece)) FROM vocab v
-       |      WHERE v.piece = SUBSTR(s.w, s.pos, LEN(v.piece))), 1),
-       |    s.cnt + 1
-       |  FROM step s WHERE s.pos <= LEN(s.w)),
+       |  SELECT s.w, s.pos + a.step, s.cnt + 1
+       |  FROM step s JOIN adv a ON a.w = s.w AND a.i = s.pos
+       |  WHERE s.pos <= LEN(s.w)),
        |wtok AS (SELECT w, MAX(cnt) AS t FROM step GROUP BY w)""".stripMargin
 
   /** The greedy longest-match fold, SQL-expr form: one pass over the
