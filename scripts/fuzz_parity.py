@@ -109,7 +109,7 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # 5KB tokens = 5000-step recursion in the oracle CTE);
              # the pack twin adds the zero-token exclusion path that
              # whitespace packs can never reach (split('') has 1 token)
-             "text_tokens_bpe", "text_seq_pack_bpe"]
+             "text_tokens_bpe", "text_seq_pack_bpe", "text_tokens_bpe_merges"]
 EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
                # r5 widening: RANGE-frame rolling windows and both
                # as-of directions over hostile event streams, plus the
@@ -143,7 +143,7 @@ EVENT_GATES = ["q12_event_bars", "q27_funnel", "q20_retention", "q29_map_ops",
 # bound (PARITY.md). The fixture still carries NULs, empty docs, 5KB
 # tokens and int64-edge doc_ids — the hostile cases that found the
 # height-derivation overflow and the empty-doc NULL divergence.
-MM_GATES = ["mm_meta", "mm_phash_dedup", "mm_chunk_features", "mm_framesample",
+MM_GATES = ["mm_meta", "mm_phash_dedup", "mm_chunk_features", "mm_chunk_sample",
             "mm_resample_1d", "mm_audio_energy",
             # r8: binaryFile landing-dir ingestion — md5/strlen are
             # byte-exact on any UTF-8 content incl. the hostile pool
@@ -151,7 +151,7 @@ MM_GATES = ["mm_meta", "mm_phash_dedup", "mm_chunk_features", "mm_framesample",
             # r8: scene-cut frame scan — division-free BIGINT mean
             # jumps; empty docs (0 frames), single-frame docs (no
             # transition), 5KB tokens (multi-frame) all in the pool
-            "mm_scene_cut",
+            "mm_chunk_cut",
             # r10: the image-codec round trips are total over int64
             # doc_ids — Spark uses floorMod (wrap-safe mod 256: 256
             # divides 2^64) and the oracles reduce doc_id mod 256

@@ -59,6 +59,20 @@ def main(out_dir, sf_dir):
             problems.append(f"rows {len(spark_df)} vs {len(duck_df)}")
         else:
             for c in spark_df.columns:
+                # r13: dtype KIND skew is a FAILURE even when values
+                # compare equal — the driver hashes rendered cells, so
+                # int64 7 vs float64 7.0 (an uncast DuckDB SUM ->
+                # HUGEINT -> pandas float64) is exactly the eternal
+                # hash_match:false of r9-r12 (scripts/hash_repro.py).
+                # Width-only skew (int32 vs int64) renders identically
+                # and is benign — only cross-kind skew breaks the hash.
+                sk, dk = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+                if (sk in "iu") != (dk in "iu") or \
+                        (sk == "f") != (dk == "f"):
+                    problems.append(
+                        f"col {c}: dtype kind skew {spark_df[c].dtype} vs "
+                        f"{duck_df[c].dtype} (driver hash hazard)")
+                    continue
                 sv, dv = spark_df[c].tolist(), duck_df[c].tolist()
                 bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, dv))
                        if not values_equal(a, b)]

@@ -107,12 +107,13 @@ object Bench {
     // adjusted metric multiplies it by 5–15 jobs — a single low
     // startup sample (r11's 0.09 vs r10's 0.136) inflated every
     // stream gate's adjusted time by up to ~0.6 s with zero real
-    // change. Measure the floor IMMEDIATELY BEFORE each stream gate
-    // instead (same 15-probe median, untimed), so the subtraction
-    // uses the dispatch cost the drain actually pays; the compact
-    // line reports the median of the per-gate floors.
-    def isStream(k: String): Boolean =
-      k.startsWith("stream_") || k.contains("_stream_")
+    // change. r12 measured a 15-probe floor immediately before each
+    // STREAM gate; r13 (VERDICT r12 next #1) extends that to EVERY
+    // gate — the job-heavy BATCH gates (dedup_clusters' 53-job star
+    // contraction) were the remaining floor-sensitive family with no
+    // per-gate floor, leaving their cross-round drift unexplained.
+    // Cost: ~15 probes × ~0.1 s × |gates| of untimed wall, bought
+    // back as a floor-adjusted number for every gate.
     val floorS = floorNow()
     val gateFloors = scala.collection.mutable.Map[String, Double]()
     val results = selected.map { case (name, fn) =>
@@ -121,7 +122,7 @@ object Bench {
       // one query's timing with another's cleanup (the main source of
       // run-to-run variance in the 50-query sweep).
       System.gc()
-      if (isStream(name)) gateFloors(name) = floorNow()
+      gateFloors(name) = floorNow()
       val attempts = (1 to runs).map { _ =>
         val j0 = jobCounter.get()
         val t0 = System.nanoTime()
@@ -158,15 +159,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None, _) => v }.sum
     val nOk = results.count(_._4.isEmpty)
-    // Floor-adjusted drain times for the streaming gates: raw −
-    // floor × jobs-of-best-attempt, clamped at 0. A many-micro-batch
-    // gate that "regressed" only because the box's dispatch floor
-    // moved shows a FLAT adjusted number — the cross-round signal.
-    val streamAdj = results.collect {
-      case (k, v, _, None, nJobs) if isStream(k) =>
-        val f = gateFloors.getOrElse(k, floorS)
-        s"\"${esc(k)}\":${fmt2(math.max(0.0, v - f * nJobs))}"
+    // Floor-adjusted times for EVERY gate (r13): raw − floor ×
+    // jobs-of-best-attempt, clamped at 0. A gate that "regressed"
+    // only because the box's dispatch floor moved shows a FLAT
+    // adjusted number — the cross-round signal, now covering the
+    // job-heavy batch family (star contraction, multi-stage
+    // pipelines), not just streaming drains.
+    def adjOf(k: String, v: Double, nJobs: Long): Double = {
+      val f = gateFloors.getOrElse(k, floorS)
+      math.max(0.0, v - f * nJobs)
+    }
+    val adjusted = results.collect {
+      case (k, v, _, None, nJobs) =>
+        s"\"${esc(k)}\":${fmt2(adjOf(k, v, nJobs))}"
     }.mkString("{", ",", "}")
+    val adjTotal = results.collect {
+      case (k, v, _, None, nJobs) => adjOf(k, v, nJobs)
+    }.sum
     val gateFloorsJson = gateFloors.toSeq.sortBy(_._1).map { case (k, f) =>
       s"\"${esc(k)}\":${fmt(f)}"
     }.mkString("{", ",", "}")
@@ -181,8 +190,15 @@ object Bench {
     // the COMPLETE per-query JSON (3-decimal timings, spreads, full
     // error strings) always lands in target/bench.json — copy it into
     // the repo as BENCHFULL_r{N}.json each round for regression diffs.
+    // r13 key cut-over (ADVICE r12): `stream_floor_s` had silently
+    // changed meaning in r12 (startup floor → median of per-stream-
+    // gate floors); now that floors cover EVERY gate the keys say
+    // what they are — `floor_med_s` (median of per-gate floors),
+    // `floor_startup_s` (session-start sample), `gate_floors` /
+    // `adjusted` (complete per-gate maps), `adj_total_s` (suite total
+    // net of floor × jobs — the cross-round headline).
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"stream_floor_s":${fmt(floorMed)},"stream_floor_startup_s":${fmt(floorS)},"stream_gate_floors":$gateFloorsJson,"stream_adjusted":$streamAdj,"jobs":$jobsJson,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spreads,"errors":$errs,"floor_med_s":${fmt(floorMed)},"floor_startup_s":${fmt(floorS)},"gate_floors":$gateFloorsJson,"adjusted":$adjusted,"adj_total_s":${fmt(adjTotal)},"jobs":$jobsJson,"sf":"$sfDir","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (fullJson + "\n").getBytes("UTF-8"))
@@ -215,7 +231,7 @@ object Bench {
       .sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"${esc(k)}\":${fmt(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$slowest,"names_md5":"$namesMd5","qt":$qt,"noise_floor_s":${fmt(noiseFloor)},"stream_floor_s":${fmt(floorMed)},"stream_adj":$streamAdj,"err_names":$errNames,"full":"target/bench.json","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"sf":"$sfDir","queries":$slowest,"names_md5":"$namesMd5","qt":$qt,"noise_floor_s":${fmt(noiseFloor)},"floor_med_s":${fmt(floorMed)},"adj_total_s":${fmt(adjTotal)},"err_names":$errNames,"full":"target/bench.json","total_s":${fmt(total)},"n_queries":$nOk,"n_errors":${results.size - nOk}}"""
     println(json)
     spark.stop()
     graft.stub.AlpacaStubServer.stop()

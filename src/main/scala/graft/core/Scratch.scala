@@ -50,6 +50,12 @@ object Scratch {
       finally s.close()
     }
 
+  /** Immediate recursive delete for gate-scoped temp state that must
+    * not wait for JVM exit (ADVICE r12: Bench re-runs a streaming gate
+    * several times per round; per-invocation `createTempDirectory`
+    * dirs accreted until shutdown). Safe on non-existent paths. */
+  def deleteNow(path: String): Unit = deleteRecursive(Paths.get(path))
+
   /** `/tmp/graft_p<pid>_<gate>_<sf-slug>` — unique per (process, gate,
     * scale factor), stable within a process so Bench's repeat runs
     * overwrite instead of accrete. */

@@ -976,7 +976,10 @@ object Dedup {
     * best-match window); deltas are pure constants: 8× wider
     * signature rows, 4× band rows, est_jaccard resolution 1/128.
     * At 100 TB: the index is a table bucketed on (band_id, bh), the
-    * daily probe shuffles ONLY the delta's ~1 KB/doc signatures. */
+    * daily probe shuffles ONLY the delta's ~1 KB/doc signatures —
+    * and since r13 that is LITERAL, not aspirational: the gate probes
+    * [[persistedCorpusIndex]], so its plan contains no corpus shingle
+    * scan at all (first run per JVM builds the index once). */
   def dedupIncrementalMinhashProd(spark: SparkSession, dir: String): DataFrame =
     incrementalMinhashProdCore(spark, dir).orderBy(col("doc_id"))
 
@@ -985,18 +988,104 @@ object Dedup {
     * from. */
   private[operators] def incrementalMinhashProdCore(
       spark: SparkSession, dir: String): DataFrame =
-    incrementalStatusFrom(spark, dir,
-      t(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+    incrementalStatusAgainst(
+      t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+      persistedCorpusIndex(spark, dir))
+
+  /** The corpus side of the production band index — the frame a
+    * 100 TB deployment PERSISTS ([[persistedCorpusIndex]]). The corpus
+    * slice is cut on the raw documents scan BEFORE shingling (ADVICE
+    * r12: the previous form shingled+signed ALL documents and filtered
+    * bands afterwards, so the delta docs were hashed twice — once per
+    * side — unless Catalyst pushed the filter through the
+    * Generate+Aggregate, which it does not). */
+  private[operators] def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
+    prodBandDf(prodSigDfFrom(shingleDfFrom(
+      t(spark, dir, "documents").filter(col("doc_id") % 5 =!= 0))))
+
+  /** Write-once-per-JVM registry of persisted corpus indexes (keyed by
+    * sf dir): Bench re-runs a gate 3–4× and the streaming daily delta
+    * probes per micro-batch — the index must be BUILT once and only
+    * PROBED thereafter, which is exactly the production contract
+    * (index build is O(corpus), amortized across every daily delta;
+    * the probe is O(delta)). */
+  private val persistedIndexTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The persisted production band index (VERDICT r12 next #3): the
+    * [[corpusBandIndex]] frame materialized as a parquet table
+    * BUCKETED on (band_id, bh) — the daily-ingest layout the
+    * incremental gates' scaladoc has promised since r8. Probing the
+    * returned table instead of re-deriving the index removes the
+    * O(corpus) shingle→md5→128-min aggregation from every delta run:
+    * the probe plan scans parquet and (because the bucket spec equals
+    * the band-join key) the corpus side satisfies the join's
+    * distribution straight from storage — only the delta's ~1 KB/doc
+    * signature rows shuffle. First call per (JVM, sf dir) pays the
+    * one-time build; every later call — Bench's repeat runs, every
+    * stream micro-batch — reads the table. */
+  private[operators] def persistedCorpusIndex(
+      spark: SparkSession, dir: String): DataFrame = {
+    val name = persistedIndexTables.computeIfAbsent(dir, { d =>
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"graft_band_index_$suffix"
+      val path = graft.core.Scratch.dir("band_index", d)
+      corpusBandIndex(spark, d)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "band_id", "bh").sortBy("band_id", "bh")
+        .option("path", path).saveAsTable(table)
+      table
+    })
+    spark.table(name)
+  }
+
+  /** Gate body for `sink_band_index_persist` (registered with the
+    * sink family — it certifies a persistence ARTIFACT): build the
+    * bucketed corpus index via [[persistedCorpusIndex]], then read the
+    * PERSISTED table back and summarize per band — row count, distinct
+    * bucket hashes, and the XOR of each member's first signature
+    * component (order-independent, exact, overflow-free), so any
+    * write/read corruption of the band keys OR the packed signature
+    * payload breaks the hash against an oracle computed from the raw
+    * documents. */
+  private[operators] def bandIndexPersist(
+      spark: SparkSession, dir: String): DataFrame =
+    persistedCorpusIndex(spark, dir)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("bh")).as("n_hashes"),
+        expr("bit_xor(sigs[0])").as("xor_s1"))
+      .select(col("band_id").cast("bigint").as("band_id"),
+        col("n_rows"), col("n_hashes"), col("xor_s1"))
+      .orderBy(col("band_id"))
+
+  private[operators] val bandIndexPersistSql: String =
+    s"""WITH $shingleCte,
+       |$prodSigCte,
+       |$prodBandCte
+       |SELECT CAST(b.band_id AS BIGINT) AS band_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT b.bh) AS BIGINT) AS n_hashes,
+       |  CAST(BIT_XOR(s.s1) AS BIGINT) AS xor_s1
+       |FROM bands b JOIN sigs s ON b.doc_id = s.doc_id
+       |WHERE b.doc_id % 5 <> 0
+       |GROUP BY b.band_id ORDER BY band_id""".stripMargin
 
   /** The incremental probe with the DELTA side supplied as a frame
     * (r12: the streaming daily delta probes each micro-batch against
     * the same static corpus index; the batch gate passes the
     * fixture's doc_id%5 slice and gets the identical result). */
   private[operators] def incrementalStatusFrom(
-      spark: SparkSession, dir: String, deltaDocs: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, deltaDocs: DataFrame): DataFrame =
+    incrementalStatusAgainst(deltaDocs, corpusBandIndex(spark, dir))
+
+  /** The probe itself, with BOTH sides supplied: delta docs (shingled
+    * and signed here — O(delta)) against an already-banded corpus
+    * index, fresh ([[corpusBandIndex]]) or persisted
+    * ([[persistedCorpusIndex]]). */
+  private[operators] def incrementalStatusAgainst(
+      deltaDocs: DataFrame, corpusB: DataFrame): DataFrame = {
     val batchB = prodBandDf(prodSigDfFrom(shingleDfFrom(deltaDocs)))
-    val corpusB = prodBandDf(prodSigDf(spark, dir))
-      .filter(col("doc_id") % 5 =!= 0)
     val eq = graft.functions.VectorFunctions.matchCountF(
       col("a.sigs"), col("b.sigs"))
     val cand = batchB.as("a")

@@ -460,7 +460,7 @@ object Microstructure {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
        |  FROM classified WHERE dir IS NOT NULL),
        |b AS (
-       |  SELECT symbol, cum // $VpinBucketVol AS bucket,
+       |  SELECT symbol, CAST(cum // $VpinBucketVol AS BIGINT) AS bucket,
        |    SUM(CASE WHEN dir = 1 THEN size ELSE 0 END) AS buy_volume,
        |    SUM(CASE WHEN dir = -1 THEN size ELSE 0 END) AS sell_volume
        |  FROM cummed GROUP BY 1, 2)

@@ -145,16 +145,18 @@ object Multimodal {
   private val FrameBytes = 256
   private val FrameStride = 4
 
-  /** Frame sampling — the video-shaped multimodal operator: each
-    * payload is cut into 256-byte "frames" and every 4th frame is
-    * extracted with per-frame features (digest + byte mean). A real
+  /** Chunk sampling (named mm_framesample through r12; renamed per
+    * the r11 honesty precedent — the "frame" names belong to the REAL
+    * decoded-frame gates [[mmGifFrameSample]]/[[mmGifSceneCut]]): each
+    * payload is cut into 256-byte CHUNKS and every 4th chunk is
+    * extracted with per-chunk features (digest + byte mean). A real
     * pipeline swaps the slice for a container-format keyframe decode;
     * the shape — one record in, a VARIABLE number of feature rows out,
     * inside the partition iterator (flatMap), bytes never leaving the
     * executor — is the real contract and survives 100 TB unchanged.
     * Fully oracled via the ASCII corpus (frame digest = md5 of the
     * same substring in DuckDB; mean = exact integer sum / length). */
-  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+  def mmChunkSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds = mediaRecords(spark, dir).as[MediaRecord]
     ds.mapPartitions { records =>
@@ -176,7 +178,7 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  val mmFrameSampleSql: String =
+  val mmChunkSampleSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, text, strlen(text) AS n,
        |    (strlen(text) + ${FrameBytes - 1}) // $FrameBytes AS n_frames
@@ -360,9 +362,10 @@ object Multimodal {
   // ------------------------------------------------- video scene cuts
   private val SceneTau = 4L
 
-  /** Scene-cut detection on the stubbed video stream: consecutive
-    * 256-byte "frames" per payload, boundary where the inter-frame
-    * mean-intensity jump exceeds τ. A real pipeline swaps the byte
+  /** Cut detection over byte CHUNKS (named mm_scene_cut through r12;
+    * renamed — the real decoded-frame scene cut is [[mmGifSceneCut]]):
+    * consecutive 256-byte chunks per payload, boundary where the
+    * inter-chunk mean-intensity jump exceeds τ. A real pipeline swaps the byte
     * mean for a decoded-luma mean (or histogram distance) — the
     * SHAPE is the contract: a serial scan over a record's frames
     * inside the partition iterator (state = previous frame's
@@ -376,7 +379,7 @@ object Multimodal {
     * = code-point sums). The per-doc summary carries n_frames,
     * n_cuts, the first cut index (scene-1 length) and the cut-index
     * sum (certifies WHICH frames cut, not just how many). */
-  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
+  def mmChunkCut(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds = mediaRecords(spark, dir).as[MediaRecord]
     ds.mapPartitions { records =>
@@ -410,7 +413,7 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val mmSceneCutSql: String =
+  val mmChunkCutSql: String =
     s"""WITH b AS (
        |  SELECT doc_id, text, strlen(text) AS n,
        |    (strlen(text) + ${FrameBytes - 1}) // $FrameBytes AS n_frames
@@ -858,7 +861,7 @@ object Multimodal {
     * 11 per frame until it WRAPS mod 256 — wraps drop the sum by
     * 256 per wrapped pixel, so frames where a band of pixels crosses
     * 255 fire the detector: deterministic, engine-exact cut
-    * positions. Same output shape as the byte-chunk [[mmSceneCut]]. */
+    * positions. Same output shape as the byte-chunk [[mmChunkCut]]. */
   def mmGifSceneCut(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
@@ -1287,9 +1290,9 @@ object Multimodal {
     "mm_gif_scene_cut" -> ((mmGifSceneCut _, mmGifSceneCutSql)),
     "mm_jpeg_decode" -> ((mmJpegDecode _, mmJpegDecodeSql)),
     "mm_resize_real" -> ((mmResizeReal _, mmResizeRealSql)),
-    "mm_scene_cut" -> ((mmSceneCut _, mmSceneCutSql)),
+    "mm_chunk_cut" -> ((mmChunkCut _, mmChunkCutSql)),
     "mm_chunk_features" -> ((mmChunkFeatures _, mmChunkFeaturesSql)),
-    "mm_framesample" -> ((mmFrameSample _, mmFrameSampleSql)),
+    "mm_chunk_sample" -> ((mmChunkSample _, mmChunkSampleSql)),
     "mm_resample_1d" -> ((mmResample1d _, mmResample1dSql)),
     "mm_audio_energy" -> ((mmAudioEnergy _, mmAudioEnergySql)),
     "mm_binary_ingest" -> ((mmBinaryIngest _, mmBinaryIngestSql)),

@@ -519,8 +519,14 @@ object Pipeline {
     * and the stream gate certify the same code path; the batch gate
     * passes the fixture's doc_id%5 slice. */
   private[graft] def dailyDeltaFrom(spark: SparkSession, dir: String,
-      deltaDocs: DataFrame): DataFrame = {
-    val keep = Dedup.incrementalStatusFrom(spark, dir, deltaDocs)
+      deltaDocs: DataFrame,
+      corpusBands: Option[DataFrame] = None): DataFrame = {
+    // r13: callers that run the composition repeatedly (the streaming
+    // mirror — one call per micro-batch) pass the PERSISTED corpus
+    // band index so per-batch work is O(delta); the batch gate derives
+    // it in-plan (one call, one scan — filter-before-shingle).
+    val keep = Dedup.incrementalStatusAgainst(deltaDocs,
+        corpusBands.getOrElse(Dedup.corpusBandIndex(spark, dir)))
       .filter(col("status") === "new")
       .select(col("doc_id"))
     val contaminated = TextOps.textBloomDecontam(spark, dir)

@@ -52,7 +52,17 @@ object Ranks {
     val r = df.agg(min(idCol.cast("long")).as("lo"),
       max(idCol.cast("long")).as("hi")).head()
     if (r.isNullAt(0)) 256L
-    else math.max(256L, (r.getLong(1) - r.getLong(0) + 1) / (32L * par))
+    else {
+      // ids straddling the int64 sign boundary make (hi - lo + 1)
+      // overflow and wrap <= 0, silently degrading to width 256 — the
+      // exact driver funnel this helper removes (ADVICE r12). Unsigned
+      // division is correct for ANY lo <= hi spread: hi - lo wraps to
+      // the true unsigned distance, divideUnsigned keeps it
+      // non-negative.
+      val range = java.lang.Long.divideUnsigned(
+        r.getLong(1) - r.getLong(0), 32L * par)
+      math.max(256L, range)
+    }
   }
 
   /** Appends `rnCol` = 1-based global row number under the total

@@ -272,7 +272,7 @@ object Relational3 {
       |  BIT_AND((l_linenumber::BIGINT << 4) | (l_orderkey & 15)) AS band,
       |  BIT_OR((l_linenumber::BIGINT << 4) | (l_orderkey & 15)) AS bor,
       |  BIT_XOR(xor(l_orderkey, l_partkey)) AS bxor,
-      |  SUM(CAST(bit_count(l_orderkey) AS BIGINT)) AS sum_bits,
+      |  CAST(SUM(bit_count(l_orderkey)) AS BIGINT) AS sum_bits,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag, bucket
       |ORDER BY l_returnflag, bucket""".stripMargin

@@ -280,14 +280,15 @@ object Relational4 {
       |  SELECT CAST(n_nationkey + 1000 AS BIGINT),
       |    CAST(n_regionkey * 100 AS BIGINT), NULL FROM nation)
       |SELECT 'except_all' AS op, COUNT(*) AS n,
-      |  COUNT(DISTINCT o_custkey) AS n_keys, SUM(o_custkey) AS sum_keys,
+      |  COUNT(DISTINCT o_custkey) AS n_keys,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_keys,
       |  CAST(NULL AS BIGINT) AS extra FROM ea
       |UNION ALL
       |SELECT 'intersect_all', COUNT(*), COUNT(DISTINCT o_custkey),
-      |  SUM(o_custkey), CAST(NULL AS BIGINT) FROM ia
+      |  CAST(SUM(o_custkey) AS BIGINT), CAST(NULL AS BIGINT) FROM ia
       |UNION ALL
-      |SELECT 'union_by_name', COUNT(*), COUNT(DISTINCT k), SUM(r),
-      |  SUM(extra) FROM ub
+      |SELECT 'union_by_name', COUNT(*), COUNT(DISTINCT k),
+      |  CAST(SUM(r) AS BIGINT), CAST(SUM(extra) AS BIGINT) FROM ub
       |ORDER BY op""".stripMargin
 
   /** CSV and delimited-map scalar functions: `to_csv` renders a
@@ -365,8 +366,8 @@ object Relational4 {
     """SELECT o_orderpriority, o_orderkey,
       |  strftime(o_orderdate, '%Y-%m-%d') AS od,
       |  COUNT(*) OVER w AS n_30d,
-      |  SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-      |    OVER w AS cents_30d
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |    OVER w AS BIGINT) AS cents_30d
       |FROM orders WHERE o_orderkey % 15 = 3
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
       |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)

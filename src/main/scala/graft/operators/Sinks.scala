@@ -235,7 +235,7 @@ object Sinks {
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta))
       |SELECT o_orderstatus, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
-      |  SUM(version) AS n_updated
+      |  CAST(SUM(version) AS BIGINT) AS n_updated
       |FROM merged WHERE rn = 1
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -243,5 +243,9 @@ object Sinks {
     "sink_partitioned_roundtrip" -> ((sinkRoundtrip _, sinkRoundtripSql)),
     "sink_bucketed_join" -> ((sinkBucketedJoin _, sinkBucketedJoinSql)),
     "sink_schema_evolution" -> ((sinkSchemaEvolution _, sinkSchemaEvolutionSql)),
-    "sink_upsert_roundtrip" -> ((sinkUpsertRoundtrip _, sinkUpsertRoundtripSql)))
+    "sink_upsert_roundtrip" -> ((sinkUpsertRoundtrip _, sinkUpsertRoundtripSql)),
+    // persistence artifact for the incremental-dedup corpus index
+    // (VERDICT r12 next #3); body lives beside the index machinery
+    "sink_band_index_persist" ->
+      ((Dedup.bandIndexPersist _, Dedup.bandIndexPersistSql)))
 }

@@ -101,8 +101,8 @@ object Warehouse {
     """SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0)
       |    / ((600000.0 - 0.0) / 20)) + 1 AS BIGINT), 0), 21) AS bucket,
       |  COUNT(*) AS n_rows,
-      |  SUM(CASE WHEN o_totalprice < 0 OR o_totalprice >= 600000.0
-      |    THEN 1 ELSE 0 END) AS n_out_of_range,
+      |  CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice >= 600000.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 

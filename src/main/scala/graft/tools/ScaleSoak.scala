@@ -59,6 +59,10 @@ object ScaleSoak {
     // skewed id allocation (ids span ~10⁹) — subtotal-frame size with
     // the derived width vs the legacy fixed 256 (VERDICT r11 next #5)
     if (args.headOption.contains("packwidth")) { packWidthSoak(args); return }
+    // "bandindex": persisted-corpus-index probe (VERDICT r12 next #3)
+    // — one-time build cost vs per-probe cost at two delta sizes vs
+    // the old per-run re-derivation, at sf0.1
+    if (args.headOption.contains("bandindex")) { bandIndexSoak(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -644,6 +648,49 @@ object ScaleSoak {
     * of the spread. The cumsum under the derived width is asserted
     * equal to the sequential window (bit-identical, not just sized
     * right). */
+  /** Persisted band index: is the per-batch probe really O(delta)?
+    * Measures the one-time index build, then probes with a 20% delta
+    * (the gate convention) and a 4% delta against the SAME persisted
+    * table, vs the old path that re-derives the corpus index inside
+    * every run. Probe time should track the DELTA fraction; the
+    * re-derive path is corpus-dominated and flat in delta size. */
+  private def bandIndexSoak(args: Array[String]): Unit = {
+    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tBuild) = timed(Dedup.persistedCorpusIndex(spark, dir)
+      .count())
+    def delta(mod: Int) = Tables.t(spark, dir, "documents")
+      .filter(col("doc_id") % mod === 0)
+    def drain(df: DataFrame): Long = df.count()
+    // warm both paths once (codegen/JIT), then measure best-of-3
+    def best3(f: => Long): Double =
+      (1 to 3).map(_ => timed(f)._2).min
+    drain(Dedup.incrementalStatusAgainst(delta(5),
+      Dedup.persistedCorpusIndex(spark, dir)))
+    val tProbe20 = best3(drain(Dedup.incrementalStatusAgainst(delta(5),
+      Dedup.persistedCorpusIndex(spark, dir))))
+    val tProbe4 = best3(drain(Dedup.incrementalStatusAgainst(delta(25),
+      Dedup.persistedCorpusIndex(spark, dir))))
+    val tRederive20 = best3(drain(Dedup.incrementalStatusAgainst(delta(5),
+      Dedup.corpusBandIndex(spark, dir))))
+    val tRederive4 = best3(drain(Dedup.incrementalStatusAgainst(delta(25),
+      Dedup.corpusBandIndex(spark, dir))))
+    println(f"SOAK_BANDINDEX dir=$dir build_once=$tBuild%.2f s " +
+      f"probe_delta20pct=$tProbe20%.2f probe_delta4pct=$tProbe4%.2f " +
+      f"rederive_delta20pct=$tRederive20%.2f rederive_delta4pct=$tRederive4%.2f")
+    spark.stop()
+  }
+
   private def packWidthSoak(args: Array[String]): Unit = {
     val factor = args.lift(1).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()

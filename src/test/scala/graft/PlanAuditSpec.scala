@@ -187,6 +187,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"best-match top-1 should plan a partial WindowGroupLimit:\n$p")
   }
 
+  test("dedup_incremental_minhash_prod probes the PERSISTED index (no corpus shingle scan)") {
+    // VERDICT r12 next #3: the probe plan must read the bucketed
+    // band-index table for the corpus side — documents.parquet may
+    // appear ONLY for the delta slice, and the corpus side must carry
+    // no shingle Generate/aggregate (that O(corpus) work happens once
+    // at index build, not per probe)
+    val p = SparkEntry.queries("dedup_incremental_minhash_prod")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("band_index"),
+      s"probe must scan the persisted index table:\n$p")
+    // only DELTA-side shingle explodes: the spine (distinct batch
+    // doc_ids) and the probe each derive the delta's bands — two
+    // delta-sized Generates. The corpus side arriving pre-banded from
+    // storage is the point: a third Generate means the O(corpus)
+    // re-derivation crept back.
+    val shingleGens = "\\[shingle#".r.findAllIn(p).size
+    assert(shingleGens == 2,
+      s"expected the two delta-side shingle Generates, found $shingleGens:\n$p")
+    // every documents scan must be delta-filtered (doc_id % 5 = 0) —
+    // no unfiltered corpus text scan survives in the probe plan
+    val docScanFilters = p.linesIterator
+      .filter(_.contains("documents.parquet")).toSeq
+    assert(docScanFilters.nonEmpty &&
+      p.linesIterator.filter(_.contains("FileScan parquet"))
+        .filter(_.contains("documents.parquet"))
+        .forall(_.contains("% 5) = 0")),
+      s"a documents scan without the delta filter survives:\n$p")
+  }
+
   test("single-explode formulations stay single-explode") {
     Seq("text_tfidf", "text_repetition").foreach { n =>
       val gens = "Generate".r.findAllIn(planOf(n)).size

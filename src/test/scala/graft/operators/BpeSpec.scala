@@ -67,6 +67,87 @@ class BpeSpec extends AnyFunSuite {
       s"non-final sequences not at SeqLen: ${underfilled.take(5).mkString(",")}")
   }
 
+  /** Scalar reference BPE (r13, VERDICT r12 next #6): greedy
+    * leftmost-first non-overlapping application of one merge to a
+    * token vector — the textbook semantics the doubled-delimiter
+    * `replace` trick must reproduce. */
+  private def applyMerge(toks: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  test("learned merges + per-doc counts reproduce a scalar reference BPE") {
+    import graft.TestSpark.spark.implicits._
+    val docsRows = TextOps.docs(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit(""))).collect()
+    val alpha = "[a-z]+".r
+    val wordsPerDoc = docsRows.map(r =>
+      r.getLong(0) -> alpha.findAllIn(r.getString(1)).toVector)
+    val wc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    wordsPerDoc.foreach(_._2.foreach(w => wc(w) += 1L))
+    // scalar learning loop: pair counts over distinct words weighted
+    // by occurrence, argmax (count DESC, pair ASC), apply everywhere
+    var state: Map[String, Vector[String]] =
+      wc.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    val expectMerges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var r = 0
+    var done = false
+    while (r < TextOps.BpeMergeRounds && !done) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      state.foreach { case (w, toks) =>
+        (0 until toks.length - 1).foreach(i =>
+          pc((toks(i), toks(i + 1))) += wc(w))
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), _) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expectMerges += ((a, b))
+        state = state.map { case (w, toks) => w -> applyMerge(toks, a, b) }
+      }
+      r += 1
+    }
+    val gotMerges = TextOps.bpeLearnMerges(spark, dir)
+    assert(gotMerges == expectMerges.toSeq,
+      s"learned ${gotMerges.take(5)}... expected ${expectMerges.take(5)}...")
+    // and the gate's per-doc counts equal the scalar encode
+    val got = TextOps.textTokensBpeMerges(spark, dir)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    wordsPerDoc.foreach { case (id, ws) =>
+      val expect = ws.map(w => state(w).length.toLong).sum
+      assert(got(id) == ((ws.length.toLong, expect)),
+        s"doc $id: got ${got(id)}, scalar (${ws.length}, $expect)")
+    }
+  }
+
+  test("merge application handles hostile adjacency chains exactly") {
+    // a,b,a,b must merge BOTH pairs in one round (the shared doubled
+    // boundary), and x,x,x must merge GREEDILY leftmost-first (xx, x)
+    import graft.TestSpark.spark
+    val chains = Seq("ababab", "xxx", "xxxx", "aaab", "abba")
+    chains.foreach { w =>
+      val viaReplace = {
+        var s = "||" + w.map(c => s"$c||").mkString
+        Seq(("a", "b"), ("x", "x")).foreach { case (a, b) =>
+          s = s.replace(s"|$a||$b|", s"|$a$b|")
+        }
+        s.count(_ == '|') / 2 - 1
+      }
+      var toks = w.map(_.toString).toVector
+      Seq(("a", "b"), ("x", "x")).foreach { case (a, b) =>
+        toks = applyMerge(toks, a, b)
+      }
+      assert(viaReplace == toks.length,
+        s"'$w': replace-trick $viaReplace tokens vs scalar ${toks.length}")
+    }
+  }
+
   test("subword budget diverges from the whitespace budget (the gap the gate exists for)") {
     // if the two counts coincided, BPE packing would pin nothing the
     // whitespace twin doesn't

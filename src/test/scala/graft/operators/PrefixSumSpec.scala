@@ -32,6 +32,25 @@ class PrefixSumSpec extends AnyFunSuite {
       .orderBy(col("k"), col("id"))
       .collect().toSeq
 
+  test("packBucketWidth survives ids straddling the int64 sign boundary (ADVICE r12)") {
+    import spark.implicits._
+    // hi - lo + 1 overflows signed 64-bit here; the unsigned-division
+    // form must yield a HUGE width (bounded subtotal frame), not the
+    // silent 256 fallback that re-opens the driver funnel
+    val edge = Seq(Long.MinValue + 3, -5L, 0L, 7L, Long.MaxValue - 2)
+      .toDF("doc_id")
+    val w = Ranks.packBucketWidth(edge, col("doc_id"))
+    assert(w > (1L << 50),
+      s"sign-straddling spread produced width $w — overflow fallback")
+    // dense gate-scale ids still floor at the legacy 256 (bucket
+    // layouts — and plan goldens — unchanged for every real gate)
+    val dense = (0L until 6000L).toDF("doc_id")
+    assert(Ranks.packBucketWidth(dense, col("doc_id")) == 256L)
+    // empty input keeps the documented 256 default
+    assert(Ranks.packBucketWidth(dense.filter(col("doc_id") < 0),
+      col("doc_id")) == 256L)
+  }
+
   test("matches the sequential window on a skewed two-key frame") {
     import spark.implicits._
     // one dominant key (the 100 TB funnel shape) + a tiny one
