@@ -511,7 +511,12 @@ object Pipeline {
     * per-source. All output measures are exact integers. */
   def dailyDelta(spark: SparkSession, dir: String): DataFrame =
     dailyDeltaFrom(spark, dir,
-      Tables.t(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+      Tables.t(spark, dir, "documents").filter(col("doc_id") % 5 === 0),
+      // r13: the batch gate probes the PERSISTED index too — "probes
+      // the persistent band index" (scaladoc above) is now literal on
+      // both the batch and streaming twins; the build is paid once
+      // per JVM by whichever prober runs first
+      Some(Dedup.persistedCorpusIndex(spark, dir)))
 
   /** The daily composition with the DELTA supplied as a frame — the
     * r12 streaming mirror [[Streaming.streamDailyDelta]] runs this
