@@ -90,7 +90,7 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              "text_substring_dedup",
              # r5: incremental minhash probe (band/est parity on
              # hostile shingles; empty batch or corpus sides)
-             "dedup_incremental_minhash",
+             "dedup_incremental_minhash", "dedup_index_append_probe",
              # r5: the composed v2 curation recipe (split gate +
              # quality bar + bloom decontam + substring-span drops)
              "pipeline_curate_v2", "pipeline_curate_best",
