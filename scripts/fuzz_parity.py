@@ -197,7 +197,14 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              # (zero-norm → NULL cosine drops from n_neardup on both
              # engines; all-identical corpora collapse into one cell
              # with n²/2 pairs and max_cosine 1.0)
-             "sim_ann_ivfpq_768_prod", "sim_semantic_dedup_768"]
+             "sim_ann_ivfpq_768_prod", "sim_semantic_dedup_768",
+             # r13: the persisted four-table IVF-PQ index — the probe
+             # shares the 768 oracle (bit-identity through a parquet
+             # round trip) and the sink certifies the persisted
+             # assignment/code payloads per cell; hostile embeddings
+             # and degenerate corpora exercise the empty-index and
+             # all-one-cell table shapes
+             "sim_ann_ivfpq_persisted", "sink_ann_index_persist"]
 # r8: warehouse gates over hostile orders/customer fixtures. Each
 # gate's documented data contract bounds the generator (see
 # gen_orders): non-negative keys, dates in [1992, 2200), prices on the

@@ -1337,8 +1337,13 @@ object Similarity {
     * `emb` (vec_id, e768, codesD), `corpCell` (c_vec, cell),
     * `enc` (vec_id, m, code), `cellDistQ` (query × cell distances,
     * for probe selection at any nprobe), `lut` (query ADC tables). */
+  /** `cent`/`cbSub` are the MODEL artifacts (nlist centroid rows,
+    * M×K codebook rows) — carried so [[persistedAnn768]] persists the
+    * build's exact frames instead of re-deriving near-twins;
+    * [[queryIvf768]] never reads them. */
   case class Ivf768Index(emb: DataFrame, corpCell: DataFrame,
-      enc: DataFrame, cellDistQ: DataFrame, lut: DataFrame)
+      enc: DataFrame, cellDistQ: DataFrame, lut: DataFrame,
+      cent: DataFrame, cbSub: DataFrame)
 
   /** Array-based index build — the production shape of [[probe768]]:
     * identical math (Σ(v−c)² over int8 codes, ties by centroid id)
@@ -1418,7 +1423,7 @@ object Similarity {
       .select(col("vec_id").as("lq_id"), col("m").as("qm"),
         col("j").as("qj"), col("dist"))
       .localCheckpoint()
-    Ivf768Index(emb, corpCell, enc, cellDistQ, lut)
+    Ivf768Index(emb, corpCell, enc, cellDistQ, lut, cent, cbSub)
   }
 
   /** Query phase against a built index: probe `nprobe` cells, ADC,
@@ -1443,7 +1448,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id"))
     val qe = idx.emb.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
       .select(col("vec_id").as("rr_id"), col("e768").as("qe"))
-    cand.join(idx.emb.select(col("vec_id"), col("e768")), "vec_id")
+    // the candidate side is ≤ |queries|·PCand rows by construction —
+    // broadcast it EXPLICITLY so the re-rank fetch scans the corpus in
+    // place (at 100 TB a stats-blind planner could otherwise shuffle
+    // the full embeddings table to serve ~80 lookups)
+    broadcast(cand).join(idx.emb.select(col("vec_id"), col("e768")), "vec_id")
       .join(broadcast(qe), col("query_id") === col("rr_id"))
       .select(col("query_id"), col("vec_id"),
         cosineOf(graft.functions.VectorFunctions.dotF(col("e768"), col("qe")),
@@ -1463,6 +1472,180 @@ object Similarity {
     * soak trusts the scaled one. */
   def simAnnIvfPq768Prod(spark: SparkSession, dir: String): DataFrame =
     queryIvf768(buildIvf768(spark, dir, PNlist), PNprobe)
+
+  // -------------------- persisted ANN index (r13): build once, probe per run
+  private case class Ann768Tables(cells: String, codes: String,
+      cents: String, codebook: String)
+
+  /** Write-once-per-JVM registry of persisted ANN index table sets
+    * (keyed by sf dir) — the [[Dedup.persistedCorpusIndex]] contract
+    * applied to similarity search: the first caller per (JVM, sf dir)
+    * pays the O(N·nlist) assignment + O(N·M·K) encoding ONCE; every
+    * later gate run reads the tables. */
+  private val persistedAnn768Tables =
+    new java.util.concurrent.ConcurrentHashMap[String, Ann768Tables]()
+
+  /** The IVF-PQ index materialized as four parquet tables — the
+    * 100 TB deployment layout, where the index OUTLIVES the job that
+    * built it:
+    *  - `cells`  (c_vec, cell): the corpus→centroid assignment,
+    *    bucketed on c_vec;
+    *  - `codes`  (vec_id, m, code): the PQ codes, bucketed on vec_id
+    *    with the SAME bucket count, so the probe's codes⋈cells join
+    *    is satisfied straight from storage — no N-scale shuffle in
+    *    any query plan;
+    *  - `cents`  (cent_id, ccodes, cnorm2) and `codebook`
+    *    (j, m, cslice, cn2): the tiny model tables (nlist and M·K
+    *    rows) a query-time request needs to place itself — broadcast
+    *    at probe time, never joined at corpus scale.
+    * Doubles round-trip parquet bit-exactly, so a probe of the
+    * persisted index is numerically IDENTICAL to one against the
+    * in-memory build (`sim_ann_ivfpq_persisted` shares the 768
+    * oracle verbatim — that identity is gated, not assumed). */
+  private def persistedAnn768(spark: SparkSession, dir: String): Ann768Tables = {
+    persistedAnn768Tables.computeIfAbsent(dir, { d =>
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = buildIvf768(spark, d, PNlist)
+      def save(df: DataFrame, name: String, bucketCols: Seq[String]): String = {
+        val table = s"graft_ann_${name}_$sfx"
+        val w0 = df.write.mode("overwrite").format("parquet")
+        val w1 =
+          if (bucketCols.nonEmpty)
+            w0.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
+              .sortBy(bucketCols.head, bucketCols.tail: _*)
+          else w0
+        w1.option("path", graft.core.Scratch.dir(s"ann_$name", d))
+          .saveAsTable(table)
+        table
+      }
+      Ann768Tables(
+        cells = save(idx.corpCell, "cells", Seq("c_vec")),
+        codes = save(idx.enc, "codes", Seq("vec_id")),
+        cents = save(idx.cent, "cents", Nil),
+        codebook = save(idx.cbSub, "codebook", Nil))
+    })
+  }
+
+  /** Probe the PERSISTED index: the query-side structures (query→
+    * centroid distances, the per-(subspace, codebook-entry) LUT) are
+    * computed fresh against the broadcast model tables — the work a
+    * query REQUEST actually does in production — and the corpus-side
+    * frames are table scans. The assignment/encode crossJoins exist
+    * only over the $NumQueries query rows; the corpus never meets a
+    * centroid or codebook entry in this plan (PlanAuditSpec pins
+    * that shape). */
+  def queryIvf768Persisted(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    probePersistedAnn(spark, dir, annQuerySlice(t(spark, dir, "embeddings")),
+      nprobe)
+
+  /** The gate fixture's query-set contract: vec_id ∈ [0, NumQueries).
+    * Exposed so the streaming twin cuts the SAME slice from its
+    * micro-batches. */
+  private[operators] def annQuerySlice(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
+
+  /** Build (or reuse) the persisted index — called by the streaming
+    * twin BEFORE its stream starts, so no micro-batch ever pays the
+    * O(corpus) build. */
+  private[operators] def ensurePersistedAnn(
+      spark: SparkSession, dir: String): Unit = {
+    persistedAnn768(spark, dir); ()
+  }
+
+  /** [[probePersistedAnn]] at the production operating point — the
+    * per-request body a similarity-search service runs (the streaming
+    * gate's per-micro-batch call). */
+  private[operators] def probePersistedAnnProd(
+      spark: SparkSession, dir: String, queryVecs: DataFrame): DataFrame =
+    probePersistedAnn(spark, dir, queryVecs, PNprobe)
+
+  /** The persisted-index probe with the QUERY side supplied as a
+    * frame (raw embeddings schema): the request path of a similarity
+    * service — queries arrive, place themselves against the broadcast
+    * model tables, and search the bucketed artifacts. The batch gate
+    * passes the fixture's query slice; the streaming twin passes each
+    * micro-batch. */
+  private[operators] def probePersistedAnn(spark: SparkSession, dir: String,
+      queryVecs: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    val tabs = persistedAnn768(spark, dir)
+    val cents = spark.table(tabs.cents)
+    val cb = spark.table(tabs.codebook)
+    val qemb = queryVecs
+      .select(col("vec_id"), expr(E768Spark).as("e768"))
+      .withColumn("codesD",
+        expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", dotF(col("codesD"), col("codesD")))
+      .localCheckpoint()
+    val cellDistQ = qemb
+      .select(col("vec_id"), col("codesD"), col("norm2"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
+          col("cnorm2")).as("cdist"))
+    val lut = qemb.select(col("vec_id"), col("codesD"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id").as("lq_id"), col("m").as("qm"),
+        col("j").as("qj"),
+        { val vslice = slice(col("codesD"),
+            col("m").cast("int") * PSub + 1, lit(PSub))
+          (dotF(vslice, vslice) - lit(2.0d) * dotF(vslice, col("cslice")) +
+            col("cn2")).cast("bigint").as("dist") })
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(E768Spark).as("e768"))
+    queryIvf768(Ivf768Index(emb, spark.table(tabs.cells),
+      spark.table(tabs.codes), cellDistQ, lut, cents, cb), nprobe)
+  }
+
+  /** Gate: `sim_ann_ivfpq_persisted` — the persisted-index probe must
+    * reproduce the in-memory build's oracle exactly (same top-k, same
+    * cosines, same tie-breaks). Shares [[simAnnIvfPq768Sql]]. */
+  def simAnnIvfPq768Persisted(spark: SparkSession, dir: String): DataFrame =
+    queryIvf768Persisted(spark, dir, PNprobe)
+
+  /** Gate body for `sink_ann_index_persist` (registered with the sink
+    * family — it certifies a persistence ARTIFACT, the
+    * [[Dedup.bandIndexPersist]] pattern): build the four-table index
+    * via [[persistedAnn768]], read the PERSISTED N-scale tables back,
+    * and summarize per IVF cell — member count, XOR of member vec_ids
+    * (order-independent, exact), and the m-weighted first moment of
+    * the members' PQ codes — so any write/read corruption of the
+    * assignment OR the code payload breaks the hash against an oracle
+    * computed from the raw embeddings. The cells⋈codes certify join
+    * rides the shared bucket spec (no shuffle on either N-scale
+    * side). */
+  private[operators] def annIndexPersist(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tabs = persistedAnn768(spark, dir)
+    val cells = spark.table(tabs.cells)
+    val codes = spark.table(tabs.codes)
+    val cellAgg = cells.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(c_vec)").as("xor_vec"))
+    val codeAgg = cells
+      .join(codes, col("c_vec") === col("vec_id"))
+      .groupBy(col("cell"))
+      .agg(sum((col("m") + lit(1)) * col("code")).as("code_moment"))
+    cellAgg.join(codeAgg, "cell")
+      .select(col("cell").cast("bigint").as("cell"), col("n_vecs"),
+        col("xor_vec"), col("code_moment").cast("bigint").as("code_moment"))
+      .orderBy(col("cell"))
+  }
+
+  private[operators] lazy val annIndexPersistSql: String =
+    s"""WITH $index768Ctes,
+       |cellagg AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(BIT_XOR(vec_id) AS BIGINT) AS xor_vec
+       |  FROM corpcell GROUP BY cell),
+       |codeagg AS (
+       |  SELECT cc.cell,
+       |    CAST(SUM((en.m + 1) * en.code) AS BIGINT) AS code_moment
+       |  FROM enc en JOIN corpcell cc ON en.vec_id = cc.vec_id
+       |  GROUP BY 1)
+       |SELECT CAST(a.cell AS BIGINT) AS cell, n_vecs, xor_vec, code_moment
+       |FROM cellagg a JOIN codeagg c ON a.cell = c.cell
+       |ORDER BY cell""".stripMargin
 
   // ------------- ANN-blocked semantic dedup at production dims (r9)
   private val SemDedup768Tau = 0.35
@@ -1574,6 +1757,7 @@ object Similarity {
     "sim_ann_ivfpq" -> ((simAnnIvfPq _, simAnnIvfPqSql)),
     "sim_ann_ivfpq_768" -> ((simAnnIvfPq768 _, simAnnIvfPq768Sql)),
     "sim_ann_ivfpq_768_prod" -> ((simAnnIvfPq768Prod _, simAnnIvfPq768Sql)),
+    "sim_ann_ivfpq_persisted" -> ((simAnnIvfPq768Persisted _, simAnnIvfPq768Sql)),
     "sim_semantic_dedup_768" -> ((simSemanticDedup768 _, simSemanticDedup768Sql)),
     "sim_ann_recall_curve_768" -> ((simAnnRecallCurve768 _, simAnnRecallCurve768Sql)))
 }

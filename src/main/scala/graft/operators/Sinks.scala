@@ -247,5 +247,9 @@ object Sinks {
     // persistence artifact for the incremental-dedup corpus index
     // (VERDICT r12 next #3); body lives beside the index machinery
     "sink_band_index_persist" ->
-      ((Dedup.bandIndexPersist _, Dedup.bandIndexPersistSql)))
+      ((Dedup.bandIndexPersist _, Dedup.bandIndexPersistSql)),
+    // persistence artifact for the IVF-PQ similarity index (r13);
+    // body lives beside the index machinery
+    "sink_ann_index_persist" ->
+      ((Similarity.annIndexPersist _, Similarity.annIndexPersistSql)))
 }

@@ -49,7 +49,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // point of the BPE fold is that the vocab arrives without a
     // shuffle (text_seq_pack_bpe hides the same cross behind its
     // localCheckpoint, so only the tokens gate shows it)
-    "text_tokens_bpe")
+    "text_tokens_bpe",
+    // the persisted-index probe computes its QUERY-side structures
+    // live: the <=NumQueries checkpointed query rows cross the
+    // broadcast model tables (nlist=16 centroid rows, M*K=96
+    // codebook rows). The prod twin hides the same crosses behind
+    // buildIvf768's localCheckpoints; here they are visible — and
+    // bounded by the model size, never the corpus
+    "sim_ann_ivfpq_persisted")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
@@ -437,6 +444,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"768-dim stack must stay on bounded equi-joins:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"routing/LUT/query joins should broadcast their bounded sides:\n$p")
+  }
+
+  test("sim_ann_ivfpq_persisted probes the PERSISTED index (no corpus assign/encode)") {
+    // r13 persisted-index contract, the ANN twin of the
+    // dedup_incremental_minhash_prod proof: the corpus-side frames
+    // must be scans of the bucketed artifact tables — the O(N·nlist)
+    // assignment and O(N·M·K) encode happen once at index build,
+    // never in a probe plan.
+    val p = SparkEntry.queries("sim_ann_ivfpq_persisted")(spark, dir)
+      .queryExecution.executedPlan.toString
+    Seq("graft_ann_cells_", "graft_ann_codes_").foreach { tbl =>
+      val line = p.linesIterator.find(_.contains(tbl))
+      assert(line.isDefined, s"probe must scan the persisted $tbl table:\n$p")
+      assert(line.get.contains("Bucketed: true"),
+        s"$tbl scan lost its bucket spec (the codes⋈cells join key):\n${line.get}")
+    }
+    // the only nested-loop joins are the two query-side model crosses
+    // (query→centroid distances, query LUT), each streaming the
+    // checkpointed ≤NumQueries query rows — never a parquet corpus scan
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2,
+      s"expected exactly the two query-side model crosses:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      s"both crosses must stream the checkpointed query rows:\n$p")
+    // embeddings.parquet appears exactly twice — the re-rank candidate
+    // fetch (with the candidate side explicitly broadcast) and the
+    // query-vector fetch; the corpus assignment scan is gone
+    val embScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet [") && l.contains("embeddings.parquet"))
+    assert(embScans == 2,
+      s"expected exactly the 2 re-rank embeddings scans, found $embScans:\n$p")
   }
 
   test("alpaca analytics: scan-reported symbol partitioning deletes the window exchange") {

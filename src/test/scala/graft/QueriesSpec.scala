@@ -34,6 +34,19 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("sim_ann_ivfpq_persisted reproduces the in-memory build bit-exactly") {
+    // doubles round-trip parquet exactly and the query-side structures
+    // are computed with the build's own expressions, so the persisted
+    // probe must equal the in-memory prod gate to the last bit — no
+    // tolerance (both also share the DuckDB oracle; this pins the
+    // Spark-vs-Spark identity directly)
+    val mem = SparkEntry.queries("sim_ann_ivfpq_768_prod")(spark, dir)
+      .collect().toSeq
+    val per = SparkEntry.queries("sim_ann_ivfpq_persisted")(spark, dir)
+      .collect().toSeq
+    assert(mem == per)
+  }
+
   test("bars⋈trades flagship shuffles on (symbol, hour-bucket), not symbol alone") {
     val df = operators.AlpacaQueries.barsTradesJoin(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
