@@ -823,6 +823,71 @@ object Streaming {
       .orderBy(col("source"), col("shard_id"))
   }
 
+  // --------------------------- streaming ANN probe (r13)
+  /** Similarity search AS A SERVICE: query vectors arrive as a
+    * stream, and every micro-batch runs the persisted-index probe —
+    * [[Similarity.probePersistedAnnProd]], the exact per-request body
+    * the batch gate pins — appending its top-k to the output. The
+    * four-table IVF-PQ index is built (or reused) BEFORE the stream
+    * starts, so no micro-batch ever pays the O(corpus) assignment/
+    * encode: per-batch work is the two bucketed artifact scans plus
+    * crosses bounded by that batch's query count — the 100 TB serving
+    * shape, where the index is a long-lived artifact and requests are
+    * a stream against it.
+    *
+    * On the gate fixture the whole query set lands in ONE micro-batch,
+    * so the appended output is bit-identical to the batch gate's and
+    * the oracle is shared VERBATIM ([[Similarity.simAnnIvfPq768Sql]]).
+    * foreachBatch is the right tool for the same reason as
+    * [[streamDailyDelta]]: the probe chains an aggregation and two
+    * windows — not a single continuous streaming plan — and
+    * checkpointed offsets make a restart neither lose nor re-serve a
+    * request batch (StreamingSpec proves both halves). */
+  def streamAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sann_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sann_ckpt").toString
+    try {
+      val res = streamAnnTopKCore(spark, dir, dir,
+        "embeddings.parquet", out, ckpt)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(res.collect().toSeq, 1), res.schema)
+    } finally {
+      graft.core.Scratch.deleteNow(out)
+      graft.core.Scratch.deleteNow(ckpt)
+    }
+  }
+
+  private[graft] def streamAnnTopKCore(spark: SparkSession,
+      staticDir: String, srcDir: String, glob: String,
+      outDir: String, ckpt: String): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(srcDir).schema
+    val requests = Similarity.annQuerySlice(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(srcDir))
+    Similarity.ensurePersistedAnn(spark, staticDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = requests.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.probePersistedAnnProd(spark, staticDir, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    spark.read.schema("query_id BIGINT, vec_id BIGINT, cosine DOUBLE")
+      .parquet(outDir)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
   // --------------------------- watermarked dedup (production shape)
   /** `dropDuplicatesWithinWatermark` — the PRODUCTION streaming-dedup
     * operator (plain `dropDuplicates` on a stream keeps ALL keys in
@@ -1044,6 +1109,7 @@ object Streaming {
     "stream_static_dedup" -> ((streamStaticDedup _, streamStaticDedupSql)),
     "stream_minhash_dedup" -> ((streamMinhashDedup _, streamMinhashDedupSql)),
     "stream_daily_delta" -> ((streamDailyDelta _, Pipeline.dailyDeltaSql)),
+    "stream_ann_topk" -> ((streamAnnTopK _, Similarity.simAnnIvfPq768Sql)),
     "stream_join_attrib" -> ((streamJoinAttrib _, streamJoinAttribSql)),
     "stream_join_outer" -> ((streamJoinOuter _, streamJoinOuterSql)),
     "stream_sessionize" -> ((streamSessionize _, streamSessionizeSql)))

@@ -414,6 +414,47 @@ class StreamingSpec extends AnyFunSuite {
       s"pair multiset diverged: extra=${got -- expected}, missing=${expected -- got}")
   }
 
+  test("streamAnnTopK resumes from checkpoint: per-batch serving, no loss, no re-serve") {
+    import java.nio.file.{Files, Paths}
+    val staticDir = "/root/testdata/sf0.001"
+    val src = Files.createTempDirectory("graft_sann_src").toString
+    val ckpt = Files.createTempDirectory("graft_sann_ckpt2").toString
+    val out = Files.createTempDirectory("graft_sann_out2").toString
+    val emb = operators.Tables.t(spark, staticDir, "embeddings")
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_sann_stage").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, s"$name.parquet"))
+    }
+    def run(): Seq[Row] =
+      operators.Streaming
+        .streamAnnTopKCore(spark, staticDir, src, "*.parquet", out, ckpt)
+        .collect().toSeq
+    // the reference answer: the batch gate over the full query set —
+    // per-query results are independent, so its query_id<5 slice is
+    // exactly what serving the first request batch must produce
+    val full = SparkEntry.queries("sim_ann_ivfpq_persisted")(spark, staticDir)
+      .collect().toSeq
+    assert(full.nonEmpty)
+    // request batch 1: queries 0..4 arrive
+    stage(emb.filter(col("vec_id") >= 0 && col("vec_id") < 5), "batch1")
+    val after1 = run()
+    assert(after1 == full.filter(_.getLong(0) < 5),
+      "batch-1 serving diverged from the batch probe")
+    // restart with NOTHING new: offsets must prevent re-serving
+    val afterIdle = run()
+    assert(afterIdle == after1,
+      "an idle restart re-served batch 1 (offsets not honored)")
+    // request batch 2 arrives; the restart serves ONLY batch 2 and the
+    // union equals the batch gate over the full query set
+    stage(emb.filter(col("vec_id") >= 5 && col("vec_id") < 10), "batch2")
+    val after2 = run()
+    assert(after2 == full,
+      s"post-restart union diverged from the batch gate")
+  }
+
   test("streamDailyDelta resumes from checkpoint: per-day manifests, no loss, no reprocess") {
     import java.nio.file.{Files, Paths}
     val staticDir = "/root/testdata/sf0.001"
