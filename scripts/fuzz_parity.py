@@ -91,6 +91,10 @@ DOC_GATES = ["dedup_exact", "dedup_normalized", "text_tokens", "text_quality",
              # r5: incremental minhash probe (band/est parity on
              # hostile shingles; empty batch or corpus sides)
              "dedup_incremental_minhash", "dedup_index_append_probe",
+             # r13: append-fragment compaction — the content identity
+             # (union of three fragments survives the rewrite) on
+             # hostile shingles and degenerate corpora
+             "sink_band_index_compact",
              # r5: the composed v2 curation recipe (split gate +
              # quality bar + bloom decontam + substring-span drops)
              "pipeline_curate_v2", "pipeline_curate_best",

@@ -1063,6 +1063,79 @@ object Dedup {
        |ORDER BY phase, doc_id""".stripMargin
   }
 
+  /** Index COMPACTION — the maintenance op the append loop
+    * ([[dedupIndexAppendProbe]]) makes necessary at 100 TB: every
+    * daily `mode("append")` lands a fresh file SET per bucket, so
+    * after a year the bucketed table is ~365 files per bucket and
+    * probe-side scan cost is dominated by file-open overhead, not
+    * bytes (the classic small-files failure). The compaction recipe:
+    * `repartition(numBuckets, bucketCols…)` — Spark's repartition
+    * hash IS the bucketing hash, so partition i holds exactly bucket
+    * i's rows — then one bucketed write: each task emits exactly its
+    * own bucket's single file. Gate fixture simulates three daily
+    * fragments (corpus overwrite + two delta appends), compacts, and
+    * returns the per-band content summary of the COMPACTED table —
+    * certified against an oracle computed from raw documents, so a
+    * compaction that drops, duplicates, or corrupts any fragment's
+    * rows breaks the hash. The ≤1-file-per-bucket claim is pinned in
+    * SinkSpec (not SQL-expressible). */
+  def bandIndexCompact(spark: SparkSession, dir: String): DataFrame =
+    bandIndexCompactCore(spark, dir)._1
+
+  private[graft] def bandIndexCompactCore(
+      spark: SparkSession, dir: String): (DataFrame, String, String) = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val fragTable = s"graft_band_index_frag_$suffix"
+    val fragPath = graft.core.Scratch.dir("band_index_frag", dir)
+    val compTable = s"graft_band_index_comp_$suffix"
+    val compPath = graft.core.Scratch.dir("band_index_comp", dir)
+    val bands = bandDf(sigDf(spark, dir)).localCheckpoint()
+    def write(b: DataFrame, mode: String, table: String, path: String): Unit =
+      b.select(col("doc_id"), col("band_id"), col("bh"), col("sigs"))
+        .write.mode(mode).format("parquet")
+        .bucketBy(8, "band_id", "bh").sortBy("band_id", "bh")
+        .option("path", path).saveAsTable(table)
+    // three daily fragments, the append-loop steady state
+    write(bands.filter(col("doc_id") % 5 =!= 0), "overwrite",
+      fragTable, fragPath)
+    write(bands.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 === 0),
+      "append", fragTable, fragPath)
+    write(bands.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0),
+      "append", fragTable, fragPath)
+    spark.catalog.refreshTable(fragTable)
+    // compact: co-locate each bucket wholly in one task by exchanging
+    // on the WRITER'S OWN bucket-id function — `hash()` is the same
+    // Murmur3 the bucketed writer applies, so every task emits
+    // exactly one file per bucket it owns and the table lands at
+    // ≤ numBuckets files total (repartitioning on the raw bucket
+    // COLUMNS does not guarantee this: the exchange then hashes
+    // values, not bucket ids, and a bucket's rows spread over tasks)
+    write(spark.table(fragTable)
+        .repartition(8, pmod(hash(col("band_id"), col("bh")), lit(8))),
+      "overwrite", compTable, compPath)
+    spark.catalog.refreshTable(compTable)
+    val summary = spark.table(compTable)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("bh")).as("n_hashes"),
+        expr("bit_xor(sigs[0])").as("xor_s1"))
+      .select(col("band_id").cast("bigint").as("band_id"),
+        col("n_rows"), col("n_hashes"), col("xor_s1"))
+      .orderBy(col("band_id"))
+    (summary, fragPath, compPath)
+  }
+
+  val bandIndexCompactSql: String =
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |$bandCte
+       |SELECT CAST(b.band_id AS BIGINT) AS band_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT b.bh) AS BIGINT) AS n_hashes,
+       |  CAST(BIT_XOR(s.s1) AS BIGINT) AS xor_s1
+       |FROM bands b JOIN sigs s ON b.doc_id = s.doc_id
+       |GROUP BY b.band_id ORDER BY band_id""".stripMargin
+
   /** [[dedupIncrementalMinhash]] at the PRODUCTION operating point
     * (VERDICT r8 next #6): the daily-ingest shape — delta probes the
     * persistent corpus band index — run with the shipping constants

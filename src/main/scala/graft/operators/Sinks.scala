@@ -251,5 +251,8 @@ object Sinks {
     // persistence artifact for the IVF-PQ similarity index (r13);
     // body lives beside the index machinery
     "sink_ann_index_persist" ->
-      ((Similarity.annIndexPersist _, Similarity.annIndexPersistSql)))
+      ((Similarity.annIndexPersist _, Similarity.annIndexPersistSql)),
+    // small-files compaction of the append-loop band index (r13)
+    "sink_band_index_compact" ->
+      ((Dedup.bandIndexCompact _, Dedup.bandIndexCompactSql)))
 }

@@ -80,4 +80,23 @@ class SinkSpec extends AnyFunSuite {
     assert(back.filter(col("pkey") === 1).agg(max(col("id"))).head().getLong(0) < 0,
       "affected partition still holds pre-overwrite rows")
   }
+
+  test("band-index compaction: one file per bucket, strictly fewer than the fragments") {
+    // the content identity is oracle-gated (sink_band_index_compact);
+    // this pins the small-files claim itself: the repartition-on-
+    // bucket-cols write emits exactly one file per non-empty bucket,
+    // and the three-fragment append state it replaces has strictly
+    // more
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles).map(
+        _.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    val (summary, fragPath, compPath) =
+      operators.Dedup.bandIndexCompactCore(spark, "/root/testdata/sf0.001")
+    summary.collect() // materialize after-compaction state
+    val frag = parquetFiles(fragPath)
+    val comp = parquetFiles(compPath)
+    assert(comp <= 8, s"compacted table has $comp files (> one per bucket)")
+    assert(comp < frag,
+      s"compaction did not reduce the file count ($frag -> $comp)")
+  }
 }
