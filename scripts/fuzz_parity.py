@@ -208,7 +208,10 @@ EMB_GATES = ["sim_cosine_topk", "sim_ann_lsh", "sim_ann_ivf",
              # assignment/code payloads per cell; hostile embeddings
              # and degenerate corpora exercise the empty-index and
              # all-one-cell table shapes
-             "sim_ann_ivfpq_persisted", "sink_ann_index_persist"]
+             "sim_ann_ivfpq_persisted", "sink_ann_index_persist",
+             # r13: the append loop — delta assigned against the
+             # persisted model, certified vs the from-scratch oracle
+             "sink_ann_index_append"]
 # r8: warehouse gates over hostile orders/customer fixtures. Each
 # gate's documented data contract bounds the generator (see
 # gen_orders): non-negative keys, dates in [1992, 2200), prices on the

@@ -1357,6 +1357,66 @@ object Similarity {
     * keep every sum < 2²⁶, exactly representable in double, so this
     * path is bit-equal to the BIGINT posexplode path (gated:
     * `sim_ann_ivfpq_768_prod` shares the 768 gate's DuckDB oracle). */
+  /** The (vec_id, e768, codesD, norm2) projection every 768-dim
+    * index participant starts from — corpus at build, queries at
+    * probe, delta at append. */
+  private def withCodes(df: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    df.select(col("vec_id"), expr(E768Spark).as("e768"))
+      .withColumn("codesD",
+        expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", dotF(col("codesD"), col("codesD")))
+  }
+
+  /** Vector→centroid distance relation — (vec_id, cent_id, cdist);
+    * `emb` must carry (vec_id, codesD, norm2). ONE expression shared
+    * by the build, the persisted probe's query placement, and the
+    * append gate's delta assignment — so "assigned against the
+    * persisted model" is bit-identical to "assigned at build time" by
+    * construction, not by parallel maintenance of twins. */
+  private def cellDistOf(emb: DataFrame, cent: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    emb.select(col("vec_id"), col("codesD"), col("norm2"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"),
+        (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
+          col("cnorm2")).as("cdist"))
+  }
+
+  /** Nearest cell via a PACKED-LONG argmin: cdist is an exact
+    * integer-valued double (≤ 768·255² < 2²⁶), so cdist·65536 +
+    * cent_id is exact in BIGINT and min() over it is the
+    * (cdist, cent_id)-lexicographic pick — same tie-break as the
+    * oracle's ROW_NUMBER — while keeping the aggregate HASH-able
+    * (min over a struct buffer plans SortAggregate) and map-side
+    * partial: one row per (partition, vec) before the shuffle. */
+  private def argminCell(cellDist: DataFrame): DataFrame =
+    cellDist
+      .select(col("vec_id"),
+        (col("cdist").cast("bigint") * lit(65536L) + col("cent_id")).as("k"))
+      .groupBy(col("vec_id")).agg(min(col("k")).as("k"))
+      .select(col("vec_id").as("c_vec"), (col("k") % 65536L).as("cell"))
+
+  /** Vector×codebook subspace distance relation — (vec_id, m, j,
+    * dist); the ADC LUT for query vectors and the encode input for
+    * corpus/delta vectors, from the same expression. */
+  private def encDistOf(emb: DataFrame, cbSub: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dotF
+    emb.select(col("vec_id"), col("codesD"))
+      .crossJoin(broadcast(cbSub))
+      .select(col("vec_id"), col("m"), col("j"),
+        { val vslice = slice(col("codesD"),
+            col("m").cast("int") * PSub + 1, lit(PSub))
+          (dotF(vslice, vslice) - lit(2.0d) * dotF(vslice, col("cslice")) +
+            col("cn2")).cast("bigint").as("dist") })
+  }
+
+  private def argminCode(encDist: DataFrame): DataFrame =
+    encDist
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("j"))).as("s"))
+      .select(col("vec_id"), col("m"), col("s.j").as("code"))
+
   def buildIvf768(spark: SparkSession, dir: String, nlist: Int): Ivf768Index = {
     import graft.functions.VectorFunctions.dotF
     // the packed-long argmin below reserves 16 bits for cent_id; a
@@ -1368,33 +1428,12 @@ object Similarity {
         "the packed-long argmin (max 65536) — widen the pack multiplier " +
         "before raising nlist")
     val w = org.apache.spark.sql.expressions.Window
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), expr(E768Spark).as("e768"))
-      .withColumn("codesD",
-        expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm2", dotF(col("codesD"), col("codesD")))
-      .localCheckpoint()
+    val emb = withCodes(t(spark, dir, "embeddings")).localCheckpoint()
     val cent = emb.filter(col("vec_id") >= 0 && col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("codesD").as("ccodes"),
         col("norm2").as("cnorm2"))
-    val cellDist = emb.select(col("vec_id"), col("codesD"), col("norm2"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"),
-        (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
-          col("cnorm2")).as("cdist"))
-    // nearest cell via a PACKED-LONG argmin: cdist is an exact
-    // integer-valued double (≤ 768·255² < 2²⁶), so
-    // cdist·65536 + cent_id is exact in BIGINT and min() over it is
-    // the (cdist, cent_id)-lexicographic pick — same tie-break as the
-    // oracle's ROW_NUMBER — while keeping the aggregate HASH-able
-    // (min over a struct buffer plans SortAggregate) and map-side
-    // partial: one row per (partition, vec) before the shuffle.
-    val corpCell = cellDist
-      .select(col("vec_id"),
-        (col("cdist").cast("bigint") * lit(65536L) + col("cent_id")).as("k"))
-      .groupBy(col("vec_id")).agg(min(col("k")).as("k"))
-      .select(col("vec_id").as("c_vec"), (col("k") % 65536L).as("cell"))
-      .localCheckpoint()
+    val cellDist = cellDistOf(emb, cent)
+    val corpCell = argminCell(cellDist).localCheckpoint()
     val cellDistQ = cellDist
       .filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
       .localCheckpoint() // Q×nlist rows — tiny at any nlist
@@ -1407,18 +1446,8 @@ object Similarity {
           slice(col("codesD"), m * PSub + 1, PSub).as("cslice"))): _*)).as("e"))
       .select(col("j"), col("e.m").as("m"), col("e.cslice").as("cslice"))
       .withColumn("cn2", dotF(col("cslice"), col("cslice")))
-    val encDist = emb.select(col("vec_id"), col("codesD"))
-      .crossJoin(broadcast(cbSub))
-      .select(col("vec_id"), col("m"), col("j"),
-        { val vslice = slice(col("codesD"),
-            col("m").cast("int") * PSub + 1, lit(PSub))
-          (dotF(vslice, vslice) - lit(2.0d) * dotF(vslice, col("cslice")) +
-            col("cn2")).cast("bigint").as("dist") })
-    val enc = encDist
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist"), col("j"))).as("s"))
-      .select(col("vec_id"), col("m"), col("s.j").as("code"))
-      .localCheckpoint()
+    val encDist = encDistOf(emb, cbSub)
+    val enc = argminCode(encDist).localCheckpoint()
     val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
       .select(col("vec_id").as("lq_id"), col("m").as("qm"),
         col("j").as("qj"), col("dist"))
@@ -1568,30 +1597,14 @@ object Similarity {
     * micro-batch. */
   private[operators] def probePersistedAnn(spark: SparkSession, dir: String,
       queryVecs: DataFrame, nprobe: Int): DataFrame = {
-    import graft.functions.VectorFunctions.dotF
     val tabs = persistedAnn768(spark, dir)
     val cents = spark.table(tabs.cents)
     val cb = spark.table(tabs.codebook)
-    val qemb = queryVecs
-      .select(col("vec_id"), expr(E768Spark).as("e768"))
-      .withColumn("codesD",
-        expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm2", dotF(col("codesD"), col("codesD")))
-      .localCheckpoint()
-    val cellDistQ = qemb
-      .select(col("vec_id"), col("codesD"), col("norm2"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (col("norm2") - lit(2.0d) * dotF(col("codesD"), col("ccodes")) +
-          col("cnorm2")).as("cdist"))
-    val lut = qemb.select(col("vec_id"), col("codesD"))
-      .crossJoin(broadcast(cb))
+    val qemb = withCodes(queryVecs).localCheckpoint()
+    val cellDistQ = cellDistOf(qemb, cents)
+    val lut = encDistOf(qemb, cb)
       .select(col("vec_id").as("lq_id"), col("m").as("qm"),
-        col("j").as("qj"),
-        { val vslice = slice(col("codesD"),
-            col("m").cast("int") * PSub + 1, lit(PSub))
-          (dotF(vslice, vslice) - lit(2.0d) * dotF(vslice, col("cslice")) +
-            col("cn2")).cast("bigint").as("dist") })
+        col("j").as("qj"), col("dist"))
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr(E768Spark).as("e768"))
     queryIvf768(Ivf768Index(emb, spark.table(tabs.cells),
@@ -1618,8 +1631,12 @@ object Similarity {
   private[operators] def annIndexPersist(
       spark: SparkSession, dir: String): DataFrame = {
     val tabs = persistedAnn768(spark, dir)
-    val cells = spark.table(tabs.cells)
-    val codes = spark.table(tabs.codes)
+    annCellSummary(spark.table(tabs.cells), spark.table(tabs.codes))
+  }
+
+  /** The per-cell certification summary both index sink gates share:
+    * member count, XOR of member vec_ids, m-weighted code moment. */
+  private def annCellSummary(cells: DataFrame, codes: DataFrame): DataFrame = {
     val cellAgg = cells.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"), expr("bit_xor(c_vec)").as("xor_vec"))
     val codeAgg = cells
@@ -1630,6 +1647,52 @@ object Similarity {
       .select(col("cell").cast("bigint").as("cell"), col("n_vecs"),
         col("xor_vec"), col("code_moment").cast("bigint").as("code_moment"))
       .orderBy(col("cell"))
+  }
+
+  /** Gate body for `sink_ann_index_append` — daily EMBEDDING ingest,
+    * the ANN twin of [[Dedup.dedupIndexAppendProbe]]'s maintenance
+    * loop: the delta (vec_id % 5 = 0) is assigned and encoded against
+    * the PERSISTED model tables ONLY — O(delta·nlist) + O(delta·M·K);
+    * the corpus is never rescanned — and appended to gate-scoped
+    * copies of the cells/codes tables seeded with the corpus slice.
+    * Certification: the UPDATED index's per-cell summary must equal
+    * the from-scratch oracle over ALL embeddings
+    * ([[annIndexPersistSql]] VERBATIM) — if delta assignment via the
+    * persisted model diverged by one bit from build-time assignment
+    * (they share [[cellDistOf]]/[[encDistOf]] by construction, and
+    * the model doubles round-trip parquet exactly), or the append
+    * dropped/duplicated rows, the summary breaks the hash. The
+    * gate-scoped tables are REBUILT (overwrite) each call so repeat
+    * invocations are idempotent; production appends to the shared
+    * tables with the identical statements. */
+  private[operators] def annIndexAppend(
+      spark: SparkSession, dir: String): DataFrame = {
+    val tabs = persistedAnn768(spark, dir)
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    def save(df: DataFrame, name: String, mode: String,
+        bucketCols: Seq[String]): String = {
+      val table = s"graft_ann_${name}_apnd_$sfx"
+      df.write.mode(mode).format("parquet")
+        .bucketBy(8, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(bucketCols.head, bucketCols.tail: _*)
+        .option("path", graft.core.Scratch.dir(s"ann_${name}_apnd", dir))
+        .saveAsTable(table)
+      table
+    }
+    val cellsT = save(spark.table(tabs.cells).filter(col("c_vec") % 5 =!= 0),
+      "cells", "overwrite", Seq("c_vec"))
+    val codesT = save(spark.table(tabs.codes).filter(col("vec_id") % 5 =!= 0),
+      "codes", "overwrite", Seq("vec_id"))
+    val demb = withCodes(
+      t(spark, dir, "embeddings").filter(col("vec_id") % 5 === 0))
+      .localCheckpoint()
+    save(argminCell(cellDistOf(demb, spark.table(tabs.cents))),
+      "cells", "append", Seq("c_vec"))
+    save(argminCode(encDistOf(demb, spark.table(tabs.codebook))),
+      "codes", "append", Seq("vec_id"))
+    spark.catalog.refreshTable(cellsT)
+    spark.catalog.refreshTable(codesT)
+    annCellSummary(spark.table(cellsT), spark.table(codesT))
   }
 
   private[operators] lazy val annIndexPersistSql: String =

@@ -254,5 +254,9 @@ object Sinks {
       ((Similarity.annIndexPersist _, Similarity.annIndexPersistSql)),
     // small-files compaction of the append-loop band index (r13)
     "sink_band_index_compact" ->
-      ((Dedup.bandIndexCompact _, Dedup.bandIndexCompactSql)))
+      ((Dedup.bandIndexCompact _, Dedup.bandIndexCompactSql)),
+    // daily embedding ingest: delta assigned/encoded against the
+    // persisted model only, appended, certified vs from-scratch (r13)
+    "sink_ann_index_append" ->
+      ((Similarity.annIndexAppend _, Similarity.annIndexPersistSql)))
 }
