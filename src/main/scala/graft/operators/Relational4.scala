@@ -493,6 +493,14 @@ object Relational4 {
   def q66Xml(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .filter(col("o_orderkey") % 30 === 11)
+      // Parallelism floor (opt r13, guide §2.5): the one-file scan is a
+      // single partition, serializing the triple XML round trip
+      // (to_xml → from_xml + 3 XPath evaluations per row) on one core.
+      // Same-cardinality map work — narrow pre-XML rows shuffle once,
+      // width derived from the cluster. Aggregation gates deliberately
+      // do NOT get this treatment (a raw-row shuffle would defeat
+      // partial aggregation); this gate has no aggregate.
+      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
       .withColumn("o_orderstatus",
         regexp_replace(col("o_orderstatus"), "[\\x00-\\x1f&<>]", ""))
       .withColumn("o_orderpriority",

@@ -29,7 +29,26 @@ import org.apache.spark.sql.functions._
  *    projection (no extra pass).
  */
 object Similarity {
+
   import Tables.t
+
+  /** The embeddings table spread across the session default
+    * parallelism (opt r13, guide §2.5 input skew): the gate corpus is
+    * ONE parquet file → a 1-partition scan, so pre-shuffle vector
+    * stages ran serially on one core. Applied ONLY where the per-row
+    * work is heavy enough to pay for the exchange — the 768-dim
+    * family (withCodes' array build + codes + norms, the E768
+    * projection, semantic-dedup cell assignment) and the per-vector
+    * quantization transform — each a measured win at sf0.1 (e.g.
+    * sim_ann_ivfpq_768 4.80→3.01 s, sim_semantic_dedup_768
+    * 2.57→1.25 s, dedup-side twin numbers in OPTIMIZATION_r13.md).
+    * The 64-dim gates were measured SLOWER under the floor (their
+    * map work is too light to amortize the exchange + extra AQE
+    * stages: sim_kmeans +1.2 s, sim_ann_ivf +0.9 s) and keep the
+    * plain scan. Width derives from the cluster, never a constant. */
+  private def embTable(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
 
   private val Dim = 64
   private val NumQueries = 10
@@ -419,7 +438,7 @@ object Similarity {
     * cross-engine). Reconstruction error / quantized-recall contracts
     * live in the spec, not the gate. */
   def simQuantized(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
+    embTable(spark, dir)
       .select(col("vec_id"),
         expr("CAST(array_min(embedding) AS DOUBLE)").as("mn"),
         expr("CAST(array_max(embedding) AS DOUBLE)").as("mx"),
@@ -1029,7 +1048,7 @@ object Similarity {
     * reuses each exactly once per consumer instead of re-deriving the
     * scan subtree (the sim_ann_ivfpq pattern). */
   private def index768(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val emb = t(spark, dir, "embeddings")
+    val emb = embTable(spark, dir)
       .select(col("vec_id"), expr(E768Spark).as("e768"))
       .withColumn("codes", expr(Codes768Spark))
       .localCheckpoint()
@@ -1428,7 +1447,7 @@ object Similarity {
         "the packed-long argmin (max 65536) — widen the pack multiplier " +
         "before raising nlist")
     val w = org.apache.spark.sql.expressions.Window
-    val emb = withCodes(t(spark, dir, "embeddings")).localCheckpoint()
+    val emb = withCodes(embTable(spark, dir)).localCheckpoint()
     val cent = emb.filter(col("vec_id") >= 0 && col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("codesD").as("ccodes"),
         col("norm2").as("cnorm2"))
@@ -1605,7 +1624,7 @@ object Similarity {
     val lut = encDistOf(qemb, cb)
       .select(col("vec_id").as("lq_id"), col("m").as("qm"),
         col("j").as("qj"), col("dist"))
-    val emb = t(spark, dir, "embeddings")
+    val emb = embTable(spark, dir)
       .select(col("vec_id"), expr(E768Spark).as("e768"))
     queryIvf768(Ivf768Index(emb, spark.table(tabs.cells),
       spark.table(tabs.codes), cellDistQ, lut, cents, cb), nprobe)
@@ -1684,7 +1703,7 @@ object Similarity {
     val codesT = save(spark.table(tabs.codes).filter(col("vec_id") % 5 =!= 0),
       "codes", "overwrite", Seq("vec_id"))
     val demb = withCodes(
-      t(spark, dir, "embeddings").filter(col("vec_id") % 5 === 0))
+      embTable(spark, dir).filter(col("vec_id") % 5 === 0))
       .localCheckpoint()
     save(argminCell(cellDistOf(demb, spark.table(tabs.cents))),
       "cells", "append", Seq("c_vec"))
@@ -1738,7 +1757,7 @@ object Similarity {
     require(nlist <= 65536,
       s"semanticDedup768Core: nlist=$nlist exceeds the 16-bit cent_id " +
         "field of the packed-long argmin (max 65536)")
-    val emb = t(spark, dir, "embeddings")
+    val emb = embTable(spark, dir)
       .select(col("vec_id"), expr(E768Spark).as("e768"))
       .withColumn("codesD",
         expr(s"transform($Codes768Spark, x -> CAST(x AS DOUBLE))"))
@@ -1758,7 +1777,15 @@ object Similarity {
         (col("cdist").cast("bigint") * lit(65536L) + col("cent_id")).as("k"))
       .groupBy(col("vec_id")).agg(min(col("k")).as("k"))
       .select(col("vec_id"), (col("k") % 65536L).as("cell"))
-    val withV = cells.join(emb.select(col("vec_id"), col("e768")), "vec_id")
+    // merge-pinned (opt r13): with the parallelism-floor repartition
+    // upstream, size estimates shrank enough that the planner flipped
+    // this to a broadcast join — which killed the exchange reuse
+    // between the two pair-join sides and re-derived the O(corpus)
+    // cell-assignment subtree twice (plan audit: reused 2→0,
+    // hashAgg +2). The merge pin restores one shared exchange, and a
+    // broadcast of an N-scale side was never the 100 TB shape anyway.
+    val withV = cells.join(emb.select(col("vec_id"), col("e768"))
+      .hint("merge"), "vec_id")
     val pairs = withV.as("a")
       .join(withV.as("b").hint("merge"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))

@@ -22,6 +22,21 @@ object TextOps {
   private[operators] def docs(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
 
+  /** [[docs]] spread across the session default parallelism (opt r13,
+    * guide §2.5 input skew): the gate corpus is ONE parquet file → a
+    * 1-partition scan, so a pre-shuffle n-gram explode + md5 ran
+    * serially on one core. Used ONLY by the gram-digest gates (5/8-
+    * gram decontam and substring dedup, chunk digests) whose per-row
+    * map work is heavy enough to pay for the exchange — the same
+    * measured trade as Dedup.shingleDfFrom (2-4× at sf0.1). A blanket
+    * floor on every docs() consumer was measured and REVERTED: gates
+    * whose heavy work already sits post-shuffle (the BPE vocab fold,
+    * the packing cumsums) only gained exchanges (+0.3-0.7 s each).
+    * Width derives from the cluster, never a constant. */
+  private[operators] def docsPar(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   // ----------------------------------------------------------- langid
   /** Language-ID heuristic: ratio of English stopword tokens among all
     * tokens; ≥ 0.06 → 'en', else 'unk'. (On this synthetic corpus the
@@ -342,6 +357,12 @@ object TextOps {
     * state fixed (empty/degenerate corpora). */
   private[operators] def bpeLearnMerges(
       spark: SparkSession, dir: String): Seq[(String, String)] = {
+    // NOTE (opt r13, measured and reverted): replacing the per-round
+    // checkpoint with a growing replace() CHAIN over one checkpointed
+    // state0 cut 10 jobs but ran 0.8 s SLOWER — every round's chained
+    // expression is new codegen source, so the loop paid a fresh
+    // Janino compile per round where the constant-shape plan below
+    // hits the codegen cache. The checkpoint stays.
     var state = alphaWordCounts(spark, dir)
       .select(col("wc"), expr(bpeState0Sql).as("s"))
       .localCheckpoint()
@@ -728,7 +749,7 @@ object TextOps {
     val chunksExpr = expr(
       s"""transform(sequence(0, cast(ceil(size(ws) / $ChunkWords.0d) as int) - 1),
          |  i -> array_join(slice(ws, i * $ChunkWords + 1, $ChunkWords), ' '))""".stripMargin)
-    val chunks = docs(spark, dir)
+    val chunks = docsPar(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(chunksExpr).as(Seq("pos", "chunk")))
       .withColumn("ck", xxhash64(col("chunk")))
@@ -1612,7 +1633,7 @@ object TextOps {
     * dedup_ngram_jaccard_capped applies unchanged. */
   def textNgramDecontam(spark: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
-    val grams = docs(spark, dir)
+    val grams = docsPar(spark, dir)
       .select(col("doc_id"),
         when(h < 80, lit("train")).when(h < 90, lit("val"))
           .otherwise(lit("test")).as("split"),
@@ -1695,7 +1716,7 @@ object TextOps {
     * checkable row for row. */
   def textBloomDecontam(spark: SparkSession, dir: String): DataFrame = {
     val h = conv(substring(md5(col("text")), 1, 4), 16, 10).cast("int") % 100
-    val grams = docs(spark, dir)
+    val grams = docsPar(spark, dir)
       .select(col("doc_id"),
         when(h < 80, lit("train")).when(h < 90, lit("val"))
           .otherwise(lit("test")).as("split"),
@@ -1779,7 +1800,7 @@ object TextOps {
     * per-doc window (doc_id exchange) over ints. ~3 digest/id-only
     * exchanges total; text never shuffles. */
   def textSubstringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val grams = docs(spark, dir)
+    val grams = docsPar(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= SubstrK)
       .select(col("doc_id"), posexplode(expr(
@@ -1851,7 +1872,7 @@ object TextOps {
     * results by construction. */
   private[operators] def textSubstringDedupUnsalted(spark: SparkSession,
       dir: String): DataFrame = {
-    val grams = docs(spark, dir)
+    val grams = docsPar(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= SubstrK)
       .select(col("doc_id"), posexplode(expr(

@@ -170,8 +170,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val probeBranch = p.substring(joinIdx, exchangeIdx)
     assert(probeBranch.contains("graft_bloom_might_contain"),
       s"bloom probe must sit on the streamed train branch:\n$p")
-    assert(!probeBranch.contains("Exchange"),
-      s"probe branch gained a shuffle (train grams must never exchange):\n$p")
+    // the contract is about GRAMS: nothing between the confirm join
+    // and the gram explode (Generate) may shuffle — exploded grams are
+    // ~66× the doc rows and moving them is the 100 TB hazard. BELOW
+    // the Generate, the r13 parallelism-floor repartition of the raw
+    // (doc_id, text) rows is allowed: it carries docs, not grams, and
+    // exists so the explode+md5 map stage isn't serialized on the
+    // one-file gate corpus's single input partition.
+    val genIdx = probeBranch.indexOf("Generate")
+    assert(genIdx >= 0, s"gram explode missing from the probe branch:\n$p")
+    assert(!probeBranch.substring(0, genIdx).contains("Exchange"),
+      s"gram-side shuffle appeared between explode and confirm join " +
+        s"(train grams must never exchange):\n$p")
   }
 
   test("dedup_incremental_minhash: SMJ band probe, in-join threshold, partial best-match") {
