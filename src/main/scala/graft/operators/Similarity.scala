@@ -1352,10 +1352,15 @@ object Similarity {
     p
   }
 
-  /** Built 768-dim IVF-PQ index, all frames localCheckpoint'ed:
-    * `emb` (vec_id, e768, codesD), `corpCell` (c_vec, cell),
-    * `enc` (vec_id, m, code), `cellDistQ` (query × cell distances,
-    * for probe selection at any nprobe), `lut` (query ADC tables). */
+  /** Built 768-dim IVF-PQ index. The N-scale frames — `emb` (vec_id,
+    * e768, codesD), `corpCell` (c_vec, cell), `enc` (vec_id, m, code)
+    * — are localCheckpoint'ed (re-deriving them re-expands the corpus
+    * crossJoins); the Q-scale frames `cellDistQ` (query × cell
+    * distances, for probe selection at any nprobe) and `lut` (query
+    * ADC tables) stay lazy since opt r13 — their vec_id<Q filters push
+    * below the broadcast crossJoins, so re-derivation touches only
+    * query rows and each former checkpoint was a pure dispatch-floor
+    * job per build. */
   /** `cent`/`cbSub` are the MODEL artifacts (nlist centroid rows,
     * M×K codebook rows) — carried so [[persistedAnn768]] persists the
     * build's exact frames instead of re-deriving near-twins;
@@ -1453,9 +1458,14 @@ object Similarity {
         col("norm2").as("cnorm2"))
     val cellDist = cellDistOf(emb, cent)
     val corpCell = argminCell(cellDist).localCheckpoint()
+    // NOT checkpointed (opt r13): the Q filter pushes below the
+    // centroid crossJoin, so a lazy cellDistQ re-derives Q×nlist rows
+    // from the emb CHECKPOINT (never the corpus — only the ≤Q query
+    // rows meet the broadcast centroids); its former localCheckpoint
+    // was one pure-dispatch-floor job per index build. Same for lut
+    // below (Q×M×K rows from the codebook crossJoin).
     val cellDistQ = cellDist
       .filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
-      .localCheckpoint() // Q×nlist rows — tiny at any nlist
     // PQ: codebook = first PPqK corpus vectors, per-subspace slices
     val mRange = (0 until PDim / PSub)
     val cbSub = emb.filter(col("vec_id") >= 0 && col("vec_id") < PPqK)
@@ -1470,7 +1480,6 @@ object Similarity {
     val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
       .select(col("vec_id").as("lq_id"), col("m").as("qm"),
         col("j").as("qj"), col("dist"))
-      .localCheckpoint()
     Ivf768Index(emb, corpCell, enc, cellDistQ, lut, cent, cbSub)
   }
 

@@ -53,10 +53,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the persisted-index probe computes its QUERY-side structures
     // live: the <=NumQueries checkpointed query rows cross the
     // broadcast model tables (nlist=16 centroid rows, M*K=96
-    // codebook rows). The prod twin hides the same crosses behind
-    // buildIvf768's localCheckpoints; here they are visible — and
-    // bounded by the model size, never the corpus
-    "sim_ann_ivfpq_persisted")
+    // codebook rows) — bounded by the model size, never the corpus
+    "sim_ann_ivfpq_persisted",
+    // same query-side crosses, visible since opt r13 dropped the
+    // Q-scale cellDistQ/lut checkpoints from buildIvf768 (their
+    // vec_id<Q filters push below the broadcast crossJoins, so the
+    // lazy re-derivation touches only query rows)
+    "sim_ann_ivfpq_768_prod")
 
   test("no gate plans a cartesian product; nested-loop only where intended") {
     val offenders = auditableGates.flatMap { n =>
