@@ -1235,6 +1235,15 @@ object Dedup {
       val table = s"graft_band_index_$suffix"
       val path = graft.core.Scratch.dir("band_index", d)
       corpusBandIndex(spark, d)
+        // ≤1 file per bucket (opt r13, guide §6): the bucketed writer
+        // emits one file per (task, bucket), and since the shingle
+        // parallelism floor the band frame arrives 32-partitioned —
+        // an unrepartitioned write fragments the index ~32× and every
+        // probe pays the file-open overhead (measured: the first
+        // probe gate drifted +2.7 s). Same co-location recipe as
+        // [[bandIndexCompactCore]]: exchange on the writer's own
+        // Murmur3 bucket id, so each task owns whole buckets.
+        .repartition(8, pmod(hash(col("band_id"), col("bh")), lit(8)))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "band_id", "bh").sortBy("band_id", "bh")
         .option("path", path).saveAsTable(table)
