@@ -117,12 +117,20 @@ object Dedup {
     * buffers stay primitive LONGs → the 16 min()s plan as
     * HashAggregate. */
   private[operators] def sigDf(spark: SparkSession, dir: String): DataFrame = {
+    // h1/h2 are projected ONCE per shingle row BEFORE the aggregation
+    // (opt r14, guide §1.2 per-task work) — inlining them into every
+    // min() made each aggregate-update expression carry its own
+    // md5+conv subtree, i.e. 2·NumPerms md5 evaluations per shingle
+    // row whenever the update projection runs without codegen CSE.
+    // The oracle CTE (`hashed`) always had this shape; now both
+    // engines hash once per row. Values are bit-identical.
     val h1 = conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("bigint")
     val h2 = conv(substring(md5(col("shingle")), 17, 14), 16, 10).cast("bigint")
     val sigCols = (1 to NumPerms).map { k =>
-      min(h1 + lit(k.toLong) * h2).as(s"s$k")
+      min(col("h1") + lit(k.toLong) * col("h2")).as(s"s$k")
     }
-    shingleDf(spark, dir).groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    shingleDf(spark, dir).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   private[operators] val sigCte: String = {
@@ -476,12 +484,22 @@ object Dedup {
     prodSigDfFrom(shingleDf(spark, dir))
 
   private[operators] def prodSigDfFrom(shingles: DataFrame): DataFrame = {
+    // h1/h2 pre-projected once per shingle row (opt r14) — the 128
+    // min()s exceed spark.sql.codegen.maxFields, so this aggregation
+    // NEVER whole-stage-codegens and its update projection gets no
+    // subexpression elimination: with the hashes inlined, every
+    // shingle row paid 256 interpreted md5+conv evaluations (measured
+    // 210 CPU-seconds for the sf0.1 corpus index build, ~6.6 s per
+    // task at 32 cores). Post-projection each update is one
+    // multiply-add on two longs. Same values, same oracle shape
+    // (the `hashed` CTE always hashed once per row).
     val h1 = conv(substring(md5(col("shingle")), 1, 14), 16, 10).cast("bigint")
     val h2 = conv(substring(md5(col("shingle")), 17, 13), 16, 10).cast("bigint")
     val sigCols = (1 to ProdPerms).map { k =>
-      min(h1 + lit(k.toLong) * h2).as(s"s$k")
+      min(col("h1") + lit(k.toLong) * col("h2")).as(s"s$k")
     }
-    shingles.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    shingles.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
   private val prodSigCte: String = {
