@@ -1248,26 +1248,38 @@ object Dedup {
     * stream micro-batch — reads the table. */
   private[operators] def persistedCorpusIndex(
       spark: SparkSession, dir: String): DataFrame = {
-    val name = persistedIndexTables.computeIfAbsent(dir, { d =>
-      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"graft_band_index_$suffix"
-      val path = graft.core.Scratch.dir("band_index", d)
-      corpusBandIndex(spark, d)
-        // ≤1 file per bucket (opt r13, guide §6): the bucketed writer
-        // emits one file per (task, bucket), and since the shingle
-        // parallelism floor the band frame arrives 32-partitioned —
-        // an unrepartitioned write fragments the index ~32× and every
-        // probe pays the file-open overhead (measured: the first
-        // probe gate drifted +2.7 s). Same co-location recipe as
-        // [[bandIndexCompactCore]]: exchange on the writer's own
-        // Murmur3 bucket id, so each task owns whole buckets.
-        .repartition(8, pmod(hash(col("band_id"), col("bh")), lit(8)))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "band_id", "bh").sortBy("band_id", "bh")
-        .option("path", path).saveAsTable(table)
-      table
-    })
+    val name = Option(persistedIndexTables.get(dir))
+      .getOrElse(writeCorpusIndex(spark, dir))
     spark.table(name)
+  }
+
+  /** The build itself — ALWAYS writes (overwrite) and re-registers.
+    * [[bandIndexPersist]] calls this every invocation because the
+    * sink gate's declared semantics ARE the build (VERDICT r13 next
+    * #1: attribution was first-toucher-pays — the probe gates' timed
+    * attempts absorbed the build whenever they ran first, making them
+    * bimodal; now the sink gate times the build deterministically and
+    * [[persistedCorpusIndex]] only falls back to building when NO
+    * builder has run yet in this JVM). */
+  private def writeCorpusIndex(spark: SparkSession, dir: String): String = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_band_index_$suffix"
+    val path = graft.core.Scratch.dir("band_index", dir)
+    corpusBandIndex(spark, dir)
+      // ≤1 file per bucket (opt r13, guide §6): the bucketed writer
+      // emits one file per (task, bucket), and since the shingle
+      // parallelism floor the band frame arrives 32-partitioned —
+      // an unrepartitioned write fragments the index ~32× and every
+      // probe pays the file-open overhead (measured: the first
+      // probe gate drifted +2.7 s). Same co-location recipe as
+      // [[bandIndexCompactCore]]: exchange on the writer's own
+      // Murmur3 bucket id, so each task owns whole buckets.
+      .repartition(8, pmod(hash(col("band_id"), col("bh")), lit(8)))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "band_id", "bh").sortBy("band_id", "bh")
+      .option("path", path).saveAsTable(table)
+    persistedIndexTables.put(dir, table)
+    table
   }
 
   /** Gate body for `sink_band_index_persist` (registered with the
@@ -1281,7 +1293,9 @@ object Dedup {
     * documents. */
   private[operators] def bandIndexPersist(
       spark: SparkSession, dir: String): DataFrame =
-    persistedCorpusIndex(spark, dir)
+    // the gate RUNS the build every call (its semantics) — see
+    // [[writeCorpusIndex]]; probe gates only read the registry
+    spark.table(writeCorpusIndex(spark, dir))
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("bh")).as("n_hashes"),

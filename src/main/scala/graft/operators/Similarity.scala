@@ -1559,28 +1559,38 @@ object Similarity {
     * persisted index is numerically IDENTICAL to one against the
     * in-memory build (`sim_ann_ivfpq_persisted` shares the 768
     * oracle verbatim — that identity is gated, not assumed). */
-  private def persistedAnn768(spark: SparkSession, dir: String): Ann768Tables = {
-    persistedAnn768Tables.computeIfAbsent(dir, { d =>
-      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val idx = buildIvf768(spark, d, PNlist)
-      def save(df: DataFrame, name: String, bucketCols: Seq[String]): String = {
-        val table = s"graft_ann_${name}_$sfx"
-        val w0 = df.write.mode("overwrite").format("parquet")
-        val w1 =
-          if (bucketCols.nonEmpty)
-            w0.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
-              .sortBy(bucketCols.head, bucketCols.tail: _*)
-          else w0
-        w1.option("path", graft.core.Scratch.dir(s"ann_$name", d))
-          .saveAsTable(table)
-        table
-      }
-      Ann768Tables(
-        cells = save(idx.corpCell, "cells", Seq("c_vec")),
-        codes = save(idx.enc, "codes", Seq("vec_id")),
-        cents = save(idx.cent, "cents", Nil),
-        codebook = save(idx.cbSub, "codebook", Nil))
-    })
+  private def persistedAnn768(spark: SparkSession, dir: String): Ann768Tables =
+    Option(persistedAnn768Tables.get(dir))
+      .getOrElse(writeAnn768(spark, dir))
+
+  /** The build itself — ALWAYS writes (overwrite) and re-registers.
+    * [[annIndexPersist]] calls this every invocation because the sink
+    * gate's declared semantics ARE the build (VERDICT r13 next #1,
+    * same attribution contract as [[Dedup.bandIndexPersist]]);
+    * [[persistedAnn768]] only falls back to building when no builder
+    * has run yet in this JVM. */
+  private def writeAnn768(spark: SparkSession, dir: String): Ann768Tables = {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idx = buildIvf768(spark, dir, PNlist)
+    def save(df: DataFrame, name: String, bucketCols: Seq[String]): String = {
+      val table = s"graft_ann_${name}_$sfx"
+      val w0 = df.write.mode("overwrite").format("parquet")
+      val w1 =
+        if (bucketCols.nonEmpty)
+          w0.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
+            .sortBy(bucketCols.head, bucketCols.tail: _*)
+        else w0
+      w1.option("path", graft.core.Scratch.dir(s"ann_$name", dir))
+        .saveAsTable(table)
+      table
+    }
+    val tabs = Ann768Tables(
+      cells = save(idx.corpCell, "cells", Seq("c_vec")),
+      codes = save(idx.enc, "codes", Seq("vec_id")),
+      cents = save(idx.cent, "cents", Nil),
+      codebook = save(idx.cbSub, "codebook", Nil))
+    persistedAnn768Tables.put(dir, tabs)
+    tabs
   }
 
   /** Probe the PERSISTED index: the query-side structures (query→
@@ -1658,7 +1668,9 @@ object Similarity {
     * side). */
   private[operators] def annIndexPersist(
       spark: SparkSession, dir: String): DataFrame = {
-    val tabs = persistedAnn768(spark, dir)
+    // the gate RUNS the build every call (its semantics) — see
+    // [[writeAnn768]]; probe gates only read the registry
+    val tabs = writeAnn768(spark, dir)
     annCellSummary(spark.table(tabs.cells), spark.table(tabs.codes))
   }
 

@@ -61,20 +61,64 @@ case class SessionOut(user_id: Long, start_ms: Long, n_events: Long,
  */
 object Streaming {
 
+  /** Streaming shuffle/state width derived from LOAD and CLUSTER —
+    * never a constant (VERDICT r13 next #2): one state-store instance
+    * per ~1 MB of per-stream input at the gate SFs, clamped to
+    * [2, defaultParallelism]. Rationale, measured at sf0.1/32 cores:
+    * stateful operators open one store per shuffle partition (a
+    * stream-stream join opens FOUR) and the per-store open/commit
+    * overhead dominates tiny micro-batches — width 8 → 2 cut
+    * stream_join_attrib 3.95→2.21 s and stream_join_outer 5.30→4.12 s,
+    * while width 1 serialized real per-batch compute and LOST
+    * (stream_daily_delta 5.22→9.37 s). Production inputs are GB+ per
+    * batch window, so the byte term saturates and the clamp hands the
+    * width to the cluster's parallelism. Callers that cannot cheaply
+    * size their source (connector streams, whose per-batch volume is
+    * page-bounded) pass -1 and get a pure cluster derivation,
+    * defaultParallelism/16 under the same clamp — measured flat vs
+    * the old 8 on the connector gates (alpaca_stream_ewma 4.05→4.00)
+    * and still scaling with the cluster instead of a literal. */
+  private[operators] def statePartitionsFor(spark: SparkSession,
+      inputBytes: Long): Int = {
+    val dp = spark.sparkContext.defaultParallelism
+    val byLoad =
+      if (inputBytes >= 0) (inputBytes >> 20) + 1 // ceil-ish MB
+      else dp.toLong / 16
+    math.max(2L, math.min(dp.toLong, byLoad)).toInt
+  }
+
+  /** Total byte size of a staged file/dir — the load signal
+    * [[statePartitionsFor]] sizes the drain by. */
+  private[operators] def stagedBytes(path: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (!Files.exists(p)) -1L
+    else {
+      val s = Files.walk(p)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      finally s.close()
+    }
+  }
+
   /** Drain a streaming frame synchronously into a memory-sink table
     * and return it (gate scaffolding shared by every streaming gate).
     * Stateful operators open one state-store instance per shuffle
     * partition (a stream-stream join opens FOUR), and at gate scale
     * the per-store open/commit overhead dominates the micro-batch —
-    * so the drain runs at 8 partitions (measured 6.8 s → 2.8 s for
-    * the join gate at sf0.1). The value bakes into each query's
-    * checkpoint at first start, so production sizes it per cluster;
-    * the session's 32 is restored for the batch read-back. */
+    * so the drain width is derived from the staged input size and the
+    * cluster ([[statePartitionsFor]]; r13 ran a constant 8). The value
+    * bakes into each query's checkpoint at first start; the session's
+    * width is restored for the batch read-back. */
   private[operators] def drainToTable(spark: SparkSession, df: DataFrame,
-      mode: String): DataFrame = {
+      mode: String, inputBytes: Long = -1L): DataFrame = {
     val qname = s"stream_gate_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val width = statePartitionsFor(spark, inputBytes)
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val trialProvider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER")
+    trialProvider.foreach(spark.conf.set(providerKey, _))
     val q = df.writeStream
       .outputMode(mode)
       .format("memory")
@@ -83,6 +127,10 @@ object Streaming {
     try q.processAllAvailable() finally {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (trialProvider.isDefined) prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     }
     spark.table(qname)
   }
@@ -103,7 +151,7 @@ object Streaming {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
-    drainToTable(spark, agg, "complete")
+    drainToTable(spark, agg, "complete", stagedBytes(s"$dir/events.parquet"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n_events"), col("sum_value"),
@@ -232,7 +280,8 @@ object Streaming {
       .dropDuplicates("lang", "prefix_hash")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_distinct_docs"))
-    drainToTable(spark, agg, "complete")
+    drainToTable(spark, agg, "complete",
+        stagedBytes(s"$dir/documents.parquet"))
       .select(col("lang"), col("n_distinct_docs"))
       .orderBy(col("lang"))
   }
@@ -274,7 +323,8 @@ object Streaming {
         .otherwise(lit("new")).as("status"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"))
-    drainToTable(spark, agg, "complete")
+    drainToTable(spark, agg, "complete",
+        stagedBytes(s"$dir/documents.parquet"))
       .select(col("status"), col("n"))
       .orderBy(col("status"))
   }
@@ -333,7 +383,7 @@ object Streaming {
 
   def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
     val joined = attribJoinedStream(spark, dir, "events.parquet")
-    drainToTable(spark, joined, "append")
+    drainToTable(spark, joined, "append", stagedBytes(s"$dir/events.parquet"))
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_attributed"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_purchase"))
@@ -406,7 +456,7 @@ object Streaming {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr(s"INTERVAL $AttribWindowMin MINUTES"),
       "left_outer")
-    drainToTable(spark, joined, "append")
+    drainToTable(spark, joined, "append", stagedBytes(stage))
       .filter(col("c_user") >= 0)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_rows"),
@@ -536,7 +586,7 @@ object Streaming {
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
     val sessions = sessionizeStream(stream, gapMinutes = 30)
-    drainToTable(spark, sessions.toDF(), "append")
+    drainToTable(spark, sessions.toDF(), "append", stagedBytes(stage))
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_ms"))
       .orderBy(col("user_id"), col("start_ms"))
@@ -580,7 +630,7 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    drainToTable(spark, agg, "complete")
+    drainToTable(spark, agg, "complete", stagedBytes(s"$dir/events.parquet"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -631,7 +681,7 @@ object Streaming {
       .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-    drainToTable(spark, agg, "append")
+    drainToTable(spark, agg, "append", stagedBytes(stage))
       .filter(col("event_type") =!= "__sentinel__")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
@@ -685,6 +735,13 @@ object Streaming {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .filter(col("doc_id") % 5 === 0)
+      // parallelism floor on the STREAM side (opt r14, guide §2.5):
+      // the one-file micro-batch scans as a single partition, so the
+      // per-row signature pipeline below (2 md5/shingle + 16 array_min
+      // folds) ran serially — measured 2.5–3.0 s of the gate's ~3.7 s
+      // adjusted time in one task. Stateless shuffle of ~0.6 KB/doc
+      // text, same width rule as the batch shingle floor.
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .withColumn("shingles", expr(
@@ -709,7 +766,8 @@ object Streaming {
         when(eq >= 8, 1L).otherwise(0L).as("nd"))
       .groupBy(col("band_id"))
       .agg(count(lit(1)).as("n_candidates"), sum(col("nd")).as("n_near_dups"))
-    drainToTable(spark, agg, "complete")
+    drainToTable(spark, agg, "complete",
+        stagedBytes(s"$dir/documents.parquet"))
       .select(col("band_id").cast("bigint").as("band_id"),
         col("n_candidates"), col("n_near_dups"))
       .orderBy(col("band_id"))
@@ -802,7 +860,8 @@ object Streaming {
     // table; no corpus shingle scan inside any batch plan (r13)
     val corpusIdx = Dedup.persistedCorpusIndex(spark, staticDir)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsFor(spark, stagedBytes(s"$srcDir/$glob")).toString)
     val q = delta.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -870,7 +929,8 @@ object Streaming {
         .parquet(srcDir))
     Similarity.ensurePersistedAnn(spark, staticDir)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsFor(spark, stagedBytes(s"$srcDir/$glob")).toString)
     val q = requests.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -932,7 +992,8 @@ object Streaming {
     // append-mode drain, then a BATCH rollup of the deduped key set
     // (keeps the stream single-stateful-operator; the rollup is just
     // gate reporting)
-    drainToTable(spark, deduped, "append")
+    drainToTable(spark, deduped, "append",
+        stagedBytes(s"$dir/events.parquet"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_keys"),
         countDistinct(col("user_id")).as("n_users"))
@@ -987,7 +1048,7 @@ object Streaming {
         .transformWithState(new RunningCounterProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append())
-      drainToTable(spark, out.toDF(), "append")
+      drainToTable(spark, out.toDF(), "append", stagedBytes(stage))
         .select(col("user_id"), col("seq"), col("batch_events"), col("running"))
         .orderBy(col("user_id"), col("seq"))
     } finally prevProvider match {
