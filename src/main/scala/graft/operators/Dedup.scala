@@ -512,7 +512,7 @@ object Dedup {
        |sigs AS (SELECT doc_id, $sigs FROM hashed GROUP BY doc_id)""".stripMargin
   }
 
-  private def prodBandDf(sigs: DataFrame): DataFrame = {
+  private[operators] def prodBandDf(sigs: DataFrame): DataFrame = {
     val bands = (0 until ProdBands).map { b =>
       struct(lit(b).as("band_id"),
         md5(concat_ws("|",

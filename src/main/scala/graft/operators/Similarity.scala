@@ -1222,8 +1222,6 @@ object Similarity {
     // itself stays exercised by sim_ann_ivfpq_768.
     val idx = buildIvf768(spark, dir, PNlist)
     val emb = idx.emb
-    val corpCell = idx.corpCell
-    val enc = idx.enc
     val lut = idx.lut
     val qProbe = idx.cellDistQ.withColumn("cr", row_number().over(
         w.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cent_id"))))
@@ -1232,7 +1230,7 @@ object Similarity {
         col("cr").as("probe_rank"))
     val nps = spark.range(0, CurveProbes.length)
       .select(explode(array(CurveProbes.map(lit): _*)).as("nprobe")).distinct()
-    val adc = enc.join(corpCell, col("vec_id") === col("c_vec"))
+    val adc = idx.encCell
       .join(broadcast(qProbe),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .join(broadcast(nps), col("probe_rank") <= col("nprobe"))
@@ -1353,8 +1351,9 @@ object Similarity {
   }
 
   /** Built 768-dim IVF-PQ index. The N-scale frames — `emb` (vec_id,
-    * e768, codesD), `corpCell` (c_vec, cell), `enc` (vec_id, m, code)
-    * — are localCheckpoint'ed (re-deriving them re-expands the corpus
+    * e768, codesD) and `encCell` (vec_id, cell, m, code — the cell
+    * assignment pre-joined to the PQ codes, opt r14) — are
+    * localCheckpoint'ed (re-deriving them re-expands the corpus
     * crossJoins); the Q-scale frames `cellDistQ` (query × cell
     * distances, for probe selection at any nprobe) and `lut` (query
     * ADC tables) stay lazy since opt r13 — their vec_id<Q filters push
@@ -1365,8 +1364,8 @@ object Similarity {
     * M×K codebook rows) — carried so [[persistedAnn768]] persists the
     * build's exact frames instead of re-deriving near-twins;
     * [[queryIvf768]] never reads them. */
-  case class Ivf768Index(emb: DataFrame, corpCell: DataFrame,
-      enc: DataFrame, cellDistQ: DataFrame, lut: DataFrame,
+  case class Ivf768Index(emb: DataFrame, encCell: DataFrame,
+      cellDistQ: DataFrame, lut: DataFrame,
       cent: DataFrame, cbSub: DataFrame)
 
   /** Array-based index build — the production shape of [[probe768]]:
@@ -1457,7 +1456,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("codesD").as("ccodes"),
         col("norm2").as("cnorm2"))
     val cellDist = cellDistOf(emb, cent)
-    val corpCell = argminCell(cellDist).localCheckpoint()
+    val corpCell = argminCell(cellDist)
     // NOT checkpointed (opt r13): the Q filter pushes below the
     // centroid crossJoin, so a lazy cellDistQ re-derives Q×nlist rows
     // from the emb CHECKPOINT (never the corpus — only the ≤Q query
@@ -1476,11 +1475,24 @@ object Similarity {
       .select(col("j"), col("e.m").as("m"), col("e.cslice").as("cslice"))
       .withColumn("cn2", dotF(col("cslice"), col("cslice")))
     val encDist = encDistOf(emb, cbSub)
-    val enc = argminCode(encDist).localCheckpoint()
+    val enc = argminCode(encDist)
+    // encCell (opt r14): the (vec_id, cell, m, code) frame is the
+    // assignment JOINED to the codes at build time, checkpointed as
+    // ONE frame — the r13 build checkpointed corpCell and enc
+    // separately (two driver actions) and every in-memory probe plan
+    // re-joined them per query: an N-scale SortMergeJoin with TWO
+    // exchanges (both sides re-shuffled on vec_id) in every probe.
+    // The persisted layout already had this property via the shared
+    // bucket spec; the in-memory index now matches it. One checkpoint
+    // action instead of two, and the probe plans lose their only
+    // N-scale shuffle.
+    val encCell = enc.join(corpCell, col("vec_id") === col("c_vec"))
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+      .localCheckpoint()
     val lut = encDist.filter(col("vec_id") >= 0 && col("vec_id") < NumQueries)
       .select(col("vec_id").as("lq_id"), col("m").as("qm"),
         col("j").as("qj"), col("dist"))
-    Ivf768Index(emb, corpCell, enc, cellDistQ, lut, cent, cbSub)
+    Ivf768Index(emb, encCell, cellDistQ, lut, cent, cbSub)
   }
 
   /** Query phase against a built index: probe `nprobe` cells, ADC,
@@ -1491,7 +1503,7 @@ object Similarity {
         w.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cent_id"))))
       .filter(col("cr") <= nprobe)
       .select(col("vec_id").as("q_id"), col("cent_id").as("qcell"))
-    val adc = idx.enc.join(idx.corpCell, col("vec_id") === col("c_vec"))
+    val adc = idx.encCell
       .join(broadcast(qProbe),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .join(broadcast(idx.lut),
@@ -1574,7 +1586,16 @@ object Similarity {
     val idx = buildIvf768(spark, dir, PNlist)
     def save(df: DataFrame, name: String, bucketCols: Seq[String]): String = {
       val table = s"graft_ann_${name}_$sfx"
-      val w0 = df.write.mode("overwrite").format("parquet")
+      // ≤1 file per bucket (opt r14, guide §6, the bandIndexCompact
+      // recipe): the bucketed writer emits one file per (task, bucket)
+      // and the build frames arrive 32-partitioned — pre-exchange on
+      // the writer's own Murmur3 bucket id so each task owns whole
+      // buckets and every probe opens ≤8 files per table.
+      val df1 =
+        if (bucketCols.nonEmpty)
+          df.repartition(8, pmod(hash(bucketCols.map(col): _*), lit(8)))
+        else df
+      val w0 = df1.write.mode("overwrite").format("parquet")
       val w1 =
         if (bucketCols.nonEmpty)
           w0.bucketBy(8, bucketCols.head, bucketCols.tail: _*)
@@ -1585,8 +1606,10 @@ object Similarity {
       table
     }
     val tabs = Ann768Tables(
-      cells = save(idx.corpCell, "cells", Seq("c_vec")),
-      codes = save(idx.enc, "codes", Seq("vec_id")),
+      cells = save(idx.encCell.select(col("vec_id").as("c_vec"), col("cell"))
+        .distinct(), "cells", Seq("c_vec")),
+      codes = save(idx.encCell.select(col("vec_id"), col("m"), col("code")),
+        "codes", Seq("vec_id")),
       cents = save(idx.cent, "cents", Nil),
       codebook = save(idx.cbSub, "codebook", Nil))
     persistedAnn768Tables.put(dir, tabs)
@@ -1645,8 +1668,14 @@ object Similarity {
         col("j").as("qj"), col("dist"))
     val emb = embTable(spark, dir)
       .select(col("vec_id"), expr(E768Spark).as("e768"))
-    queryIvf768(Ivf768Index(emb, spark.table(tabs.cells),
-      spark.table(tabs.codes), cellDistQ, lut, cents, cb), nprobe)
+    // codes join cells rides the shared 8-bucket spec on
+    // (vec_id ~ c_vec) — no shuffle on either N-scale side (the same
+    // join the r13 probe planned; it is now spelled here instead of
+    // inside queryIvf768, whose in-memory path gets it pre-joined)
+    val encCell = spark.table(tabs.codes)
+      .join(spark.table(tabs.cells), col("vec_id") === col("c_vec"))
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    queryIvf768(Ivf768Index(emb, encCell, cellDistQ, lut, cents, cb), nprobe)
   }
 
   /** Gate: `sim_ann_ivfpq_persisted` — the persisted-index probe must
@@ -1712,7 +1741,9 @@ object Similarity {
     def save(df: DataFrame, name: String, mode: String,
         bucketCols: Seq[String]): String = {
       val table = s"graft_ann_${name}_apnd_$sfx"
-      df.write.mode(mode).format("parquet")
+      // same ≤1-file-per-bucket pre-exchange as the persist path
+      df.repartition(8, pmod(hash(bucketCols.map(col): _*), lit(8)))
+        .write.mode(mode).format("parquet")
         .bucketBy(8, bucketCols.head, bucketCols.tail: _*)
         .sortBy(bucketCols.head, bucketCols.tail: _*)
         .option("path", graft.core.Scratch.dir(s"ann_${name}_apnd", dir))

@@ -63,6 +63,12 @@ object ScaleSoak {
     // — one-time build cost vs per-probe cost at two delta sizes vs
     // the old per-run re-derivation, at sf0.1
     if (args.headOption.contains("bandindex")) { bandIndexSoak(args); return }
+    // "shufflebytes [N]": the r13 shingle-floor shuffle-byte claim,
+    // verified with BYTES at an amplified SF (VERDICT r13 next #5) —
+    // the floor moves raw text (~0.6 KB/doc) through its exchange
+    // where the no-floor plan's aggregation exchange moves 128-long
+    // signature partials; this measures both, not arithmetic
+    if (args.headOption.contains("shufflebytes")) { shuffleBytesSoak(args); return }
     val factor = args.headOption.map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -571,6 +577,89 @@ object ScaleSoak {
       println(f"SOAK_DEDUPPROD n=$n docs=$docs pairs=$tP%.2f s ($np pairs) " +
         f"clusters=$tC%.2f s ($nc docs, $ccRounds star rounds) " +
         f"incremental=$tI%.2f s ($ni docs)")
+    }
+    spark.stop()
+  }
+
+  /** VERDICT r13 next #5: the shingle-floor shuffle-byte accounting,
+    * measured instead of asserted. Runs the 128-perm signature stage
+    * (shingle → md5 halves → 128 min()s) over an amplified corpus two
+    * ways — WITH the r13 parallelism-floor repartition below the scan
+    * (one exchange carrying raw text, the aggregation absorbed into
+    * its partitioning) and WITHOUT it (partial aggregation, then an
+    * exchange carrying per-partition 128-long signature partials) —
+    * and reports each run's total shuffle bytes/records written from
+    * the task metrics. */
+  private def shuffleBytesSoak(args: Array[String]): Unit = {
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def amplify(n: Int): String = {
+      val dir = s"/tmp/graft_soak/x$n"
+      if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
+        base.crossJoin(spark.range(n).toDF("copy"))
+          .select(($"doc_id" * n + $"copy").as("doc_id"),
+            when($"copy" === 0, $"text").otherwise(
+              array_join(transform(split($"text", " "),
+                w => concat(w, lit("_"), $"copy")), " ")).as("text"),
+            $"lang", $"source", $"n_chars")
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+      dir
+    }
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong()
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            ()
+          }
+        }
+      })
+    def noFloorShingles(dir: String): DataFrame =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .as("shingle"))
+    def run(label: String, df: => DataFrame, docs: Long, n: Int): Unit = {
+      System.gc()
+      val b0 = shufBytes.get(); val r0 = shufRecs.get()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      Thread.sleep(300) // listener drain
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = (shufBytes.get() - b0) / 1048576.0
+      val kbPerDoc = (shufBytes.get() - b0) / 1024.0 / docs
+      println(f"SOAK_SHUFFLEBYTES n=$n docs=$docs $label: $secs%.2f s " +
+        f"shuffleWrite=$mb%.1f MB (${shufRecs.get() - r0} records, " +
+        f"$kbPerDoc%.2f KB/doc)")
+    }
+    // warm codegen/JIT on the small corpus before the measured points
+    locally { val d = amplify(1)
+      val docs = spark.read.parquet(s"$d/documents.parquet").count()
+      run("warmup_floor", Dedup.prodSigDfFrom(
+        Dedup.shingleDfFrom(spark.read.parquet(s"$d/documents.parquet"))),
+        docs, 1) }
+    Seq(1, factor).distinct.foreach { n =>
+      val dir = amplify(n)
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      run("floor", Dedup.prodSigDfFrom(Dedup.shingleDfFrom(
+        spark.read.parquet(s"$dir/documents.parquet"))), docs, n)
+      run("nofloor", Dedup.prodSigDfFrom(noFloorShingles(dir)), docs, n)
     }
     spark.stop()
   }
