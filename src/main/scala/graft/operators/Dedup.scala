@@ -59,9 +59,10 @@ object Dedup {
       // per doc at any corpus size, ONE shuffle either way, and the
       // serial-map hazard is gone whenever the scan's split count is
       // below the cluster's cores. Width derives from the cluster,
-      // never a constant.
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
+      // never a constant. Since opt r14 the floor is CONDITIONAL
+      // (Tables.floorByKey, ADVICE r13 #4): an input already scanned
+      // >= cluster-wide skips the exchange outright.
+      .transform(Tables.floorByKey(_, col("doc_id")))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(expr(

@@ -49,8 +49,8 @@ object Multimodal {
     * [[mediaRecordsPar]] — 8 bytes/row into the exchange, a full
     * encode+decode round trip per row after it. */
   private def docIdsPar(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.floorByKey(
+      t(spark, dir, "documents").select(col("doc_id")), col("doc_id"))
 
   /** Executor-side, once per partition (an idempotent static write):
     * ImageIO's DEFAULT stream cache backs every
@@ -60,7 +60,14 @@ object Multimodal {
     * at 32 threads without — i.e. the disk cache is 2.5× pure
     * overhead per record AND a filesystem lock convoy once the
     * parallelism floor spreads codec tasks across cores. Memory-cached
-    * streams are exact byte-for-byte; only the backing store changes. */
+    * streams are exact byte-for-byte; only the backing store changes.
+    * DELIBERATELY JVM-global (ADVICE r13 #2): ImageIO's cache flag is
+    * a process-wide static and this library is the only ImageIO user
+    * in its executors; outputs are byte-identical either way, and the
+    * images here are KBs (a disk-backed cache buys nothing). A host
+    * application embedding this library alongside heap-exceeding
+    * ImageIO work would want per-stream MemoryCacheImageInputStreams
+    * instead. */
   private def imageIoNoDiskCache(): Unit =
     javax.imageio.ImageIO.setUseCache(false)
 

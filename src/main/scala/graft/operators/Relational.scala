@@ -38,6 +38,24 @@ object Tables {
       case _ => df
     }
   }
+
+  /** The parallelism floor, CONDITIONAL on the input actually being
+    * narrower than the cluster (opt r14, ADVICE r13 #4): hash-
+    * repartition `df` to defaultParallelism by `key` only when its
+    * physical partitioning is below that width. On the one-file gate
+    * corpus (1-partition scans) this parallelizes the heavy
+    * pre-shuffle map stages exactly as the r13 unconditional floor
+    * did (2–4× at sf0.1); on an input already ≥ cluster-wide it is a
+    * no-op — the r13 form forced a raw-row exchange there, which
+    * SOAK_SHUFFLEBYTES measured as a pure loss (+0.7 s at ×10: the
+    * exchange breaks scan→map codegen fusion, and the partial-agg
+    * plan it displaced is the guide-§2.3 aggregate-before-shuffle
+    * shape). The width check plans the frame once on the driver; no
+    * job runs. */
+  def floorByKey(df: DataFrame, key: Column): DataFrame = {
+    val dp = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= dp) df else df.repartition(dp, key)
+  }
 }
 
 /**

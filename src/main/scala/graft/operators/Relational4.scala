@@ -499,8 +499,9 @@ object Relational4 {
       // Same-cardinality map work — narrow pre-XML rows shuffle once,
       // width derived from the cluster. Aggregation gates deliberately
       // do NOT get this treatment (a raw-row shuffle would defeat
-      // partial aggregation); this gate has no aggregate.
-      .repartition(spark.sparkContext.defaultParallelism, col("o_orderkey"))
+      // partial aggregation); this gate has no aggregate. Conditional
+      // since opt r14 (Tables.floorByKey): no-op on wide scans.
+      .transform(Tables.floorByKey(_, col("o_orderkey")))
       .withColumn("o_orderstatus",
         regexp_replace(col("o_orderstatus"), "[\\x00-\\x1f&<>]", ""))
       .withColumn("o_orderpriority",

@@ -47,8 +47,7 @@ object Similarity {
     * stages: sim_kmeans +1.2 s, sim_ann_ivf +0.9 s) and keep the
     * plain scan. Width derives from the cluster, never a constant. */
   private def embTable(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    Tables.floorByKey(t(spark, dir, "embeddings"), col("vec_id"))
 
   private val Dim = 64
   private val NumQueries = 10
@@ -1831,11 +1830,15 @@ object Similarity {
       .select(col("vec_id"), (col("k") % 65536L).as("cell"))
     // merge-pinned (opt r13): with the parallelism-floor repartition
     // upstream, size estimates shrank enough that the planner flipped
-    // this to a broadcast join — which killed the exchange reuse
-    // between the two pair-join sides and re-derived the O(corpus)
-    // cell-assignment subtree twice (plan audit: reused 2→0,
-    // hashAgg +2). The merge pin restores one shared exchange, and a
-    // broadcast of an N-scale side was never the 100 TB shape anyway.
+    // this to a broadcast join — which killed the dedup between the
+    // two pair-join sides and re-derived the O(corpus) cell-assignment
+    // subtree twice (plan audit: reused 2→0, hashAgg +2). With the pin
+    // the STATIC plan still prints the cell-assignment subtree on
+    // both sides with no ReusedExchange node (ADVICE r13 #1); the
+    // dedup happens at RUNTIME via AQE's shuffle-stage cache, which
+    // recognizes the canonicalized twin exchanges and materializes
+    // the stage once — and a broadcast of an N-scale side was never
+    // the 100 TB shape anyway.
     val withV = cells.join(emb.select(col("vec_id"), col("e768"))
       .hint("merge"), "vec_id")
     val pairs = withV.as("a")

@@ -34,8 +34,7 @@ object TextOps {
     * the packing cumsums) only gained exchanges (+0.3-0.7 s each).
     * Width derives from the cluster, never a constant. */
   private[operators] def docsPar(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    Tables.floorByKey(docs(spark, dir), col("doc_id"))
 
   // ----------------------------------------------------------- langid
   /** Language-ID heuristic: ratio of English stopword tokens among all

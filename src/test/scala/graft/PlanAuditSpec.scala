@@ -180,7 +180,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // (doc_id, text) rows is allowed: it carries docs, not grams, and
     // exists so the explode+md5 map stage isn't serialized on the
     // one-file gate corpus's single input partition.
-    val genIdx = probeBranch.indexOf("Generate")
+    // anchor on the GRAM explode specifically — the Generate whose
+    // output list binds gram# — not the first Generate in the branch
+    // (ADVICE r13 #3: a future plan inserting another Generate above
+    // it would silently shrink the no-exchange region this protects)
+    val genIdx = "Generate [^\n]*\\[gram#".r
+      .findFirstMatchIn(probeBranch).map(_.start).getOrElse(-1)
     assert(genIdx >= 0, s"gram explode missing from the probe branch:\n$p")
     assert(!probeBranch.substring(0, genIdx).contains("Exchange"),
       s"gram-side shuffle appeared between explode and confirm join " +
