@@ -1257,6 +1257,17 @@ object Multimodal {
           |  struct(3L as b, h_hi div 65536 as bv))""".stripMargin)).as("bd"))
       .select(col("doc_id"), col("h_hi"), col("h_lo"),
         col("bd.b").as("b"), col("bd.bv").as("bv"))
+      // pin the band-join width (opt r14, VERDICT r13 next #4): the
+      // band rows entering the self-join are a few hundred KB, so AQE
+      // coalesced the join's shuffle to ONE partition and the
+      // quadratic candidate expansion + Hamming check ran serially
+      // (measured: a 1-task 1.5 s stage, the gate's dominant cost).
+      // The expansion's output is invisible to AQE's pre-shuffle byte
+      // estimate; an explicit numbered repartition on the join keys
+      // replaces the planner's own exchange (same exchange count, the
+      // self-join reuses it) and is exempt from coalescing, so the
+      // expansion runs cluster-wide at any scale.
+      .repartition(spark.sparkContext.defaultParallelism, col("b"), col("bv"))
     val cand = bands.as("x")
       .join(bands.as("y").hint("merge"), col("x.b") === col("y.b") &&
         col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
